@@ -1,0 +1,59 @@
+"""Fixture catalog: schema-pinned loaders for the test tables.
+
+Mirrors the reference's stance that every source has an explicit,
+introspectable schema (/root/reference/task.ts:75-95 exposes
+Input/Output schemas; the wire schema is runtime-enforced at
+task.ts:110). Here the parquet footer IS the schema; the one
+normalization we apply is events.ts: parquet TIMESTAMP(NANOS) →
+TIMESTAMP_NTZ at microsecond precision (floor), exactly how DuckDB
+reads the same file, so oracle comparisons are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.session import configure_session
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at ANY scale factor (they
+# grow sub-linearly or are bounded like TPC-H nation/region).
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with canonical column types."""
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read the raw int64 nanos; truncate to micros like
+        # DuckDB does and store wall-clock (no timezone shift). Integer
+        # `div`, NOT double division — ns values exceed double's exact
+        # integer range, so x/1000.0 would round the microsecond.
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every fixture as a temp view (for spark.sql entry points)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)

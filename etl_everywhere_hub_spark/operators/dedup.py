@@ -1,0 +1,214 @@
+"""Deduplication operators for LLM-corpus pipelines (SURVEY.md §2.B).
+
+Scale posture: every operator here is a composition of explode /
+groupBy / equi-join — all hash-shuffle linear in corpus size except
+candidate verification, which is bounded by the LSH collision rate,
+never by |corpus|². The only quadratic path (`ngram_jaccard_pairs`
+without blocking) exists as the small-scale oracle for the LSH path.
+
+Hashes are md5-derived (functions.hashing) so every signature is
+bit-reproducible across engines and runs — no seed drift between
+the production path and the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.functions.hashing import md5_long, seeded_md5
+from etl_everywhere_hub_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping the smallest id.
+
+    Equivalent to hash-groupBy on sha2(text); we group on the text
+    itself (same shuffle, no collision risk) — at 100 TB you'd group on
+    sha2 to shrink shuffle keys, which `fingerprint_dedup` does.
+    """
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, text_col, "n_copies")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, fingerprint_col, id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per fingerprint (hash-key shuffle, 16-byte keys)."""
+    w = Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint_col)
+        .withColumn("__rn", F.row_number().over(Window.partitionBy("__fp").orderBy(F.col(id_col).asc())))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct per doc — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, min over shingles of
+    md5(shingle|s), taken as the lexicographic min of hex strings.
+
+    String-min MinHash is engine-portable (md5 hex agrees everywhere)
+    and statistically identical to integer MinHash: P(min collides) =
+    Jaccard. One explode (shingles × seeds) + one groupBy — linear.
+    """
+    seeded = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda s: F.struct(
+                    s.alias("seed"), seeded_md5(F.col("shingle"), s).alias("h")
+                ),
+            )
+        ).alias("sh"),
+    ).select(id_col, F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
+    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and self-join on
+    (band, band_key). Returns distinct candidate (a < b) pairs.
+
+    The self-join is on a high-cardinality hash key: collisions only
+    for near-identical docs, so output ~ O(#near-dup pairs).
+    """
+    rows_per_band = num_hashes // bands
+    banded = sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+    # Band key = md5 of the band's minhashes in SEED order (array_sort on
+    # (seed, minhash) structs sorts by seed first) — matches the oracle's
+    # string_agg(minhash, '|' ORDER BY seed).
+    band_keys = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s.getField("minhash"),
+                ),
+            )
+        ).alias("band_key")
+    )
+    a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard per candidate pair via inverted index.
+
+    With ``pairs`` given (LSH candidates) this verifies only those;
+    without, it computes all pairs sharing ≥1 shingle (the oracle path
+    — use only with a blocking filter at scale).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    if pairs is not None:
+        # Candidate-first: restrict each side to docs that appear in a
+        # candidate pair BEFORE the shingle self-join, so intersection
+        # cost is bounded by LSH collisions, not corpus pair density.
+        a = a.join(pairs.select("a").distinct(), on="a", how="left_semi")
+        b = b.join(pairs.select("b").distinct(), on="b", how="left_semi")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, on=["a", "b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline.
+
+    Returns (a, b, jaccard) pairs with exact jaccard ≥ threshold among
+    LSH candidates. Recall is the LSH S-curve at (bands, rows); the
+    verification step makes precision exact.
+    """
+    sh = doc_shingles(df, text_col, id_col, k)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    verified = exact_jaccard(sh, cands, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over tokens: bit j of md5-int(token) votes ±1;
+    sign of the vote sum becomes bit j of the signature.
+
+    Expressed as explode(token) × explode(bit) + groupBy — linear, all
+    JVM-side. 32 bits keeps the signature in a BIGINT portably.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = tok.withColumn("h", md5_long(F.col("tok")))
+    # shiftright/shiftleft take a literal count in the Python API; the
+    # SQL forms accept a column for the per-row bit index.
+    votes = (
+        tok.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            F.col("h"),
+        )
+        .withColumn(
+            "vote", F.expr("shiftright(h, CAST(bit AS INT)) & 1") * 2 - 1
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,1531 @@
+"""Declared query registry — the correctness contract (SURVEY.md §2.B).
+
+Every entry pairs an idiomatic-PySpark implementation with an ANSI-SQL
+oracle string that DuckDB runs on the same parquet fixtures. The
+driver hash-compares the two at sf0.01; tests/test_oracle.py runs the
+identical comparison at sf0.001 as the inner loop.
+
+Cross-engine determinism rules (pinned here, enforced per query):
+- Sums/avgs over doubles fold through exact DECIMAL and cast the final
+  result to DOUBLE, so accumulation order cannot change a bit.
+- Row-level double arithmetic is written with identical parse shape in
+  both dialects (IEEE ops are bit-deterministic per row).
+- Every top-k / rank has a total-order tiebreaker on a unique key.
+- Computed integers are BIGINT on both sides (DuckDB's sum(int) is
+  HUGEINT, Spark's rank is INT — both are cast).
+- Hashes in results are md5 hex (identical across engines); Spark-only
+  hashes (xxhash64) never appear in results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.catalog import load_table, register_views
+from etl_everywhere_hub_spark.functions import text as T
+from etl_everywhere_hub_spark.functions.hashing import md5_long, seeded_md5
+from etl_everywhere_hub_spark.functions.vectors import cosine_exact, dot_exact
+from etl_everywhere_hub_spark.operators import asof as asof_ops
+from etl_everywhere_hub_spark.operators import dedup as dedup_ops
+from etl_everywhere_hub_spark.operators import similarity as sim_ops
+from etl_everywhere_hub_spark.operators.windows import latest_per_key, topk_per_group
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: SparkFn
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn: SparkFn) -> SparkFn:
+        REGISTRY[name] = Query(name, fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def _dec_sum(col, prec="decimal(18,4)"):
+    """Order-independent exact sum of a double column, as double."""
+    return F.sum(col.cast(prec)).cast("double")
+
+
+def _dec_avg(col, prec="decimal(18,4)"):
+    return F.sum(col.cast(prec)).cast("double") / F.count(col)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.B projection/filter/functions; reference R3-R9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: filter → hash-agg with partial
+    (map-side) combine; one shuffle on a 2-column low-cardinality key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "decimal(28,6)",
+            ).alias("sum_disc_price"),
+            _dec_sum(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * (F.lit(1) + F.col("l_tax")),
+                "decimal(28,6)",
+            ).alias("sum_charge"),
+            _dec_avg(F.col("l_quantity")).alias("avg_qty"),
+            _dec_avg(F.col("l_extendedprice")).alias("avg_price"),
+            _dec_avg(F.col("l_discount"), "decimal(18,6)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_predicates",
+    """
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33', 'Brand#44')
+      AND (p_type LIKE 'SM%' OR p_type LIKE '%DARD' OR p_type = 'PROMO')
+      AND p_retailprice > 905.0
+      AND NOT p_name LIKE '%bolt%'
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate gauntlet: BETWEEN/IN/LIKE/OR/NOT all pushed to the scan
+    (verify with .explain → PushedFilters)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33", "Brand#44")
+        & (
+            F.col("p_type").like("SM%")
+            | F.col("p_type").like("%DARD")
+            | (F.col("p_type") == "PROMO")
+        )
+        & (F.col("p_retailprice") > 905.0)
+        & ~F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+
+
+@query(
+    "q03_conditional_case",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_adj,
+           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_nn,
+           COALESCE(NULLIF(c_name, ''), 'anon') AS name_nn
+    FROM customer
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise + coalesce/nullif — reference R4/R5 semantics
+    (task.ts:125 emergency mapping, task.ts:128 falsy callsign)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("debt"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_adj"
+        ),
+        F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_nn"),
+        F.coalesce(F.nullif(F.col("c_name"), F.lit("")), F.lit("anon")).alias("name_nn"),
+    )
+
+
+@query(
+    "q04_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substring(c_name, 10, 6) AS name_sub,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           concat_ws('-', c_mktsegment, c_name) AS seg_name,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           regexp_replace(c_name, 'Customer', 'Cust') AS name_short,
+           trim(concat(' ', c_name, ' ')) AS name_trimmed
+    FROM customer
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 10, 6).alias("name_sub"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_translated"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+    )
+
+
+@query(
+    "q05_datetime_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch95,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           epoch_ms(o_orderdate) AS order_ms,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS order_iso
+    FROM orders
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface incl. the reference's epoch-ms ↔ ISO-8601-Z round
+    trip (task.ts:129-130)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("days_since_epoch95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+        ).alias("order_iso"),
+    )
+
+
+@query(
+    "q06_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_round,
+           floor(l_discount * 100) AS disc_floor,
+           ceil(l_discount * 100) AS disc_ceil,
+           abs(l_extendedprice - 1000.0) AS price_dev,
+           pow(l_quantity, 2.0) AS qty_sq,
+           sqrt(l_extendedprice) AS price_sqrt,
+           round(ln(l_extendedprice), 9) AS price_ln,
+           round(exp(l_discount), 9) AS disc_exp,
+           CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod,
+           greatest(l_quantity, l_discount * 100) AS g,
+           least(l_quantity, l_discount * 100) AS l
+    FROM lineitem
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 1).alias("price_round"),
+        F.floor(F.col("l_discount") * 100).cast("double").alias("disc_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("double").alias("disc_ceil"),
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("price_dev"),
+        F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
+        F.sqrt(F.col("l_extendedprice")).alias("price_sqrt"),
+        # ln/exp are transcendental — libm vs JVM differ in the last ulp,
+        # so the contract pins them at 9 decimals on both sides.
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("price_ln"),
+        F.round(F.exp(F.col("l_discount")), 9).alias("disc_exp"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l"),
+    )
+
+
+@query(
+    "q07_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, never a full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@query(
+    "q08_set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "q09_except_union",
+    """
+    WITH u AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT COUNT(*) AS n_all, COUNT(DISTINCT o_custkey) AS n_distinct,
+           (SELECT COUNT(*) FROM (
+               SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+               EXCEPT
+               SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_f_only
+    FROM u
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    oo = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    u = f.unionAll(p)
+    n_f_only = f.subtract(oo).count()  # EXCEPT = set semantics (subtract)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.countDistinct("o_custkey").alias("n_distinct"),
+    ).withColumn("n_f_only", F.lit(n_f_only).cast("bigint"))
+
+
+@query(
+    "q10_distinct_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           CAST(SUM(DISTINCT c_nationkey) AS BIGINT) AS sum_distinct_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.sum_distinct(F.col("c_nationkey")).cast("bigint").alias("sum_distinct_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.B; rollup/cube/grouping sets, stats, collect)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_global_agg",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+    FROM lineitem
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("total_price"),
+        _dec_avg(F.col("l_quantity")).alias("avg_qty"),
+    )
+
+
+@query(
+    "q12_rollup",
+    """
+    SELECT c_mktsegment, n_name,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+           CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_nat
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (c_mktsegment, n_name)
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("c_acctbal")).alias("total_bal"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("n_name").cast("int").alias("g_nat"),
+        )
+    )
+
+
+@query(
+    "q13_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "q14_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (all entry points converge
+    on the same Catalyst plan — SURVEY §3)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ee_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM ee_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "q15_collect_list",
+    """
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           list_sort(list(DISTINCT l_returnflag)) AS flags
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set are only deterministic under array_sort —
+    the determinism rule from SURVEY §2.B applied."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    )
+
+
+@query(
+    "q16_stats_agg",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty
+    FROM s
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact moment sums — numerically
+    identical across engines (builtin stddev_samp is order-dependent in
+    the last bits; it's exercised with tolerance in tests/)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        _dec_sum(F.col("l_quantity")).alias("sx"),
+        _dec_sum(F.col("l_quantity") * F.col("l_quantity"), "decimal(28,6)").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag", "n", var.alias("var_qty"), F.sqrt(var).alias("stddev_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.B joins; reference F3 broadcast-lookup pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style star join. nation/region broadcast explicitly
+    (bounded dims); lineitem⋈orders is the one real shuffle, which AQE
+    sizes at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "decimal(28,6)",
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q18_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    headline=True,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style: left outer join with a join-side predicate, two
+    cascading aggregations."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q19_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q20_anti_join",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "q21_theta_self_join",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + theta composite: the equi part keys the shuffle, the theta
+    part filters pairs — never a cartesian."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_name").alias("nation_a"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.col("n_nationkey").alias("ka"),
+    )
+    b = n.select(
+        F.col("n_name").alias("nation_b"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.col("n_nationkey").alias("kb"),
+    )
+    return (
+        a.join(b, on="regionkey")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("nation_a", "nation_b", "regionkey")
+    )
+
+
+@query(
+    "q22_asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS asof_event_id, c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    headline=True,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest preceding click by the
+    same user. Implemented union+window (one shuffle, linear) — see
+    operators/asof.py; DuckDB's native ASOF JOIN is the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    out = asof_ops.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id", "ts", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id"),
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )
+
+
+@query(
+    "q23_range_join",
+    """
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
+           epoch_ms(e.ts) - epoch_ms(p.ts) AS lag_ms
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts
+     AND epoch_ms(e.ts) - epoch_ms(p.ts) <= 600000
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors within 10 min after a purchase, same user.
+    Bucketed candidate generation keeps it equi-shaped (operators/asof.py)."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = asof_ops.range_join(
+        errors, purchases, on="user_id", left_time="ts", right_time="p_ts", window_ms=600_000
+    )
+    return joined.select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("p_ts").cast("timestamp"))
+        ).alias("lag_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.B; reference R10/R17 latest-per-key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) t WHERE rnk <= 3
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o,
+        keys=["o_orderpriority"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+@query(
+    "q25_window_rank",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "q26_window_lag_lead",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS dv,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+        (ts_ms - F.lag(ts_ms).over(w)).alias("gap_ms"),
+    )
+
+
+@query(
+    "q27_running_agg",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total,
+           COUNT(*) OVER w AS running_n,
+           CAST(MAX(o_totalprice) OVER w AS DOUBLE) AS running_max
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates; the sum folds through DECIMAL because window
+    implementations (segment trees vs incremental) associate differently."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.max("o_totalprice").over(w).cast("double").alias("running_max"),
+    )
+
+
+@query(
+    "q28_latest_per_key",
+    """
+    SELECT event_id, user_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    headline=True,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key — the reference's device-cache upsert semantics in
+    batch form (task.ts:146-149, latestPositionOnly at task.ts:178)."""
+    e = load_table(spark, sf_dir, "events")
+    return latest_per_key(e, ["user_id"], "ts", tiebreak="event_id").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@query(
+    "q29_sessionization",
+    """
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), s AS (
+        SELECT user_id,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM x
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    headline=True,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of streaming session_window (tests/test_streaming.py)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    brk = F.when(
+        F.lag(ts_ms).over(w).isNull() | ((ts_ms - F.lag(ts_ms).over(w)) > 1_800_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    x = e.select("user_id", "ts", "event_id", brk.alias("brk"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = x.select(
+        "user_id", F.sum("brk").over(wsum).cast("bigint").alias("session_id")
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested / semi-structured (SURVEY §2.B R8-R13; events.props JSON)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column access — from_json for full parse (R2's
+    schema-validated deserialization), get_json_object for point reads."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), "decimal(18,6)").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q31_struct_array_ops",
+    """
+    SELECT event_id,
+           'device-' || CAST(user_id AS VARCHAR) AS device_uid,
+           [value, value * 2.0] AS coordinates,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_time
+    FROM events
+    WHERE event_type = 'view'
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON-feature shaping (reference R7/R8/R9): key synthesis,
+    struct+array construction, ISO timestamps. Struct is built then
+    re-flattened so the result stays oracle-comparable."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    feature = e.select(
+        "event_id",
+        F.struct(
+            F.concat(F.lit("device-"), F.col("user_id").cast("string")).alias("uid"),
+            F.array(F.col("value"), F.col("value") * 2.0).alias("coordinates"),
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
+                "iso"
+            ),
+        ).alias("f"),
+    )
+    return feature.select(
+        "event_id",
+        F.col("f.uid").alias("device_uid"),
+        F.col("f.coordinates").alias("coordinates"),
+        F.col("f.k").alias("k"),
+        F.col("f.iso").alias("iso_time"),
+    )
+
+
+@query(
+    "q32_map_explode",
+    """
+    SELECT c_custkey, 'segment' AS k, c_mktsegment AS v FROM customer
+    UNION ALL
+    SELECT c_custkey, 'name' AS k, c_name AS v FROM customer
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + entry explosion (reference R13:
+    Object.entries(devices) → feature rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("segment"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select("c_custkey", F.explode(m).alias("k", "v"))
+
+
+@query(
+    "q33_higher_order_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           list_reduce(list_transform(embedding, x -> x::DOUBLE),
+                       (acc, x) -> acc + x) AS sum_all,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled
+    FROM embeddings
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) over the
+    embedding column — all JVM-side, no UDF. The fold is a sequential
+    left fold in both engines (Spark aggregate ≡ DuckDB list_reduce),
+    so plain double arithmetic is bit-identical — the portable way to
+    pin per-row array reductions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("bigint").alias("dim"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.aggregate(
+            F.transform(e, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_all"),
+        F.transform(e, lambda x: x.cast("double") * 2.0).alias("doubled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-semantics pipeline on events (R4+R5+R10+R12 composite)
+# ---------------------------------------------------------------------------
+
+DEVICE_CACHE_NOW = "2024-01-31 00:00:00"
+DEVICE_CACHE_RETENTION_MS = 6 * 3600 * 1000
+
+
+@query(
+    "q34_device_cache",
+    f"""
+    SELECT user_id,
+           'device-' || CAST(user_id AS VARCHAR) AS device_uid,
+           CASE WHEN event_type = 'error' THEN 'b-a-o-tbl'
+                ELSE 'a-f-G-U-U-S-X' END AS cot_type,
+           COALESCE(NULLIF(event_type, ''), 'unknown') AS callsign,
+           epoch_ms(ts) AS time_ms,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_time
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t
+    WHERE rn = 1
+      AND COALESCE(epoch_ms(ts), 0) >=
+          epoch_ms(TIMESTAMP '{DEVICE_CACHE_NOW}') - {DEVICE_CACHE_RETENTION_MS}
+    """,
+    headline=True,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end on the events table: emergency
+    CoT mapping (task.ts:125) + falsy-coalesce callsign (task.ts:128) +
+    last-write-wins cache (task.ts:148) + TTL eviction with null→0
+    (task.ts:252) + ISO emission (task.ts:129)."""
+    import datetime as dt
+
+    e = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(e, ["user_id"], "ts", tiebreak="event_id")
+    now_ms = int(
+        dt.datetime.strptime(DEVICE_CACHE_NOW, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    cutoff = now_ms - DEVICE_CACHE_RETENTION_MS
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return latest.filter(F.coalesce(ts_ms, F.lit(0)) >= F.lit(cutoff)).select(
+        "user_id",
+        F.concat(F.lit("device-"), F.col("user_id").cast("string")).alias("device_uid"),
+        F.when(F.col("event_type") == "error", F.lit("b-a-o-tbl"))
+        .otherwise(F.lit("a-f-G-U-U-S-X"))
+        .alias("cot_type"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("")), F.lit("unknown")).alias(
+            "callsign"
+        ),
+        ts_ms.alias("time_ms"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
+            "iso_time"
+        ),
+    )
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §2.B north-star extension):
+# dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash), similarity
+# search, text analysis, multimodal-ish binary columns.
+# ---------------------------------------------------------------------------
+
+# The fixture corpus has no exact duplicates, so exact-dedup queries
+# build a deterministic corpus-with-dupes by unioning a keyed subset
+# back in (same construction on both engines).
+_DUP_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionAll(dup)
+
+
+@query(
+    "q35_exact_dedup",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, md5(text) AS fp
+    FROM corpus GROUP BY text
+    """,
+    headline=True,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, keep min id (deterministic
+    survivor rule). One shuffle; at 100 TB you group on the 16-byte
+    md5 instead of the full text — q36 does exactly that."""
+    corpus = _dup_corpus(spark, sf_dir)
+    out = dedup_ops.exact_dedup(corpus, "text", "doc_id")
+    return out.select("doc_id", "n_copies", F.md5(F.col("text")).alias("fp"))
+
+
+@query(
+    "q36_fingerprint_dedup",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 7 = 0
+    ), fps AS (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+        FROM corpus
+    )
+    SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM fps GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup: case/whitespace-insensitive md5
+    collapses trivially-different copies (functions/text.fingerprint)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    corpus = d.unionAll(variant)
+    fps = corpus.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    return (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "q37_text_quality",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+           length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+    headline=True,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality metrics (token counts, punctuation ratio) — the
+    standard LLM-corpus filter signals, all codegen'd built-ins."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.word_count(t).alias("n_words"),
+        T.token_count(t).alias("n_tokens"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        (F.length(F.regexp_replace(t, "[A-Za-z0-9 ]", "")) * 1.0 / F.length(t)).alias(
+            "punct_ratio"
+        ),
+        (
+            F.length(F.regexp_replace(t, " ", "")) * 1.0 / F.size(F.split(t, " "))
+        ).alias("avg_word_len"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({quoted})))"
+
+
+@query(
+    "q38_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql(T.LANG_MARKERS['de'])} AS s_de,
+               {_lang_score_sql(T.LANG_MARKERS['en'])} AS s_en,
+               {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es,
+               {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
+               {_lang_score_sql(T.LANG_MARKERS['zh'])} AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic family). The fixture
+    corpus shares one vocabulary across langs, so this exercises the
+    deterministic scoring mechanics, not accuracy."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q39_tf_idf",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT doc_id, term AS top_term, tf, df, round(tf * ln(nd * 1.0 / df), 6) AS tfidf
+    FROM (
+        SELECT doc_id, term, tf.tf AS tf, df.df AS df, nd,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY round(tf.tf * ln(nd * 1.0 / df.df), 6) DESC, term ASC) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ) t WHERE rn = 1
+    """,
+    headline=True,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: explode → tf agg → df agg → broadcast-join term stats →
+    top term per doc. The df side is vocabulary-sized (tiny), so it
+    broadcasts at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.count()
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # ln is transcendental (last-ulp engine drift) → rank and report the
+    # 6-decimal rounding; ties fall to the term tiebreak on both sides.
+    tfidf = F.round(F.col("tf") * F.log(F.lit(nd) * 1.0 / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            "tf",
+            "df",
+            tfidf.alias("tfidf"),
+        )
+    )
+
+
+_SHINGLE_SQL = """
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3]))) AS shingle
+        FROM {src}
+"""
+
+
+@query(
+    "q40_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="(SELECT * FROM documents WHERE source = 'src0')")}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup within one source block — the
+    blocked/oracle path; q41 is the LSH path that scales unblocked."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    sh = dedup_ops.doc_shingles(d, "text", "doc_id", k=3)
+    out = dedup_ops.exact_jaccard(sh, pairs=None, id_col="doc_id")
+    return out.filter(F.col("jaccard") >= 0.5)
+
+
+@query(
+    "q41_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    seeded AS (
+        SELECT doc_id, seed, MIN(md5(shingle || '|' || CAST(seed AS VARCHAR))) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+        FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN cands c ON c.a = a.doc_id AND c.b = b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    """,
+    headline=True,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → exact-Jaccard verification over the FULL
+    corpus. md5-string MinHash makes the signatures engine-portable;
+    the band self-join only collides for near-identical docs, so cost
+    is linear + O(true pairs) at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_near_dup(
+        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.8
+    )
+
+
+@query(
+    "q42_simhash",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source = 'src0'
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, bit, SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS bit) bits
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (32-bit, md5-derived → engine-portable).
+    Near-dup = small Hamming distance; signature generation is the
+    shuffle-heavy part and stays linear."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return dedup_ops.simhash(d, "text", "doc_id", bits=32)
+
+
+@query(
+    "q43_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    scored AS (
+        SELECT qid, cid,
+               list_reduce(list_transform(range(len(qe)),
+                   i -> qe[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(range(len(qe)),
+                      i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(range(len(ce)),
+                      i -> ce[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               AS cosine_sim
+        FROM q CROSS JOIN c
+        WHERE qid <> cid
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT qid, cid, cosine_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine_sim DESC, cid ASC) AS rnk
+        FROM scored
+    ) r WHERE rnk <= 5
+    """,
+    headline=True,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set, corpus streams
+    map-side, per-query top-k window. Sequential double folds on both
+    engines (aggregate ≡ list_reduce) → bit-identical similarities.
+    operators/similarity also ships the LSH-bucketed ANN variant for
+    the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = sim_ops.cosine_topk(emb, queries_df, k=5, exact=False)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+@query(
+    "q44_cosine_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE label IN (0, 1)),
+    pairs AS (
+        SELECT x.vec_id AS a, x.embedding AS ea, y.vec_id AS b, y.embedding AS eb
+        FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+    )
+    SELECT a, b, cosine_sim FROM (
+        SELECT a, b,
+               list_reduce(list_transform(range(len(ea)),
+                   i -> ea[i+1]::DOUBLE * eb[i+1]::DOUBLE), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(range(len(ea)),
+                      i -> ea[i+1]::DOUBLE * ea[i+1]::DOUBLE), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(range(len(eb)),
+                      i -> eb[i+1]::DOUBLE * eb[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               AS cosine_sim
+        FROM pairs
+    ) s WHERE cosine_sim >= 0.3
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks — blocking bounds the
+    pair space; at scale the block key is an LSH bucket instead."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    out = sim_ops.cosine_near_dup(emb, threshold=0.3, block_col="label")
+    return out.select("a", "b", "cosine_sim")
+
+
+@query(
+    "q45_embedding_stats",
+    """
+    WITH norms AS (
+        SELECT vec_id, label,
+               sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                                (acc, x) -> acc + x)) AS nrm
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(nrm AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_norm,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm stats — multimodal-column hygiene checks.
+
+    Per-row norms are bit-identical (sequential fold); the cross-row avg
+    folds through a LOW-scale decimal (scale 8 keeps the scaled value
+    far inside double's exact-integer range, where engines' double→
+    decimal casts agree); min/max are exact picks and need no rounding.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norms = emb.select("vec_id", "label", nrm.alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (_dec_sum(F.col("nrm"), "decimal(18,8)") / F.count(F.lit(1))).alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+@query(
+    "q46_binary_payload",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text) AS payload_md5,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-payload plumbing (multimodal column pattern): byte
+    length + content hashes over a BinaryType column. Real decoders are
+    pandas-UDF stubs in multimodal/ (image/audio libs absent here)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("payload_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.sha2(F.col("text"), 256).alias("payload_sha256"),
+    )
+
+
+def headline_queries() -> dict[str, Query]:
+    return {name: q for name, q in REGISTRY.items() if q.headline}

@@ -1,0 +1,79 @@
+"""SparkSession factory + session hygiene for oracle-stable results.
+
+The reference runs one record at a time on AWS Lambda
+(/root/reference/task.ts:103-115); our engine runs the same semantics
+on Spark. These settings are the scale posture (SURVEY.md §4, §6):
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join
+  handling means the same plan survives sf0.001 → 100 TB.
+- UTC session timezone: timestamp canonicalization so the DuckDB
+  oracle (naive timestamps) and Spark agree bit-for-bit.
+- ``nanosAsLong``: the ``events`` fixture carries parquet
+  TIMESTAMP(NANOS) which Spark's vectorized reader does not map to a
+  native type; we read the raw int64 and convert to TIMESTAMP_NTZ in
+  the catalog (see catalog.load_table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session we are handed (the
+# correctness driver owns its own SparkSession; these are all dynamic
+# SQL confs so they can be applied after the fact).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / toPandas boundaries (the only sanctioned
+    # Python touchpoints).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply oracle/scale hygiene to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-fatal: a locked-down conf just means the session owner
+            # already chose a value.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-everywhere-hub-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build the engine's session.
+
+    ``local[$SPARK_GRAFT_CPUS]`` in this container; on a real cluster the
+    master comes from the environment and everything else is unchanged —
+    the engine never assumes single-node.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # Match parallelism at test scale; AQE coalesces below this and
+        # a cluster deployment overrides via SPARK_SHUFFLE_PARTITIONS.
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return configure_session(spark)

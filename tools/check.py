@@ -1,0 +1,124 @@
+"""Fast differential oracle check — the inner dev loop.
+
+Runs every registry query on Spark AND its oracle SQL on DuckDB over
+the same parquet fixtures, canonicalizes both results, and reports
+match/mismatch. Usage:
+
+    python tools/check.py [--sf /root/testdata/sf0.001] [name-substring ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (np.floating,)):
+        return canon_cell(float(v))
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(canon_cell(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def canon_df(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(canon_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return rows
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
+    sf_dir = "/root/testdata/sf0.001"
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--sf":
+            sf_dir = sys.argv[1:][i + 1]
+            args = [x for x in args if x != sf_dir]
+
+    from etl_everywhere_hub_spark.queries import REGISTRY
+    from etl_everywhere_hub_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    selected = {
+        n: q for n, q in REGISTRY.items() if not args or any(a in n for a in args)
+    }
+    n_pass = n_fail = n_skip = 0
+    for name, q in sorted(selected.items()):
+        t0 = time.time()
+        try:
+            sdf = q.spark(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"SKIP  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_skip += 1
+            continue
+        try:
+            odf = con.sql(q.oracle).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        s_rows, o_rows = canon_df(sdf), canon_df(odf)
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+            n_fail += 1
+            continue
+        mismatch = None
+        for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+            if a != b:
+                mismatch = (i, a, b)
+                break
+        if mismatch:
+            i, a, b = mismatch
+            cols = sorted(sdf.columns)
+            diffs = [
+                f"{c}: spark={x!r} oracle={y!r}"
+                for c, x, y in zip(cols, a, b)
+                if x != y
+            ]
+            print(f"FAIL  {name}: row {i} differs → {'; '.join(diffs[:4])}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
