@@ -1,0 +1,125 @@
+"""Multimodal columns: opaque binary payloads + typed metadata
+(SURVEY.md §2.B north-star extension).
+
+Images/audio/video ride through the engine as BinaryType columns with
+a metadata struct; decode/feature-extraction run as Arrow-batched
+pandas UDFs over mapInPandas so payload bytes never round-trip through
+Python row-by-row. The actual codecs (PIL/librosa/ffmpeg) are NOT in
+this container, so `decode_image` is a clearly-marked stub raising
+NotImplementedError, and `fake_image_features` is a deterministic
+stand-in (md5-seeded) that keeps the Spark-side plumbing — schema,
+batching, partitioning — real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("codec", StringType()),
+                    StructField("n_bytes", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload_sha", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real image decode — requires an imaging library not present in
+    this container. The Spark plumbing calls `fake_image_features`
+    instead; swap this in when PIL/opencv is available."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "use fake_image_features for plumbing tests"
+    )
+
+
+def _fake_feature_vector(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in featurizer: md5-seeded floats in [0,1)."""
+    h = hashlib.md5(payload).digest()
+    vals: list[float] = []
+    counter = 0
+    while len(vals) < FEATURE_DIM:
+        h = hashlib.md5(h + bytes([counter])).digest()
+        vals.extend(b / 256.0 for b in h)
+        counter += 1
+    return np.array(vals[:FEATURE_DIM], dtype=np.float32)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow ships whole record batches; each batch is processed
+    vectorized in one Python call — the shape a real decoder would
+    use (decode → resize → embed per batch).
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_sha": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                    "n_bytes": [len(p) for p in payloads],
+                    "features": [list(_fake_feature_vector(p)) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: text payloads as binary media rows (the container has no
+    real image fixtures; bytes are bytes to the plumbing)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit("utf8-fake").alias("codec"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )

@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -79,39 +81,48 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 12,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures over ``n_tables``
     independent tables of ``n_planes`` bits; candidates = corpus rows
     sharing a (table, signature) bucket with the query; exact cosine
     rerank of candidates only.
 
-    The bucket join is equi-shaped (shuffle on 64-bit bucket keys), so
-    at 100 TB the cost is |corpus| signatures + collision-bounded
-    rerank — never a cross join.
+    Signatures come from ONE Arrow-batched pandas UDF doing a numpy
+    matmul against the (tables×planes, dim) plane matrix — the
+    sanctioned vectorized-Python path (a per-plane column expression
+    tree overflows janino codegen and is ~100× slower). The bucket
+    join is equi-shaped (shuffle on small int keys), so at 100 TB the
+    cost is |corpus| signatures + collision-bounded rerank — never a
+    cross join.
+
+    Defaults (4 bits × 12 tables) target ≳0.8 recall at cosine ≈ 0.4
+    on 64-dim data; more tables → higher recall, linearly more
+    candidate volume.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplane(dim, i) for i in range(n_tables * n_planes)]
+    )  # (T*P, dim)
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<long>")
+    def table_sigs(v: pd.Series) -> pd.Series:
+        E = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (E @ planes.T) >= 0  # (n, T*P)
+        sigs = bits.reshape(len(E), n_tables, n_planes) @ weights  # (n, T)
+        return pd.Series(list(sigs))
 
     def signatures(df: DataFrame, side: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(side), F.col(vec_col).alias("__v"))
-        sig_cols = []
-        for t in range(n_tables):
-            bits = []
-            for p in range(n_planes):
-                plane = _hyperplane(dim, t * n_planes + p)
-                dot = None
-                # constant-folded linear combination; stays in codegen
-                expr = F.lit(0.0)
-                for i, w_i in enumerate(plane):
-                    expr = expr + F.element_at(F.col("__v"), i + 1).cast("double") * F.lit(w_i)
-                bits.append(F.when(expr >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-            sig = bits[0]
-            for b in bits[1:]:
-                sig = sig + b
-            sig_cols.append(F.struct(F.lit(t).alias("table"), sig.alias("sig")))
-        return out.select(
-            side, "__v", F.explode(F.array(*sig_cols)).alias("bucket")
-        ).select(side, "__v", F.col("bucket.table").alias("table"), F.col("bucket.sig").alias("sig"))
+        return (
+            df.select(F.col(id_col).alias(side), F.col(vec_col).alias("__v"))
+            .withColumn("__sigs", table_sigs(F.col("__v")))
+            .select(
+                side, "__v", F.posexplode(F.col("__sigs")).alias("table", "sig")
+            )
+        )
 
     qs = signatures(queries, "query_id").withColumnRenamed("__v", "__qv")
     cs = signatures(corpus, "neighbor_id").withColumnRenamed("__v", "__cv")

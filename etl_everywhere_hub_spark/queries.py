@@ -1529,3 +1529,134 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def headline_queries() -> dict[str, Query]:
     return {name: q for name, q in REGISTRY.items() if q.headline}
+
+# ---------------------------------------------------------------------------
+# Structured Streaming queries (SURVEY §2.B streaming table) — each runs a
+# real streaming query (file-source replay + Trigger.AvailableNow) whose
+# deterministic result is oracle-checkable; the batch twin is the oracle.
+# ---------------------------------------------------------------------------
+
+from etl_everywhere_hub_spark.streaming import jobs as stream_jobs  # noqa: E402
+
+
+@query(
+    "q47_stream_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window over a REPLAYED STREAM
+    (readStream + watermark + AvailableNow). Complete output mode so
+    unfinalized windows are visible; result equals the batch
+    date_trunc aggregation — the streaming=batch equivalence
+    contract (SURVEY §5 item 3)."""
+    s = stream_jobs.stream_events(spark, sf_dir)
+    return stream_jobs.run_to_table(
+        stream_jobs.tumbling_window_counts(s), output_mode="complete"
+    )
+
+
+@query(
+    "q48_stream_session_window",
+    """
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), s AS (
+        SELECT user_id,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM x
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) on the replayed stream; sessions are
+    drained complete-mode, then rolled up per user. Oracle is the
+    gaps-and-islands SQL with session_window's exclusive-end boundary
+    (gap >= 30min breaks)."""
+    s = stream_jobs.stream_events(spark, sf_dir)
+    sessions = stream_jobs.run_to_table(
+        stream_jobs.session_window_counts(s), output_mode="complete"
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@query(
+    "q49_stream_dedup",
+    """
+    SELECT user_id, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY user_id
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates(event_id) within the watermark horizon,
+    then a per-user rollup of the drained result."""
+    s = stream_jobs.stream_events(spark, sf_dir)
+    deduped = stream_jobs.run_to_table(stream_jobs.streaming_dedup(s))
+    return deduped.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query(
+    "q50_stream_device_cache",
+    f"""
+    SELECT user_id,
+           'device-' || CAST(user_id AS VARCHAR) AS device_uid,
+           CASE WHEN event_type = 'error' THEN 'b-a-o-tbl'
+                ELSE 'a-f-G-U-U-S-X' END AS cot_type,
+           epoch_ms(ts) AS time_ms
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t
+    WHERE rn = 1
+      AND COALESCE(epoch_ms(ts), 0) >=
+          epoch_ms(TIMESTAMP '{DEVICE_CACHE_NOW}') - {DEVICE_CACHE_RETENTION_MS}
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's device cache as TRUE keyed streaming state
+    (applyInPandasWithState, one state row per device, update-mode
+    emission) — task.ts:145-149 verbatim — followed by the TTL
+    eviction pass (task.ts:251-256). Result equals the batch
+    latest-per-key formulation (q34's oracle, same now/retention)."""
+    import datetime as dt
+
+    s = stream_jobs.stream_events(spark, sf_dir)
+    emitted = stream_jobs.run_to_table(
+        stream_jobs.stateful_device_cache(s), output_mode="update"
+    )
+    latest = latest_per_key(emitted, ["user_id"], "ts", tiebreak="event_id")
+    now_ms = int(
+        dt.datetime.strptime(DEVICE_CACHE_NOW, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    cutoff = now_ms - DEVICE_CACHE_RETENTION_MS
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return latest.filter(F.coalesce(ts_ms, F.lit(0)) >= F.lit(cutoff)).select(
+        "user_id",
+        F.concat(F.lit("device-"), F.col("user_id").cast("string")).alias("device_uid"),
+        F.when(F.col("event_type") == "error", F.lit("b-a-o-tbl"))
+        .otherwise(F.lit("a-f-G-U-U-S-X"))
+        .alias("cot_type"),
+        ts_ms.alias("time_ms"),
+    )

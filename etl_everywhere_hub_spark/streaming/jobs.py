@@ -1,0 +1,204 @@
+"""Structured Streaming jobs (SURVEY.md §2.B streaming table).
+
+The reference's webhook entry point is an unbounded stream of
+single-record deliveries (/root/reference/task.ts:103-163); its device
+cache is keyed state with TTL (task.ts:145-149,251-256). Here those
+semantics run as Structured Streaming queries; each has a batch twin
+so streaming results are verifiable against the DuckDB oracle via
+deterministic replay (file source + Trigger.AvailableNow).
+
+Scale posture: event-time windows + watermarks bound state (the
+reference's RetentionDuration is exactly a 60-min lateness horizon);
+the stateful device cache shuffles once on the key and holds one row
+per device — state size is O(devices), not O(events).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from etl_everywhere_hub_spark.session import configure_session
+
+_sink_counter = 0
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a replayed stream (deterministic: one file,
+    AvailableNow processes it to completion).
+
+    The parquet stream source requires a directory, so the single file
+    is exposed through a temp dir symlink (no copy). ts becomes
+    TIMESTAMP (not NTZ) because watermarks require it; the session is
+    pinned to UTC so wall-clock values still match the oracle.
+    """
+    import os
+
+    configure_session(spark)
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    s = spark.readStream.schema(batch_schema).parquet(d)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a (bounded) stream into a memory sink and return the result.
+
+    Trigger.AvailableNow + awaitTermination → deterministic contents.
+    """
+    global _sink_counter
+    _sink_counter += 1
+    name = f"stream_sink_{_sink_counter}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregation with watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — streaming twin
+    of the batch gaps-and-islands sessionization (queries.q29)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon — the
+    streaming analogue of the poll source's latestPositionOnly dedup."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+# --- stateful device cache (reference R10-R12, verbatim semantics) ---
+
+DEVICE_STATE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+DEVICE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _device_cache_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Keep the newest event per key across micro-batches (last-write-wins
+    upsert, task.ts:148) and emit the current best after each batch."""
+    (user_id,) = key
+    if state.exists:
+        best_eid, best_ts, best_type, best_val = state.get
+    else:
+        best_eid = best_ts = best_type = best_val = None
+
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        # explicit µs unit — Arrow may hand us datetime64[ns] or [us]
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        # newest by (ts, event_id) — deterministic across batch orders
+        pdf = pdf.assign(__ts_us=ts_us)
+        pdf = pdf.sort_values(["__ts_us", "event_id"])
+        row = pdf.iloc[-1]
+        if (
+            best_ts is None
+            or (int(row["__ts_us"]), int(row["event_id"])) > (best_ts, best_eid or -1)
+        ):
+            best_eid = int(row["event_id"])
+            best_ts = int(row["__ts_us"])
+            best_type = str(row["event_type"])
+            best_val = float(row["value"])
+
+    state.update((best_eid, best_ts, best_type, best_val))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_id": [best_eid],
+            "ts": [pd.Timestamp(best_ts, unit="us")],
+            "event_type": [best_type],
+            "value": [best_val],
+        }
+    )
+
+
+def stateful_device_cache(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState keyed cache: one state row per device,
+    update-mode emission of the current latest per key."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _device_cache_fn,
+        outputStructType=DEVICE_OUTPUT_SCHEMA,
+        stateStructType=DEVICE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

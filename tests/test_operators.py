@@ -1,0 +1,127 @@
+"""Unit tests for the operator library on constructed inputs —
+edge cases the fixture-driven oracle queries can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.operators.asof import asof_join, range_join
+from etl_everywhere_hub_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+)
+from etl_everywhere_hub_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from etl_everywhere_hub_spark.operators.windows import latest_per_key, ttl_filter
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, ts=10, id=1, v="a"),
+            Row(k=1, ts=10, id=2, v="b"),  # same ts — higher id wins
+            Row(k=1, ts=5, id=3, v="c"),
+            Row(k=2, ts=1, id=4, v="d"),
+        ]
+    )
+    out = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "ts", "id").collect()}
+    assert out == {1: "b", 2: "d"}
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, t=100, lid=1), Row(k=1, t=50, lid=2), Row(k=1, t=5, lid=3)]
+    ).selectExpr("k", "timestamp_micros(t*1000000) as t", "lid")
+    right = spark.createDataFrame(
+        [Row(k=1, t=10, rid=10), Row(k=1, t=60, rid=11), Row(k=1, t=100, rid=12)]
+    ).selectExpr("k", "timestamp_micros(t*1000000) as t", "rid")
+    out = asof_join(left, right, on="k", left_time="t", right_time="t", right_payload=["rid"])
+    got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+    # t=100 sees rid=12 (equal ts visible), t=50 sees rid=10, t=5 sees none
+    assert got == {1: 12, 2: 10, 3: None}
+
+
+def test_range_join_window_edges(spark):
+    left = spark.createDataFrame([Row(k=1, t=1000, lid=1)]).selectExpr(
+        "k", "timestamp_millis(t) as t", "lid"
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, t=1000, rid=1), Row(k=1, t=500, rid=2), Row(k=1, t=399, rid=3), Row(k=1, t=1001, rid=4)]
+    ).selectExpr("k", "timestamp_millis(t) as rt", "rid")
+    out = range_join(left, right, on="k", left_time="t", right_time="rt", window_ms=600)
+    rids = sorted(r["rid"] for r in out.collect())
+    # rid=1 (dt=0) and rid=2 (dt=500) in window; rid=3 (dt=601) and rid=4 (dt<0) out
+    assert rids == [1, 2]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=5, text="x"), Row(doc_id=2, text="x"), Row(doc_id=9, text="y")]
+    )
+    out = {r["text"]: (r["doc_id"], r["n_copies"]) for r in exact_dedup(df).collect()}
+    assert out == {"x": (2, 2), "y": (9, 1)}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words appear in this sentence about spark engines"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=far)]
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_near_dup(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ttl_filter_null_time_evicted(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, ts=None), Row(id=2, ts="2024-01-01 00:00:00"), Row(id=3, ts="2020-01-01 00:00:00")]
+    ).selectExpr("id", "cast(ts as timestamp) as ts")
+    now_ms = 1704067200000 + 3600_000  # 2024-01-01T01:00Z
+    out = sorted(r["id"] for r in ttl_filter(df, "ts", now_ms, 2 * 3600_000).collect())
+    # null → epoch 0 → evicted (reference task.ts:252); 2020 stale → evicted
+    assert out == [2]
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, q, k=4, exact=False).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    for qid, grp in out.groupby("query_id"):
+        sims = grp.sort_values("rnk")["cosine_sim"].tolist()
+        assert sims == sorted(sims, reverse=True)
+        assert len(grp) == 4
+
+
+def test_lsh_ann_recall_against_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=3, exact=False).toPandas()
+    approx = lsh_ann_topk(emb, q, k=3, n_planes=4, n_tables=16).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # Top-3 neighbors on this data sit near cosine 0.29 → per-bit
+    # collision ~0.59; 4 bits × 16 tables gives ~0.9 expected recall
+    # (measured 0.87-1.0 across calibration settings).
+    assert recall >= 0.7, f"LSH ANN recall too low: {recall}"
+
+
+def test_builtin_stats_close_to_exact_formula(spark, sf_dir):
+    """stddev_samp/var_samp builtins vs the exact-moment formulation used
+    in the oracle contract (q16) — equal to float tolerance."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.stddev_samp("l_quantity").alias("sd"), F.var_samp("l_quantity").alias("vr")
+    ).collect()[0]
+    import duckdb
+
+    ref = duckdb.sql(
+        f"SELECT stddev_samp(l_quantity), var_samp(l_quantity) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    assert row["sd"] == pytest.approx(ref[0], rel=1e-9)
+    assert row["vr"] == pytest.approx(ref[1], rel=1e-9)

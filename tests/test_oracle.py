@@ -1,0 +1,58 @@
+"""Differential oracle test: every registry query vs its DuckDB twin.
+
+This is the same comparison the correctness driver performs at sf0.01,
+run at sf0.001 as the repo's always-on gate (SURVEY.md §5 item 1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_everywhere_hub_spark.queries import REGISTRY
+
+
+def canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, np.floating):
+        return canon_cell(float(v))
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(canon_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def canon_df(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = [
+        tuple(canon_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return rows
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, oracle, sf_dir):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert len(sdf) >= 0  # rows-only contract
+        return
+    odf = oracle.sql(q.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), "column sets differ"
+    assert len(sdf) == len(odf), f"rowcount spark={len(sdf)} oracle={len(odf)}"
+    s_rows, o_rows = canon_df(sdf), canon_df(odf)
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        assert a == b, f"row {i}: spark={a} oracle={b}"

@@ -1,0 +1,107 @@
+"""Source-layer and multimodal-plumbing tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark import multimodal
+from etl_everywhere_hub_spark.pipeline.tracks import everywhere_item_schema
+from etl_everywhere_hub_spark.sources import readers
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    good = {"msg_id": 1, "converterId": "c", "deviceId": 1, "teamId": 1,
+            "entityId": 1, "deviceType": "t", "name": "n", "alias": None,
+            "source": "s", "trackPoint": {"time": 1700000000000, "direction": 0,
+            "inboundMessageId": 1, "isEmergency": None, "source": None,
+            "point": {"x": 1.0, "y": 2.0}, "alertsList": None}}
+    lines = [json.dumps(good), '{"msg_id": "WRONG-TYPE", "entityId": [1,2]}']
+    (tmp_path / "deliveries.jsonl").write_text("\n".join(lines))
+    return str(tmp_path)
+
+
+def test_json_failfast_rejects_malformed(spark, jsonl_dir):
+    df = readers.read_json_validated(
+        spark, jsonl_dir, everywhere_item_schema(), debug=False
+    )
+    with pytest.raises(Exception, match="FAILFAST|Malformed|cannot be parsed"):
+        df.collect()
+
+
+def test_json_permissive_keeps_corrupt_record(spark, jsonl_dir):
+    df = readers.read_json_validated(
+        spark, jsonl_dir, everywhere_item_schema(), debug=True
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r[readers.CORRUPT_COL] is not None]
+    assert len(corrupt) == 1  # the DEBUG path preserves the raw body
+    ok = [r for r in rows if r[readers.CORRUPT_COL] is None]
+    assert ok[0]["entityId"] == 1
+
+
+def test_csv_reader(spark, tmp_path):
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n")
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType([StructField("a", IntegerType()), StructField("b", StringType())])
+    df = readers.read_csv(spark, str(tmp_path / "t.csv"), schema)
+    assert {(r["a"], r["b"]) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_poll_source_pushdown_params(spark):
+    """The poll source must push noEarlierThan/latestPositionOnly into the
+    fetch exactly like task.ts:175-178."""
+    seen = {}
+
+    def fetch(params):
+        seen.update(params)
+        return [{"msg_id": 1, "converterId": "c", "deviceId": 1, "teamId": 1,
+                 "entityId": 7, "deviceType": "t", "name": "n", "alias": "a",
+                 "source": "s", "trackPoint": {"time": 1700000000000, "direction": 0,
+                 "inboundMessageId": 1, "isEmergency": False, "source": None,
+                 "point": {"x": 1.0, "y": 2.0}, "alertsList": None}}]
+
+    now = 1_700_000_100_000
+    df = readers.poll_source(
+        spark, everywhere_item_schema(), fetch, now_ms=now, retention_ms=3_600_000
+    )
+    assert df.count() == 1
+    assert seen == {"noEarlierThan": now - 3_600_000, "latestPositionOnly": True}
+
+
+def test_poll_source_empty(spark):
+    df = readers.poll_source(
+        spark, everywhere_item_schema(), lambda p: [], now_ms=0
+    )
+    assert df.count() == 0
+    assert df.schema == everywhere_item_schema()
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = multimodal.documents_as_media(docs)
+    assert media.schema == multimodal.MEDIA_SCHEMA or [f.name for f in media.schema] == [
+        f.name for f in multimodal.MEDIA_SCHEMA
+    ]
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert len(r["features"]) == multimodal.FEATURE_DIM
+    assert all(0.0 <= x < 1.0 for x in r["features"])
+    # determinism: same payload → same features across runs
+    again = {x["media_id"]: x["features"] for x in multimodal.extract_features(media).collect()}
+    assert again[r["media_id"]] == r["features"]
+    # n_bytes consistent with metadata
+    meta = {x["media_id"]: x["meta"]["n_bytes"] for x in media.collect()}
+    assert all(x["n_bytes"] == meta[x["media_id"]] for x in rows)

@@ -1,0 +1,70 @@
+"""Streaming = batch equivalence (SURVEY.md §5 item 3) plus streaming
+pieces not covered by registry queries q47-q50."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.operators.windows import latest_per_key
+from etl_everywhere_hub_spark.pipeline.tracks import (
+    everywhere_item_schema,
+    transform_features,
+)
+from etl_everywhere_hub_spark.sources import readers
+from etl_everywhere_hub_spark.streaming import jobs
+
+
+def test_sliding_window_stream_equals_batch(spark, sf_dir):
+    s = jobs.stream_events(spark, sf_dir)
+    streamed = jobs.run_to_table(jobs.sliding_window_counts(s), "complete").toPandas()
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")) if dict(e.dtypes).get("ts") == "bigint" else e
+    batch = (
+        e.groupBy(F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "window_end", "user_id", "n"]
+    assert sorted(map(tuple, streamed[key].values.tolist())) == sorted(
+        map(tuple, batch[key].values.tolist())
+    )
+
+
+def test_webhook_replay_stream_pipeline(spark, tmp_path):
+    """End-to-end §3.1: JSON webhook deliveries → schema-validated stream
+    → feature transform → drain → keyed latest. The streaming result
+    must equal the batch pipeline on the same deliveries."""
+    def delivery(msg_id, entity, t, emergency=False):
+        return {"msg_id": msg_id, "converterId": "c", "deviceId": entity * 10,
+                "teamId": 1, "entityId": entity, "deviceType": "t",
+                "name": f"N{entity}", "alias": None, "source": "s",
+                "trackPoint": {"time": t, "direction": 0, "inboundMessageId": 1,
+                "isEmergency": emergency, "source": None,
+                "point": {"x": 1.0 * entity, "y": 2.0 * entity}, "alertsList": None}}
+
+    rows = [delivery(1, 1, 1_700_000_000_000), delivery(2, 1, 1_700_000_060_000),
+            delivery(3, 2, 1_700_000_030_000, emergency=True)]
+    (tmp_path / "batch1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = readers.webhook_replay_stream(spark, str(tmp_path), everywhere_item_schema())
+    feats_stream = transform_features(stream, path="webhook")
+    drained = jobs.run_to_table(feats_stream)
+    stream_latest = {
+        r["id"]: r["msg_id"] for r in latest_per_key(drained, ["id"], "msg_id").collect()
+    }
+
+    batch = readers.read_json_validated(spark, str(tmp_path), everywhere_item_schema())
+    feats_batch = transform_features(batch, path="webhook")
+    batch_latest = {
+        r["id"]: r["msg_id"] for r in latest_per_key(feats_batch, ["id"], "msg_id").collect()
+    }
+    assert stream_latest == batch_latest == {"inreach-1": 2, "inreach-2": 3}

@@ -1,0 +1,118 @@
+"""Reference-semantics replay (SURVEY.md §5 item 2): feed
+EverywhereItem-shaped rows through the tracks pipeline and assert the
+reference's exact behaviors, including its deliberate traps
+(/root/reference/task.ts citations in pipeline/tracks.py)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.pipeline.tracks import (
+    COT_EMERGENCY,
+    COT_NORMAL,
+    InputConfig,
+    device_cache_snapshot,
+    everywhere_item_schema,
+    transform_features,
+)
+
+NOW_MS = 1_700_000_000_000  # fixed "now" parameter (task.ts uses Date.now())
+
+
+def _items(spark):
+    def tp(time_ms, emergency=None, x=30.5, y=50.25):
+        return {
+            "time": time_ms,
+            "direction": 90,
+            "inboundMessageId": 7,
+            "isEmergency": emergency,
+            "source": "GPS",
+            "point": {"x": x, "y": y},
+            "alertsList": None,
+        }
+
+    rows = [
+        # entity 1: two points; later one (msg 2) must win the cache
+        {"msg_id": 1, "converterId": "c", "deviceId": 11, "teamId": 1, "entityId": 1,
+         "deviceType": "inreach-mini-2", "name": "Alpha", "alias": "A-1", "source": "eh",
+         "trackPoint": tp(NOW_MS - 60_000)},
+        {"msg_id": 2, "converterId": "c", "deviceId": 11, "teamId": 1, "entityId": 1,
+         "deviceType": "inreach-mini-2", "name": "Alpha", "alias": "A-1", "source": "eh",
+         "trackPoint": tp(NOW_MS - 30_000)},
+        # entity 2: emergency, empty alias (JS-falsy → name used)
+        {"msg_id": 3, "converterId": "c", "deviceId": 22, "teamId": 1, "entityId": 2,
+         "deviceType": "inreach-mini-2", "name": "Bravo", "alias": "", "source": "eh",
+         "trackPoint": tp(NOW_MS - 10_000, emergency=True)},
+        # entity 3: stale (outside retention)
+        {"msg_id": 4, "converterId": "c", "deviceId": 33, "teamId": 1, "entityId": 3,
+         "deviceType": "inreach-mini-2", "name": "Charlie", "alias": None, "source": "eh",
+         "trackPoint": tp(NOW_MS - 7_200_000)},
+        # entity 4: null time → epoch 0 → always evicted (task.ts:252)
+        {"msg_id": 5, "converterId": "c", "deviceId": 44, "teamId": 1, "entityId": 4,
+         "deviceType": "inreach-mini-2", "name": "Delta", "alias": "D", "source": "eh",
+         "trackPoint": tp(None)},
+    ]
+    return spark.read.schema(everywhere_item_schema()).json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    )
+
+
+def test_feature_transform_semantics(spark):
+    feats = transform_features(_items(spark), path="webhook")
+    by_id = {r["id"]: r for r in feats.collect()}
+
+    assert set(by_id) == {"inreach-1", "inreach-2", "inreach-3", "inreach-4"}
+    # key synthesis (task.ts:122) + geometry (task.ts:139-142)
+    f1 = by_id["inreach-1"]
+    assert f1["geometry"]["type"] == "Point"
+    assert f1["geometry"]["coordinates"] == [30.5, 50.25]
+    # emergency mapping (task.ts:125)
+    assert by_id["inreach-2"]["properties"]["type"] == COT_EMERGENCY
+    assert by_id["inreach-1"]["properties"]["type"] == COT_NORMAL
+    # JS-falsy callsign: alias "" falls through to name (task.ts:128)
+    assert by_id["inreach-2"]["properties"]["callsign"] == "Bravo"
+    assert by_id["inreach-1"]["properties"]["callsign"] == "A-1"
+    # ISO-8601 Z millis emission (task.ts:129)
+    assert by_id["inreach-1"]["properties"]["time"].endswith("Z")
+    assert "." in by_id["inreach-1"]["properties"]["time"]
+    # webhook path carries real deviceId (task.ts:135)
+    assert by_id["inreach-1"]["properties"]["metadata"]["inreachDeviceId"] == "11"
+
+
+def test_poll_path_unknown_device(spark):
+    feats = transform_features(_items(spark), path="poll")
+    r = feats.filter(F.col("id") == "inreach-1").collect()[0]
+    # poll path hard-codes UNKNOWN (task.ts:226) — preserved trap
+    assert r["properties"]["metadata"]["inreachDeviceId"] == "UNKNOWN"
+
+
+def test_device_cache_upsert_and_ttl(spark):
+    feats = transform_features(_items(spark), path="webhook")
+    cfg = InputConfig()
+    snap = device_cache_snapshot(feats, NOW_MS, cfg.retention_ms)
+    rows = {r["id"]: r for r in snap.collect()}
+    # last-write-wins: entity 1 keeps msg 2
+    assert rows["inreach-1"]["msg_id"] == 2
+    # emergency row retained
+    assert "inreach-2" in rows
+    # stale (2h old vs 1h retention) evicted
+    assert "inreach-3" not in rows
+    # null time → evicted
+    assert "inreach-4" not in rows
+
+
+def test_schema_validation_failfast_vs_permissive(spark):
+    """DEBUG mode = permissive (task.ts:110); default = enforced."""
+    good = json.dumps({"msg_id": 1, "converterId": "c", "deviceId": 1, "teamId": 1,
+                       "entityId": 1, "deviceType": "t", "name": "n", "alias": None,
+                       "source": "s", "trackPoint": {"time": 1, "direction": 0,
+                       "inboundMessageId": 1, "isEmergency": None, "source": None,
+                       "point": {"x": 1.0, "y": 2.0}, "alertsList": None}})
+    bad = '{"msg_id": "not-an-int", "entityId": {}}'
+    rdd = spark.sparkContext.parallelize([good, bad])
+    permissive = spark.read.schema(everywhere_item_schema()).json(rdd)
+    # permissive: bad row becomes nulls, both rows survive
+    assert permissive.count() == 2
+    assert permissive.filter(F.col("entityId").isNull()).count() == 1
