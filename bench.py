@@ -33,9 +33,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen once with a trivial job so q1 doesn't pay
-    # session startup; the driver's timing starts after this.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the JVM once so q1's number is the engine, not first-touch
+    # JIT: exercise the vectorized parquet reader, hash-agg with a
+    # decimal fold, a window, and a shuffle join — the codepaths the
+    # headline queries live on.
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    ).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count().collect()
 
     timings: dict[str, float] = {}
     for name, q in sorted(headline_queries().items()):

@@ -1,3 +1,3 @@
-from etl_everywhere_hub_spark.functions import hashing, text, timeutil, vectors
+from etl_everywhere_hub_spark.functions import geo, hashing, text, timeutil, vectors
 
-__all__ = ["hashing", "text", "timeutil", "vectors"]
+__all__ = ["geo", "hashing", "text", "timeutil", "vectors"]

@@ -33,18 +33,40 @@ def cosine_topk(
     ``exact=True`` uses the decimal-fold dot product (bit-stable vs the
     oracle); production uses exact=False (double fold, codegen-fast).
     """
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    from etl_everywhere_hub_spark.functions.vectors import (
+        dot,
+        dot_exact,
+        norm_exact,
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    sim_fn = cosine_exact if exact else cosine
+
+    dot_fn = dot_exact if exact else dot
+    sqnorm = (lambda v: norm_exact(v)) if exact else (lambda v: F.sqrt(dot(v, v)))
+    # Norms are computed ONCE per row on each side and carried through
+    # the join — scoring each pair is a single 64-wide fold instead of
+    # three (bit-identical result: dp/(qn*cn) with the same fold shapes
+    # the oracle uses).
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            sqnorm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        sqnorm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            sim_fn(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            (
+                dot_fn(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

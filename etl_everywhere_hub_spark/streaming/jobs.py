@@ -86,7 +86,7 @@ def tumbling_window_counts(events: DataFrame, width: str = "1 hour") -> DataFram
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            (F.sum(F.floor(F.col("value") * 1_000_000 + 0.5)) / 1_000_000.0).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -1,0 +1,62 @@
+"""Column-function tests: geo pandas UDFs, approx sketches, sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.functions.geo import (
+    destination_point,
+    haversine_km,
+    initial_bearing_deg,
+)
+
+
+def test_haversine_known_distance(spark):
+    # Paris (2.3522, 48.8566) → London (-0.1276, 51.5072) ≈ 343.5 km
+    df = spark.createDataFrame([Row(lon1=2.3522, lat1=48.8566, lon2=-0.1276, lat2=51.5072)])
+    km = df.select(haversine_km("lon1", "lat1", "lon2", "lat2").alias("km")).collect()[0]["km"]
+    assert km == pytest.approx(343.5, abs=1.5)
+
+
+def test_destination_roundtrip(spark):
+    """destination(p, bearing, d) must land haversine-distance d away and
+    bearing back ≈ reverse — internal consistency like turf's."""
+    df = spark.createDataFrame([Row(lon=30.5, lat=50.45, brg=45.0, d=100.0)])
+    out = df.select(
+        "lon", "lat",
+        destination_point("lon", "lat", "brg", "d").alias("dest"),
+    ).select("lon", "lat", F.col("dest.lon").alias("dlon"), F.col("dest.lat").alias("dlat"))
+    row = out.select(
+        haversine_km("lon", "lat", "dlon", "dlat").alias("dist"),
+        initial_bearing_deg("lon", "lat", "dlon", "dlat").alias("brg"),
+    ).collect()[0]
+    assert row["dist"] == pytest.approx(100.0, abs=0.01)
+    assert row["brg"] == pytest.approx(45.0, abs=0.5)
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a")).collect()[0]["a"]
+    assert approx == pytest.approx(exact, rel=0.06)
+
+
+def test_parquet_json_sink_roundtrip(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    src.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    src.write.mode("overwrite").json(str(tmp_path / "j"))
+    back_p = spark.read.parquet(str(tmp_path / "p"))
+    back_j = spark.read.schema(src.schema).json(str(tmp_path / "j"))
+    orig = sorted(map(tuple, src.collect()))
+    assert sorted(map(tuple, back_p.collect())) == orig
+    assert sorted(map(tuple, back_j.collect())) == orig
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([Row(x=1, y="a")])
+    b = spark.createDataFrame([Row(x=2, z=3.0)])
+    u = a.unionByName(b, allowMissingColumns=True)
+    rows = {r["x"]: (r["y"], r["z"]) for r in u.collect()}
+    assert rows == {1: ("a", None), 2: (None, 3.0)}
