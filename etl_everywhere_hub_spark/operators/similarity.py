@@ -169,6 +169,76 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` Voronoi cells, search only the query's ``n_probe``
+    nearest cells, exact-rerank inside them.
+
+    Centroids are deterministic: the ``n_cells`` lowest-id corpus
+    vectors seed the cells (no RNG, no iteration — one assignment
+    pass). That trades centroid quality for reproducibility; a
+    production deployment would run a few Lloyd iterations with fixed
+    seeds. Assignment ships as ONE broadcast numpy matmul per Arrow
+    batch; the probe join is equi-shaped on cell id, so at 100 TB the
+    cost is |corpus| assignments + (n_probe/n_cells)·|corpus| reranks.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in seeds], dtype=np.float64)  # (C, dim)
+    c_norm = np.linalg.norm(centroids, axis=1)
+
+    def cell_udf(n_top: int):
+        @pandas_udf("array<int>")
+        def cells(v: pd.Series) -> pd.Series:
+            E = np.vstack(v.to_numpy()).astype(np.float64)
+            sims = (E @ centroids.T) / (
+                np.linalg.norm(E, axis=1)[:, None] * c_norm[None, :]
+            )
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+            return pd.Series(list(top.astype(np.int32)))
+
+        return cells
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(cell_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(cell_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = q.join(c, on="cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 def cosine_near_dup(
     df: DataFrame,
     threshold: float,

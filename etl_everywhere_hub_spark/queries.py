@@ -1908,3 +1908,157 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"),
         ).alias("clamped"),
     )
+
+# ---------------------------------------------------------------------------
+# Remaining §2.B coverage: bag set-ops, RANGE window frames, positional
+# explode, nested-struct update, time-bucketed rollups.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q57_bag_set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) intersection — intersectAll keeps multiplicity
+    min(m, n) per value, unlike q08's set INTERSECT."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+@query(
+    "q58_range_frame_window",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) / 10000.0 AS spend_30d,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS orders_30d
+    FROM orders
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (trailing 30-day spend per customer). Spark's
+    rangeBetween needs a numeric ordering column, so the frame runs
+    over epoch-millis — semantically identical to the oracle's
+    INTERVAL frame over the timestamp."""
+    o = load_table(spark, sf_dir, "orders")
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ms)
+        .rangeBetween(-30 * 86_400_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.sum(F.floor(F.col("o_totalprice") * 10_000 + 0.5)).over(w) / 10_000.0).alias(
+            "spend_30d"
+        ),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    )
+
+
+@query(
+    "q59_posexplode_json_tuple",
+    """
+    SELECT event_id,
+           CAST(generate_subscripts(string_split(props, ',') , 1) AS INTEGER) - 1 AS part_idx,
+           unnest(string_split(props, ',')) AS part,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events WHERE user_id = 3
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (position-aware fan-out) + json_tuple point-extract."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 3)
+    return e.select(
+        "event_id",
+        F.posexplode(F.split(F.col("props"), ",")).alias("part_idx", "part"),
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+    )
+
+
+@query(
+    "q60_struct_update",
+    """
+    SELECT event_id,
+           event_type AS kind,
+           value AS v_orig,
+           value * 1.1 AS v_adjusted,
+           'enriched' AS stage
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surgery: build a struct, withField-update one
+    member, add another, dropFields a third, re-flatten (reference R8's
+    properties-struct manipulation)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    built = e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"),
+            F.col("value").alias("v_orig"),
+            F.col("value").alias("v_adjusted"),
+            F.col("user_id").alias("drop_me"),
+        ).alias("s"),
+    )
+    updated = built.withColumn(
+        "s",
+        F.col("s")
+        .withField("v_adjusted", F.col("s.v_orig") * 1.1)
+        .withField("stage", F.lit("enriched"))
+        .dropFields("drop_me"),
+    )
+    return updated.select(
+        "event_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.v_orig").alias("v_orig"),
+        F.col("s.v_adjusted").alias("v_adjusted"),
+        F.col("s.stage").alias("stage"),
+    )
+
+
+@query(
+    "q61_time_bucket_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup (day × type continuous
+    aggregate) — the batch twin of the streaming tumbling window, and
+    the shape a downsampling/retention job takes at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 1_000_000 + 0.5)) / 1_000_000.0).alias(
+                "total_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1,3 +1,3 @@
-from etl_everywhere_hub_spark.streaming import jobs
+from etl_everywhere_hub_spark.streaming import jobs, sinks
 
-__all__ = ["jobs"]
+__all__ = ["jobs", "sinks"]

@@ -45,11 +45,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP (not NTZ) because watermarks require it; the session is
     pinned to UTC so wall-clock values still match the oracle.
     """
+    import hashlib
     import os
 
     configure_session(spark)
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    # Deterministic per sf_dir: a checkpoint pins the source path, so a
+    # fresh mkdtemp per call would break checkpoint resume with
+    # "Wrong basePath" (found by the resume probe in verification).
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ee_stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     s = spark.readStream.schema(batch_schema).parquet(d)
     if dict(s.dtypes).get("ts") == "bigint":
