@@ -1289,14 +1289,18 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = d.count()
     tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already has exactly one row per (doc, term), so document
+    # frequency is a COUNT over the term partition — no second explode
+    # over the corpus and no tf⋈df join (one shuffle saved; at 100 TB
+    # the token explode is the dominant cost and now runs once).
+    df_w = Window.partitionBy("term")
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(df_w))
     # ln is transcendental (last-ulp engine drift) → rank and report the
     # 6-decimal rounding; ties fall to the term tiebreak on both sides.
     tfidf = F.round(F.col("tf") * F.log(F.lit(nd) * 1.0 / F.col("df")), 6)
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term").asc())
     return (
-        tf.join(F.broadcast(df), "term")
-        .withColumn("rn", F.row_number().over(w))
+        tf.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "doc_id",
@@ -2061,4 +2065,53 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+@query(
+    "q62_median_quantiles",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0 / COUNT(*) AS median_price,
+           COUNT(*) AS n_mid
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY o_orderpriority
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group, engine-portably: rank rows, take the
+    middle one (odd n) or average the middle two (even n). Built-in
+    percentile/quantile functions interpolate differently across
+    engines; this formulation is deterministic everywhere and stays a
+    single window + aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 10_000 + 0.5))
+            / 10_000.0
+            / F.count(F.lit(1))
+        ).alias("median_price"),
+        F.count(F.lit(1)).alias("n_mid"),
     )

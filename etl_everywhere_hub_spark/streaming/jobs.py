@@ -210,3 +210,117 @@ def stateful_device_cache(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- full tracks pipeline state (reference §3.1 webhook path) ---
+
+TRACK_STATE_SCHEMA = StructType(
+    [
+        StructField("msg_id", LongType()),
+        StructField("time_ms", LongType()),  # nullable: reference keeps null-time rows in cache
+        StructField("callsign", StringType()),
+        StructField("cot_type", StringType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ]
+)
+
+TRACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("msg_id", LongType()),
+        StructField("time_ms", LongType()),
+        StructField("callsign", StringType()),
+        StructField("cot_type", StringType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ]
+)
+
+
+def _track_cache_fn(retention_ms: int, use_timeout: bool):
+    """Builder for the per-key state function: last-write-wins by
+    delivery order (msg_id — the reference processes webhooks in
+    arrival order, task.ts:148); with ``use_timeout`` the state row is
+    dropped on processing-time timeout (the RetentionDuration capacity
+    bound, task.ts:57)."""
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        (fid,) = key
+        if use_timeout and state.hasTimedOut:
+            state.remove()
+            return
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                if best is None or int(row.msg_id) > best[0]:
+                    t = None if pd.isna(row.time_ms) else int(row.time_ms)
+                    best = (
+                        int(row.msg_id),
+                        t,
+                        str(row.callsign),
+                        str(row.cot_type),
+                        float(row.lon),
+                        float(row.lat),
+                    )
+        if best is not None:
+            state.update(best)
+            if use_timeout:
+                state.setTimeoutDuration(retention_ms)
+            yield pd.DataFrame(
+                {
+                    "id": [fid],
+                    "msg_id": [best[0]],
+                    "time_ms": [best[1]],
+                    "callsign": [best[2]],
+                    "cot_type": [best[3]],
+                    "lon": [best[4]],
+                    "lat": [best[5]],
+                }
+            )
+
+    return fn
+
+
+def stateful_track_cache(
+    features: DataFrame,
+    retention_ms: int = 3_600_000,
+    use_timeout: bool = False,
+) -> DataFrame:
+    """The reference's device cache on the tracks schema as streaming
+    state: input = flattened feature rows (id, msg_id, time_ms,
+    callsign, cot_type, lon, lat); output = current cache row per id,
+    update mode.
+
+    ``use_timeout=True`` evicts quiet devices' state via
+    ProcessingTimeTimeout — the capacity bound for LIVE deployments.
+    Bounded replays (AvailableNow) keep the default NoTimeout: with
+    timers armed, the query schedules wall-clock batches to fire them
+    and never terminates. Event-time TTL at emission stays the
+    caller's filter (operators.windows.ttl_filter), matching
+    task.ts:251-256 where eviction happens at read-out."""
+    return features.groupBy("id").applyInPandasWithState(
+        _track_cache_fn(retention_ms, use_timeout),
+        outputStructType=TRACK_OUTPUT_SCHEMA,
+        stateStructType=TRACK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def flatten_features_for_state(features: DataFrame) -> DataFrame:
+    """GeoJSON features (pipeline.tracks.transform_features output) →
+    the flat row shape the state function consumes."""
+    return features.select(
+        "id",
+        "msg_id",
+        F.col("properties").getField("time_ms").alias("time_ms"),
+        F.col("properties").getField("callsign").alias("callsign"),
+        F.col("properties").getField("type").alias("cot_type"),
+        F.element_at(F.col("geometry").getField("coordinates"), 1).alias("lon"),
+        F.element_at(F.col("geometry").getField("coordinates"), 2).alias("lat"),
+    )

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): operator implementations vs
+naive quadratic references on randomized small inputs. These catch the
+edge geometry (ties, empty sides, boundary values) that fixtures and
+hand-picked cases miss."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.operators.asof import asof_join, range_join
+
+# One row: (key, time, id) with small domains so collisions/ties happen often.
+row_st = st.tuples(
+    st.integers(0, 2),  # key
+    st.integers(0, 20),  # time
+)
+
+
+def _mk(spark, rows, prefix):
+    data = [
+        Row(k=k, t=t, **{f"{prefix}id": i}) for i, (k, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, schema=f"k int, t int, {prefix}id int")
+    return df.withColumn("ts", F.timestamp_millis(F.col("t") * 1000)).drop("t")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    left=st.lists(row_st, min_size=1, max_size=8),
+    right=st.lists(row_st, min_size=0, max_size=8),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    ldf = _mk(spark, left, "l")
+    rdf = _mk(spark, right, "r")
+    out = asof_join(
+        ldf, rdf, on="k", left_time="ts", right_time="ts",
+        right_payload=["rid", "ts"], tiebreak="rid",
+    ).collect()
+
+    rrows = [(k, t, i) for i, (k, t) in enumerate(right)]
+    naive = {}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rid) for (rk, rt, rid) in rrows if rk == k and rt <= t]
+        naive[i] = max(cands)[1] if cands else None  # latest ts, then max rid
+    got = {r["lid"]: r["asof_rid"] for r in out}
+    assert got == naive
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    left=st.lists(row_st, min_size=1, max_size=8),
+    right=st.lists(row_st, min_size=0, max_size=8),
+    window=st.integers(1, 10),
+)
+def test_range_join_matches_naive(spark, left, right, window):
+    ldf = _mk(spark, left, "l")
+    rdf = _mk(spark, right, "r").withColumnRenamed("ts", "rts")
+    out = range_join(
+        ldf, rdf, on="k", left_time="ts", right_time="rts", window_ms=window * 1000
+    ).collect()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+
+    naive = sorted(
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and 0 <= lt - rt <= window
+    )
+    assert got == naive
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words_a=st.lists(st.sampled_from("abcdefgh"), min_size=5, max_size=12),
+    mutate_at=st.integers(0, 4),
+)
+def test_minhash_verified_jaccard_is_exact(spark, words_a, mutate_at):
+    """Whenever LSH surfaces a candidate pair, its verified jaccard must
+    equal the exact 3-shingle jaccard computed independently in Python;
+    identical docs (jaccard 1.0) are ALWAYS candidates (every minhash
+    agrees — deterministic, not probabilistic)."""
+    from etl_everywhere_hub_spark.operators.dedup import minhash_near_dup
+
+    a = " ".join(words_a)
+    words_b = list(words_a)
+    words_b[mutate_at % len(words_b)] = "zz"
+    b = " ".join(words_b)
+
+    def sh3(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = sh3(a), sh3(b)
+    expected_j = len(sa & sb) / len(sa | sb)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=a)]
+    )
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             minhash_near_dup(df, threshold=0.0, num_hashes=8, bands=8).collect()}
+    assert pairs[(1, 3)] == 1.0  # identical docs always candidates
+    if (1, 2) in pairs:
+        assert abs(pairs[(1, 2)] - expected_j) < 1e-12

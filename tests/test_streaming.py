@@ -68,3 +68,53 @@ def test_webhook_replay_stream_pipeline(spark, tmp_path):
         r["id"]: r["msg_id"] for r in latest_per_key(feats_batch, ["id"], "msg_id").collect()
     }
     assert stream_latest == batch_latest == {"inreach-1": 2, "inreach-2": 3}
+
+
+def test_tracks_stateful_pipeline_end_to_end(spark, tmp_path):
+    """SURVEY §3.1 complete, streaming-stateful: JSON webhook replay →
+    schema validation → feature transform → applyInPandasWithState
+    device cache with TTL timeout → TTL read-out filter. Must equal the
+    batch device_cache_snapshot on the same deliveries."""
+    import json as _json
+
+    from etl_everywhere_hub_spark.operators.windows import ttl_filter
+    from etl_everywhere_hub_spark.pipeline.tracks import device_cache_snapshot
+
+    now_ms = 1_700_000_000_000
+
+    def delivery(msg_id, entity, t, emergency=False, alias=None):
+        return {"msg_id": msg_id, "converterId": "c", "deviceId": entity * 10,
+                "teamId": 1, "entityId": entity, "deviceType": "t",
+                "name": f"N{entity}", "alias": alias, "source": "s",
+                "trackPoint": {"time": t, "direction": 0, "inboundMessageId": 1,
+                "isEmergency": emergency, "source": None,
+                "point": {"x": 1.0 * entity, "y": 2.0 * entity}, "alertsList": None}}
+
+    rows = [
+        delivery(1, 1, now_ms - 60_000),
+        delivery(2, 1, now_ms - 30_000),          # entity 1: newer wins
+        delivery(3, 2, now_ms - 10_000, True),    # emergency
+        delivery(4, 3, now_ms - 7_200_000),       # stale → evicted at read-out
+        delivery(5, 4, None),                     # null time → evicted
+    ]
+    (tmp_path / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = readers.webhook_replay_stream(spark, str(tmp_path), everywhere_item_schema())
+    feats = jobs.flatten_features_for_state(transform_features(stream, path="webhook"))
+    emitted = jobs.run_to_table(jobs.stateful_track_cache(feats), output_mode="update")
+    latest = latest_per_key(emitted, ["id"], "msg_id")
+    snapshot = ttl_filter(
+        latest.withColumn("t", F.timestamp_millis(F.col("time_ms"))), "t", now_ms, 3_600_000
+    )
+    got = {r["id"]: (r["msg_id"], r["cot_type"], r["callsign"]) for r in snapshot.collect()}
+
+    batch = readers.read_json_validated(spark, str(tmp_path), everywhere_item_schema())
+    expected_df = device_cache_snapshot(transform_features(batch, "webhook"), now_ms)
+    expected = {
+        r["id"]: (r["msg_id"], r["properties"]["type"], r["properties"]["callsign"])
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    assert set(got) == {"inreach-1", "inreach-2"}
+    assert got["inreach-1"][0] == 2  # last write won
+    assert got["inreach-2"][1] == "b-a-o-tbl"  # emergency CoT
