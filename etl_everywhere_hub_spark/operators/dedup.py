@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_everywhere_hub_spark.functions.hashing import md5_long, seeded_md5
+from etl_everywhere_hub_spark.functions.hashing import md5_long
 from etl_everywhere_hub_spark.functions.text import shingles, tokens
 
 
@@ -64,26 +64,44 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     return toks.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+# Affine MinHash family over the Mersenne prime 2^31-1: seed s maps a
+# base hash h to (A[s]·h + B[s]) mod P. One md5 per shingle (the base),
+# then each extra hash function is two integer ops — 8× fewer md5
+# evaluations than hashing (shingle|seed) per seed, all inside codegen,
+# and portable: the same arithmetic runs verbatim in the oracle SQL.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [1_103_515_245, 1_299_709, 15_485_863, 32_452_843,
+             49_979_687, 67_867_967, 86_028_121, 104_395_301]
+MINHASH_B = [12_345, 217_645_199, 413_158_511, 613_651_349,
+             817_504_243, 1_025_610_421, 1_236_794_689, 1_451_730_233]
+
+
 def minhash_signatures(
     sh: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, min over shingles of
-    md5(shingle|s), taken as the lexicographic min of hex strings.
+    """MinHash signature per doc: for seed s, min over shingles of the
+    affine hash (A[s]·(md5int(shingle) mod P) + B[s]) mod P.
 
-    String-min MinHash is engine-portable (md5 hex agrees everywhere)
-    and statistically identical to integer MinHash: P(min collides) =
-    Jaccard. One explode (shingles × seeds) + one groupBy — linear.
+    P(min collides) = Jaccard per hash function; one explode
+    (shingles × seeds of cheap integer math) + one groupBy — linear.
     """
-    seeded = sh.select(
+    assert num_hashes <= len(MINHASH_A)
+    base = sh.select(
+        F.col(id_col), (md5_long(F.col("shingle")) % MINHASH_P).alias("h0")
+    )
+    seeded = base.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda s: F.struct(
-                    s.alias("seed"), seeded_md5(F.col("shingle"), s).alias("h")
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        ((F.col("h0") * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P).alias("h"),
+                    )
+                    for s in range(num_hashes)
+                ]
             )
         ).alias("sh"),
     ).select(id_col, F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
@@ -113,7 +131,7 @@ def lsh_candidate_pairs(
                 "|",
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s.getField("minhash"),
+                    lambda s: s.getField("minhash").cast("string"),
                 ),
             )
         ).alias("band_key")

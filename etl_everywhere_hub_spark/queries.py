@@ -1351,14 +1351,24 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q41_minhash_lsh",
     f"""
     WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+        FROM sh
+    ),
+    seeds(seed, a, b) AS (
+        VALUES (0, 1103515245, 12345),       (1, 1299709, 217645199),
+               (2, 15485863, 413158511),     (3, 32452843, 613651349),
+               (4, 49979687, 817504243),     (5, 67867967, 1025610421),
+               (6, 86028121, 1236794689),    (7, 104395301, 1451730233)
+    ),
     seeded AS (
-        SELECT doc_id, seed, MIN(md5(shingle || '|' || CAST(seed AS VARCHAR))) AS minhash
-        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+        SELECT doc_id, seed, MIN((h0 * a + b) % 2147483647) AS minhash
+        FROM hashed CROSS JOIN seeds
         GROUP BY doc_id, seed
     ),
     bands AS (
         SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
         FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
     ),
     cands AS (
@@ -2114,4 +2124,29 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("median_price"),
         F.count(F.lit(1)).alias("n_mid"),
+    )
+
+
+@query(
+    "q63_stream_sliding_window",
+    """
+    WITH starts AS (
+        SELECT user_id, date_trunc('hour', ts) AS window_start FROM events
+        UNION ALL
+        SELECT user_id, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           user_id, COUNT(*) AS n
+    FROM starts
+    GROUP BY window_start, user_id
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (2h wide, 1h slide) on the replayed
+    stream: each event lands in exactly two windows; the oracle
+    materializes that fan-out with a UNION ALL of shifted hour
+    truncations."""
+    s = stream_jobs.stream_events(spark, sf_dir)
+    return stream_jobs.run_to_table(
+        stream_jobs.sliding_window_counts(s), output_mode="complete"
     )
