@@ -87,3 +87,36 @@ def _bearing_udf():
 
 def initial_bearing_deg(lon1, lat1, lon2, lat2):
     return _bearing_udf()(lon1, lat1, lon2, lat2)
+
+
+# Reference F4: magnetic-declination correction (`geomagnetism` dep,
+# package-lock.json:1575). The full WMM/IGRF spherical-harmonic series
+# needs the published coefficient tables; the degree-1 (tilted centered
+# dipole) truncation below uses only the three public IGRF-13 epoch-2020
+# dipole Gauss coefficients and captures the first-order field. Unlike
+# F2's pandas UDFs this is pure Column trig — JVM-side, whole-stage
+# codegen, no Python round-trip — so it costs the same as any built-in
+# at 100 TB.
+IGRF13_G10_NT = -29404.8
+IGRF13_G11_NT = -1450.9
+IGRF13_H11_NT = 4652.5
+
+
+def dipole_declination_deg(lat_deg, lon_deg):
+    """Magnetic declination (degrees, east-positive) of the IGRF-13
+    degree-1 dipole field at surface radius.
+
+    B_r = 2[g10 cosθ + (g11 cosλ + h11 sinλ) sinθ],
+    B_θ =  g10 sinθ − (g11 cosλ + h11 sinλ) cosθ,
+    B_φ =  g11 sinλ − h11 cosλ,  with θ = colatitude, λ = longitude;
+    D = atan2(east, north) = atan2(B_φ, −B_θ).
+    """
+    from pyspark.sql import functions as F
+
+    theta = F.radians(F.lit(90.0) - lat_deg)
+    lam = F.radians(lon_deg)
+    g10, g11, h11 = (F.lit(v) for v in (IGRF13_G10_NT, IGRF13_G11_NT, IGRF13_H11_NT))
+    eq = g11 * F.cos(lam) + h11 * F.sin(lam)
+    b_theta = g10 * F.sin(theta) - eq * F.cos(theta)
+    b_phi = g11 * F.sin(lam) - h11 * F.cos(lam)
+    return F.degrees(F.atan2(b_phi, -b_theta))

@@ -2150,3 +2150,133 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_jobs.run_to_table(
         stream_jobs.sliding_window_counts(s), output_mode="complete"
     )
+
+
+@query(
+    "q64_first_last_nan",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS latest_price,
+           CASE WHEN isnan(o_totalprice / NULLIF(o_totalprice - o_totalprice, 0.0))
+                     OR (o_totalprice - o_totalprice) = 0.0
+                THEN 'finite-or-nan-handled' END AS nan_probe,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_nvl,
+           isnan(CAST('NaN' AS DOUBLE)) AS nan_literal_is_nan,
+           CASE WHEN isnan(CAST('NaN' AS DOUBLE)) THEN 0.0 ELSE CAST('NaN' AS DOUBLE) END AS nanvl_zero
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit frame (running first and latest price
+    per customer) + NaN handling (isnan/nanvl shapes; NaN constructed
+    portably via CAST('NaN' AS DOUBLE))."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nan = F.lit("NaN").cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.when(
+            F.isnan(F.col("o_totalprice") / F.nullif(F.col("o_totalprice") - F.col("o_totalprice"), F.lit(0.0)))
+            | ((F.col("o_totalprice") - F.col("o_totalprice")) == 0.0),
+            F.lit("finite-or-nan-handled"),
+        ).alias("nan_probe"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_nvl"
+        ),
+        F.isnan(nan).alias("nan_literal_is_nan"),
+        F.nanvl(nan, F.lit(0.0)).alias("nanvl_zero"),
+    )
+
+
+@query(
+    "q65_stream_static_join",
+    """
+    WITH dim(event_type, cot_code, severity) AS (
+        VALUES ('error',    'b-a-o-tbl',     3),
+               ('purchase', 'a-f-G-U-U-S-X', 1),
+               ('click',    'a-f-G-U-U-S-X', 0),
+               ('view',     'a-f-G-U-U-S-X', 0),
+               ('signup',   'a-f-G-U-U-S-X', 1)
+    )
+    SELECT user_id, cot_code, COUNT(*) AS n,
+           CAST(MAX(severity) AS INTEGER) AS max_severity
+    FROM events JOIN dim USING (event_type)
+    GROUP BY user_id, cot_code
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the replayed event stream joins the broadcast
+    symbology dim DURING streaming (per micro-batch, map-side), then a
+    streaming aggregation — the reference's F3 lookup pattern applied
+    to the live path."""
+    dim = spark.createDataFrame(
+        [
+            ("error", "b-a-o-tbl", 3),
+            ("purchase", "a-f-G-U-U-S-X", 1),
+            ("click", "a-f-G-U-U-S-X", 0),
+            ("view", "a-f-G-U-U-S-X", 0),
+            ("signup", "a-f-G-U-U-S-X", 1),
+        ],
+        schema="event_type string, cot_code string, severity int",
+    )
+    s = stream_jobs.stream_events(spark, sf_dir)
+    joined = s.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("user_id", "cot_code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("severity").cast("int").alias("max_severity"),
+    )
+    return stream_jobs.run_to_table(agg, output_mode="complete")
+
+
+@query(
+    "q66_declination",
+    """
+    WITH pts AS (
+        SELECT event_id,
+               (event_id % 16000) / 100.0 - 80.0  AS lat,
+               ((user_id * 37 + event_id) % 36000) / 100.0 - 180.0 AS lon
+        FROM events
+    ), f AS (
+        SELECT event_id, lat, lon,
+               radians(90.0 - lat) AS theta, radians(lon) AS lam
+        FROM pts
+    )
+    SELECT event_id,
+           round(lat, 6) AS lat,
+           round(lon, 6) AS lon,
+           round(degrees(atan2(
+               (-1450.9) * sin(lam) - 4652.5 * cos(lam),
+               -((-29404.8) * sin(theta)
+                 - ((-1450.9) * cos(lam) + 4652.5 * sin(lam)) * cos(theta))
+           )), 6) AS declination_deg
+    FROM f
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F4 (magnetic-declination correction, the `geomagnetism`
+    dep at package-lock.json:1575) as pure Column trig — the IGRF-13
+    degree-1 dipole field, whole-stage-codegen'd, no Python round-trip.
+    Coordinates are synthesized deterministically from event keys (the
+    fixtures carry no geo columns). Rounded to 6 dp on both engines:
+    trig differs only in the last ulp between JVM and libm."""
+    from etl_everywhere_hub_spark.functions.geo import dipole_declination_deg
+
+    e = load_table(spark, sf_dir, "events")
+    lat = (F.col("event_id") % 16000) / 100.0 - 80.0
+    lon = ((F.col("user_id") * 37 + F.col("event_id")) % 36000) / 100.0 - 180.0
+    return e.select(
+        "event_id",
+        F.round(lat, 6).alias("lat"),
+        F.round(lon, 6).alias("lon"),
+        F.round(dipole_declination_deg(lat, lon), 6).alias("declination_deg"),
+    )

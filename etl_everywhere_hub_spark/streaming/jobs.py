@@ -75,6 +75,15 @@ def run_to_table(stream_df: DataFrame, output_mode: str = "append") -> DataFrame
     global _sink_counter
     _sink_counter += 1
     name = f"stream_sink_{_sink_counter}"
+    # Stateful streaming exchanges bypass AQE coalescing and freeze the
+    # partition count into the checkpoint, so a session left at the 200
+    # default pays 200 state-store tasks per micro-batch regardless of
+    # volume. Clamp to 4× parallelism (skew headroom) before start; a
+    # cluster deployment sizes this via SPARK_SHUFFLE_PARTITIONS.
+    spark = stream_df.sparkSession
+    cap = 4 * spark.sparkContext.defaultParallelism
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > cap:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cap))
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

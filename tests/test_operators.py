@@ -125,3 +125,34 @@ def test_builtin_stats_close_to_exact_formula(spark, sf_dir):
     ).fetchone()
     assert row["sd"] == pytest.approx(ref[0], rel=1e-9)
     assert row["vr"] == pytest.approx(ref[1], rel=1e-9)
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    """Two-phase salted aggregation must equal the plain groupBy (the
+    salt only spreads the shuffle, never the semantics)."""
+    from etl_everywhere_hub_spark.operators.skew import salted_aggregate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 10000 + 0.5)).alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in salted_aggregate(
+            li.select("l_returnflag", "l_quantity"),
+            ["l_returnflag"],
+            partial_aggs={
+                "n": F.count(F.lit(1)),
+                "s": F.sum(F.floor(F.col("l_quantity") * 10000 + 0.5)),
+            },
+            merge_aggs={"n": F.sum("n"), "s": F.sum("s")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
