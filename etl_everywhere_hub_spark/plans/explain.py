@@ -94,3 +94,28 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     pairs, or objHashAggregate/SortAggregate partials)."""
     p = physical_plan(df)
     return p.count("HashAggregate") >= 2 or "partial_" in p
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle + broadcast exchanges in the plan — 0 for a co-located
+    (bucketed) join."""
+    return physical_plan(df).count("Exchange")
+
+
+def partition_filters(df: DataFrame) -> str:
+    """The scan's planning-time PartitionFilters entry ('' if none) —
+    nonempty means whole directories are pruned before I/O."""
+    for line in formatted_plan(df).splitlines():
+        if "PartitionFilters:" in line:
+            _, _, rest = line.partition("PartitionFilters:")
+            rest = rest.strip()
+            if rest not in ("[]", ""):
+                return rest
+    return ""
+
+
+def has_python_eval(df: DataFrame) -> bool:
+    """True if any Python-side evaluation node (row UDF or Arrow/pandas
+    batch) appears — hot relational paths must stay JVM-only."""
+    p = physical_plan(df)
+    return any(m in p for m in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))

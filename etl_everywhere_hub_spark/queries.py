@@ -2280,3 +2280,58 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lon, 6).alias("lon"),
         F.round(dipole_declination_deg(lat, lon), 6).alias("declination_deg"),
     )
+
+
+@query(
+    "q67_array_map_date_extras",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS od,
+               o_totalprice, CAST(o_custkey AS DOUBLE) AS ck,
+               [o_totalprice, CAST(o_custkey AS DOUBLE), o_totalprice] AS a
+        FROM orders
+    )
+    SELECT o_orderkey,
+           strftime(od + 30, '%Y-%m-%d') AS ship_by,
+           CAST((year(od) - 1994) * 12 + (month(od) - 1) AS DOUBLE) AS months_since,
+           list_sort(list_distinct(a)) AS a_uniq,
+           list_transform(list_zip(a, [1.0, 2.0, 3.0]),
+                          s -> struct_extract(s, 1) * struct_extract(s, 2)) AS a_weighted,
+           list_extract(map_extract(
+               map_from_entries([{'k': 'price', 'v': o_totalprice},
+                                 {'k': 'prio',  'v': ck}]),
+               'price'), 1) AS price_from_map
+    FROM base
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining SURVEY §2.B array/map/date builtins in one contract:
+    date_add, months_between (pinned to whole months so the 31-day-month
+    fraction rule can't differ), array_distinct, arrays_zip (projected
+    through transform — zip-struct FIELD NAMES differ across engines,
+    their products don't), map_from_entries + element_at roundtrip."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    a = F.array(
+        F.col("o_totalprice"),
+        F.col("o_custkey").cast("double"),
+        F.col("o_totalprice"),
+    )
+    zipped = F.arrays_zip(a, F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)))
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("price").alias("k"), F.col("o_totalprice").alias("v")),
+            F.struct(F.lit("prio").alias("k"), F.col("o_custkey").cast("double").alias("v")),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(od, 30), "yyyy-MM-dd").alias("ship_by"),
+        F.months_between(F.date_trunc("month", od), F.lit("1994-01-01").cast("timestamp")).alias(
+            "months_since"
+        ),
+        F.array_sort(F.array_distinct(a)).alias("a_uniq"),
+        F.transform(zipped, lambda s: s["0"] * s["1"]).alias("a_weighted"),
+        F.element_at(m, "price").alias("price_from_map"),
+    )

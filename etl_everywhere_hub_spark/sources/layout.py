@@ -1,0 +1,63 @@
+"""Physical table layout for scale (SURVEY §4 / 100 TB posture).
+
+The reference's single-record Lambda never faces layout choices; at
+100 TB they decide whether every join re-shuffles the fact table.
+Two levers, both pure Spark:
+
+- **Bucketing**: persist a table pre-hash-partitioned (and sorted) on
+  its join key. Two tables bucketed on the same key with the same
+  bucket count sort-merge-join with ZERO exchanges — the shuffle is
+  paid once at write time and amortized over every subsequent join.
+  This is the "co-located join" story for a fact table joined daily.
+- **Hive-style partitioned writes**: directory-encode a low-cardinality
+  column so predicates on it prune whole directories at planning time
+  (`PartitionFilters` in the scan, before any I/O).
+
+Both are metadata-driven: Catalyst picks them up from the catalog /
+file layout with no query-side changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` bucketed (and sorted) by ``keys`` as a catalog
+    table. ``path`` makes it an external table (tests use a tmpdir);
+    bucketing metadata lives in the session catalog either way — the
+    in-memory catalog suffices, no Hive metastore required.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str] | str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-key same-bucket-count tables shuffle-free.
+
+    The merge hint pins sort-merge (a broadcast plan would be legal but
+    re-introduces a broadcast exchange; at 100 TB neither side of a
+    fact-fact join broadcasts). With matching bucket layouts Catalyst
+    emits an SMJ with no Exchange on either side.
+    """
+    return spark.table(left_table).hint("merge").join(spark.table(right_table), on=on, how=how)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style directory-partitioned parquet write. Predicates on
+    ``partition_cols`` become planning-time ``PartitionFilters`` —
+    directories never listed, files never opened."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -60,3 +60,20 @@ def test_union_by_name_missing_columns(spark):
     u = a.unionByName(b, allowMissingColumns=True)
     rows = {r["x"]: (r["y"], r["z"]) for r in u.collect()}
     assert rows == {1: ("a", None), 2: (None, 3.0)}
+
+
+def test_crc32_and_schema_of_json(spark):
+    """crc32 (no DuckDB analog — verified against zlib) and
+    schema_of_json (Spark-specific schema-string output)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("hello",), ("",), ("spark",)], "s string")
+    rows = df.select("s", F.crc32(F.col("s").cast("binary")).alias("c")).collect()
+    for r in rows:
+        assert r["c"] == zlib.crc32(r["s"].encode())
+    schema = df.select(
+        F.schema_of_json(F.lit('{"k": 87, "tags": ["a"]}')).alias("sch")
+    ).first()["sch"]
+    assert "k" in schema and "BIGINT" in schema.upper() and "ARRAY" in schema.upper()

@@ -1,0 +1,65 @@
+"""Physical layout tests (sources/layout.py): the write-time levers
+that remove run-time shuffles at 100 TB, asserted on the plan."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_everywhere_hub_spark.plans import explain as X
+from etl_everywhere_hub_spark.sources import layout
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path, no_broadcast):
+    """Same key, same bucket count → sort-merge join with ZERO
+    exchanges; and the co-located result equals the plain join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    layout.write_bucketed(li, "li_b", ["l_orderkey"], 8, path=str(tmp_path / "li"))
+    layout.write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "o_b",
+        ["l_orderkey"],
+        8,
+        path=str(tmp_path / "o"),
+    )
+    j = layout.colocated_join(spark, "li_b", "o_b", on="l_orderkey")
+    assert X.exchange_count(j) == 0, X.physical_plan(j)[:2000]
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert j.count() == plain
+    spark.sql("DROP TABLE li_b")
+    spark.sql("DROP TABLE o_b")
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A predicate on the partition column must become a planning-time
+    PartitionFilter (directories pruned before I/O), and the pruned
+    read must equal the unpruned filter."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "events_by_type")
+    layout.write_partitioned(e, path, ["event_type"])
+    pruned = spark.read.parquet(path).filter(F.col("event_type") == "error")
+    assert "event_type" in X.partition_filters(pruned), X.formatted_plan(pruned)[:2000]
+    assert pruned.count() == e.filter(F.col("event_type") == "error").count()
+
+
+def test_relational_hot_paths_have_no_python(spark, sf_dir):
+    """Queries expressible in built-ins must compile to JVM-only plans
+    (no BatchEvalPython / ArrowEvalPython nodes) — q66's trig included."""
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    for name in ["q01_pricing_summary", "q17_revenue_by_nation", "q66_declination"]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert not X.has_python_eval(df), name
