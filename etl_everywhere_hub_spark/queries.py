@@ -2335,3 +2335,24 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(zipped, lambda s: s["0"] * s["1"]).alias("a_weighted"),
         F.element_at(m, "price").alias("price_from_map"),
     )
+
+
+@query(
+    "q68_except_all",
+    """
+    SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem
+    EXCEPT ALL
+    SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem
+    WHERE l_quantity > 25
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) difference — exceptAll keeps multiplicity, so the
+    result size is exactly the count of rows with quantity <= 25 per
+    (rf, ls) pair; a set EXCEPT would collapse to at most 6 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+    b = li.filter(F.col("l_quantity") > 25).select(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    )
+    return a.exceptAll(b)

@@ -118,3 +118,34 @@ def test_tracks_stateful_pipeline_end_to_end(spark, tmp_path):
     assert set(got) == {"inreach-1", "inreach-2"}
     assert got["inreach-1"][0] == 2  # last write won
     assert got["inreach-2"][1] == "b-a-o-tbl"  # emergency CoT
+
+
+def test_rate_source_smoke(spark):
+    """Rate(-micro-batch) source: the stream-test generator from SURVEY
+    §2.B sources — deterministic rows (value 0..n) with event time."""
+    import time
+
+    s = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 10)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        for _ in range(120):
+            if spark.table("rate_sink").count() >= 10:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table("rate_sink")
+    assert set(out.columns) == {"timestamp", "value"}
+    vals = {r["value"] for r in out.collect()}
+    assert set(range(10)) <= vals
