@@ -77,3 +77,20 @@ def test_crc32_and_schema_of_json(spark):
         F.schema_of_json(F.lit('{"k": 87, "tags": ["a"]}')).alias("sch")
     ).first()["sch"]
     assert "k" in schema and "BIGINT" in schema.upper() and "ARRAY" in schema.upper()
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir, oracle):
+    """approx_percentile is a sketch (excluded from the cross-engine
+    hash contract like approx_count_distinct); pin it against the exact
+    quantile instead."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = li.select(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("p")
+    ).first()["p"]
+    exact = oracle.execute(
+        "SELECT quantile_cont(l_extendedprice, [0.5, 0.95]) FROM lineitem"
+    ).fetchone()[0]
+    for a, e in zip(approx, exact):
+        assert abs(a - e) / e < 0.01, (approx, exact)

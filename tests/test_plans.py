@@ -44,7 +44,10 @@ def test_no_cartesian_in_joins(spark, sf_dir):
         "q22_asof_join",
         "q23_range_join",
         "q40_ngram_jaccard",
+        "q41_minhash_lsh",
+        "q44_cosine_near_dup",
         "q54_broadcast_lookup",
+        "q67_array_map_date_extras",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         assert not X.has_cartesian(df), f"{name} degenerated:\n{X.physical_plan(df)[:2000]}"
