@@ -2356,3 +2356,75 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
     )
     return a.exceptAll(b)
+
+
+@query(
+    "q69_hash_split",
+    """
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+                    THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 9
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5(doc_id) — replaces
+    TABLESAMPLE/df.sample (nondeterministic, excluded from the
+    contract). A document's split is a pure function of its id, so it
+    survives corpus growth and repartitioning — the reproducibility
+    property training pipelines need."""
+    from etl_everywhere_hub_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(d.select("doc_id", "lang"), F.col("doc_id").cast("string"))
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "q70_sequence_packing",
+    """
+    WITH blocked AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS block,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, block, tokens,
+               CAST(floor(COALESCE(SUM(tokens) OVER (
+                   PARTITION BY block ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+                    AS BIGINT) AS pack_id
+        FROM blocked
+    )
+    SELECT block, pack_id, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY block, pack_id
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-parallel greedy sequence packing: documents hash into
+    independent blocks, each packed by a cumulative-token window into
+    ~2048-token training contexts. No global sort, no single-partition
+    window — blocks pack in parallel, linear at 100 TB."""
+    from etl_everywhere_hub_spark.operators.sampling import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(
+        d, "doc_id", T.word_count(F.col("text")), target_tokens=2048, n_blocks=8
+    )
+    return packed.groupBy("block", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -156,3 +156,30 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_hash_split_stable_under_corpus_change(spark, sf_dir):
+    """The property that justifies hash_split over df.sample: a row's
+    split assignment is a pure function of its key — unchanged when
+    the corpus is subset, grown, or repartitioned."""
+    from etl_everywhere_hub_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("k")
+    )
+    full = {r["k"]: r["split"] for r in hash_split(d, "k").collect()}
+    half = d.filter(F.col("k").cast("bigint") % 2 == 0)
+    for r in hash_split(half.repartition(7), "k").collect():
+        assert full[r["k"]] == r["split"]
+    # weights respected within sampling tolerance at n=500
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert 0.6 < c["train"] / len(full) < 0.95 and c["val"] > 0 and c["test"] > 0
+    # deterministic_sample: same rows every run, about the asked fraction
+    s1 = {r["k"] for r in deterministic_sample(d, "k", 0.2).collect()}
+    s2 = {r["k"] for r in deterministic_sample(d, "k", 0.2).collect()}
+    assert s1 == s2 and 0.1 < len(s1) / len(full) < 0.3
