@@ -2428,3 +2428,44 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "q71_embedding_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                           (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(list_transform(e.embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))
+                AS BIGINT[]) AS qvec,
+           round(s.scale, 9) AS scale
+    FROM embeddings e JOIN scaled s USING (vec_id)
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/bandwidth scale path for ANN (4 bytes -> 1 per dim before
+    any index). Max-abs is a sequential fold (identical cross-engine);
+    rounding is floor(x+0.5) because Spark and DuckDB disagree on
+    banker's rounding; quantized values are exact integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(e, F.lit(0.0), lambda a, x: F.when(F.abs(x) > a, F.abs(x)).otherwise(a))
+        / 127.0
+    ).alias("scale")
+    return (
+        emb.select("vec_id", e.alias("e"), scale)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("bigint")
+            ).alias("qvec"),
+            F.round("scale", 9).alias("scale"),
+        )
+    )
