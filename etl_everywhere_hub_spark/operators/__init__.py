@@ -1,3 +1,10 @@
-from etl_everywhere_hub_spark.operators import asof, dedup, similarity, windows
+from etl_everywhere_hub_spark.operators import (
+    asof,
+    dedup,
+    sampling,
+    similarity,
+    skew,
+    windows,
+)
 
-__all__ = ["asof", "dedup", "similarity", "windows"]
+__all__ = ["asof", "dedup", "sampling", "similarity", "skew", "windows"]

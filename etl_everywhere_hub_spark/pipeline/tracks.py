@@ -123,6 +123,7 @@ def transform_features(items: DataFrame, path: str = "webhook") -> DataFrame:
             F.when(tp.getField("isEmergency") == True, F.lit(COT_EMERGENCY))  # noqa: E712
             .otherwise(F.lit(COT_NORMAL))
             .alias("type"),
+            F.lit("m-g").alias("how"),  # constant CoT 'how' (task.ts:126,217)
             js_falsy_coalesce(F.col("alias"), F.col("name")).alias("callsign"),
             epoch_ms_to_iso(tp.getField("time")).alias("time"),
             epoch_ms_to_iso(tp.getField("time")).alias("start"),

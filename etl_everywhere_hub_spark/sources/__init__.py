@@ -1,3 +1,3 @@
-from etl_everywhere_hub_spark.sources import readers
+from etl_everywhere_hub_spark.sources import layout, readers
 
-__all__ = ["readers"]
+__all__ = ["layout", "readers"]
