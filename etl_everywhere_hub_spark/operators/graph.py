@@ -1,0 +1,72 @@
+"""Iterative graph operators — connected components for dedup-cluster
+collapse.
+
+Near-dup detection (MinHash/SimHash/cosine, operators/dedup.py &
+similarity.py) emits PAIRS; a corpus dedup pipeline must then collapse
+pairs into CLUSTERS (keep one doc per component). That closure is
+inherently iterative — min-label propagation, one hop per round, the
+same dataframe-only formulation GraphFrames uses — so it lives here as
+a driver-side loop over pure DataFrame ops: each iteration is one
+shuffle (join + groupBy-min), state is two columns per vertex, and
+convergence takes graph-diameter rounds. Near-dup graphs have tiny
+diameter (duplicates of a doc are mutually similar), so at 100 TB this
+is a handful of shuffles, each AQE-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation: every vertex converges to the smallest
+    vertex id in its component. Returns (id, component).
+
+    ``max_iter`` bounds the loop; iteration stops early the first round
+    no label changes (an exact, deterministic check — the count is 0 or
+    it isn't). Undirectedness is enforced by symmetrizing the edges.
+    """
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # localCheckpoint (not persist): persist caches data but the logical
+    # plan still GROWS each iteration, and Catalyst re-analysis of the
+    # ever-deeper tree dominates within ~5 rounds (measured 1.6s →
+    # 16s/iter). Checkpointing truncates lineage so every round
+    # re-optimizes a constant-size plan. On a cluster, prefer
+    # reliable checkpoint(dir) for executor-loss tolerance.
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -2469,3 +2469,49 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("scale", 9).alias("scale"),
         )
     )
+
+
+@query(
+    "q72_dedup_components",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+        WHERE a.doc_id % 7 <> 0
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(id, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.id, s.dst FROM reach r JOIN sym s ON r.other = s.src
+    )
+    SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc
+    FROM (SELECT id, MIN(other) AS component FROM reach GROUP BY id)
+    GROUP BY component
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster collapse: iterative connected components
+    (operators/graph.py, min-label propagation — one shuffle per hop)
+    over a deterministic multi-hop adjacency (id-chains within a lang,
+    broken every 7th id, so components need real propagation, not one
+    join). The oracle is the same closure as a recursive CTE.
+    keep_doc = the component's canonical survivor."""
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .filter(F.col("a.doc_id") % 7 != 0)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_doc")
+    )

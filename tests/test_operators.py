@@ -183,3 +183,16 @@ def test_hash_split_stable_under_corpus_change(spark, sf_dir):
     s1 = {r["k"] for r in deterministic_sample(d, "k", 0.2).collect()}
     s2 = {r["k"] for r in deterministic_sample(d, "k", 0.2).collect()}
     assert s1 == s2 and 0.1 < len(s1) / len(full) < 0.3
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-built graph: chain 1-2-3-4, triangle 10-11-12, edge 20-21.
+    Min-label propagation must collapse each to its smallest id."""
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
