@@ -46,13 +46,14 @@ def token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text)).cast("bigint")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as an array<string> (order-preserving, with dups).
+def shingles_of(toks: Column | str, k: int) -> Column:
+    """k-word shingles from an already-tokenized array<string> column.
 
-    Pure higher-order functions: transform over an index sequence,
-    concat_ws over a slice — no explode until the caller wants rows.
+    Pass a *materialized* column (not an inline split(...) expression):
+    a lambda closing over an expression makes Catalyst re-evaluate it
+    per element — O(words²) per doc (see operators/dedup.doc_shingles).
     """
-    toks = tokens(text)
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -60,6 +61,15 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (order-preserving, with dups).
+
+    Pure higher-order functions: transform over an index sequence,
+    concat_ws over a slice — no explode until the caller wants rows.
+    """
+    return shingles_of(tokens(text), k)
 
 
 def punct_ratio(text: Column) -> Column:

@@ -2515,3 +2515,585 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface classics: pivot/unpivot, subqueries, ordered aggregation
+# (SURVEY §2.B relational completeness — reference has none of these; they
+# complete the derived engine surface a reference user would expect)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F_cnt",
+           SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+               FILTER (WHERE l_linestatus = 'F') / 10000.0 AS "F_qty",
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O_cnt",
+           SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+               FILTER (WHERE l_linestatus = 'O') / 10000.0 AS "O_qty"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide with explicit pivot values (so Catalyst skips
+    the distinct-values pre-job — at 100 TB an unbounded pivot is a
+    full extra scan). Oracle is conditional aggregation (FILTER), the
+    relational-algebra meaning of pivot. Counts are coalesced to 0 to
+    match SQL COUNT-FILTER semantics on empty groups."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dec_sum(F.col("l_quantity")).alias("qty"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_cnt"), F.lit(0)).alias("F_cnt"),
+        F.col("F_qty"),
+        F.coalesce(F.col("O_cnt"), F.lit(0)).alias("O_cnt"),
+        F.col("O_qty"),
+    )
+
+
+_Q74_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q74_exists_subquery", _Q74_SQL)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) through the SQL entry point —
+    Catalyst rewrites it to a left-semi hash join (same physical plan
+    as q19's DataFrame semi join; R24 dual-invocation contract). The
+    shared SQL string runs verbatim on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q74_SQL)
+
+
+_Q75_SQL = """
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_acctbal > (
+        SELECT SUM(CAST(floor(s2.s_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+               / COUNT(*)
+        FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+@query("q75_scalar_subquery", _Q75_SQL)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (suppliers above their
+    nation's mean balance). Catalyst de-correlates to an aggregate +
+    join — no per-row re-execution, which is what makes the shape
+    viable at scale. Mean is an exact scaled-long fold (see module
+    docstring) so the threshold is bit-identical cross-engine."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q75_SQL)
+
+
+# Scaled-long second moments: x = l_discount, y = l_quantity, both exact
+# at 1e4 scale. Products stay far inside int64 through sf10 (sxy <=
+# 1e3*5e5*6e7 ~ 3e16). The derived doubles below are written with one
+# canonical parse shape, shared verbatim with the oracle.
+_Q76_DERIVE = {
+    "slope": "(sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows)",
+    "intercept": "sy / 10000.0 / n_rows"
+    " - ((sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows)) * (sx / 10000.0 / n_rows)",
+    "corr_xy": "(sxy - sx * sy / n_rows)"
+    " / sqrt((sxx - sx * sx / n_rows) * (syy - sy * sy / n_rows))",
+}
+
+
+@query(
+    "q76_regression_stats",
+    f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                      * CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                      * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)
+                      * CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           {_Q76_DERIVE["slope"]} AS slope,
+           {_Q76_DERIVE["intercept"]} AS intercept,
+           {_Q76_DERIVE["corr_xy"]} AS corr_xy
+    FROM m
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression/correlation stats (regr_slope / regr_intercept / corr
+    semantics) computed from exact integer moments instead of the
+    builtins, because builtin covariance folds doubles in partition
+    order — non-deterministic cross-engine AND run-to-run on a real
+    cluster. One map-side-combinable aggregation, then O(groups)
+    double math with a canonical parse shape (bit-identical on both
+    engines). Builtins are tolerance-tested in tests/test_functions.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_discount") * 10000 + 0.5)
+    y = F.floor(F.col("l_quantity") * 10000 + 0.5)
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        F.expr(_Q76_DERIVE["slope"]).alias("slope"),
+        F.expr(_Q76_DERIVE["intercept"]).alias("intercept"),
+        F.expr(_Q76_DERIVE["corr_xy"]).alias("corr_xy"),
+    )
+
+
+# Linear-interpolation percentile (percentile_cont / quantile_cont
+# semantics) built from rank arithmetic so both engines evaluate the
+# SAME interpolation expression — builtin interpolation formulas are
+# not pinned cross-engine. Shared shape:
+_Q77_INTERP = "vlo + (h - lo) * (coalesce(vhi, vlo) - vlo)"
+
+
+@query(
+    "q77_percentile_cont",
+    f"""
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        FROM lineitem
+    ),
+    qs AS (SELECT CAST(0.25 AS DOUBLE) AS q
+           UNION ALL SELECT CAST(0.5 AS DOUBLE)
+           UNION ALL SELECT CAST(0.75 AS DOUBLE)),
+    picked AS (
+        SELECT r.l_returnflag, q.q,
+               (CAST(r.cnt AS DOUBLE) - 1) * q.q AS h,
+               CAST(floor((CAST(r.cnt AS DOUBLE) - 1) * q.q) AS BIGINT) AS lo,
+               r.rn, r.l_quantity
+        FROM ranked r CROSS JOIN qs q
+        WHERE r.rn - 1 = CAST(floor((CAST(r.cnt AS DOUBLE) - 1) * q.q) AS BIGINT)
+           OR r.rn - 2 = CAST(floor((CAST(r.cnt AS DOUBLE) - 1) * q.q) AS BIGINT)
+    ),
+    agg AS (
+        SELECT l_returnflag, q, MAX(h) AS h, CAST(MAX(lo) AS DOUBLE) AS lo,
+               MAX(CASE WHEN rn - 1 = lo THEN l_quantity END) AS vlo,
+               MAX(CASE WHEN rn - 2 = lo THEN l_quantity END) AS vhi
+        FROM picked
+        GROUP BY l_returnflag, q
+    )
+    SELECT l_returnflag, q, {_Q77_INTERP} AS p_cont
+    FROM agg
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile with linear interpolation (percentile_cont),
+    as rank arithmetic: one sort-window per group, pick the two
+    bracketing ranks, interpolate with a canonical expression. The
+    per-group sort is the scale cost (same as any exact quantile); the
+    approx path for 100 TB is approx_percentile (tolerance-tested in
+    tests/test_functions.py). Total-order tiebreak on (qty, orderkey,
+    linenumber) pins the ranked sequence cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+    )
+    h = (F.col("cnt").cast("double") - 1) * F.col("q")
+    lo = F.floor(h).cast("bigint")
+    picked = (
+        ranked.crossJoin(F.broadcast(qs))
+        .withColumn("h", h)
+        .withColumn("lo", lo)
+        .filter((F.col("rn") - 1 == F.col("lo")) | (F.col("rn") - 2 == F.col("lo")))
+    )
+    agg = picked.groupBy("l_returnflag", "q").agg(
+        F.max("h").alias("h"),
+        F.max("lo").cast("double").alias("lo"),
+        F.max(F.when(F.col("rn") - 1 == F.col("lo"), F.col("l_quantity"))).alias("vlo"),
+        F.max(F.when(F.col("rn") - 2 == F.col("lo"), F.col("l_quantity"))).alias("vhi"),
+    )
+    return agg.select(
+        "l_returnflag", "q", F.expr(_Q77_INTERP).alias("p_cont")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops, continued (north-star extension set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q78_decontamination",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(w) - 4),
+                   i -> array_to_string(w[i+1:i+5], ' ')))) AS g
+        FROM toks
+        WHERE len(w) >= 5
+    ),
+    testg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+    SELECT a.doc_id, COUNT(*) AS n_shared_grams
+    FROM grams a JOIN testg t ON a.g = t.g
+    WHERE a.doc_id % 7 <> 0
+    GROUP BY a.doc_id
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: per training doc, how many distinct
+    5-gram shingles it shares with a held-out set (doc_id % 7 == 0 as
+    the stand-in eval corpus). The eval gram set is tiny relative to
+    the corpus, so it broadcasts — the train side never shuffles. At
+    100 TB the same shape runs with the broadcast replaced by a bloom
+    filter built over the eval grams (same join key, no new shuffle).
+    Ref parity: reference has no corpus ops; north-star extension."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.doc_shingles(d, "text", "doc_id", k=5)
+    test_g = (
+        sh.filter(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 7 != 0)
+    return (
+        train.join(F.broadcast(test_g), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "q79_document_chunking",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(greatest(0, ceil((len(w) - 32) / 24.0)) AS BIGINT))) AS chunk_id,
+               w
+        FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens,
+           md5(array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, stride 24 —
+    the long-context prep step before packing/embedding). Pure
+    higher-order functions until one explode; no shuffle at all — the
+    map-only shape that scales embarrassingly. Chunk text is carried
+    as md5 so the oracle result stays narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("w"))
+    n = F.size("w")
+    last = F.greatest(
+        F.lit(0).cast("bigint"), F.ceil((n - 32) / F.lit(24.0))
+    )
+    chunked = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("chunk_id"),
+        "w",
+    )
+    piece = F.slice(
+        F.col("w"), (F.col("chunk_id") * 24 + 1).cast("int"), 32
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    )
+
+
+@query(
+    "q80_pii_redaction",
+    """
+    WITH payload AS (
+        SELECT event_id,
+               'uid=' || CAST(user_id AS VARCHAR)
+               || ' mail=u' || CAST(user_id AS VARCHAR) || '@ex.com tel=+1-'
+               || lpad(CAST(event_id % 10000000 AS VARCHAR), 10, '0')
+               || ' ' || props AS body
+        FROM events
+    )
+    SELECT event_id,
+           len(regexp_extract_all(body, '[a-z0-9]+@[a-z.]+[a-z]')) AS n_emails,
+           len(regexp_extract_all(body, '\\+[0-9][0-9-]{7,}')) AS n_phones,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(body, '[a-z0-9]+@[a-z.]+[a-z]', '<EMAIL>', 'g'),
+                   '\\+[0-9][0-9-]{7,}', '<PHONE>', 'g'),
+               '[0-9]+', '#', 'g')) AS redacted_hash
+    FROM payload
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: multi-pass regex scrub (emails → phones → bare
+    digit runs) plus per-pattern match counts. The payload is
+    synthesized deterministically from events columns because the
+    fixtures carry no real PII; the operator under test is the regex
+    pipeline itself — map-only, codegen'd, zero shuffle. Redacted body
+    is hashed to keep the compare narrow."""
+    e = load_table(spark, sf_dir, "events")
+    body = F.concat(
+        F.lit("uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" mail=u"),
+        F.col("user_id").cast("string"),
+        F.lit("@ex.com tel=+1-"),
+        F.lpad((F.col("event_id") % 10000000).cast("string"), 10, "0"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    email, phone, digits = "[a-z0-9]+@[a-z.]+[a-z]", r"\+[0-9][0-9-]{7,}", "[0-9]+"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        digits,
+        "#",
+    )
+    return e.select(
+        "event_id",
+        F.regexp_count(body, F.lit(email)).alias("n_emails"),
+        F.regexp_count(body, F.lit(phone)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+@query(
+    "q81_repetition_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, w,
+               list_transform(range(len(w) - 4),
+                              i -> array_to_string(w[i+1:i+5], ' ')) AS g5
+        FROM toks
+    )
+    SELECT doc_id,
+           len(w) AS n_words,
+           len(list_distinct(w)) AS n_distinct_words,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+           len(g5) - len(list_distinct(g5)) AS repeated_5grams
+    FROM grams
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics: type-token ratio and
+    repeated-5-gram count — the boilerplate/spam signal used to filter
+    crawl data (low TTR or high repeated-gram count → TOSS). Map-only
+    higher-order array ops, no explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("w"))
+    g5 = T.shingles_of("w", 5)
+    n_words = F.size("w").cast("bigint")
+    n_distinct = F.size(F.array_distinct("w")).cast("bigint")
+    return toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("ttr"),
+        (F.size(g5) - F.size(F.array_distinct(g5))).cast("bigint").alias("repeated_5grams"),
+    )
+
+
+@query(
+    "q82_listagg",
+    """
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY).
+    Spark's collect_list is partition-order-nondeterministic, so the
+    deterministic form is collect_list → array_sort → concat_ws; the
+    sort key is the aggregated value itself (unique supplier names).
+    Nation dim broadcasts; one shuffle on the group key."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "supplier_csv"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q83_argminmax",
+    """
+    SELECT n.n_name,
+           arg_max(s.s_name, CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                             * 1000000 + s.s_suppkey) AS richest_supplier,
+           arg_min(s.s_name, CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+                             * 1000000 + s.s_suppkey) AS poorest_supplier,
+           COUNT(*) FILTER (WHERE s.s_acctbal < 0) AS n_negative,
+           bool_or(s.s_acctbal < 0) AS any_negative,
+           bool_and(s.s_acctbal < 0) AS all_negative
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg_max/arg_min) with a tie-proof ordering key
+    (scaled balance ⊕ unique suppkey — a tied balance would otherwise
+    make the winner partition-order-dependent), plus conditional
+    count (FILTER clause) and bool_or/bool_and. All single-pass,
+    map-side combinable."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    key = F.floor(F.col("s_acctbal") * 100 + 0.5) * 1000000 + F.col("s_suppkey")
+    neg = F.col("s_acctbal") < 0
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("s_name", key).alias("richest_supplier"),
+            F.min_by("s_name", key).alias("poorest_supplier"),
+            F.count_if(neg).alias("n_negative"),
+            F.bool_or(neg).alias("any_negative"),
+            F.bool_and(neg).alias("all_negative"),
+        )
+    )
+
+
+@query(
+    "q84_unpivot",
+    """
+    WITH u AS (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, metric,
+           SUM(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_val,
+           COUNT(*) AS n
+    FROM u
+    GROUP BY l_returnflag, metric
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide→long), then aggregate per metric. Spark's
+    native unpivot is a single-scan zero-shuffle reshape (vs the
+    oracle's 3-scan UNION ALL spelling — same algebra, one pass).
+    Metric names are the source column names on both sides."""
+    l = load_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        _dec_sum(F.col("val"), "decimal(18,6)").alias("sum_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q85_scd2_intervals",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_type, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts AS valid_from, event_id, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           event_type,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build from an event log: collapse runs of
+    the same value per key (lag ≠ current), then close each interval
+    with the next change's timestamp (lead). The standard
+    dimension-history / CDC-compaction shape; two windows over one
+    partitioning, so a single shuffle on user_id. event_id breaks
+    timestamp ties to keep the interval chain deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.lag("event_type").over(w1).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            "event_type",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "event_type",
+        valid_to.isNull().alias("is_current"),
+    )
