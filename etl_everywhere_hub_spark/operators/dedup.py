@@ -81,31 +81,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, min over shingles of the
-    affine hash (A[s]·(md5int(shingle) mod P) + B[s]) mod P.
+    """Wide MinHash signature per doc: columns m0..m{n-1}, where
+    m_s = min over shingles of (A[s]·(md5int(shingle) mod P) + B[s]) mod P.
 
-    P(min collides) = Jaccard per hash function; one explode
-    (shingles × seeds of cheap integer math) + one groupBy — linear.
-    """
+    P(min collides) = Jaccard per hash function. All mins are agg
+    columns of ONE groupBy(id) — no seed explode, map-side partial
+    combine, and the shuffle carries one row per doc instead of
+    num_hashes × shingles rows (measured ~2× on the sf0.1 corpus vs
+    the long-form explode + (id, seed) groupBy it replaces)."""
     assert num_hashes <= len(MINHASH_A)
     base = sh.select(
         F.col(id_col), (md5_long(F.col("shingle")) % MINHASH_P).alias("h0")
     )
-    seeded = base.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        ((F.col("h0") * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P).alias("h"),
-                    )
-                    for s in range(num_hashes)
-                ]
+    return base.groupBy(id_col).agg(
+        *[
+            F.min((F.col("h0") * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P).alias(
+                f"m{s}"
             )
-        ).alias("sh"),
-    ).select(id_col, F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
-    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+            for s in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -121,20 +116,31 @@ def lsh_candidate_pairs(
     for near-identical docs, so output ~ O(#near-dup pairs).
     """
     rows_per_band = num_hashes // bands
-    banded = sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-    # Band key = md5 of the band's minhashes in SEED order (array_sort on
-    # (seed, minhash) structs sorts by seed first) — matches the oracle's
+    # Band key = md5 of the band's minhashes in SEED order, computed
+    # directly from the wide signature columns (no collect_list, no
+    # second shuffle) — identical bytes to the oracle's
     # string_agg(minhash, '|' ORDER BY seed).
-    band_keys = banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s.getField("minhash").cast("string"),
-                ),
-            )
-        ).alias("band_key")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{s}").cast("string")
+                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    band_keys = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        F.col(id_col),
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
     )
     a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
     b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
@@ -220,10 +226,9 @@ def minhash_near_dup(
     # Measured at sf0.1: 47s lazy → ~6s staged.
     sh = doc_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
-    sigs = minhash_signatures(sh, id_col, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs.count()
+    # Signatures are NOT persisted: since the wide-form rewrite they
+    # have exactly one consumer (the banding step).
+    sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -236,30 +241,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """Per-doc SimHash over tokens: bit j of md5-int(token) votes ±1;
     sign of the vote sum becomes bit j of the signature.
 
-    Expressed as explode(token) × explode(bit) + groupBy — linear, all
-    JVM-side. 32 bits keeps the signature in a BIGINT portably.
+    One explode (tokens) and ONE groupBy(id): each bit's vote sum is
+    its own agg column (bit index is a literal, so every shift/mask is
+    codegen'd), and the signature is assembled from the 'bits' wide
+    columns in a final select. The shuffle carries one row per doc —
+    not tokens × bits rows like the explode(bit) form it replaces.
+    32 bits keeps the signature in a BIGINT portably.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("h", md5_long(F.col("tok")))
-    # shiftright/shiftleft take a literal count in the Python API; the
-    # SQL forms accept a column for the per-row bit index.
-    votes = (
-        tok.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("h"),
-        )
-        .withColumn(
-            "vote", F.expr("shiftright(h, CAST(bit AS INT)) & 1") * 2 - 1
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"v{j}"
+            )
+            for j in range(bits)
+        ]
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
