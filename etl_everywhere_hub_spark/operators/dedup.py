@@ -210,29 +210,71 @@ def minhash_near_dup(
     LSH candidates. Recall is the LSH S-curve at (bands, rows); the
     verification step makes precision exact.
 
-    ``sh`` and ``cands`` are persisted: the shingle relation feeds the
-    signature pipeline AND both sides of the verification join, and the
-    candidate relation is referenced three times — without persistence
-    Spark re-runs the full shingle→sig→band DAG per reference (measured
-    47s → ~10s at sf0.1). On a cluster this is the same call with
-    MEMORY_AND_DISK spilling per executor.
+    Signatures are computed entirely MAP-SIDE: the distinct shingle
+    set stays an array column, each m_s is array_min(transform(...)) —
+    no explode and no groupBy anywhere before banding, so the only
+    shuffles in the whole pipeline are the band self-join and the
+    verification join, and verification explodes shingles only for
+    docs that appear in a candidate pair. ``docs`` and ``cands`` are
+    persisted and materialized eagerly (each feeds 2-3 branches; lazy
+    persists let parallel branches race to fill the same cache,
+    re-running the upstream DAG — measured 47s → ~5s at sf0.1). On a
+    cluster this is the same call with MEMORY_AND_DISK spilling.
     """
     from pyspark import StorageLevel
 
-    # Each intermediate is persisted and materialized EAGERLY: the
-    # shingle relation feeds both the signature pipeline and both sides
-    # of the verification join, and lazy persists let parallel branches
-    # race to fill the same cache (recomputing the whole upstream DAG).
-    # Measured at sf0.1: 47s lazy → ~6s staged.
-    sh = doc_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    # Signatures are NOT persisted: since the wide-form rewrite they
-    # have exactly one consumer (the banding step).
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    # All the heavy per-doc work (shingling, md5, minhash transforms)
+    # is map-side, so its parallelism equals the SCAN's partition count.
+    # A small corpus arrives as one parquet split — spread it across
+    # the cluster first. At scale the scan already has >= cores
+    # partitions and this is a no-op (no shuffle inserted).
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores, id_col)
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    sh_arr = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
+        )
+    )
+    docs = (
+        toks.select(F.col(id_col), F.array_distinct(sh_arr).alias("sh"))
+        .select(
+            id_col,
+            "sh",
+            F.transform("sh", lambda s: md5_long(s) % MINHASH_P).alias("h0s"),
+            F.size("sh").alias("n_sh"),
+        )
+        .filter(F.col("n_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs.count()
+    sigs = docs.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    "h0s", lambda h: (h * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P
+                )
+            ).alias(f"m{s}")
+            for s in range(num_hashes)
+        ],
+    )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands.count()
+    # Inverted-index verification over candidate docs only: the explode
+    # is bounded by LSH collisions, not corpus size.
+    cand_ids = (
+        cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    )
+    sh = docs.join(cand_ids, on=id_col, how="left_semi").select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
     verified = exact_jaccard(sh, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
