@@ -3097,3 +3097,231 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q86_variant_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+           MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
+           COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    parse_json once, then typed variant_get extraction — the shredded
+    open-schema path (vs q30/q59's per-access string JSON functions).
+    At scale variant parse happens once per row at ingest and every
+    downstream access is a binary field read, not a re-parse."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k").isNull()).alias("n_missing"),
+        )
+    )
+
+
+@query(
+    "q87_gapfill_locf",
+    """
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+                   AS bucket_sum
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+    ),
+    series AS (
+        SELECT user_id,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    )
+    SELECT s.user_id, s.bucket,
+           last_value(b.bucket_sum IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           b.bucket_sum IS NULL AS gapfilled
+    FROM series s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup with gap-fill + LOCF
+    (timescale 'time_bucket_gapfill' semantics): hourly sums per user,
+    a generated dense bucket series per user's observed span, missing
+    buckets carried forward with last-observation and flagged. The
+    series explode is per-user (no global calendar join) and every
+    stage shares the user_id partitioning; bucket counts are bounded
+    by span/granularity, not event count — the scale-safe shape."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(_dec_sum(F.col("value"), "decimal(18,6)").alias("bucket_sum"))
+    series = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("b0", "b1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    filled = series.join(b, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "bucket",
+        F.last("bucket_sum", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("bucket_sum").isNull().alias("gapfilled"),
+    )
+
+
+@query(
+    "q88_quality_audit",
+    """
+    SELECT 'orders_fk_customer' AS check_name, COUNT(*) AS n_bad
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_fk_orders', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_dup_pk', COUNT(*) FROM
+        (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'events_null_user', COUNT(*) FROM events WHERE user_id IS NULL
+    UNION ALL
+    SELECT 'lineitem_negative_price', COUNT(*) FROM lineitem
+    WHERE l_extendedprice < 0
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit bundle: FK orphan counts (anti joins), PK
+    duplicate counts, null-rate and domain checks — the pre-training
+    pipeline gate that decides whether a snapshot is fit to consume.
+    Each check is an independent scan+agg unioned into one narrow
+    (check_name, n_bad) report, so checks parallelize across the
+    cluster and short scans broadcast their dimension side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    fk_cust = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    fk_ord = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    null_user = e.filter(F.col("user_id").isNull())
+    neg_price = l.filter(F.col("l_extendedprice") < 0)
+    parts = [
+        one("orders_fk_customer", fk_cust),
+        one("lineitem_fk_orders", fk_ord),
+        one("orders_dup_pk", dup_pk),
+        one("events_null_user", null_user),
+        one("lineitem_negative_price", neg_price),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# BM25 constants and the shared per-term scoring shape (k1=1.2, b=0.75).
+# ln() differs in the last ulp between JVM and libm, so the per-term
+# score is quantized to 9 decimals (floor scale trick) before the
+# cross-term sum — which also makes that sum order-independent.
+_BM25_TERMS = ["spark", "join", "data", "filter", "window"]
+_BM25_TERM_SCORE = (
+    "ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+)
+
+
+@query(
+    "q89_bm25",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join', 'data', 'filter', 'window')
+        GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT t.doc_id,
+           SUM(CAST(floor(({_BM25_TERM_SCORE}) * 1000000000 + 0.5) AS BIGINT))
+               / 1000000000.0 AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM tf t
+    JOIN dl USING (doc_id)
+    JOIN dfreq USING (term)
+    CROSS JOIN stats
+    GROUP BY t.doc_id
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a query term set —
+    the lexical side of hybrid (BM25 + embedding) retrieval. df/N/avgdl
+    are tiny aggregates that BROADCAST to the tf relation; per-term
+    scores quantize to 9 decimals before the cross-term sum (see
+    _BM25_TERM_SCORE note). One shuffle for tf, one for the final
+    per-doc sum; everything else is map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = d.select("doc_id", T.word_count(F.col("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    term_score = F.expr(_BM25_TERM_SCORE)
+    return scored.groupBy("doc_id").agg(
+        (F.sum(F.floor(term_score * 1000000000 + 0.5)) / 1000000000.0).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
