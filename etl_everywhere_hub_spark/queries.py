@@ -3325,3 +3325,124 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.floor(term_score * 1000000000 + 0.5)) / 1000000000.0).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
+
+
+@query(
+    "q90_rolling_time_window",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_1h,
+           SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER w
+               / 1000000.0 AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour event window per user (true time-RANGE frame, not
+    row-count): the fraud/abuse 'velocity' primitive. The frame is
+    expressed on epoch MICROseconds — a seconds cast would silently
+    widen the window boundary past the timestamps' microsecond
+    precision. RANGE + CURRENT ROW includes timestamp peers on both
+    engines (SQL standard). One shuffle on user_id; frame evaluation
+    is a per-partition two-pointer scan, linear at any event rate."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+        # cast is shift-free and matches DuckDB's epoch_us(naive ts).
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(F.floor(F.col("value") * 1000000 + 0.5)).over(w) / 1000000.0).alias(
+            "sum_1h"
+        ),
+    )
+
+
+# Shared per-token entropy term: p = cnt/dl, contribution -p*ln(p),
+# quantized to 9 decimals before the cross-token sum (ln ulp + order
+# independence — same treatment as _BM25_TERM_SCORE).
+_Q91_TERM = "-(cnt / CAST(dl AS DOUBLE)) * ln(cnt / CAST(dl AS DOUBLE))"
+
+
+@query(
+    "q91_token_entropy",
+    f"""
+    WITH tc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl FROM tc GROUP BY doc_id)
+    SELECT tc.doc_id,
+           SUM(CAST(floor(({_Q91_TERM}) * 1000000000 + 0.5) AS BIGINT))
+               / 1000000000.0 AS entropy,
+           COUNT(*) AS n_types
+    FROM tc JOIN dl ON tc.doc_id = dl.doc_id
+    GROUP BY tc.doc_id
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's token distribution — the
+    gibberish/boilerplate quality signal (low entropy = repetitive
+    spam, suspiciously high = random noise). Token counts and doc
+    lengths are exact integers; only the final -p·ln(p) terms are
+    floating, quantized per token type before summation. Both
+    aggregations share the doc_id shuffle key."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    term = F.expr(_Q91_TERM)
+    return (
+        tc.join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.floor(term * 1000000000 + 0.5)) / 1000000000.0).alias(
+                "entropy"
+            ),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+@query(
+    "q92_stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly N docs per language stratum, chosen
+    by hash order — deterministic, repartition-proof, and balanced
+    across strata (the training-mix construction step; complements
+    q69's proportional hash split). Hash-ordered row_number needs a
+    per-stratum sort; at extreme stratum sizes the same semantics can
+    run as a threshold pre-filter on the hash + exact top-N on the
+    survivors (filter pushes into the scan, sort shrinks to ~N)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
