@@ -3446,3 +3446,115 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 10)
     )
+
+
+_Q93_SQL = """
+    WITH RECURSIVE walk (start_id, cur_id, lang, depth) AS (
+        SELECT d.doc_id, d.doc_id, d.lang, 0
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM documents p
+                          WHERE p.doc_id = d.doc_id - 1
+                            AND p.lang = d.lang AND p.doc_id % 7 <> 0)
+        UNION ALL
+        SELECT w.start_id, d.doc_id, d.lang, w.depth + 1
+        FROM walk w JOIN documents d
+          ON d.doc_id = w.cur_id + 1 AND d.lang = w.lang
+        WHERE w.cur_id % 7 <> 0
+    )
+    SELECT start_id, MAX(depth) AS chain_len, COUNT(*) AS n_docs
+    FROM walk
+    GROUP BY start_id
+"""
+
+
+@query("q93_recursive_cte", _Q93_SQL)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through Spark 4's native recursive-CTE support
+    (the declarative twin of q72's iterative connected-components
+    operator): walk id-chains within a language from their heads,
+    reporting chain length. The shared SQL runs verbatim on both
+    engines. Spark executes recursion as iterative union steps —
+    bounded here by the chain-break rule (every 7th id), so depth ≤ 7
+    regardless of corpus size."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q93_SQL)
+
+
+@query(
+    "q94_nth_value_ratio",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice_c,
+           nth_value(o_totalprice_c, 2) OVER w AS second_largest,
+           CAST(o_totalprice_c AS DOUBLE)
+               / SUM(o_totalprice_c) OVER (PARTITION BY o_custkey)
+               AS ratio_of_customer
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_c
+          FROM orders) t
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice_c DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full-partition frame plus ratio-to-report
+    (share of customer total). Prices are scaled to exact integer
+    cents FIRST, so both the nth_value pick and the partition sum are
+    integer-exact; the single ratio division is one deterministic
+    double op. Ordering has the usual unique-key tiebreak. Both
+    windows share one user-partition shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).alias("o_totalprice_c")
+    t = o.select("o_custkey", "o_orderkey", cents)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice_c").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wsum = Window.partitionBy("o_custkey")
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice_c",
+        F.nth_value("o_totalprice_c", 2).over(w).alias("second_largest"),
+        (
+            F.col("o_totalprice_c").cast("double")
+            / F.sum("o_totalprice_c").over(wsum)
+        ).alias("ratio_of_customer"),
+    )
+
+
+@query(
+    "q95_fuzzy_match",
+    """
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: edit-distance pairs within a blocking key
+    (nation). Blocking turns the O(n²) corpus cross-join into
+    O(Σ block²) — the standard entity-resolution shape; at 100 TB the
+    block key comes from a cheap canopy (sorted-neighborhood prefix or
+    phonetic code) rather than a natural attribute, same plan. The
+    equi-part of the condition drives a hash join; levenshtein runs
+    post-join, JVM-side."""
+    c = load_table(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("a"),
+            F.col("b.c_custkey").alias("b"),
+            dist.alias("dist"),
+        )
+    )
