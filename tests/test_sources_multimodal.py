@@ -105,3 +105,22 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     # n_bytes consistent with metadata
     meta = {x["media_id"]: x["meta"]["n_bytes"] for x in media.collect()}
     assert all(x["n_bytes"] == meta[x["media_id"]] for x in rows)
+
+
+def test_orc_and_text_sources_roundtrip(spark, sf_dir, tmp_path):
+    """ORC columnar + line-text sources: same engine surface as parquet
+    (scan → DataFrame), verified by roundtrip equality."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    orc_path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert back.schema == orders.schema
+    assert sorted(r["o_orderkey"] for r in back.collect()) == sorted(
+        r["o_orderkey"] for r in orders.collect()
+    )
+
+    txt_path = str(tmp_path / "lines")
+    orders.select(F.col("o_orderpriority")).write.mode("overwrite").text(txt_path)
+    lines = spark.read.text(txt_path)
+    assert lines.count() == 100
+    assert lines.columns == ["value"]

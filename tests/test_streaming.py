@@ -149,3 +149,57 @@ def test_rate_source_smoke(spark):
     assert set(out.columns) == {"timestamp", "value"}
     vals = {r["value"] for r in out.collect()}
     assert set(range(10)) <= vals
+
+
+def test_upsert_sink_checkpoint_restart(spark, tmp_path):
+    """Kill/restart recovery on the snapshot sink: run the stream over
+    delivery file 1 with a checkpoint and stop; drop file 2 (including
+    a newer update for an existing key and an older, late row that must
+    LOSE last-write-wins); restart with the SAME checkpoint. The file
+    source must resume from the checkpoint (only the new file), and the
+    final snapshot must equal a single batch pass over everything —
+    no duplicates, no lost updates, idempotent on replay."""
+    import json as _json
+
+    from etl_everywhere_hub_spark.pipeline.tracks import (
+        everywhere_item_schema,
+        transform_features,
+    )
+    from etl_everywhere_hub_spark.streaming.sinks import upsert_snapshot_sink
+
+    def delivery(msg_id, entity, t):
+        return {"msg_id": msg_id, "converterId": "c", "deviceId": entity * 10,
+                "teamId": 1, "entityId": entity, "deviceType": "t",
+                "name": f"N{entity}", "alias": None, "source": "s",
+                "trackPoint": {"time": t, "direction": 0, "inboundMessageId": 1,
+                "isEmergency": False, "source": None,
+                "point": {"x": 1.0 * entity, "y": 2.0 * entity}, "alertsList": None}}
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = readers.webhook_replay_stream(
+            spark, str(in_dir), everywhere_item_schema()
+        )
+        q = upsert_snapshot_sink(
+            transform_features(stream, path="webhook"),
+            state, ["id"], "properties.time_ms", "msg_id", ckpt,
+        )
+        q.awaitTermination(120)
+
+    batch1 = [delivery(1, 1, 1_700_000_000_000), delivery(2, 2, 1_700_000_030_000)]
+    (in_dir / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in batch1))
+    run_once()
+    snap1 = {r["id"]: r["msg_id"] for r in spark.read.parquet(state).collect()}
+    assert snap1 == {"inreach-1": 1, "inreach-2": 2}
+
+    # newer update for entity 1, late (older) row for entity 2, new entity 3
+    batch2 = [delivery(3, 1, 1_700_000_060_000), delivery(4, 2, 1_700_000_000_000),
+              delivery(5, 3, 1_700_000_010_000)]
+    (in_dir / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in batch2))
+    run_once()
+    snap2 = {r["id"]: r["msg_id"] for r in spark.read.parquet(state).collect()}
+    assert snap2 == {"inreach-1": 3, "inreach-2": 2, "inreach-3": 5}
