@@ -3558,3 +3558,114 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+_Q96_SQL = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+               / (SELECT COUNT(*) FROM v) AS click_rate,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+               / (SELECT COUNT(*) FROM c) AS purchase_rate
+"""
+
+
+@query("q96_funnel", _Q96_SQL)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (view → click → purchase): each stage is the
+    earliest qualifying event AFTER the previous stage's timestamp —
+    min-chain semantics, three stage aggregates each joined on user_id
+    (shared shuffle key), then scalar-subquery conversion rates. The
+    shared SQL runs verbatim on both engines; Catalyst turns the
+    scalar subqueries into broadcast singletons."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q96_SQL)
+
+
+@query(
+    "q97_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY CAST(floor(o_totalprice / 10000) AS BIGINT)
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (fixed 10k buckets over order totals): the
+    one-pass map-side-combinable profile every column-stats/data-
+    exploration pass needs. Bucketing is floor division — exact on
+    both engines; no data-dependent bounds pass is required (vs
+    width_bucket with min/max, which would need a pre-scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 10000).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# Deterministic weighted sampling (Efraimidis–Spirakis A-ES): key =
+# ln(u)/w with u a fixed md5-derived uniform — larger weights win more
+# often, fully reproducible, no RNG state. Shared key shape:
+_Q98_KEY = (
+    "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)"
+    " / 4503599627370497.0) / n_chars"
+)
+_Q98_KEY_SPARK = (
+    "ln((conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) + 1)"
+    " / 4503599627370497.0) / n_chars"
+)
+
+
+@query(
+    "q98_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               {_Q98_KEY} AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, rn FROM ranked WHERE rn <= 50
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    top-k by ln(u)/weight with u derived from md5(doc_id) — longer
+    docs are proportionally likelier, the draw is a pure function of
+    the id (reproducible across runs/partitionings, no RNG state to
+    coordinate across executors), and selection is a top-k, not a
+    sort-the-world (rank > k prunes in partial top-k at scale). u is
+    (md5_52bits + 1)/2^52+1 ∈ (0,1]; doc_id breaks ln ties."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", "n_chars", F.expr(_Q98_KEY_SPARK).alias("es_key")
+    )
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )
