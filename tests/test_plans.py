@@ -71,3 +71,62 @@ def test_latest_per_key_single_shuffle(spark, sf_dir):
     df = REGISTRY["q28_latest_per_key"].spark(spark, sf_dir)
     p = X.physical_plan(df)
     assert p.count("Exchange") <= 1, p[:2000]
+
+
+def test_maponly_text_ops_have_zero_exchanges(spark, sf_dir):
+    """Chunking, redaction, and repetition metrics are pure map
+    pipelines — ANY exchange would mean an accidental shuffle that
+    multiplies at 100 TB."""
+    for name in [
+        "q79_document_chunking",
+        "q80_pii_redaction",
+        "q81_repetition_stats",
+    ]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert X.exchange_count(df) == 0, f"{name}:\n{X.physical_plan(df)[:2000]}"
+
+
+def test_exists_subquery_becomes_semi_join(spark, sf_dir):
+    """Catalyst must de-correlate q74's EXISTS into a (broadcast) left
+    semi join — per-row subquery re-execution would be quadratic."""
+    df = REGISTRY["q74_exists_subquery"].spark(spark, sf_dir)
+    p = X.physical_plan(df)
+    assert "LeftSemi" in p, p[:2000]
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    """The held-out gram set must broadcast: the train side (the 100 TB
+    side) must never shuffle on the gram key."""
+    df = REGISTRY["q78_decontamination"].spark(spark, sf_dir)
+    assert X.uses_broadcast_join(df), X.simple_plan(df)
+
+
+def test_topk_windows_use_group_limit_pruning(spark, sf_dir):
+    """rank<=k filters over windows must compile to WindowGroupLimit
+    (partial top-k per partition before the shuffle) — the difference
+    between sorting k rows per group and sorting the world."""
+    for name in ["q92_stratified_sample", "q98_weighted_sample"]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        p = X.physical_plan(df)
+        # partitioned windows → WindowGroupLimit; the global-order case
+        # (q98) compiles further, to TakeOrderedAndProject(limit=k)
+        assert "WindowGroupLimit" in p or "TakeOrderedAndProject" in p, (
+            f"{name}:\n{p[:2000]}"
+        )
+
+
+def test_pivot_has_no_distinct_prescan(spark, sf_dir):
+    """q73 pins its pivot values, so the plan must be a single
+    aggregate — no extra job to discover distinct pivot keys (an
+    unbounded pivot is a full extra scan at scale)."""
+    df = REGISTRY["q73_pivot_linestatus"].spark(spark, sf_dir)
+    p = X.physical_plan(df)
+    # one scan of lineitem only
+    assert p.count("FileScan parquet") == 1, p[:2000]
+
+
+def test_bm25_broadcasts_stats(spark, sf_dir):
+    """df/N/avgdl are tiny aggregates; the tf relation (the corpus
+    side) must join them by broadcast, never shuffle."""
+    df = REGISTRY["q89_bm25"].spark(spark, sf_dir)
+    assert X.uses_broadcast_join(df), X.simple_plan(df)
