@@ -1,3 +1,3 @@
-from etl_everywhere_hub_spark.pipeline import tracks
+from etl_everywhere_hub_spark.pipeline import cot, tracks
 
-__all__ = ["tracks"]
+__all__ = ["cot", "tracks"]

@@ -3818,3 +3818,46 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
         op.alias("op"),
     )
+
+
+@query(
+    "q102_map_hof",
+    """
+    WITH per AS (
+        SELECT user_id, event_type,
+               COUNT(*) AS cnt,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, s / cnt AS avg_value
+    FROM per
+    WHERE s / cnt > 5.0
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: per-user metrics held as MAP columns
+    (map_from_entries of sorted entry lists), combined value-wise with
+    map_zip_with (sum ⊕ count → avg), pruned with map_filter, then
+    exploded back to rows. The oracle is the plain relational
+    equivalent — the map pipeline must be semantically transparent.
+    Demonstrates the per-entity 'metrics bag' pattern that avoids one
+    row per (entity, metric) in wide-state stores."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dec_sum(F.col("value"), "decimal(18,6)").alias("s"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("cnt_map"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+        ).alias("sum_map"),
+    )
+    avg_map = F.map_zip_with("sum_map", "cnt_map", lambda k, s, c: s / c)
+    pruned = F.map_filter(avg_map, lambda k, v: v > 5.0)
+    return maps.select(
+        "user_id", F.explode(pruned).alias("event_type", "avg_value")
+    )

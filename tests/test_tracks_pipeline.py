@@ -116,3 +116,34 @@ def test_schema_validation_failfast_vs_permissive(spark):
     # permissive: bad row becomes nulls, both rows survive
     assert permissive.count() == 2
     assert permissive.filter(F.col("entityId").isNull()).count() == 1
+
+
+def test_cot_xml_codec_roundtrip(spark):
+    """F1 CoT codec: features → <event> XML → parse-back must preserve
+    uid/type/how/time/start/callsign and the lat/lon swap (GeoJSON is
+    [lon, lat]; CoT point is lat=/lon= attributes). Emergency typing
+    (b-a-o-tbl) must survive the roundtrip."""
+    from etl_everywhere_hub_spark.pipeline.cot import from_cot_xml, to_cot_xml
+
+    feats = transform_features(_items(spark), path="webhook").filter(
+        F.col("msg_id").isin(2, 3)  # entity 1 (normal), entity 2 (emergency)
+    )
+    xml = to_cot_xml(feats.drop("msg_id"), stale_ms=60_000)
+    rows = {r["id"]: r["cot_xml"] for r in xml.collect()}
+    assert rows["inreach-1"].startswith("<event")
+    assert 'uid="inreach-1"' in rows["inreach-1"]
+    assert f'type="{COT_NORMAL}"' in rows["inreach-1"]
+    assert f'type="{COT_EMERGENCY}"' in rows["inreach-2"]
+    assert 'how="m-g"' in rows["inreach-1"]
+    assert "<point" in rows["inreach-1"]
+
+    back = {r["uid"]: r for r in from_cot_xml(xml).collect()}
+    f = {r["id"]: r for r in feats.collect()}
+    for uid in ("inreach-1", "inreach-2"):
+        assert back[uid]["cot_type"] == f[uid]["properties"]["type"]
+        assert back[uid]["how"] == "m-g"
+        assert back[uid]["time"] == f[uid]["properties"]["time"]
+        assert back[uid]["callsign"] == f[uid]["properties"]["callsign"]
+        assert back[uid]["lon"] == f[uid]["geometry"]["coordinates"][0]
+        assert back[uid]["lat"] == f[uid]["geometry"]["coordinates"][1]
+    assert back["inreach-2"]["stale"] > back["inreach-2"]["start"]
