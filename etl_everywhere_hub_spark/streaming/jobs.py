@@ -333,3 +333,41 @@ def flatten_features_for_state(features: DataFrame) -> DataFrame:
         F.element_at(F.col("geometry").getField("coordinates"), 1).alias("lon"),
         F.element_at(F.col("geometry").getField("coordinates"), 2).alias("lat"),
     )
+
+
+def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding hour (time-interval condition).
+
+    Both sides carry watermarks, and the interval bound gives Spark a
+    state eviction horizon on BOTH buffers — without it a stream-stream
+    join's state grows unboundedly (the planner rejects it in append
+    mode). State is O(events within watermark+interval), not O(stream).
+    Derived from one source stream (self-join on a stream is planned as
+    two buffered sides)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "p_user", "purchase_id", "p_ts", "click_id", "c_ts"
+    )

@@ -94,3 +94,25 @@ def test_approx_percentile_within_tolerance(spark, sf_dir, oracle):
     ).fetchone()[0]
     for a, e in zip(approx, exact):
         assert abs(a - e) / e < 0.01, (approx, exact)
+
+
+def test_observe_inline_metrics(spark, sf_dir):
+    """df.observe(): pipeline-health counters collected as a side
+    effect of the job itself (no second scan) — the audit hook a
+    100 TB run uses instead of re-reading inputs to count rows."""
+    from pyspark.sql import Observation
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = Observation("audit")
+    observed = lineitem.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("l_extendedprice") < 0).alias("neg_prices"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    n_filtered = observed.filter(F.col("l_quantity") > 25).count()
+    m = obs.get
+    assert m["rows_seen"] == lineitem.count()
+    assert m["neg_prices"] == 0
+    assert m["max_shipdate"] is not None
+    assert 0 < n_filtered < m["rows_seen"]

@@ -203,3 +203,28 @@ def test_upsert_sink_checkpoint_restart(spark, tmp_path):
     run_once()
     snap2 = {r["id"]: r["msg_id"] for r in spark.read.parquet(state).collect()}
     assert snap2 == {"inreach-1": 3, "inreach-2": 2, "inreach-3": 5}
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (purchase ⋈ preceding-hour clicks)
+    must produce exactly the batch join's pairs on the same events."""
+    s = jobs.stream_stream_click_purchase_join(jobs.stream_events(spark, sf_dir))
+    streamed = jobs.run_to_table(s)
+    got = {(r["purchase_id"], r["click_id"]) for r in streamed.collect()}
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")))
+    want = {(r["purchase_id"], r["click_id"]) for r in p.join(c, cond).collect()}
+    assert got == want and len(want) > 0
