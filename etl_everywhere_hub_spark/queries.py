@@ -3861,3 +3861,67 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maps.select(
         "user_id", F.explode(pruned).alias("event_type", "avg_value")
     )
+
+
+_Q103_SQL = """
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o.o_orderkey, o.o_totalprice
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o.o_totalprice DESC, o.o_orderkey
+                  LIMIT 2) t
+    WHERE c.c_mktsegment = 'MACHINERY'
+"""
+
+
+@query("q103_lateral_topk", _Q103_SQL)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT — 'top 2 orders
+    for each machinery customer' said declaratively. Catalyst
+    de-correlates the lateral into a ranked window join (same physical
+    shape as q24's explicit top-k-per-group), so there is no per-row
+    re-execution. Shared SQL runs verbatim on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q103_SQL)
+
+
+@query(
+    "q104_null_safe_join",
+    """
+    WITH a AS (
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_id % 97 END AS k
+        FROM events
+    ),
+    b AS (
+        SELECT CASE WHEN x % 3 = 0 THEN NULL ELSE x END AS k, x AS tag
+        FROM (SELECT unnest(generate_series(0, 96)) AS x)
+    )
+    SELECT a.event_id, a.k, b.tag
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    WHERE a.event_id % 11 = 0
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics required
+    when joining on optional attributes (e.g. sensor sub-ids) without
+    a sentinel rewrite. Still hash-joinable (null-safe equality is an
+    equi-key for Catalyst, not a theta condition)."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("event_id") % 97
+        ).alias("k"),
+    )
+    b = spark.range(0, 97).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("tag"),
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", a.k.alias("k"), "tag")
+    )
