@@ -2988,7 +2988,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     key = F.floor(F.col("s_acctbal") * 100 + 0.5) * 1000000 + F.col("s_suppkey")
-    neg = F.col("s_acctbal") < 0
+    neg = F.col("s_acctbal") < 2000
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
@@ -3924,4 +3924,556 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.k.eqNullSafe(b.k))
         .filter(F.col("event_id") % 11 == 0)
         .select("event_id", a.k.alias("k"), "tag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes, completed (Q5/Q7/Q8/Q13/Q14/Q15/Q16/Q19/Q21/Q22).
+# The fixture schema has no partsupp table and no
+# commitdate/receiptdate/shipmode/phone/comment columns, so Q16/Q21/Q22
+# are adapted: lineitem's (l_partkey, l_suppkey) pairs stand in for
+# partsupp, ship-lateness vs o_orderdate stands in for receipt-vs-commit
+# lateness, and c_name prefixes stand in for phone country codes. Each
+# query exercises the decorrelation/join pattern its TPC-H original is
+# famous for; the literal predicate values are tuned to the synthetic
+# fixture value ranges (TESTDATA.md) so every query selects real rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
+               AS BIGINT)) / 1000000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the classic 6-way star with the
+    extra c_nationkey = s_nationkey equality that makes it a REAL join
+    graph, not a snowflake. Plan shape for scale: region→nation→supplier
+    collapses to one broadcast (dims are tiny), so the only shuffles are
+    customer⋈orders and ⋈lineitem — both on their natural keys. The
+    nation equality is applied as a join condition, not a post-filter,
+    so Catalyst prunes supplier rows before the fact join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(sup),
+            (l.l_suppkey == sup.s_suppkey) & (c.c_nationkey == sup.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_dec_sum(rev, "decimal(28,6)").alias("revenue"))
+    )
+
+
+@query(
+    "q106_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
+               AS BIGINT)) / 1000000.0 AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: the SAME dimension (nation) joined
+    twice under two aliases, with a disjunctive cross-pair predicate
+    that can only be evaluated after both joins. Both nation joins
+    broadcast; the pair predicate is a post-broadcast filter on
+    already-tiny rows, so the disjunction costs nothing at scale."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_dec_sum(rev, "decimal(28,6)").alias("revenue"))
+    )
+
+
+@query(
+    "q107_market_share",
+    """
+    WITH all_nations AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
+                    AS BIGINT) AS volume_u,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type LIKE 'ECONOMY%'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume_u ELSE 0 END)
+             / 1000000.0 AS brazil_volume,
+           SUM(volume_u) / 1000000.0 AS total_volume
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 market share: conditional share-of-total aggregation —
+    sum(CASE WHEN nation THEN vol END) against sum(vol) in ONE pass
+    (no self-join, no second scan). Emits the two exact sums rather
+    than their quotient so the oracle compare is bit-stable; the share
+    division is one row-level op for any consumer. All dims broadcast;
+    the single shuffle is the final tiny groupBy(year)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("ECONOMY%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = (
+        nat.join(F.broadcast(r), nat.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000 + 0.5
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol_u.alias("volume_u"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume_u"))
+                    .otherwise(F.lit(0))
+                )
+                / 1_000_000.0
+            ).alias("brazil_volume"),
+            (F.sum("volume_u") / 1_000_000.0).alias("total_volume"),
+        )
+    )
+
+
+@query(
+    "q108_customer_order_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: LEFT OUTER join with an extra
+    ON-clause predicate (which must filter the RIGHT side only — a
+    WHERE would silently drop the zero-order customers), then a
+    count-of-counts double aggregation. count(o_orderkey) counts
+    non-null matches, so never-matched customers land in bucket 0.
+    Scale: first agg shuffles on c_custkey (pre-partitioned by the
+    join), second shuffles a few hundred histogram rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q109_promo_revenue",
+    """
+    SELECT
+      SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+          THEN CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
+               AS BIGINT) ELSE 0 END) / 1000000.0 AS promo_revenue,
+      SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
+          AS BIGINT)) / 1000000.0 AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo revenue: global (no-key) conditional ratio over
+    a fact⋈dim join. part broadcasts; the month filter prunes lineitem
+    at the scan; the global agg is a two-stage partial/final with ONE
+    row crossing the exchange. Exact numerator and denominator emitted
+    separately (same rationale as q107)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000 + 0.5
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(vol_u.alias("vol_u"), "p_type")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), F.col("vol_u")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / 1_000_000.0
+            ).alias("promo_revenue"),
+            (F.sum("vol_u") / 1_000_000.0).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q110_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5)
+                   AS BIGINT)) / 1000000.0 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: an aggregate view consumed twice — once
+    for the max, once for the equality filter. The view is persisted so
+    the two consumers share one fact scan+shuffle; the scalar max
+    arrives via a 1-row broadcast cross-join instead of a driver
+    collect, keeping the whole plan lazy and cluster-side. Exact
+    integer-scaled revenue makes 'equals the max' well-defined (double
+    summation noise would make it flaky on both engines otherwise)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "decimal(28,6)").alias("total_revenue"))
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q111_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp stood in by DISTINCT lineitem pairs):
+    NOT IN subquery + negated LIKE/IN dim predicates + COUNT(DISTINCT)
+    per group. The NOT IN is safe to run as a left-anti join here
+    because s_suppkey is non-null; broadcast-anti keeps it shuffle-free.
+    The distinct-pairs projection dedups BEFORE the dim join, shrinking
+    the shuffle to the key pair width."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 2000
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q112_disjunctive_predicate",
+    """
+    SELECT COUNT(*) AS n_items,
+           SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
+               AS BIGINT)) / 1000000.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive OR-of-ANDs spanning both join sides.
+    Catalyst's constraint propagation extracts the per-side implied
+    disjunctions (brand IN (...) on part, quantity ranges on lineitem)
+    and pushes them below the join — the full three-way OR then runs
+    only on surviving pairs. part broadcasts, so the whole query is one
+    scan + map-side join + 1-row global agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(rev, "decimal(28,6)").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q113_waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (ship-lateness vs order date stands in for
+    receipt-vs-commit): the hardest decorrelation in the suite — an
+    EXISTS and a NOT EXISTS against the SAME fact table, correlated on
+    l_orderkey with a <> self-exclusion. Instead of two correlated
+    semi/anti joins (two more fact shuffles), both predicates collapse
+    into ONE groupBy(l_orderkey) over the late-item rows joined to a
+    per-order supplier profile: 'order has >1 distinct supplier' covers
+    the EXISTS, 'exactly one distinct LATE supplier' covers the NOT
+    EXISTS (if only one supplier is late and this row is late, every
+    other supplier is on time). One extra agg on the join key replaces
+    two correlated subqueries — the canonical Q21 rewrite."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    lo = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    profile = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sa_supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        lo.filter(F.col("is_late"))
+        .join(profile, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(sa_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q114_global_sales_opportunity",
+    """
+    WITH eligible AS (
+        SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS cntrycode
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT))
+                   / COUNT(*) / 10000.0
+            FROM customer WHERE c_acctbal > 0.0
+        )
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS totacctbal
+    FROM eligible e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = e.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (name prefix stands in for phone country code):
+    uncorrelated scalar AVG subquery feeding a filter, then an anti
+    join against orders for customers-with-no-orders. The scalar avg is
+    a 1-row broadcast cross-join (plan stays lazy, nothing collected);
+    the anti join ships only o_custkey. AVG is compared through the
+    same scaled-integer fold so the threshold is bit-identical across
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 10_000 + 0.5).cast("long"))
+                / F.count(F.lit(1))
+                / 10_000.0
+            ).alias("avg_bal")
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")  # anti: no urgent orders
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "decimal(18,4)").alias("totacctbal"),
+        )
     )
