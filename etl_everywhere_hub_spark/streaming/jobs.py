@@ -371,3 +371,90 @@ def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
     return purchases.join(clicks, cond, "inner").select(
         "p_user", "purchase_id", "p_ts", "click_id", "c_ts"
     )
+
+
+# --- transformWithStateInPandas: Spark-4 StatefulProcessor device cache ---
+#
+# Same R10-R12 semantics as stateful_device_cache, on the successor
+# API (arbitrary named state + native per-state TTL + timers instead
+# of one state tuple + one timeout). At scale the practical wins over
+# applyInPandasWithState: state lives in the RocksDB provider with
+# changelog checkpointing (no full-snapshot upload per batch), TTL is
+# enforced by the store itself (ttlDurationMs — no timer bookkeeping
+# in Python), and the same processor can host additional state
+# (e.g. per-device alert ListState) without re-keying the pipeline.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+
+class DeviceCacheProcessor(StatefulProcessor):
+    """Per-key latest-event cache (last-write-wins upsert,
+    /root/reference/task.ts:145-149) with store-native TTL standing in
+    for the RetentionDuration eviction sweep (task.ts:251-256)."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._latest = handle.getValueState(
+            "latest", DEVICE_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterable[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        best = self._latest.get() if self._latest.exists() else None
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            pdf = pdf.assign(__ts_us=ts_us).sort_values(["__ts_us", "event_id"])
+            row = pdf.iloc[-1]
+            cand = (
+                int(row["event_id"]),
+                int(row["__ts_us"]),
+                str(row["event_type"]),
+                float(row["value"]),
+            )
+            # newest by (ts, event_id) — same total order as the
+            # applyInPandasWithState twin, deterministic across batches
+            if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                best = cand
+        if best is not None:
+            self._latest.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "event_id": [best[0]],
+                    "ts": [pd.Timestamp(best[1], unit="us")],
+                    "event_type": [best[2]],
+                    "value": [best[3]],
+                }
+            )
+
+    def handleExpiredTimer(
+        self, key: tuple, timer_values: TimerValues, expired_timer_info: ExpiredTimerInfo
+    ) -> Iterable[pd.DataFrame]:
+        self._latest.clear()
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def twstate_device_cache(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """transformWithStateInPandas keyed cache: one state row per
+    device, update-mode emission of the current latest per key. Equal
+    output to stateful_device_cache on any deterministic replay."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        DeviceCacheProcessor(ttl_ms),
+        outputStructType=DEVICE_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="ProcessingTime",
+    )
