@@ -130,3 +130,44 @@ def test_bm25_broadcasts_stats(spark, sf_dir):
     side) must join them by broadcast, never shuffle."""
     df = REGISTRY["q89_bm25"].spark(spark, sf_dir)
     assert X.uses_broadcast_join(df), X.simple_plan(df)
+
+
+def test_tpch_shapes_broadcast_and_equi(spark, sf_dir):
+    """The completed TPC-H suite keeps its scale posture: dims
+    broadcast, no cartesian anywhere, and Q19's OR-of-ANDs stays an
+    equi hash join (the disjunction must not degrade it to a
+    nested-loop). q114 is exempt from the cartesian check: its scalar
+    avg arrives via a deliberate 1-row broadcast nested-loop (the
+    standard scalar-subquery shape), bounded by construction."""
+    for name in [
+        "q105_local_supplier_volume",
+        "q106_volume_shipping",
+        "q107_market_share",
+        "q108_customer_order_histogram",
+        "q109_promo_revenue",
+        "q110_top_supplier",
+        "q111_supplier_part_counts",
+        "q112_disjunctive_predicate",
+        "q113_waiting_suppliers",
+    ]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert not X.has_cartesian(df), f"{name}:\n{X.physical_plan(df)[:2000]}"
+    for name in [
+        "q105_local_supplier_volume",
+        "q107_market_share",
+        "q109_promo_revenue",
+        "q112_disjunctive_predicate",
+        "q114_global_sales_opportunity",
+    ]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert X.uses_broadcast_join(df), f"{name}:\n{X.simple_plan(df)}"
+
+
+def test_q113_rewrite_has_no_correlated_fact_rejoin(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS rewrite must read lineitem ONCE (plus
+    its profile agg) — not three times as two extra semi/anti joins
+    would. Scan count is the honest proxy: ≤2 lineitem scans (base +
+    the self-profile branch)."""
+    df = REGISTRY["q113_waiting_suppliers"].spark(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert plan.lower().count("lineitem.parquet") <= 2, plan[:3000]
