@@ -4477,3 +4477,152 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("c_acctbal"), "decimal(18,4)").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q115_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT t.tok FROM documents d,
+             unnest(string_split(d.text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    ranked AS (
+        SELECT tok, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+               CAST(SUM(n) OVER (ORDER BY n DESC, tok
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        FROM counts
+    )
+    SELECT r.tok, r.n, r.rnk, r.cum_n,
+           CAST(r.cum_n AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+    FROM ranked r, tot t
+    WHERE r.rnk <= 100
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary profile: global token counts, Zipf
+    rank, and cumulative corpus coverage — 'how many vocab entries
+    cover 95% of tokens' is THE sizing question before training a
+    tokenizer. Shape: explode → map-side-combined count → the top-100
+    ranking runs on the already-aggregated vocab (|V| rows, not
+    |tokens|), single-partition window over a tiny set, grand total
+    via 1-row broadcast. Exact BIGINT counts; the one double (share)
+    is a single division of two exact ints — bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = counts.select(
+        "tok",
+        "n",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+    ).filter(F.col("rnk") <= 100)
+    return ranked.join(F.broadcast(total)).select(
+        "tok",
+        "n",
+        "rnk",
+        "cum_n",
+        (F.col("cum_n").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+@query(
+    "q116_bigram_lm_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, tok, pos FROM (
+            SELECT d.doc_id,
+                   unnest(string_split(d.text, ' ')) AS tok,
+                   unnest(generate_series(1, len(string_split(d.text, ' '))))
+                     AS pos
+            FROM documents d
+        ) WHERE tok <> ''
+    ),
+    bigrams AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bg AS (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+    c1  AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY w1),
+    v   AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize FROM toks
+            -- vocab = distinct tokens anywhere (w1 of bigrams misses the
+            -- final token of each doc, so count from toks directly)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(floor(round(ln((CAST(c12.n12 AS DOUBLE) + 1.0)
+                    / (CAST(c1.n1 AS DOUBLE) + CAST(v.vsize AS DOUBLE))), 9)
+                    * 1000000000 + 0.5) AS BIGINT) AS logp_u
+        FROM bg b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1  ON c1.w1 = b.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(logp_u) / COUNT(*) / 1000000000.0 AS avg_logp
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-one-smoothed bigram
+    model ON the corpus, score every doc by mean log P(w_i | w_{i-1}).
+    Low scores flag word-salad/boilerplate — the standard perplexity
+    filter before LLM training, minus the external KenLM dependency.
+
+    Scale shape: ONE explode of the corpus; bigrams from a per-doc
+    lead() window (shuffle keyed by doc_id); the two count tables are
+    vocab-bounded (≪ corpus) and broadcast back onto the bigram stream,
+    so the fact table is shuffled once, not three times. Determinism:
+    ln is quantized per-bigram (round 9dp → scaled int, the repo's
+    transcendental rule), so the per-doc sum is an exact integer sum —
+    no cross-row double accumulation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(wdoc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsize"))
+    logp = F.round(
+        F.log(
+            (F.col("n12").cast("double") + 1.0)
+            / (F.col("n1").cast("double") + F.col("vsize").cast("double"))
+        ),
+        9,
+    )
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(logp * 1_000_000_000 + 0.5).cast("long").alias("logp_u"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("logp_u") / F.count(F.lit(1)) / 1_000_000_000.0).alias("avg_logp"),
+    )
