@@ -124,3 +124,78 @@ def test_orc_and_text_sources_roundtrip(spark, sf_dir, tmp_path):
     lines = spark.read.text(txt_path)
     assert lines.count() == 100
     assert lines.columns == ["value"]
+
+
+def test_python_datasource_poll_pushdown(spark, tmp_path):
+    """Spark-4 Python DataSource poll source: partitioned page reads
+    with both reference pushdowns applied source-side — retention
+    horizon (noEarlierThan, null time evicted) and latest-per-entity
+    (latestPositionOnly)."""
+    import json as _json
+
+    from etl_everywhere_hub_spark.sources.python_datasource import (
+        register_everywhere_hub,
+    )
+
+    now = 1_700_000_000_000
+    rows = [
+        {"entityId": 1, "name": "N1", "alias": None, "deviceType": "t",
+         "time": now - 60_000, "lon": 1.0, "lat": 2.0, "isEmergency": False},
+        {"entityId": 1, "name": "N1", "alias": "A1", "deviceType": "t",
+         "time": now - 30_000, "lon": 1.5, "lat": 2.5, "isEmergency": False},
+        {"entityId": 2, "name": "N2", "alias": None, "deviceType": "t",
+         "time": now - 7_200_000, "lon": 3.0, "lat": 4.0, "isEmergency": True},
+        {"entityId": 3, "name": "N3", "alias": None, "deviceType": "t",
+         "time": None, "lon": 5.0, "lat": 6.0, "isEmergency": False},
+    ]
+    p = tmp_path / "snapshot.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    register_everywhere_hub(spark)
+    df = (
+        spark.read.format("everywhere_hub")
+        .option("path", str(p))
+        .option("noEarlierThan", now - 3_600_000)
+        .option("latestPositionOnly", "true")
+        .option("numPartitions", 3)
+        .load()
+    )
+    got = {r["entityId"]: (r["time"], r["alias"]) for r in df.collect()}
+    # entity 2 (stale) and 3 (null time -> epoch 0) evicted source-side;
+    # entity 1 deduplicated to its newest point
+    assert got == {1: (now - 30_000, "A1")}
+
+    # without pushdowns: every surviving row crosses the wire
+    df_all = (
+        spark.read.format("everywhere_hub")
+        .option("path", str(p))
+        .option("latestPositionOnly", "false")
+        .load()
+    )
+    assert df_all.count() == 4
+    assert df_all.rdd.getNumPartitions() == 4  # default page fan-out
+
+
+def test_python_datasource_stream_replay(spark, tmp_path):
+    """The same format as a streaming source: webhook replay with
+    line-index offsets; AvailableNow drains everything once."""
+    import json as _json
+
+    from etl_everywhere_hub_spark.sources.python_datasource import (
+        register_everywhere_hub,
+    )
+    from etl_everywhere_hub_spark.streaming import jobs
+
+    rows = [
+        {"entityId": i, "name": f"N{i}", "alias": None, "deviceType": "t",
+         "time": 1_700_000_000_000 + i, "lon": float(i), "lat": float(i),
+         "isEmergency": False}
+        for i in range(7)
+    ]
+    p = tmp_path / "deliveries.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    register_everywhere_hub(spark)
+    s = spark.readStream.format("everywhere_hub").option("path", str(p)).load()
+    out = jobs.run_to_table(s)
+    assert sorted(r["entityId"] for r in out.collect()) == list(range(7))
