@@ -199,3 +199,17 @@ def test_python_datasource_stream_replay(spark, tmp_path):
     s = spark.readStream.format("everywhere_hub").option("path", str(p)).load()
     out = jobs.run_to_table(s)
     assert sorted(r["entityId"] for r in out.collect()) == list(range(7))
+
+
+def test_map_in_arrow_features_equal_pandas_path(spark, sf_dir):
+    """The mapInArrow featurizer (zero-copy binary scale path) must
+    produce exactly the mapInPandas results."""
+    from etl_everywhere_hub_spark import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = M.documents_as_media(docs)
+    a = {r["media_id"]: (r["payload_sha"], r["n_bytes"], tuple(r["features"]))
+         for r in M.extract_features_arrow(media).collect()}
+    b = {r["media_id"]: (r["payload_sha"], r["n_bytes"], tuple(r["features"]))
+         for r in M.extract_features(media).collect()}
+    assert a == b and len(a) == 50
