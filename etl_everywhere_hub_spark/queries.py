@@ -2988,7 +2988,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     key = F.floor(F.col("s_acctbal") * 100 + 0.5) * 1000000 + F.col("s_suppkey")
-    neg = F.col("s_acctbal") < 2000
+    neg = F.col("s_acctbal") < 0
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
