@@ -103,3 +103,93 @@ def test_minhash_verified_jaccard_is_exact(spark, words_a, mutate_at):
     assert pairs[(1, 3)] == 1.0  # identical docs always candidates
     if (1, 2) in pairs:
         assert abs(pairs[(1, 2)] - expected_j) < 1e-12
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(row_st, min_size=1, max_size=12))
+def test_latest_per_key_matches_naive(spark, rows):
+    """latest_per_key must pick max (t, tiebreak-id) per key — ties on
+    the timestamp must be broken deterministically, never by partition
+    order."""
+    from etl_everywhere_hub_spark.operators.windows import latest_per_key
+
+    df = _mk(spark, rows, "r")
+    got = {
+        r["k"]: r["rid"]
+        for r in latest_per_key(df, ["k"], "ts", "rid").collect()
+    }
+    naive = {}
+    for i, (k, t) in enumerate(rows):
+        if k not in naive or (t, i) > naive[k]:
+            naive[k] = (t, i)
+    assert got == {k: v[1] for k, v in naive.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation vs a classic union-find on random small
+    graphs (self-loops and duplicate edges included)."""
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # canonical label = min vertex id in component, matching the operator
+    comp_min: dict[int, int] = {}
+    for v, r in want.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), v), v)
+    want = {v: comp_min[find(v)] for v in want}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(st.integers(1, 500), min_size=1, max_size=20),
+    target=st.integers(100, 1000),
+)
+def test_pack_sequences_partition_invariants(spark, docs, target):
+    """Every doc lands in exactly one pack; within a (block, pack) the
+    token total exceeds target only via its LAST-opened overflow doc
+    (streaming first-fit property); pack ids are dense from 0 in each
+    block."""
+    from etl_everywhere_hub_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, tokens_in=t) for i, t in enumerate(docs)],
+        "doc_id long, tokens_in long",
+    )
+    out = pack_sequences(
+        df, "doc_id", F.col("tokens_in"), target_tokens=target, n_blocks=4
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(docs)))
+    by_block: dict[int, list] = {}
+    for r in out:
+        by_block.setdefault(r["block"], []).append(r)
+    for block, rows in by_block.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # replay the first-fit: pack = floor(preceding / target)
+        preceding = 0
+        for r in rows:
+            assert r["pack_id"] == preceding // target, (block, r)
+            preceding += r["tokens_in"]
