@@ -4626,3 +4626,65 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("logp_u") / F.count(F.lit(1)) / 1_000_000_000.0).alias("avg_logp"),
     )
+
+
+@query(
+    "q117_bitwise_array_setops",
+    """
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(event_id % 16 AS BIGINT) AS flags,
+               range(1, CAST(2 + event_id % 4 AS BIGINT)) AS a,
+               range(CAST(event_id % 3 AS BIGINT),
+                     CAST(event_id % 3 + 3 AS BIGINT)) AS b
+        FROM events WHERE event_id % 7 = 0
+    ),
+    per_row AS (
+        SELECT event_id, event_type, flags,
+               list_sort(list_distinct(array_concat(a, b))) AS ab_union,
+               list_sort(list_distinct(
+                   list_filter(a, x -> list_contains(b, x)))) AS ab_intersect,
+               list_sort(list_distinct(
+                   list_filter(a, x -> NOT list_contains(b, x)))) AS ab_except
+        FROM base
+    )
+    SELECT event_type,
+           bit_or(flags)  AS flags_any,
+           bit_and(flags) AS flags_all,
+           bit_xor(flags) AS flags_parity,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(ab_union)) AS BIGINT) AS total_union_len,
+           CAST(SUM(len(ab_intersect)) AS BIGINT) AS total_intersect_len,
+           CAST(SUM(len(ab_except)) AS BIGINT) AS total_except_len
+    FROM per_row
+    GROUP BY event_type
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_or/bit_and/bit_xor — flag-column
+    folding, e.g. permission masks) + per-row array set algebra
+    (array_union/intersect/except, canonicalized by array_sort since
+    set-op output order is engine-internal on both sides). All
+    map-side combinable; arrays are built from sequence(), never
+    collected."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    a = F.sequence(F.lit(1).cast("long"), (F.col("event_id") % 4 + 1).cast("long"))
+    b = F.sequence(
+        (F.col("event_id") % 3).cast("long"), (F.col("event_id") % 3 + 2).cast("long")
+    )
+    per_row = e.select(
+        "event_type",
+        (F.col("event_id") % 16).cast("long").alias("flags"),
+        F.array_sort(F.array_distinct(F.array_union(a, b))).alias("ab_union"),
+        F.array_sort(F.array_distinct(F.array_intersect(a, b))).alias("ab_intersect"),
+        F.array_sort(F.array_distinct(F.array_except(a, b))).alias("ab_except"),
+    )
+    return per_row.groupBy("event_type").agg(
+        F.bit_or("flags").alias("flags_any"),
+        F.bit_and("flags").alias("flags_all"),
+        F.bit_xor("flags").alias("flags_parity"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("ab_union")).alias("total_union_len"),
+        F.sum(F.size("ab_intersect")).alias("total_intersect_len"),
+        F.sum(F.size("ab_except")).alias("total_except_len"),
+    )

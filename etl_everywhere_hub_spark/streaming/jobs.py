@@ -458,3 +458,91 @@ def twstate_device_cache(events: DataFrame, ttl_ms: int | None = None) -> DataFr
         outputMode="update",
         timeMode="ProcessingTime",
     )
+
+
+def _track_cache_event_fn(retention_ms: int):
+    """Event-time-TTL state function: last-write-wins upsert, timeout
+    timestamp pinned to last_time + retention so the WATERMARK (data
+    time), not wall clock, drives eviction — the streaming-native
+    spelling of `time < now - retention` (task.ts:252) with `now` =
+    watermark. Null-time rows coalesce to epoch 0 at the watermark
+    column, which is never above the watermark — Spark's late-data
+    gate drops them BEFORE the state operator, so they never create
+    state at all: the reference's epoch-0 rule (null time ⇒ never in
+    the cache) enforced at admission, with zero state churn. On
+    timeout a TOMBSTONE row
+    (msg_id = -last_msg_id, cot_type = 'evicted') is emitted: CDC-style
+    retraction so an upsert sink can delete the key."""
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        (fid,) = key
+        if state.hasTimedOut:
+            best = state.get if state.exists else None
+            state.remove()
+            if best is not None:
+                yield pd.DataFrame(
+                    {
+                        "id": [fid],
+                        "msg_id": [-best[0]],
+                        "time_ms": [best[1]],
+                        "callsign": [best[2]],
+                        "cot_type": ["evicted"],
+                        "lon": [best[4]],
+                        "lat": [best[5]],
+                    }
+                )
+            return
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                if best is None or int(row.msg_id) > best[0]:
+                    t = None if pd.isna(row.time_ms) else int(row.time_ms)
+                    best = (
+                        int(row.msg_id),
+                        t,
+                        str(row.callsign),
+                        str(row.cot_type),
+                        float(row.lon),
+                        float(row.lat),
+                    )
+        if best is not None:
+            state.update(best)
+            state.setTimeoutTimestamp((best[1] or 0) + retention_ms)
+            yield pd.DataFrame(
+                {
+                    "id": [fid],
+                    "msg_id": [best[0]],
+                    "time_ms": [best[1]],
+                    "callsign": [best[2]],
+                    "cot_type": [best[3]],
+                    "lon": [best[4]],
+                    "lat": [best[5]],
+                }
+            )
+
+    return fn
+
+
+def stateful_track_cache_event_ttl(
+    features: DataFrame,
+    retention_ms: int = 3_600_000,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Device cache with EVENT-TIME TTL: state is evicted when the
+    watermark passes last_time + retention. Unlike the processing-time
+    variant this is deterministic under replay (data decides, not the
+    wall clock) and exactly mirrors the reference's data-time eviction
+    predicate. Requires ≥2 micro-batches for timers to fire (the
+    watermark only advances between batches). Note the two eviction
+    paths: aged-out devices get a tombstone (they WERE cached); null-
+    time rows are dropped at the late-data gate and never appear."""
+    feats = features.withColumn(
+        "event_ts", F.timestamp_millis(F.coalesce(F.col("time_ms"), F.lit(0)))
+    ).withWatermark("event_ts", watermark)
+    return feats.groupBy("id").applyInPandasWithState(
+        _track_cache_event_fn(retention_ms),
+        outputStructType=TRACK_OUTPUT_SCHEMA,
+        stateStructType=TRACK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

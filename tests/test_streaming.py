@@ -273,3 +273,53 @@ def test_transform_with_state_equals_legacy_state_api(spark, sf_dir):
     }
     assert tw_latest == legacy_latest == batch_latest
     assert len(tw_latest) > 0
+
+
+def test_event_time_ttl_cache_evicts_by_watermark(spark, tmp_path):
+    """Event-time TTL device cache: eviction driven by the WATERMARK
+    (data time), not wall clock — deterministic under replay. A stale
+    device is tombstoned once later data advances the watermark past
+    its time+retention; a null-time device (epoch-0 rule) is dropped
+    at the late-data gate and never enters the cache at all; a fresh
+    device survives."""
+    import json as _json
+    import os
+
+    t0 = 1_700_000_000_000
+    hour = 3_600_000
+
+    def row(msg_id, dev, t):
+        return {"id": f"inreach-{dev}", "msg_id": msg_id, "time_ms": t,
+                "callsign": f"N{dev}", "cot_type": "a-f-G-U-U-S-X",
+                "lon": 1.0, "lat": 2.0}
+
+    batches = [
+        [row(1, 1, t0), row(2, 2, t0), row(3, 4, None)],
+        [row(4, 1, t0 + 2 * hour)],           # advances wm to t0 after b1
+        [row(5, 5, t0 + 2 * hour + 1000)],    # advances wm to t0+2h after b2
+    ]
+    for i, rows in enumerate(batches):
+        p = tmp_path / f"b{i}.jsonl"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # force processing order
+
+    schema = ("id string, msg_id long, time_ms long, callsign string, "
+              "cot_type string, lon double, lat double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    out = jobs.run_to_table(
+        jobs.stateful_track_cache_event_ttl(stream, retention_ms=hour),
+        output_mode="update",
+    )
+    rows = out.collect()
+    tombstones = {r["id"] for r in rows if r["cot_type"] == "evicted"}
+    updates = {r["id"] for r in rows if r["cot_type"] != "evicted"}
+    assert tombstones == {"inreach-2"}
+    # null-time device 4 was late-dropped at admission: no state, no rows
+    assert updates == {"inreach-1", "inreach-2", "inreach-5"}
+    # the fresh device's latest update survived un-evicted
+    dev1 = [r for r in rows if r["id"] == "inreach-1"]
+    assert max(r["msg_id"] for r in dev1) == 4
