@@ -4688,3 +4688,427 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("ab_intersect")).alias("total_intersect_len"),
         F.sum(F.size("ab_except")).alias("total_except_len"),
     )
+
+
+# --- remaining TPC-H shapes: the suite is now all 22 query patterns ---
+
+
+@query(
+    "q118_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(floor(MIN(l_extendedprice / l_quantity) * 10000 + 0.5)
+                    AS BIGINT) AS cost_u
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, s.s_acctbal,
+           ps.cost_u / 10000.0 AS supply_cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND ps.cost_u = (
+          SELECT MIN(ps2.cost_u) FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+    LIMIT 20
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (unit-price min over lineitem pairs stands in
+    for ps_supplycost): correlated MIN subquery per part, restricted
+    to one region. Decorrelated the standard way — compute the
+    region-filtered per-part minimum ONCE as an aggregate, join it
+    back on (partkey, cost): one extra agg on data already in hand
+    instead of a per-row subquery. Unit cost is quantized to 1e-4 so
+    'equals the min' is exact on both engines."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10_000 + 0.5
+            )
+            .cast("long")
+            .alias("cost_u")
+        )
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), ps.l_suppkey == eu_supp.s_suppkey)
+    min_cost = eu_ps.groupBy("l_partkey").agg(F.min("cost_u").alias("min_cost_u"))
+    return (
+        eu_ps.join(
+            min_cost,
+            (eu_ps.l_partkey == min_cost.l_partkey)
+            & (eu_ps.cost_u == min_cost.min_cost_u),
+        )
+        .drop(min_cost.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            (F.col("cost_u") / 10_000.0).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q119_order_priority_check",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (ship-lateness stands in for receipt>commit):
+    correlated EXISTS → left-semi join on the order key; the date
+    window prunes orders before the semi join, and only
+    (l_orderkey, l_shipdate) ships to it."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q120_forecast_revenue_change",
+    """
+    SELECT SUM(CAST(floor((l_extendedprice * l_discount) * 1000000 + 0.5)
+               AS BIGINT)) / 1000000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the query that measures
+    whether predicates reach the scan and the global agg stays a
+    two-stage partial/final with one row on the wire. No joins by
+    design."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "decimal(28,6)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q121_product_type_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                           - 0.1 * p.p_retailprice * l.l_quantity)
+                    * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (0.1·retailprice·qty stands in for
+    ps_supplycost·qty): profit per supplier-nation per year across a
+    4-way fact/dim graph with a LIKE-filtered part. part/supplier/
+    nation broadcast; orders⋈lineitem is the one big shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dec_sum(amount, "decimal(28,6)").alias("profit"))
+    )
+
+
+@query(
+    "q122_important_stock",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                 AS value_u
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT v.l_partkey AS p_partkey, v.value_u / 10000.0 AS part_value
+    FROM val v
+    WHERE v.value_u > (
+        SELECT CAST(floor(SUM(value_u) * 0.0005) AS BIGINT) FROM val
+    )
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem value stands in for partsupp stock
+    value): HAVING-against-a-global-fraction — the per-part aggregate
+    is computed once, persisted, and consumed twice (group rows +
+    global scalar), with the threshold arriving via a 1-row broadcast.
+    Exact integer arithmetic makes the > threshold cut stable."""
+    val = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 10_000 + 0.5).cast("long"))
+            .alias("value_u")
+        )
+        .persist()
+    )
+    thresh = val.agg(
+        F.floor(F.sum("value_u") * 0.0005).cast("long").alias("thresh_u")
+    )
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("value_u") > F.col("thresh_u"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_u") / 10_000.0).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q123_priority_shipmode",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (linestatus stands in for shipmode; ship-
+    lateness for receipt windows): conditional pivot counts after a
+    fact-fact join with a non-equi residual (the lateness predicate
+    rides the join as a post-condition, keeping the join equi-keyed)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q124_small_quantity_revenue",
+    """
+    WITH avg_qty AS (
+        SELECT l_partkey,
+               SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_u,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(floor(l.l_extendedprice * 1000000 + 0.5) AS BIGINT))
+             / 1000000.0 / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * a.n * 5
+          < a.qty_u
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: rows below 20% of their part's average quantity.
+    The correlated AVG decorrelates to one groupBy(partkey) joined
+    back; the avg comparison is cross-multiplied into exact integer
+    arithmetic (qty·n·5 < Σqty) so no division touches the predicate.
+    At scale the per-part aggregate is fact-derived but part-sized —
+    broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    qty_u = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(qty_u).alias("qty_u"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(qty_u * F.col("n") * 5 < F.col("qty_u"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 1_000_000 + 0.5).cast("long"))
+                / 1_000_000.0
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q125_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_u
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 20000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.qty_u / 100.0 AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — the IN-subquery-with-HAVING
+    becomes an aggregate-then-join (the order-level quantity rollup is
+    the semi-join set AND the payload, so one agg serves both roles).
+    Top-25 with a unique tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias("qty_u"))
+        .filter(F.col("qty_u") > 20_000)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_u") / 100.0).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "q126_excess_inventory_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_19', 'NATION_20')
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'small%'
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l.l_suppkey
+          HAVING SUM(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) > 5000
+      )
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chain (suppliers whose shipped
+    volume of the filtered parts exceeds a floor) — flattened to
+    agg → HAVING → left-semi join. The part filter broadcasts into
+    the fact scan; the HAVING set is supplier-sized, so the final
+    semi join broadcasts too."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias("q_u"))
+        .filter(F.col("q_u") > 5_000)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_19", "NATION_20")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
