@@ -5112,3 +5112,80 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@query(
+    "q127_spatial_proximity_join",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(c_custkey % 48 AS DOUBLE) * 0.25
+                 + CAST(c_custkey % 7 AS DOUBLE) * 0.125 AS lat,
+               CAST(c_custkey % 96 AS DOUBLE) * 0.25
+                 + CAST(c_custkey % 11 AS DOUBLE) * 0.0625 AS lon
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS dist_sq
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) <= 0.0625
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial proximity self-join — the reference's
+    domain question ('which tracked devices are near each other',
+    cf. geofence features in the TAK ecosystem) made scalable. The
+    oracle is the O(n²) theta join; the engine answers it with the
+    grid pattern: bucket points into r-sized cells, explode ONE side
+    to its 3x3 cell neighborhood, equi-join on the cell key, then
+    exact distance on collision pairs only. Every qualifying pair is
+    found exactly once (the right side sits in exactly one cell).
+    Cost is O(n · density), never O(n²) — the same bucket-join shape
+    as LSH dedup, applied to space. Coordinates are multiples of
+    2^-4 degrees, so all distance arithmetic is exact in doubles and
+    the <= r² cut is bit-identical cross-engine (no trig: the
+    bucketing pattern is the point; swap the predicate for haversine
+    when geodesic truth matters)."""
+    r2 = 0.0625  # r = 0.25 degrees; cell size = r
+    cell = 0.25
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 48).cast("double") * 0.25
+         + (F.col("c_custkey") % 7).cast("double") * 0.125).alias("lat"),
+        ((F.col("c_custkey") % 96).cast("double") * 0.25
+         + (F.col("c_custkey") % 11).cast("double") * 0.0625).alias("lon"),
+    ).withColumn(
+        "cx", F.floor(F.col("lon") / cell).cast("long")
+    ).withColumn(
+        "cy", F.floor(F.col("lat") / cell).cast("long")
+    )
+    a = (
+        pts.select("id", "lat", "lon", "cx", "cy")
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        a.join(b, ["jx", "jy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r2))
+        .select("id_a", "id_b", d2.alias("dist_sq"))
+    )
