@@ -149,6 +149,13 @@ def test_tpch_shapes_broadcast_and_equi(spark, sf_dir):
         "q111_supplier_part_counts",
         "q112_disjunctive_predicate",
         "q113_waiting_suppliers",
+        "q118_min_cost_supplier",
+        "q119_order_priority_check",
+        "q121_product_type_profit",
+        "q123_priority_shipmode",
+        "q125_large_volume_customers",
+        "q126_excess_inventory_suppliers",
+        "q127_spatial_proximity_join",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         assert not X.has_cartesian(df), f"{name}:\n{X.physical_plan(df)[:2000]}"
