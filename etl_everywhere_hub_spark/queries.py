@@ -4517,6 +4517,7 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # two consumers (total + ranking): tokenize once
     )
     total = counts.agg(F.sum("n").alias("total"))
     w = Window.orderBy(F.col("n").desc(), "tok")
@@ -4602,6 +4603,7 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("tok").over(wdoc).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
+        .persist()  # three consumers (c12, c1, scoring): explode+window once
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
