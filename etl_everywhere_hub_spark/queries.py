@@ -4400,6 +4400,7 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = (
         l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .persist()  # feeds the profile agg AND the late-row stream: join once
     )
     profile = lo.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
@@ -4755,7 +4756,9 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
-    eu_ps = ps.join(F.broadcast(eu_supp), ps.l_suppkey == eu_supp.s_suppkey)
+    eu_ps = ps.join(
+        F.broadcast(eu_supp), ps.l_suppkey == eu_supp.s_suppkey
+    ).persist()  # consumed by the min and the equality join: aggregate once
     min_cost = eu_ps.groupBy("l_partkey").agg(F.min("cost_u").alias("min_cost_u"))
     return (
         eu_ps.join(
