@@ -3958,6 +3958,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
     """,
+    headline=True,
 )
 def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local-supplier volume: the classic 6-way star with the
@@ -4578,6 +4579,7 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     GROUP BY doc_id
     """,
+    headline=True,
 )
 def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: train an add-one-smoothed bigram
@@ -5137,6 +5139,7 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (a.lat - b.lat) * (a.lat - b.lat)
           + (a.lon - b.lon) * (a.lon - b.lon) <= 0.0625
     """,
+    headline=True,
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial proximity self-join — the reference's
