@@ -5197,3 +5197,63 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r2))
         .select("id_a", "id_b", d2.alias("dist_sq"))
     )
+
+
+@query(
+    "q128_bpe_pair_counts",
+    """
+    WITH words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE len(tok) >= 2 GROUP BY tok
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(string_split(tok, '')) - 1),
+                   i -> string_split(tok, '')[i] || ' ' ||
+                        string_split(tok, '')[i + 1]
+               )) AS pair,
+               wc
+        FROM words
+    ),
+    ranked AS (
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, pair) AS BIGINT)
+                 AS rnk
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, iteration one: adjacent symbol-pair
+    frequencies that pick the first merge. The scale trick that makes
+    BPE feasible on a 100 TB corpus: pair counting runs over the
+    VOCABULARY weighted by word count (Heaps-law sublinear), never
+    over the token stream — the corpus is touched once to build word
+    counts, everything after is vocab-sized. Pair extraction is a
+    higher-order transform (JVM, codegen'd), the top-10 window runs on
+    the aggregated pair table."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(tok, '')) - 2),"
+                " i -> concat(split(tok, '')[i], ' ', split(tok, '')[i + 1]))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .select("pair", "n", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+    )
