@@ -177,4 +177,10 @@ def test_q113_rewrite_has_no_correlated_fact_rejoin(spark, sf_dir):
     the self-profile branch)."""
     df = REGISTRY["q113_waiting_suppliers"].spark(spark, sf_dir)
     plan = X.physical_plan(df)
-    assert plan.lower().count("lineitem.parquet") <= 2, plan[:3000]
+    # the shared l⋈o subtree is persisted: when the cache is visible the
+    # fact side is materialized exactly once by construction; otherwise
+    # count raw scans (base + the self-profile branch)
+    assert (
+        "InMemoryTableScan" in plan
+        or plan.lower().count("lineitem.parquet") <= 2
+    ), plan[:3000]
