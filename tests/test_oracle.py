@@ -56,3 +56,16 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
     s_rows, o_rows = canon_df(sdf), canon_df(odf)
     for i, (a, b) in enumerate(zip(s_rows, o_rows)):
         assert a == b, f"row {i}: spark={a} oracle={b}"
+
+
+def test_registry_contract():
+    """Driver-contract invariants: unique q-number prefixes, every
+    query declares oracle SQL (no silent rows-only downgrades), and
+    headline queries exist for the bench."""
+    prefixes = [n.split("_")[0] for n in REGISTRY]
+    assert len(prefixes) == len(set(prefixes)), "duplicate q-number"
+    missing = [n for n, q in REGISTRY.items() if q.oracle is None]
+    assert missing == [], f"queries without oracle SQL: {missing}"
+    assert sum(q.headline for q in REGISTRY.values()) >= 12
+    for name, q in REGISTRY.items():
+        assert name == q.name
