@@ -323,3 +323,50 @@ def test_event_time_ttl_cache_evicts_by_watermark(spark, tmp_path):
     # the fresh device's latest update survived un-evicted
     dev1 = [r for r in rows if r["id"] == "inreach-1"]
     assert max(r["msg_id"] for r in dev1) == 4
+
+
+def test_streaming_near_dup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming MinHash-LSH near-dup detection must find exactly the
+    batch pipeline's candidate pairs with identical signature
+    similarities, regardless of how the stream is batched."""
+    from etl_everywhere_hub_spark.operators import dedup as D
+    from etl_everywhere_hub_spark.streaming import neardup as ND
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    # map-only signatures == batch groupBy signatures, bit for bit
+    row_sigs = {
+        r["doc_id"]: tuple(r["sig"]) for r in ND.rowwise_signatures(docs).collect()
+    }
+    batch_sigs = {
+        r["doc_id"]: tuple(r[f"m{s}"] for s in range(8))
+        for r in D.minhash_signatures(D.doc_shingles(docs)).collect()
+    }
+    assert row_sigs == batch_sigs and len(row_sigs) > 0
+
+    # batch ground truth: LSH candidate pairs + signature similarity
+    sigs_df = D.minhash_signatures(D.doc_shingles(docs))
+    want = {}
+    for r in D.lsh_candidate_pairs(sigs_df).collect():
+        sa, sb = batch_sigs[r["a"]], batch_sigs[r["b"]]
+        want[(r["a"], r["b"])] = sum(x == y for x, y in zip(sa, sb)) / 8.0
+
+    # stream the same docs in two files (split by parity)
+    import pandas as pd_
+
+    pdf = docs.toPandas()
+    for i, part in enumerate([pdf[pdf.doc_id % 2 == 0], pdf[pdf.doc_id % 2 == 1]]):
+        part.to_json(tmp_path / f"d{i}.jsonl", orient="records", lines=True)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    drained = jobs.run_to_table(
+        ND.streaming_near_dup_pairs(stream), output_mode="append"
+    )
+    got = {
+        (r["a"], r["b"]): r["sig_sim"]
+        for r in drained.dropDuplicates(["a", "b"]).collect()
+    }
+    assert got == want and len(want) > 0
