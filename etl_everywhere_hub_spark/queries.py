@@ -5257,3 +5257,125 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "n", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+_Q129_COS = """
+               list_reduce(list_transform(range(len({a})),
+                   i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(range(len({a})),
+                      i -> {a}[i+1]::DOUBLE * {a}[i+1]::DOUBLE), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(range(len({b})),
+                      i -> {b}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)))
+"""
+
+
+@query(
+    "q129_ivf_ann_topk",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id % 40 = 0
+    ),
+    assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cid AS cluster_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_Q129_COS.format(a='e.embedding', b='c.ce')} DESC,
+                                c.cid ASC
+                   ) AS arn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE arn = 1
+    ),
+    probe AS (
+        SELECT q.vec_id AS qid, q.embedding AS qe, a.cluster_id
+        FROM embeddings q JOIN assign a ON a.vec_id = q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT p.qid, e.vec_id AS nid,
+               {_Q129_COS.format(a='p.qe', b='e.embedding')} AS cosine_sim
+        FROM probe p
+        JOIN assign a2 ON a2.cluster_id = p.cluster_id
+        JOIN embeddings e ON e.vec_id = a2.vec_id
+        WHERE e.vec_id <> p.qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cosine_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT qid, nid, cosine_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine_sim DESC, nid ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN as a fully oracle-checked query: deterministic
+    centroids (every 40th vector — the kmeans-free stand-in that keeps
+    the oracle exact; operators/similarity.ivf_topk swaps in trained
+    centroids with the same plan shape), nearest-centroid assignment,
+    nprobe=1 search inside the query's own cell.
+
+    Scale shape: the centroid table is tiny and BROADCASTS to both the
+    assignment pass (corpus × centroids, map-side argmin via window
+    over a broadcast join, no corpus shuffle on a vector key) and the
+    probe; the candidate join is equi on cluster_id — the inverted
+    'file'. Cost per query is O(cell), not O(corpus); recall-vs-nprobe
+    is the tunable, exactly as in a production IVF index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    from etl_everywhere_hub_spark.functions.vectors import cosine
+
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            cosine(F.col("embedding"), F.col("ce")).alias("cos_c"),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+        .persist()  # consumed by the probe and the candidate side
+    )
+    probe = (
+        emb.filter(F.col("vec_id") < 10)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            "cluster_id",
+        )
+    )
+    cands = assign.join(
+        emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")),
+        assign.vec_id == F.col("nid"),
+    ).select("cluster_id", "nid", "ne")
+    qw = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("nid").asc())
+    return (
+        F.broadcast(probe)
+        .join(cands, "cluster_id")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("ne")).alias("cosine_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
