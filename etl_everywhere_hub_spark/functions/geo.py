@@ -17,6 +17,7 @@ import functools
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0088
 
@@ -120,3 +121,19 @@ def dipole_declination_deg(lat_deg, lon_deg):
     b_theta = g10 * F.sin(theta) - eq * F.cos(theta)
     b_phi = g11 * F.sin(lam) - h11 * F.cos(lam)
     return F.degrees(F.atan2(b_phi, -b_theta))
+
+
+def haversine_km_col(lon1, lat1, lon2, lat2):
+    """Great-circle distance as a pure Column expression — the
+    production path. Same formula as haversine_km's pandas UDF, but
+    it runs inside whole-stage codegen: no Arrow transfer, no Python
+    worker, fuses with the surrounding projection. Keep the pandas
+    version for parity testing; use this one in pipelines."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))

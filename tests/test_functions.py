@@ -116,3 +116,38 @@ def test_observe_inline_metrics(spark, sf_dir):
     assert m["neg_prices"] == 0
     assert m["max_shipdate"] is not None
     assert 0 < n_filtered < m["rows_seen"]
+
+
+def test_haversine_column_matches_pandas_udf(spark):
+    """The codegen'd Column haversine must agree with the pandas-UDF
+    version to float tolerance (same formula; JVM vs numpy trig may
+    differ in the last ulp)."""
+    from pyspark.sql import functions as F
+
+    from etl_everywhere_hub_spark.functions.geo import (
+        haversine_km,
+        haversine_km_col,
+    )
+    from etl_everywhere_hub_spark.plans import explain as X
+
+    pts = spark.range(0, 200).select(
+        ((F.col("id") % 360).cast("double") - 180.0 + 0.25).alias("lon1"),
+        ((F.col("id") % 170).cast("double") - 85.0 + 0.5).alias("lat1"),
+        ((F.col("id") * 7 % 360).cast("double") - 180.0).alias("lon2"),
+        ((F.col("id") * 3 % 170).cast("double") - 85.0).alias("lat2"),
+    )
+    both = pts.select(
+        haversine_km_col(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("col_km"),
+        haversine_km("lon1", "lat1", "lon2", "lat2").alias("udf_km"),
+    )
+    for r in both.collect():
+        assert abs(r["col_km"] - r["udf_km"]) < 1e-9
+    # and the Column version must NOT drop to a Python worker
+    col_only = pts.select(
+        haversine_km_col(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("d")
+    )
+    assert not X.has_python_eval(col_only)
