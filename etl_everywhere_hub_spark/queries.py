@@ -644,13 +644,23 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20_anti_join",
     """
-    SELECT c_custkey, c_acctbal FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    )
     """,
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a filtered right side. The unfiltered form
+    ('customers with no orders at all') is VACUOUS on these fixtures —
+    every customer has orders — so it would pass the oracle trivially;
+    the date window keeps real survivors at every sf (68 at sf0.001)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp_ntz")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_acctbal"
     )
@@ -1326,7 +1336,7 @@ _SHINGLE_SQL = """
 @query(
     "q40_ngram_jaccard",
     f"""
-    WITH sh AS ({_SHINGLE_SQL.format(src="(SELECT * FROM documents WHERE source = 'src0')")}),
+    WITH sh AS ({_SHINGLE_SQL.format(src="(SELECT * FROM documents WHERE lang = 'en')")}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
@@ -1339,9 +1349,12 @@ _SHINGLE_SQL = """
     """,
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup within one source block — the
-    blocked/oracle path; q41 is the LSH path that scales unblocked."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    """Exact 3-gram Jaccard near-dup within one language block — the
+    blocked/oracle path; q41 is the LSH path that scales unblocked.
+    (Blocking moved from source to lang: the source-blocked form went
+    VACUOUS at sf>=0.01 — no qualifying pairs — which the
+    non-vacuity gate in tests/test_oracle.py now forbids.)"""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     sh = dedup_ops.doc_shingles(d, "text", "doc_id", k=3)
     out = dedup_ops.exact_jaccard(sh, pairs=None, id_col="doc_id")
     return out.filter(F.col("jaccard") >= 0.5)

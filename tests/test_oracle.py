@@ -69,3 +69,23 @@ def test_registry_contract():
     assert sum(q.headline for q in REGISTRY.values()) >= 12
     for name, q in REGISTRY.items():
         assert name == q.name
+
+
+def test_no_query_is_vacuous_at_driver_scale(oracle):
+    """Every oracle query must return rows at sf0.01 (the driver's
+    gate scale) — a 0-row result matches any 0-row bug trivially, so
+    an empty query proves nothing. DuckDB-only: cheap. (q20's original
+    form passed vacuously for most of round 1 before this gate.)"""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    empty = []
+    for name, q in sorted(REGISTRY.items()):
+        n = con.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
+        if n == 0:
+            empty.append(name)
+    assert empty == [], f"vacuous at sf0.01: {empty}"
