@@ -5392,3 +5392,161 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: per-domain quotas, mixture weighting, cross-doc novelty
+# (SURVEY §2.B LLM-pipeline ops — the sampling/mixing steps that sit
+# between dedup (q35-q44) and packing (q70) in a training-data build).
+
+
+@query(
+    "q130_source_quota",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_before,
+           CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn <= 15 THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota with quality-priority ordering: cap every
+    source at 15 documents, keeping the longest first (tie → doc_id) —
+    the anti-monoculture cap every crawl-derived corpus applies, with
+    per-source kept/dropped accounting.
+
+    Scale shape: one shuffle on `source`, then a per-partition sort —
+    same plan as q92's stratified sample. A 100 TB crawl has heavy-tail
+    domains (one domain ≫ executor memory): AQE skew-split handles the
+    sort spill, or the documented threshold pre-filter (approximate
+    per-source n_chars quantile bounds the sort input to ~quota size)
+    turns the window into a cheap filter + exact top-K on survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = F.col("rn") <= 15
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "q131_mixture_temperature",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ), weighted AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(FLOOR(sqrt(n_docs) * 1000000 + 0.5) AS BIGINT) AS wq
+        FROM counts
+    )
+    SELECT lang, n_docs, n_tokens,
+           wq / 1000000.0 AS weight,
+           CAST(FLOOR(wq * 1000000.0 / SUM(wq) OVER ()) AS BIGINT) AS share_ppm
+    FROM weighted
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language-mixture weights: sampling share
+    per language proportional to n_docs^(1/2) (temperature T=2 in the
+    multilingual-sampling sense) — the rebalancing step that upweights
+    low-resource languages when composing a training mix.
+
+    Determinism across engines: the weight sqrt(n) is quantized to an
+    integer (floor(x*1e6+0.5) of a per-row IEEE value — bit-identical
+    in both engines), the denominator is an exact integer sum, and the
+    share is integer ppm via one correctly-rounded division + floor.
+
+    Scale shape: the global window runs over ≤|languages| rows (post-
+    aggregation), so the single-partition window is bounded by lang
+    cardinality, not corpus size; the corpus-sized work is one
+    map-side-combined groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.word_count(F.col("text"))).alias("n_tokens"),
+    )
+    wq = F.floor(F.sqrt(F.col("n_docs")) * 1000000 + 0.5).cast("long")
+    total = F.sum("wq").over(Window.partitionBy())
+    return (
+        counts.withColumn("wq", wq)
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("wq") / 1000000.0).alias("weight"),
+            F.floor(F.col("wq") * 1000000.0 / total).cast("long").alias("share_ppm"),
+        )
+    )
+
+
+@query(
+    "q132_ngram_novelty",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    gdf AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    perdoc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN g.df = 1 THEN 1 ELSE 0 END) AS n_unique
+        FROM sh s JOIN gdf g ON g.shingle = s.shingle
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(FLOOR(n_unique * 1000000.0 / n_grams) AS BIGINT) AS novelty_ppm
+    FROM perdoc
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty: the fraction of a document's
+    distinct 3-grams that occur in no other document (corpus document
+    frequency = 1). Complements q81's intra-document repetition — low
+    novelty here flags boilerplate shared ACROSS documents (templated
+    pages, licence headers), a standard corpus-quality prune signal.
+
+    Scale shape: explode to (doc, gram) rows, one hash-partition on
+    `gram` that BOTH the df aggregation and the gram⋈df join reuse
+    (same key — Catalyst/AQE reuses the exchange), then one shuffle
+    back on doc_id. The df side is corpus-vocabulary-sized, so it is
+    a shuffle equi-join, never a broadcast — unlike q78's
+    decontamination grams, which are eval-set-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.doc_shingles(d, "text", "doc_id", k=3)
+    gdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(gdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_unique",
+        F.floor(F.col("n_unique") * 1000000.0 / F.col("n_grams"))
+        .cast("long")
+        .alias("novelty_ppm"),
+    )
