@@ -5525,12 +5525,17 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty here flags boilerplate shared ACROSS documents (templated
     pages, licence headers), a standard corpus-quality prune signal.
 
-    Scale shape: explode to (doc, gram) rows, one hash-partition on
-    `gram` that BOTH the df aggregation and the gram⋈df join reuse
-    (same key — Catalyst/AQE reuses the exchange), then one shuffle
-    back on doc_id. The df side is corpus-vocabulary-sized, so it is
-    a shuffle equi-join, never a broadcast — unlike q78's
-    decontamination grams, which are eval-set-bounded."""
+    Scale shape: explode to (doc, gram) rows; the gram-df table is
+    vocabulary-sized, so AQE picks its join strategy by measured size
+    — broadcast at small corpora (the observed sf plan), sort-merge at
+    100 TB, where the join keys on `shingle` and the df aggregation's
+    own Exchange(shingle) output feeds the join side already
+    partitioned (no extra shuffle on the df side). The shingle
+    expansion is recomputed on both consumers deliberately: it is
+    map-only from the scan, and persisting an exploded corpus-sized
+    intermediate is the wrong trade at scale. One final shuffle back
+    on doc_id. Unlike q78's decontamination grams (eval-set-bounded,
+    always broadcast), the df side here grows with the corpus."""
     d = load_table(spark, sf_dir, "documents")
     sh = dedup_ops.doc_shingles(d, "text", "doc_id", k=3)
     gdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
