@@ -80,3 +80,64 @@ def pack_sequences(
     return blocked.withColumn(
         "pack_id", F.floor(preceding / F.lit(target_tokens)).cast("bigint")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: Column | str,
+    order_col: str,
+    tiebreak_col: str,
+    out: str = "cum",
+    n_buckets: int = 32,
+    descending: bool = True,
+    quantile_err: float = 0.01,
+) -> DataFrame:
+    """Exact running sum over a GLOBAL total order, without the global
+    single-partition window (the classic 100 TB scale bug this module's
+    docstring forbids).
+
+    Two-phase distributed scan:
+      1. bucket boundaries on ``order_col`` via approxQuantile (one
+         cheap sketch pass; boundary placement affects only load
+         balance, never the result — the bucket id is a monotone pure
+         function of the order key, so buckets are contiguous ranges
+         of the total order and ties stay within one bucket);
+      2. ONE corpus shuffle on the bucket id for the per-bucket
+         window cumsum; bucket totals (≤ n_buckets rows) get their own
+         cumulative offsets and broadcast-join back.
+
+    ``out`` = offset + local cumsum = the exact global prefix sum over
+    (order_col ``descending``, tiebreak_col asc). Cluster sizing: set
+    n_buckets ≈ shuffle parallelism; skewed order-key distributions
+    still balance because boundaries come from measured quantiles.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(order_col, probs, quantile_err)))
+        if probs
+        else []
+    )
+    key = F.col(order_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        # monotone in the order direction: earlier-ordered keys → lower id
+        bucket = bucket + F.when(key < F.lit(b) if descending else key > F.lit(b), 1).otherwise(0)
+    tagged = df.withColumn("__bucket", bucket.cast("int")).withColumn("__v", v)
+    order = [key.desc() if descending else key.asc(), F.col(tiebreak_col).asc()]
+    local_w = (
+        Window.partitionBy("__bucket").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn("__local_cum", F.sum("__v").over(local_w))
+    totals = tagged.groupBy("__bucket").agg(F.sum("__v").alias("__total"))
+    off_w = (
+        Window.orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ n_buckets rows: the single-partition window is bounded, not corpus-sized
+    offsets = totals.withColumn("__offset", F.coalesce(F.sum("__total").over(off_w), F.lit(0)))
+    return (
+        local.join(F.broadcast(offsets.select("__bucket", "__offset")), "__bucket")
+        .withColumn(out, F.col("__offset") + F.col("__local_cum"))
+        .drop("__bucket", "__v", "__local_cum", "__offset")
+    )

@@ -5555,3 +5555,52 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("novelty_ppm"),
     )
+
+
+@query(
+    "q133_token_budget_cut",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_chars, tokens,
+               CAST(SUM(tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, tokens, cum_tokens,
+           CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END AS kept
+    FROM c
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus cut: rank the corpus by quality (n_chars
+    proxy, doc_id tiebreak) and keep documents until a global token
+    budget is exhausted — the final selection step of a curated
+    training mix ("best N tokens", not "best N docs").
+
+    The oracle expresses it as a global running sum (fine in a
+    single-node engine, a scale bug in Spark: one partition would
+    receive the whole corpus). The engine instead computes the SAME
+    prefix sum distributed (operators/sampling.py:global_prefix_sum):
+    quantile-derived contiguous buckets on the order key → per-bucket
+    window cumsum (one corpus shuffle) → ≤n_buckets bucket totals get
+    cumulative offsets and broadcast back. Results are identical —
+    bucket boundaries affect load balance only."""
+    from etl_everywhere_hub_spark.operators.sampling import global_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", T.word_count(F.col("text")).alias("tokens")
+    )
+    cum = global_prefix_sum(
+        d, "tokens", "n_chars", "doc_id", out="cum_tokens", n_buckets=16
+    )
+    return cum.select(
+        "doc_id",
+        "tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.when(F.col("cum_tokens") <= 15000, 1).otherwise(0).alias("kept"),
+    )

@@ -196,3 +196,34 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_global_prefix_sum_matches_naive_window(spark):
+    """Distributed two-phase prefix sum == the naive global window, on
+    an input built to stress the risky parts: duplicate order keys
+    (ties must stay bucket-contiguous), skew (one key dominates), and
+    any bucket count (boundaries must affect load balance only)."""
+    from pyspark.sql import Window
+
+    from etl_everywhere_hub_spark.operators.sampling import global_prefix_sum
+
+    rows = [Row(id=i, q=(i * 7) % 5, v=i % 13 + 1) for i in range(400)]
+    rows += [Row(id=1000 + i, q=2, v=3) for i in range(200)]  # heavy tie block
+    df = spark.createDataFrame(rows)
+
+    naive_w = (
+        Window.orderBy(F.col("q").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(naive_w)).collect()
+    }
+    for n_buckets in (1, 7, 64):
+        got = {
+            r["id"]: r["cum"]
+            for r in global_prefix_sum(
+                df, "v", "q", "id", out="cum", n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == expected, f"n_buckets={n_buckets}"
