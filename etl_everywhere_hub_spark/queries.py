@@ -5604,3 +5604,60 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.when(F.col("cum_tokens") <= 15000, 1).otherwise(0).alias("kept"),
     )
+
+
+@query(
+    "q134_semantic_dedup",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT x.vec_id AS src, y.vec_id AS dst
+        FROM embeddings x JOIN embeddings y
+          ON x.label = y.label AND x.vec_id < y.vec_id
+        WHERE {_Q129_COS.format(a='x.embedding', b='y.embedding')} >= 0.3
+    ), sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach(id, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.id, s.dst FROM reach r JOIN sym s ON r.other = s.src
+    ), comp AS (
+        SELECT id, MIN(other) AS component FROM reach GROUP BY id
+    ), allv AS (
+        SELECT e.vec_id AS id, COALESCE(c.component, e.vec_id) AS component
+        FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    )
+    SELECT component, COUNT(*) AS n_vectors, MIN(id) AS keep_vec,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM allv GROUP BY component
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, end-to-end: embedding near-dup
+    edges (cosine ≥ 0.3 inside label blocks — at scale the block key
+    is an LSH/IVF bucket, q129's machinery) → iterative connected
+    components (operators/graph.py, min-label propagation) → one
+    canonical survivor per semantic cluster, singletons kept as their
+    own component. Composes q44 (edges) and q72 (collapse) into the
+    training-pipeline op the pieces exist for: "remove all but one of
+    each meaning". The oracle runs the same closure as a recursive CTE.
+
+    Scale: pair space is block-bounded, components collapse in
+    O(diameter) join+agg rounds (near-dup graphs are shallow), and the
+    final canonical pick is one groupBy on the component label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim_ops.cosine_near_dup(emb, threshold=0.3, block_col="label").select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    comp = connected_components(edges)
+    full = (
+        emb.select(F.col("vec_id").alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+    )
+    return full.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("id").alias("keep_vec"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
+    )
