@@ -53,6 +53,8 @@ def test_no_cartesian_in_joins(spark, sf_dir):
         # centroid table.
         "q128_bpe_pair_counts",
         "q132_ngram_novelty",
+        "q133_token_budget_cut",
+        "q134_semantic_dedup",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         assert not X.has_cartesian(df), f"{name} degenerated:\n{X.physical_plan(df)[:2000]}"
