@@ -5661,3 +5661,67 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("keep_vec"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
     )
+
+
+@query(
+    "q135_rare_token_scrub",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                      i -> struct_pack(pos := i, tok := w[i]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), flat AS (
+        SELECT doc_id, s.pos AS pos, s.tok AS tok FROM toks
+    ), counts AS (
+        SELECT tok, COUNT(*) AS c FROM flat GROUP BY tok
+    ), scrub AS (
+        SELECT f.doc_id, f.pos,
+               CASE WHEN c.c < 500 THEN '<unk>' ELSE f.tok END AS st,
+               CASE WHEN c.c < 500 THEN 1 ELSE 0 END AS unk
+        FROM flat f JOIN counts c ON c.tok = f.tok
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(unk) AS BIGINT) AS n_unk,
+           md5(string_agg(st, ' ' ORDER BY pos)) AS scrubbed_md5
+    FROM scrub GROUP BY doc_id
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token scrub: replace tokens whose corpus frequency is
+    below a threshold with '<unk>' — the vocabulary-closure /
+    PII-adjacent-rare-string step of tokenizer prep — and rebuild each
+    document in original token order (md5 of the rebuilt text proves
+    order-exact reassembly cross-engine).
+
+    Scale shape: one explode to (doc, pos, token); the frequency table
+    is vocabulary-bounded (Heaps-law sublinear) and BROADCASTS back
+    onto the token stream; reassembly is one shuffle on doc_id with a
+    per-doc sorted collect bounded by document length — never a global
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    flat = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    counts = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    scrub = flat.join(F.broadcast(counts), "tok").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("c") < 500, F.lit("<unk>")).otherwise(F.col("tok")).alias("st"),
+        F.when(F.col("c") < 500, 1).otherwise(0).alias("unk"),
+    )
+    return (
+        scrub.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("unk").cast("long").alias("n_unk"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "st"))),
+                        lambda x: x["st"],
+                    ),
+                    " ",
+                )
+            ).alias("scrubbed_md5"),
+        )
+    )
