@@ -86,6 +86,37 @@ def _dec_avg(col, prec="decimal(18,4)"):
     return F.sum(F.floor(col * s + 0.5)) / float(s) / F.count(col)
 
 
+def _arr_csv(col, micros=False):
+    """Canonical string form of an array column for oracle comparison.
+
+    The correctness driver collects results to pandas and sorts/hashes
+    them; ndarray cells are unsortable there, so array-valued results
+    must leave the query as scalars. Integer/string arrays join as-is;
+    double arrays are encoded element-wise as exact micro-integers
+    (floor(x*1e6+0.5) — same IEEE ops in Spark and DuckDB) so no
+    float-to-string formatting rule is ever involved.
+    """
+    if micros:
+        t = F.transform(
+            col, lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("bigint").cast("string")
+        )
+    else:
+        t = F.transform(col, lambda x: x.cast("string"))
+    return F.array_join(t, ",")
+
+
+def _arr_csv_sql(expr, micros=False):
+    """DuckDB twin of _arr_csv."""
+    if micros:
+        inner = (
+            f"list_transform({expr}, x -> CAST(CAST(floor(x * 1000000 + 0.5)"
+            " AS BIGINT) AS VARCHAR))"
+        )
+    else:
+        inner = f"list_transform({expr}, x -> CAST(x AS VARCHAR))"
+    return f"array_to_string({inner}, ',')"
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.B projection/filter/functions; reference R3-R9)
 # ---------------------------------------------------------------------------
