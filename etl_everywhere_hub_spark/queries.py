@@ -524,21 +524,23 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_collect_list",
-    """
+    f"""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
-           list_sort(list(DISTINCT l_returnflag)) AS flags
+           {_arr_csv_sql("list_sort(list(l_linenumber))")} AS line_numbers,
+           {_arr_csv_sql("list_sort(list(DISTINCT l_returnflag))")} AS flags
     FROM lineitem
     GROUP BY l_orderkey
     """,
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list/collect_set are only deterministic under array_sort —
-    the determinism rule from SURVEY §2.B applied."""
+    the determinism rule from SURVEY §2.B applied. Arrays leave the
+    query CSV-encoded (_arr_csv) so the driver's pandas sort/hash step
+    never sees an ndarray cell."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
-        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        _arr_csv(F.array_sort(F.collect_list("l_linenumber"))).alias("line_numbers"),
+        _arr_csv(F.array_sort(F.collect_set("l_returnflag"))).alias("flags"),
     )
 
 
@@ -1015,10 +1017,10 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q31_struct_array_ops",
-    """
+    f"""
     SELECT event_id,
            'device-' || CAST(user_id AS VARCHAR) AS device_uid,
-           [value, value * 2.0] AS coordinates,
+           {_arr_csv_sql("[value, value * 2.0]", micros=True)} AS coordinates,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_time
     FROM events
@@ -1044,7 +1046,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature.select(
         "event_id",
         F.col("f.uid").alias("device_uid"),
-        F.col("f.coordinates").alias("coordinates"),
+        _arr_csv(F.col("f.coordinates"), micros=True).alias("coordinates"),
         F.col("f.k").alias("k"),
         F.col("f.iso").alias("iso_time"),
     )
@@ -1070,13 +1072,13 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q33_higher_order_funcs",
-    """
+    f"""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            list_reduce(list_transform(embedding, x -> x::DOUBLE),
                        (acc, x) -> acc + x) AS sum_all,
-           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled
+           {_arr_csv_sql("list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)", micros=True)} AS doubled
     FROM embeddings
     """,
 )
@@ -1097,7 +1099,9 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("sum_all"),
-        F.transform(e, lambda x: x.cast("double") * 2.0).alias("doubled"),
+        _arr_csv(F.transform(e, lambda x: x.cast("double") * 2.0), micros=True).alias(
+            "doubled"
+        ),
     )
 
 
@@ -1901,15 +1905,15 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q55_array_map_funcs",
-    """
+    f"""
     SELECT l_orderkey,
-           lns AS line_numbers,
+           {_arr_csv_sql("lns")} AS line_numbers,
            lns[1] AS first_line,
            CAST(len(lns) AS BIGINT) AS n_lines,
            list_contains(lns, 1) AS has_line1,
-           list_slice(lns, 1, 2) AS first_two,
-           list_transform(lns, x -> CAST(x AS BIGINT) * 10) AS tens,
-           flatten([lns, lns]) AS doubled_list,
+           {_arr_csv_sql("list_slice(lns, 1, 2)")} AS first_two,
+           {_arr_csv_sql("list_transform(lns, x -> CAST(x AS BIGINT) * 10)")} AS tens,
+           {_arr_csv_sql("flatten([lns, lns])")} AS doubled_list,
            CAST(list_position(lns, 2) AS INTEGER) AS pos_of_2
     FROM (
         SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
@@ -1927,13 +1931,13 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     lns = F.col("lns")
     return agg.select(
         "l_orderkey",
-        lns.alias("line_numbers"),
+        _arr_csv(lns).alias("line_numbers"),
         F.element_at(lns, 1).alias("first_line"),
         F.size(lns).cast("bigint").alias("n_lines"),
         F.array_contains(lns, 1).alias("has_line1"),
-        F.slice(lns, 1, 2).alias("first_two"),
-        F.transform(lns, lambda x: x.cast("bigint") * 10).alias("tens"),
-        F.flatten(F.array(lns, lns)).alias("doubled_list"),
+        _arr_csv(F.slice(lns, 1, 2)).alias("first_two"),
+        _arr_csv(F.transform(lns, lambda x: x.cast("bigint") * 10)).alias("tens"),
+        _arr_csv(F.flatten(F.array(lns, lns))).alias("doubled_list"),
         F.array_position(lns, 2).cast("int").alias("pos_of_2"),
     )
 
@@ -2328,7 +2332,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q67_array_map_date_extras",
-    """
+    f"""
     WITH base AS (
         SELECT o_orderkey,
                CAST(o_orderdate AS DATE) AS od,
@@ -2339,12 +2343,15 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            strftime(od + 30, '%Y-%m-%d') AS ship_by,
            CAST((year(od) - 1994) * 12 + (month(od) - 1) AS DOUBLE) AS months_since,
-           list_sort(list_distinct(a)) AS a_uniq,
-           list_transform(list_zip(a, [1.0, 2.0, 3.0]),
-                          s -> struct_extract(s, 1) * struct_extract(s, 2)) AS a_weighted,
+           {_arr_csv_sql("list_sort(list_distinct(a))", micros=True)} AS a_uniq,
+           {_arr_csv_sql(
+               "list_transform(list_zip(a, [1.0, 2.0, 3.0]),"
+               " s -> struct_extract(s, 1) * struct_extract(s, 2))",
+               micros=True,
+           )} AS a_weighted,
            list_extract(map_extract(
-               map_from_entries([{'k': 'price', 'v': o_totalprice},
-                                 {'k': 'prio',  'v': ck}]),
+               map_from_entries([{{'k': 'price', 'v': o_totalprice}},
+                                 {{'k': 'prio',  'v': ck}}]),
                'price'), 1) AS price_from_map
     FROM base
     """,
@@ -2375,8 +2382,10 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.months_between(F.date_trunc("month", od), F.lit("1994-01-01").cast("timestamp")).alias(
             "months_since"
         ),
-        F.array_sort(F.array_distinct(a)).alias("a_uniq"),
-        F.transform(zipped, lambda s: s["0"] * s["1"]).alias("a_weighted"),
+        _arr_csv(F.array_sort(F.array_distinct(a)), micros=True).alias("a_uniq"),
+        _arr_csv(F.transform(zipped, lambda s: s["0"] * s["1"]), micros=True).alias(
+            "a_weighted"
+        ),
         F.element_at(m, "price").alias("price_from_map"),
     )
 
@@ -2476,7 +2485,7 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q71_embedding_quantize",
-    """
+    f"""
     WITH scaled AS (
         SELECT vec_id,
                list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
@@ -2484,9 +2493,10 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT e.vec_id,
-           CAST(list_transform(e.embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))
-                AS BIGINT[]) AS qvec,
+           {_arr_csv_sql(
+               "list_transform(e.embedding,"
+               " x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))"
+           )} AS qvec,
            round(s.scale, 9) AS scale
     FROM embeddings e JOIN scaled s USING (vec_id)
     """,
@@ -2507,8 +2517,10 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", e.alias("e"), scale)
         .select(
             "vec_id",
-            F.transform(
-                F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("bigint")
+            _arr_csv(
+                F.transform(
+                    F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("bigint")
+                )
             ).alias("qvec"),
             F.round("scale", 9).alias("scale"),
         )
