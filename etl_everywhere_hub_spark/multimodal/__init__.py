@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -107,6 +108,48 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+
+
+FEATURES_ORACLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload_md5", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feat0", DoubleType()),
+        StructField("feat1", DoubleType()),
+        StructField("feat2", DoubleType()),
+        StructField("feat3", DoubleType()),
+    ]
+)
+
+
+def extract_features_sql_contract(media: DataFrame) -> DataFrame:
+    """mapInPandas featurizer whose fake features are SQL-expressible,
+    so the whole Arrow-batched UDF path can be oracle-checked end to
+    end (q138): feat_k = (md5(md5(payload)||'|'||k)[:15 hex] % 1e6) / 1e6.
+    The numerator is an exact integer < 2^53, so the single division
+    is correctly rounded identically in Python, Spark, and DuckDB —
+    no float-formatting or accumulation-order hazard. A real decoder
+    drops in by replacing the body of `featurize` (same batch shape).
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            cols = {
+                "media_id": pdf["media_id"],
+                "payload_md5": md5s,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+            }
+            for k in range(4):
+                cols[f"feat{k}"] = [
+                    (int(hashlib.md5(f"{h}|{k}".encode()).hexdigest()[:15], 16) % 1_000_000)
+                    / 1e6
+                    for h in md5s
+                ]
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(featurize, schema=FEATURES_ORACLE_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:

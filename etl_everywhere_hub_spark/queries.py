@@ -5768,3 +5768,140 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scrubbed_md5"),
         )
     )
+
+
+@query(
+    "q136_hashed_ngram_classifier",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), bucketed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b
+        FROM tok
+    ), weights AS (
+        SELECT b,
+               ('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                   % 1001 - 500 AS w_milli
+        FROM generate_series(0, 1023) t(b)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(w_milli) AS BIGINT) AS score_milli,
+           CAST(SUM(w_milli) AS DOUBLE) / 1000.0 / COUNT(*) AS score,
+           SUM(w_milli) > 0 AS keep
+    FROM bucketed JOIN weights USING (b)
+    GROUP BY doc_id
+    """,
+    headline=True,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bag-of-words linear quality classifier —
+    the cheap model-based filter a curation pipeline runs corpus-wide
+    before any GPU scoring. Tokens hash into 1024 buckets (portable
+    md5 bucket, functions/hashing.py); the weight vector is a 1024-row
+    table BROADCAST to every executor, so scoring is one explode + one
+    map-side join + one groupBy(doc_id) — the explode never reshuffles
+    by term. Weights are integer milli-units and the per-doc sum is an
+    exact integer, so scores are bit-identical cross-engine; a trained
+    model drops in by swapping the weights DataFrame (same shape).
+    """
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.range(1024).select(
+        F.col("id").alias("b"),
+        (
+            F.pmod(
+                md5_long(F.concat(F.lit("w|"), F.col("id").cast("string"))),
+                F.lit(1001),
+            )
+            - 500
+        ).alias("w_milli"),
+    )
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    bucketed = tok.select(
+        "doc_id", F.pmod(md5_long(F.col("term")), F.lit(1024)).alias("b")
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").cast("bigint").alias("score_milli"),
+            (F.sum("w_milli").cast("double") / 1000.0 / F.count(F.lit(1))).alias(
+                "score"
+            ),
+            (F.sum("w_milli") > 0).alias("keep"),
+        )
+    )
+
+
+@query(
+    "q137_salted_skew_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM events GROUP BY event_type
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation as a first-class oracle-checked
+    query (operators/skew.py). event_type has ~5 distinct values over
+    the whole corpus — the pathological case where a plain groupBy
+    funnels 100 TB into 5 reducers. Phase 1 aggregates on (key, salt)
+    spreading each hot key over 16 partials; phase 2 merges 5*16 rows.
+    Result is exactly the plain GROUP BY (count/sum are algebraic);
+    the oracle proves it."""
+    from etl_everywhere_hub_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
+    return salted_aggregate(
+        e.select("event_type", micros.alias("v_micros")),
+        keys=["event_type"],
+        partial_aggs={
+            "n": F.count(F.lit(1)),
+            "value_micros": F.sum("v_micros"),
+        },
+        merge_aggs={
+            "n": F.sum("n"),
+            "value_micros": F.sum("value_micros").cast("bigint"),
+        },
+    )
+
+
+@query(
+    "q138_multimodal_featurize",
+    """
+    SELECT doc_id AS media_id,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           (('0x' || substr(md5(md5(text) || '|0'), 1, 15))::BIGINT % 1000000)
+               / 1000000.0 AS feat0,
+           (('0x' || substr(md5(md5(text) || '|1'), 1, 15))::BIGINT % 1000000)
+               / 1000000.0 AS feat1,
+           (('0x' || substr(md5(md5(text) || '|2'), 1, 15))::BIGINT % 1000000)
+               / 1000000.0 AS feat2,
+           (('0x' || substr(md5(md5(text) || '|3'), 1, 15))::BIGINT % 1000000)
+               / 1000000.0 AS feat3
+    FROM documents
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode/featurize path (mapInPandas over binary
+    payloads, multimodal/extract_features_sql_contract) run under the
+    full oracle: the Arrow batch transfer, UDF schema, and per-batch
+    vectorized loop are the production shape — only the feature
+    formula is a deterministic SQL-expressible stand-in for the codec
+    this container lacks. Zero shuffle: scan → mapInPandas, partition
+    count preserved."""
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        extract_features_sql_contract,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features_sql_contract(documents_as_media(d))
