@@ -102,6 +102,16 @@ def exchange_count(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange")
 
 
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Shuffle (hash/range) exchanges only — broadcast exchanges are
+    excluded because a broadcast of a tiny side is the cheap, desired
+    alternative to a shuffle, not a cost of the same kind."""
+    plan = physical_plan(df)
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
 def partition_filters(df: DataFrame) -> str:
     """The scan's planning-time PartitionFilters entry ('' if none) —
     nonempty means whole directories are pruned before I/O."""

@@ -191,3 +191,19 @@ def test_q113_rewrite_has_no_correlated_fact_rejoin(spark, sf_dir):
         "InMemoryTableScan" in plan
         or plan.lower().count("lineitem.parquet") <= 2
     ), plan[:3000]
+
+
+def test_classifier_broadcasts_weights_single_shuffle(spark, sf_dir):
+    """q136: the 1024-row weight table must broadcast (map-side join
+    after the token explode) and the only exchange is the final
+    groupBy(doc_id) — no shuffle keyed by term or bucket."""
+    df = REGISTRY["q136_hashed_ngram_classifier"].spark(spark, sf_dir)
+    assert X.uses_broadcast_join(df), X.simple_plan(df)
+    assert not X.has_cartesian(df)
+    assert X.shuffle_exchange_count(df) <= 1, X.physical_plan(df)[:2000]
+
+
+def test_featurize_is_shuffle_free(spark, sf_dir):
+    """q138: scan → mapInPandas, zero exchanges."""
+    df = REGISTRY["q138_multimodal_featurize"].spark(spark, sf_dir)
+    assert X.exchange_count(df) == 0, X.physical_plan(df)[:2000]
