@@ -70,3 +70,50 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank_exact(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    base_micro: int = 150_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units.
+
+    Ranks, contributions, and damping are all BIGINT arithmetic
+    (floor divisions), so the result is bit-identical on any engine
+    and any execution order — the portable way to oracle-check an
+    iterative double-typed algorithm. ``nodes`` is (id); ``edges`` is
+    directed (src, dst). Per iteration: one join edges⋈ranks (both
+    pre-partitionable on src), one groupBy(dst), one left join back to
+    nodes — the same shuffle shape GraphFrames' aggregateMessages
+    lowers to. Lineage is truncated per round (see
+    connected_components). Sink nodes leak rank (no redistribution) —
+    a defined, engine-independent contract.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("id", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select("dst", F.expr("r div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base_micro)
+                    + F.expr(f"({damp_num} * coalesce(in_sum, 0L)) div {damp_den}")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

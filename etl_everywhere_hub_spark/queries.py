@@ -5905,3 +5905,74 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return extract_features_sql_contract(documents_as_media(d))
+
+
+@query(
+    "q139_pagerank_iterations",
+    """
+    WITH edges0 AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+        WHERE a.doc_id % 7 <> 0
+    ), edges AS (
+        SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0
+    ), deg AS (
+        SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT doc_id AS id FROM documents
+    ), r0 AS (
+        SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes
+    ), c1 AS (
+        SELECT e.dst AS id, SUM(x.r // d.out_deg) AS s
+        FROM edges e JOIN r0 x ON e.src = x.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ), r1 AS (
+        SELECT n.id, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c1 c USING (id)
+    ), c2 AS (
+        SELECT e.dst AS id, SUM(x.r // d.out_deg) AS s
+        FROM edges e JOIN r1 x ON e.src = x.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT n.id, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c2 c USING (id)
+    ), c3 AS (
+        SELECT e.dst AS id, SUM(x.r // d.out_deg) AS s
+        FROM edges e JOIN r2 x ON e.src = x.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ), r3 AS (
+        SELECT n.id, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c3 c USING (id)
+    )
+    SELECT id AS doc_id, r AS rank_micro FROM r3
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py:pagerank_exact)
+    over the same deterministic doc-chain graph q72 uses — the
+    canonical iterative algorithm a link-quality / citation-weighting
+    curation stage needs. Integer micro-unit arithmetic makes all
+    three iterations bit-exact against the oracle's unrolled CTEs;
+    both engines compute identical floor divisions (non-negative
+    operands). Per iteration the plan is join + groupBy + left join —
+    bounded, AQE-sized shuffles, lineage truncated each round."""
+    from etl_everywhere_hub_spark.operators.graph import pagerank_exact
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .filter(F.col("a.doc_id") % 7 != 0)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = d.select(F.col("doc_id").alias("id"))
+    ranks = pagerank_exact(nodes, edges, iters=3)
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank_micro"))
