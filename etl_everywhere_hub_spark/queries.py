@@ -5976,3 +5976,93 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = d.select(F.col("doc_id").alias("id"))
     ranks = pagerank_exact(nodes, edges, iters=3)
     return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank_micro"))
+
+
+@query(
+    "q140_span_dedup",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+    ), chunk AS (
+        SELECT doc_id, pos // 10 AS chunk_idx,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        FROM tok GROUP BY doc_id, pos // 10
+    ), df AS (
+        SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs
+        FROM chunk GROUP BY chunk_text
+    ), kept AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+               CASE WHEN d.n_docs >= 3 THEN 1 ELSE 0 END AS is_boiler
+        FROM chunk c JOIN df d USING (chunk_text)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(is_boiler) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN is_boiler = 0 THEN chunk_text END,
+                                   ' ' ORDER BY chunk_idx), '')) AS kept_md5
+    FROM kept
+    GROUP BY doc_id
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span-level dedup (RefinedWeb/CCNet boilerplate
+    removal): documents split into consecutive 10-token chunks; any
+    chunk text appearing in >= 3 distinct docs is boilerplate and is
+    struck; survivors reassemble order-exact (md5-proved, q135's
+    pattern; the oracle's positions come from generate_subscripts, in
+    lockstep with unnest, never an unordered window). Scale shape:
+    chunk-df is one shuffle keyed by chunk text (hash-distributed like
+    exact dedup), reassembly one shuffle on doc_id with per-doc
+    bounded sorts; nothing is O(corpus) per key."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    chunk = (
+        tok.withColumn("chunk_idx", F.expr("pos div 10"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    df_counts = chunk.groupBy("chunk_text").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    kept = chunk.join(df_counts, "chunk_text").select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.when(F.col("n_docs") >= 3, 1).otherwise(0).alias("is_boiler"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_boiler").cast("bigint").alias("n_removed"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_boiler") == 0,
+                                    F.struct("chunk_idx", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda x: x["chunk_text"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_md5"),
+    )
