@@ -307,3 +307,78 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         )
         sig = term if sig is None else sig + term
     return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def prefix_filter_jaccard_pairs(
+    items: DataFrame,
+    id_col: str = "doc",
+    item_col: str = "tok",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-Jaccard >= threshold pairs via prefix filtering
+    (the PPJoin family) — the scale-true exact alternative to MinHash:
+    no false negatives, no signature approximation. ``items`` is a
+    distinct (id, item) inverted-index relation (tokens, shingles —
+    caller's choice; use shingles on low-vocabulary corpora, where
+    token sets are too coarse to discriminate).
+
+    Prefix-filter lemma: order every doc's distinct items by a global
+    total order (rarest first: ascending corpus df, item as
+    tiebreak). If J(A,B) >= t then A and B must share an item within
+    each other's first |X| - ceil(t*|X|) + 1 items, so candidate
+    generation joins only on PREFIX items — rare by construction —
+    instead of all items. Work is sum over prefix items of
+    (docs-per-item choose 2); the frequent items that would explode
+    a naive inverted-index join never enter a prefix. Verification
+    computes the exact intersection over candidates only.
+
+    Integer-only comparison: J >= t checked as 100*inter >= t_pct*union
+    (threshold in hundredths) — no float division in the filter.
+    """
+    t_pct = int(round(threshold * 100))
+    toks = items.select(
+        F.col(id_col).alias("doc"), F.col(item_col).alias("tok")
+    ).distinct()
+    # corpus df per item — vocabulary-sized aggregate
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(tok_df, "tok")
+    w_doc = Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("tok").asc())
+    sized = ranked.withColumn("rn", F.row_number().over(w_doc)).withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+    )
+    # prefix length = sz - ceil(t*sz) + 1, integer-exact:
+    # ceil(t_pct*sz/100) = (t_pct*sz + 99) div 100
+    prefix = sized.filter(
+        F.col("rn") <= F.col("sz") - F.expr(f"({t_pct} * sz + 99) div 100") + 1
+    ).select("doc", "tok", "sz")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(100 * F.col("inter") >= t_pct * F.col("un"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("un").cast("bigint").alias("un"),
+            (F.col("inter") * 1.0 / F.col("un")).alias("jaccard"),
+        )
+    )

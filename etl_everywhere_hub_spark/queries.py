@@ -6066,3 +6066,48 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+@query(
+    "q141_prefix_filter_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS un,
+           inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard>=0.8 near-dup pairs via prefix
+    filtering (operators/dedup.py:prefix_filter_jaccard_pairs) over
+    3-token shingles. The oracle is the O(n^2) all-shingle join — the
+    query proves the prefix filter drops NO qualifying pair while
+    joining only on each doc's rarest few shingles. Complements
+    MinHash (q41): exact when recall must be 1.0 (legal/compliance
+    dedup), bucketed-approximate when volume wins. Threshold check is
+    pure integer (100*inter >= 80*union); the reported ratio is one
+    IEEE division on both engines. Shingle (not token) sets because
+    this corpus's vocabulary is tiny — token sets are near-identical
+    across docs and discriminate nothing."""
+    from etl_everywhere_hub_spark.operators.dedup import (
+        doc_shingles,
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id", k=3)
+    return prefix_filter_jaccard_pairs(
+        sh, id_col="doc_id", item_col="shingle", threshold=0.8
+    )
