@@ -6111,3 +6111,134 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         sh, id_col="doc_id", item_col="shingle", threshold=0.8
     )
+
+
+@query(
+    "q142_embedding_zscore",
+    """
+    WITH el AS (
+        SELECT label,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim,
+               vec_id
+        FROM embeddings
+    ), stats AS (
+        SELECT label, dim,
+               COUNT(*) AS n,
+               SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                   / 1000000.0 AS sx,
+               SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000 + 0.5)
+                   AS BIGINT)) / 100000000.0 AS sxx
+        FROM el GROUP BY label, dim
+    )
+    SELECT e.vec_id, e.label, e.dim,
+           round((CAST(e.x AS DOUBLE) - s.sx / s.n) /
+                 sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
+    FROM el e JOIN stats s ON e.label = s.label AND e.dim = s.dim
+    WHERE e.vec_id % 50 = 0
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension z-score normalization of the embedding
+    matrix — the feature-scaling step before clustering/ANN training.
+    Moment sums fold through scaled int64 (exact, order-independent);
+    mean/variance/sqrt/divide are then single IEEE ops, identical
+    cross-engine, with a 6-decimal round guarding the subtraction's
+    cancellation sensitivity. Scale shape: stats are one shuffle on
+    (label, dim) — a |labels|×|dims| table, broadcastable at any
+    corpus size — and normalization is a map-side broadcast join back
+    onto the exploded matrix. The vec_id filter keeps the declared
+    result row-bounded; production emits all rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = el.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("x") * 1_000_000 + 0.5)) / 1_000_000.0).alias("sx"),
+        (
+            F.sum(F.floor(F.col("x") * F.col("x") * 100_000_000 + 0.5))
+            / 100_000_000.0
+        ).alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return (
+        el.filter(F.col("vec_id") % 50 == 0)
+        .join(F.broadcast(stats), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.round(
+                (F.col("x") - F.col("sx") / F.col("n")) / F.sqrt(var), 6
+            ).alias("z"),
+        )
+    )
+
+
+@query(
+    "q143_random_projection",
+    """
+    WITH el AS (
+        SELECT vec_id,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), proj AS (
+        SELECT vec_id, j,
+               CAST(SUM(
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) *
+                   (1 - 2 * (('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
+                                              CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2))
+               ) AS BIGINT) AS s
+        FROM el CROSS JOIN generate_series(1, 8) t(j)
+        GROUP BY vec_id, j
+    )
+    SELECT vec_id, j, s / 1000000.0 AS y
+    FROM proj
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to 8 dims with a
+    seed-free deterministic +-1 matrix: sign(i,j) = parity of
+    md5(i|j) — the same hash family the MinHash path uses, so the
+    'random' matrix is bit-reproducible on any engine with no RNG
+    state. Per-element contributions are scaled int64 (exact,
+    order-independent sums — a double dot product would be
+    accumulation-order-dependent under groupBy). Scale shape: one
+    explode (x8 fan-out) + one shuffle on (vec_id, j); the projection
+    matrix is never materialized — signs compute inline in codegen.
+    This is the dimensionality-reduction front of an ANN/clustering
+    pipeline (project -> bucket -> verify in full precision)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+
+    el = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("xf").cast("double") * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("x_micro"),
+    )
+    dims = spark.range(1, 9).select(F.col("id").alias("j"))
+    sign = 1 - 2 * F.pmod(
+        md5_long(
+            F.concat(F.col("i").cast("string"), F.lit("|"), F.col("j").cast("string"))
+        ),
+        F.lit(2),
+    )
+    return (
+        el.join(F.broadcast(dims))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x_micro") * sign).cast("bigint").alias("s"))
+        .select("vec_id", "j", (F.col("s") / 1_000_000.0).alias("y"))
+    )
