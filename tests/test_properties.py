@@ -193,3 +193,39 @@ def test_pack_sequences_partition_invariants(spark, docs, target):
         for r in rows:
             assert r["pack_id"] == preceding // target, (block, r)
             preceding += r["tokens_in"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    t_pct=st.sampled_from([50, 70, 80, 90]),
+)
+def test_prefix_filter_jaccard_matches_bruteforce(spark, docs, t_pct):
+    """The prefix-filter lemma must lose NO qualifying pair and admit
+    no extra pair, for any item-set geometry (identical sets, empty
+    overlaps, singleton docs) and any threshold."""
+    from etl_everywhere_hub_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [
+        Row(doc=d, tok=str(t)) for d, items in enumerate(docs) for t in set(items)
+    ]
+    items = spark.createDataFrame(rows, schema="doc int, tok string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(
+            items, id_col="doc", item_col="tok", threshold=t_pct / 100
+        ).collect()
+    }
+    sets = [set(str(t) for t in items_) for items_ in (set(d) for d in docs)]
+    want = set()
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if un and 100 * inter >= t_pct * un:
+                want.add((a, b))
+    assert got == want
