@@ -6242,3 +6242,96 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("x_micro") * sign).cast("bigint").alias("s"))
         .select("vec_id", "j", (F.col("s") / 1_000_000.0).alias("y"))
     )
+
+
+@query(
+    "q144_leakage_safe_split",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+        WHERE a.doc_id % 7 <> 0
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(id, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.id, s.dst FROM reach r JOIN sym s ON r.other = s.src
+    ), comp AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component
+        FROM documents d
+        LEFT JOIN (SELECT id, MIN(other) AS component FROM reach GROUP BY id) c
+          ON c.id = d.doc_id
+    ), folded AS (
+        SELECT doc_id, component,
+               ('0x' || substr(md5('split|' || CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                   % 10 AS cluster_fold,
+               ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10 AS doc_fold
+        FROM comp
+    )
+    SELECT cluster_fold,
+           COUNT(DISTINCT component) AS n_clusters,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_fold <> cluster_fold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rescued
+    FROM folded
+    GROUP BY cluster_fold
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every near-dup CLUSTER lands
+    whole in one fold (fold = md5 of the component id), because a
+    doc-level hash split puts duplicates of one document in different
+    folds — test-set contamination by construction. n_rescued counts
+    exactly those would-leak docs (doc-level fold != cluster fold).
+    Composition: q72's connected components (iterative min-label, one
+    shuffle per hop) -> broadcast-free fold hash -> one groupBy.
+    Isolated docs are their own component (left join, coalesce to
+    doc_id) on both engines."""
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .filter(F.col("a.doc_id") % 7 != 0)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    folded = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .select(
+            "doc_id",
+            "component",
+            F.pmod(
+                md5_long(F.concat(F.lit("split|"), F.col("component").cast("string"))),
+                F.lit(10),
+            ).alias("cluster_fold"),
+            F.pmod(
+                md5_long(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                F.lit(10),
+            ).alias("doc_fold"),
+        )
+    )
+    return folded.groupBy("cluster_fold").agg(
+        F.count_distinct("component").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_fold") != F.col("cluster_fold"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_rescued"),
+    )
