@@ -207,3 +207,25 @@ def test_featurize_is_shuffle_free(spark, sf_dir):
     """q138: scan → mapInPandas, zero exchanges."""
     df = REGISTRY["q138_multimodal_featurize"].spark(spark, sf_dir)
     assert X.exchange_count(df) == 0, X.physical_plan(df)[:2000]
+
+
+def test_new_curation_ops_stay_equi_shaped(spark, sf_dir):
+    """q139-q144: no cartesian anywhere; the self-join-shaped ops
+    (PageRank edges, prefix-filter candidates, span-dedup df join)
+    must all stay equi hash/sort-merge joins."""
+    for name in [
+        "q139_pagerank_iterations",
+        "q140_span_dedup",
+        "q141_prefix_filter_jaccard",
+        "q142_embedding_zscore",
+        "q144_leakage_safe_split",
+    ]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert not X.has_cartesian(df), f"{name}:\n{X.physical_plan(df)[:2000]}"
+
+
+def test_zscore_broadcasts_stats(spark, sf_dir):
+    """q142: the (label, dim) stats table is bounded by |labels|x|dims|
+    — it must broadcast back onto the exploded matrix."""
+    df = REGISTRY["q142_embedding_zscore"].spark(spark, sf_dir)
+    assert X.uses_broadcast_join(df), X.simple_plan(df)
