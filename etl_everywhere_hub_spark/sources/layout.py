@@ -61,3 +61,27 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     ``partition_cols`` become planning-time ``PartitionFilters`` —
     directories never listed, files never opened."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Size-governed parquet write — the small-files defense at scale.
+
+    REBALANCE (an AQE hint, honored at write time) first evens out
+    partition sizes (splitting skewed ones, coalescing tiny ones), then
+    ``maxRecordsPerFile`` caps each output file, so a 100 TB write
+    yields uniformly-sized files instead of one file per upstream
+    partition (a 16k-partition shuffle would otherwise write 16k files
+    per directory — metadata poison for every later scan)."""
+    writer = (
+        df.hint("rebalance")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

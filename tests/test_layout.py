@@ -63,3 +63,20 @@ def test_relational_hot_paths_have_no_python(spark, sf_dir):
     for name in ["q01_pricing_summary", "q17_revenue_by_nation", "q66_declination"]:
         df = REGISTRY[name].spark(spark, sf_dir)
         assert not X.has_python_eval(df), name
+
+
+def test_sized_write_caps_file_records(spark, sf_dir, tmp_path):
+    """write_sized must split output so no file exceeds
+    maxRecordsPerFile — the small-files/huge-files hygiene knob."""
+    import glob
+
+    from etl_everywhere_hub_spark.sources.layout import write_sized
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    out = str(tmp_path / "sized")
+    write_sized(orders, out, max_records_per_file=400)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= n // 400, files
+    for f in files:
+        assert spark.read.parquet(f).count() <= 400, f
