@@ -6335,3 +6335,97 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rescued"),
     )
+
+
+@query(
+    "q145_kmeans_step",
+    """
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), dists AS (
+        SELECT e.vec_id, c.cell,
+               list_reduce(
+                   list_transform(
+                       list_zip(e.embedding, c.c),
+                       s -> (CAST(struct_extract(s, 1) AS DOUBLE) -
+                             CAST(struct_extract(s, 2) AS DOUBLE)) *
+                            (CAST(struct_extract(s, 1) AS DOUBLE) -
+                             CAST(struct_extract(s, 2) AS DOUBLE))),
+                   (a, b) -> a + b) AS d2
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM dists
+        ) t WHERE rn = 1
+    ), el AS (
+        SELECT a.cell,
+               generate_subscripts(e.embedding, 1) AS dim,
+               unnest(e.embedding) AS x
+        FROM embeddings e JOIN assign a USING (vec_id)
+    )
+    SELECT cell, dim,
+           COUNT(*) AS n,
+           SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / COUNT(*) AS c_new
+    FROM el
+    GROUP BY cell, dim
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd (k-means) iteration over the embedding
+    corpus — the centroid-refinement step q129's IVF index deliberately
+    skips for reproducibility, now itself reproducible: E-step
+    distances are sequential folds over zipped arrays (bit-identical
+    in Spark F.aggregate and DuckDB list_reduce), argmin ties break on
+    cell id, and the M-step mean folds through exact scaled int64.
+    Scale shape: the 8 seed centroids broadcast; assignment is one
+    map-side pass over the corpus (cross join with a bounded tiny
+    side); the M-step is one shuffle on (cell, dim). Iterating = the
+    standard driver loop with lineage truncation (graph.py pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    cents = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.col("embedding").alias("c"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c"),
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).select("vec_id", "cell", d2.alias("d2"))
+    wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    assign = (
+        dists.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    el = (
+        emb.join(assign, "vec_id")
+        .select("cell", F.posexplode(F.col("embedding")).alias("dim0", "x"))
+        .select(
+            "cell",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("x").cast("double").alias("x"),
+        )
+    )
+    return el.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("x") * 1_000_000 + 0.5))
+            / 1_000_000.0
+            / F.count(F.lit(1))
+        ).alias("c_new"),
+    )
