@@ -6429,3 +6429,129 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("c_new"),
     )
+
+
+@query(
+    "q146_stupid_backoff_lm",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), tri AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM toks
+    ), tri3 AS (
+        SELECT doc_id, w1, w2, w3 FROM tri WHERE w3 IS NOT NULL
+    ), c123 AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n123
+        FROM tri3 WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+    ), c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+        FROM tri3 WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ), cb AS (
+        SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM tri3 WHERE doc_id % 2 = 0 GROUP BY w2, w3
+    ), c2 AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n2
+        FROM tri3 WHERE doc_id % 2 = 0 GROUP BY w2
+    ), c3 AS (
+        SELECT w3, CAST(COUNT(*) AS BIGINT) AS n3
+        FROM tri3 WHERE doc_id % 2 = 0 GROUP BY w3
+    ), consts AS (
+        SELECT (SELECT COUNT(*) FROM toks WHERE doc_id % 2 = 0) AS n_tok,
+               (SELECT COUNT(DISTINCT tok) FROM toks) AS vsize
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(floor(round(ln(
+                   CASE
+                     WHEN COALESCE(c123.n123, 0) > 0
+                       THEN CAST(c123.n123 AS DOUBLE) / CAST(c12.n12 AS DOUBLE)
+                     WHEN COALESCE(cb.nb, 0) > 0
+                       THEN 0.4 * CAST(cb.nb AS DOUBLE) / CAST(c2.n2 AS DOUBLE)
+                     ELSE 0.16 * (CAST(COALESCE(c3.n3, 0) AS DOUBLE) + 1.0)
+                          / (CAST(k.n_tok AS DOUBLE) + CAST(k.vsize AS DOUBLE))
+                   END), 9) * 1000000000 + 0.5) AS BIGINT) AS logs_u
+        FROM tri3 t
+        LEFT JOIN c123 ON t.w1 = c123.w1 AND t.w2 = c123.w2 AND t.w3 = c123.w3
+        LEFT JOIN c12  ON t.w1 = c12.w1  AND t.w2 = c12.w2
+        LEFT JOIN cb   ON t.w2 = cb.w2   AND t.w3 = cb.w3
+        LEFT JOIN c2   ON t.w2 = c2.w2
+        LEFT JOIN c3   ON t.w3 = c3.w3
+        CROSS JOIN consts k
+        WHERE t.doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           SUM(logs_u) / COUNT(*) / 1000000000.0 AS avg_logs
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Stupid-Backoff trigram LM scoring: train counts on the
+    even-doc half, score odd docs by mean log S(w3 | w1 w2) with the
+    0.4-backoff chain trigram -> bigram -> add-one unigram — unseen
+    held-out n-grams actually exercise the backoff (training and
+    scoring on the same corpus never would). Extends q116's bigram
+    filter to the KenLM-shaped scoring a CCNet-style pipeline runs.
+    Determinism: counts are exact ints, every ratio/0.4-multiply is a
+    single IEEE op, ln is quantized per trigram (round 9 -> scaled
+    int). Scale shape: one corpus explode + per-doc lead windows (one
+    doc_id shuffle); the count tables join shuffle-equi on their gram
+    keys (corpus-bounded, never broadcast-assumed); unigram/vocab
+    scalars broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    tri3 = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(wdoc).alias("w2"),
+            F.lead("tok", 2).over(wdoc).alias("w3"),
+        )
+        .filter(F.col("w3").isNotNull())
+    )
+    tri3 = tri3.persist()
+    train = tri3.filter(F.col("doc_id") % 2 == 0)
+    c123 = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    cb = train.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nb"))
+    c2 = train.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    c3 = train.groupBy("w3").agg(F.count(F.lit(1)).alias("n3"))
+    n_tok = toks.filter(F.col("doc_id") % 2 == 0).count()
+    vsize = toks.select("tok").distinct().count()
+    s = (
+        F.when(
+            F.coalesce("n123", F.lit(0)) > 0,
+            F.col("n123").cast("double") / F.col("n12").cast("double"),
+        )
+        .when(
+            F.coalesce("nb", F.lit(0)) > 0,
+            0.4 * F.col("nb").cast("double") / F.col("n2").cast("double"),
+        )
+        .otherwise(
+            0.16
+            * (F.coalesce("n3", F.lit(0)).cast("double") + 1.0)
+            / (float(n_tok) + float(vsize))
+        )
+    )
+    logs_u = F.floor(F.round(F.log(s), 9) * 1_000_000_000 + 0.5).cast("bigint")
+    scored = (
+        tri3.filter(F.col("doc_id") % 2 == 1)
+        .join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(cb, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c3, ["w3"], "left")
+        .select("doc_id", logs_u.alias("logs_u"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (F.sum("logs_u") / F.count(F.lit(1)) / 1_000_000_000.0).alias("avg_logs"),
+    )
