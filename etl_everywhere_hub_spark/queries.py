@@ -6555,3 +6555,130 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_trigrams"),
         (F.sum("logs_u") / F.count(F.lit(1)) / 1_000_000_000.0).alias("avg_logs"),
     )
+
+
+@query(
+    "q147_robust_outlier_profile",
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ), med AS (
+        SELECT source,
+               SUM(CAST(n_chars AS BIGINT)) * 1.0 / COUNT(*) AS median_chars
+        FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY source
+    ), dev AS (
+        SELECT d.source, d.doc_id, d.n_chars,
+               abs(CAST(d.n_chars AS DOUBLE) - m.median_chars) AS ad,
+               m.median_chars
+        FROM documents d JOIN med m USING (source)
+    ), devranked AS (
+        SELECT source, ad,
+               row_number() OVER (PARTITION BY source ORDER BY ad, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM dev
+    ), mad AS (
+        SELECT source,
+               SUM(CAST(floor(ad * 10 + 0.5) AS BIGINT)) / 10.0 / COUNT(*) AS mad
+        FROM devranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY source
+    )
+    SELECT v.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(v.median_chars) AS median_chars,
+           MIN(q.mad) AS mad,
+           CAST(SUM(CASE WHEN v.ad > 3 * q.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           SUM(CAST(floor(
+               CASE WHEN CAST(v.n_chars AS DOUBLE) > v.median_chars + 3 * q.mad
+                        THEN v.median_chars + 3 * q.mad
+                    WHEN CAST(v.n_chars AS DOUBLE) < v.median_chars - 3 * q.mad
+                        THEN v.median_chars - 3 * q.mad
+                    ELSE CAST(v.n_chars AS DOUBLE) END * 10 + 0.5) AS BIGINT))
+               / 10.0 / COUNT(*) AS clipped_mean
+    FROM dev v JOIN mad q USING (source)
+    GROUP BY v.source
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length profile: exact median (rank method,
+    q62), MAD (median absolute deviation — a second ranked pass over
+    deviations), 3-MAD outlier counts, and the winsorized (clipped)
+    mean — the outlier-resistant stats a curation dashboard wants when
+    document lengths are heavy-tailed. Every value is a multiple of
+    0.5 (medians of ints), so scaled-by-10 int sums are exact and
+    the whole profile is bit-identical cross-engine. Scale shape: two
+    ranked windows on the source key (source-bounded partitions) and
+    two broadcast joins of source-level scalars back onto the corpus."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("source")
+        .agg(
+            (F.sum(F.col("n_chars").cast("bigint")) * 1.0 / F.count(F.lit(1))).alias(
+                "median_chars"
+            )
+        )
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "median_chars",
+        F.abs(F.col("n_chars").cast("double") - F.col("median_chars")).alias("ad"),
+    )
+    wd = Window.partitionBy("source").orderBy(F.col("ad").asc(), F.col("doc_id").asc())
+    devranked = dev.select(
+        "source",
+        "ad",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = (
+        devranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("source")
+        .agg(
+            (F.sum(F.floor(F.col("ad") * 10 + 0.5)) / 10.0 / F.count(F.lit(1))).alias(
+                "mad"
+            )
+        )
+    )
+    x = F.col("n_chars").cast("double")
+    hi = F.col("median_chars") + 3 * F.col("mad")
+    lo = F.col("median_chars") - 3 * F.col("mad")
+    clipped = F.when(x > hi, hi).when(x < lo, lo).otherwise(x)
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("median_chars").alias("median_chars"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            (
+                F.sum(F.floor(clipped * 10 + 0.5)) / 10.0 / F.count(F.lit(1))
+            ).alias("clipped_mean"),
+        )
+    )
