@@ -219,6 +219,8 @@ def test_new_curation_ops_stay_equi_shaped(spark, sf_dir):
         "q141_prefix_filter_jaccard",
         "q142_embedding_zscore",
         "q144_leakage_safe_split",
+        "q146_stupid_backoff_lm",
+        "q147_robust_outlier_profile",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         assert not X.has_cartesian(df), f"{name}:\n{X.physical_plan(df)[:2000]}"
