@@ -28,6 +28,12 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the advisory partition SIZE, not to cluster
+    # parallelism (the Spark-docs-recommended production setting):
+    # tiny shuffles collapse to a handful of tasks instead of one per
+    # core, and at 100 TB the same rule yields ~target-sized
+    # partitions regardless of over-partitioned inputs.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF / toPandas boundaries (the only sanctioned
     # Python touchpoints).
