@@ -6682,3 +6682,94 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clipped_mean"),
         )
     )
+
+
+@query(
+    "q148_pmi_collocations",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ), bg2 AS (
+        SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL
+    ), c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg2 GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg2 GROUP BY w1
+    ), c2 AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg2 GROUP BY w2
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bg2
+    ), pmi AS (
+        SELECT c12.w1, c12.w2, c12.n12,
+               round(ln(CAST(c12.n12 AS DOUBLE) * CAST(n.nn AS DOUBLE)
+                        / (CAST(c1.n1 AS DOUBLE) * CAST(c2.n2 AS DOUBLE))), 9)
+                   AS pmi
+        FROM c12
+        JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+        WHERE c12.n12 >= 5
+    )
+    SELECT w1, w2, n12, pmi FROM (
+        SELECT w1, w2, n12, pmi,
+               row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rn
+        FROM pmi
+    ) t WHERE rn <= 50
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (pointwise mutual information over
+    adjacent bigrams, min count 5) — the classic corpus-analysis step
+    for multiword-expression discovery and tokenizer-merge candidate
+    ranking (a statistical cousin of q128's BPE pair counting).
+    Unigram/bigram count tables are vocab-bounded; PMI's ln quantizes
+    at 9 decimals with (w1, w2) tiebreaks so the global top-50 is
+    total-ordered. Scale shape: one corpus explode + one doc_id
+    window; count joins are vocab-sized; the final top-k compiles to
+    TakeOrderedAndProject (partial top-50 per partition, no global
+    sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            F.col("tok").alias("w1"), F.lead("tok").over(wdoc).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bg = bg.persist()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    nn = bg.count()
+    pmi = (
+        c12.filter(F.col("n12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * float(nn)
+                    / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        pmi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("w1", "w2", "n12", "pmi")
+    )
