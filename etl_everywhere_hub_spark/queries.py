@@ -6773,3 +6773,91 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("w1", "w2", "n12", "pmi")
     )
+
+
+@query(
+    "q149_tracks_pipeline_oracle",
+    """
+    SELECT 'inreach-' || CAST(user_id AS VARCHAR) AS id,
+           CASE WHEN event_type = 'error' THEN 'b-a-o-tbl'
+                ELSE 'a-f-G-U-U-S-X' END AS cot_type,
+           CASE WHEN event_id % 3 = 0 THEN 'trk-' || CAST(user_id AS VARCHAR)
+                ELSE 'ops-' || CAST(user_id AS VARCHAR) END AS callsign,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS time_iso,
+           epoch_ms(ts) AS time_ms,
+           CAST(CAST(floor(value * 10) AS BIGINT) AS DOUBLE) AS course,
+           user_id AS inreach_id,
+           CAST(user_id * 10 AS VARCHAR) AS inreach_device_id,
+           array_to_string(list_transform([value, value * 2.0],
+               x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+               AS coordinates,
+           event_id AS msg_id
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE webhook path, oracle-checked end to end:
+    synthesize EverywhereItem JSON bodies (deterministically from
+    events), push them through the REAL pipeline — to_json ->
+    from_json(everywhere_item_schema, FAILFAST validation, task.ts:110)
+    -> pipeline/tracks.py:transform_features (task.ts:121-143:
+    emergency CoT mapping, JS-falsy callsign coalesce, epoch-ms ISO
+    timestamps, metadata struct, geometry array) — then flatten to
+    scalars. The oracle recomputes every output directly from the base
+    columns, so a mismatch anywhere in encode -> validate -> transform
+    would surface. This is the 'a reference user can switch' proof in
+    query form; zero shuffles (pure map pipeline)."""
+    from etl_everywhere_hub_spark.pipeline.tracks import (
+        everywhere_item_schema,
+        transform_features,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    uid = F.col("user_id")
+    item = F.struct(
+        F.col("event_id").alias("msg_id"),
+        F.lit("conv-1").alias("converterId"),
+        (uid * 10).alias("deviceId"),
+        F.lit(7).cast("long").alias("teamId"),
+        uid.alias("entityId"),
+        F.lit("inReach").alias("deviceType"),
+        F.concat(F.lit("trk-"), uid.cast("string")).alias("name"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("ops-"), uid.cast("string"))
+        ).alias("alias"),
+        F.lit("GPS").alias("source"),
+        F.struct(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("time"),
+            F.floor(F.col("value") * 10).cast("long").alias("direction"),
+            F.col("event_id").alias("inboundMessageId"),
+            (F.col("event_type") == "error").alias("isEmergency"),
+            F.lit("webhook").alias("source"),
+            F.struct(
+                F.col("value").alias("x"),
+                (F.col("value") * 2.0).alias("y"),
+            ).alias("point"),
+            F.array().cast(
+                "array<struct<id:bigint,description:string,type:string>>"
+            ).alias("alertsList"),
+        ).alias("trackPoint"),
+    )
+    bodies = e.select(F.to_json(item).alias("body"))
+    items = bodies.select(
+        F.from_json(
+            F.col("body"), everywhere_item_schema(), {"mode": "FAILFAST"}
+        ).alias("it")
+    ).select("it.*")
+    feats = transform_features(items, path="webhook")
+    return feats.select(
+        "id",
+        F.col("properties.type").alias("cot_type"),
+        F.col("properties.callsign").alias("callsign"),
+        F.col("properties.time").alias("time_iso"),
+        F.col("properties.time_ms").alias("time_ms"),
+        F.col("properties.course").alias("course"),
+        F.col("properties.metadata.inreachId").alias("inreach_id"),
+        F.col("properties.metadata.inreachDeviceId").alias("inreach_device_id"),
+        _arr_csv(F.col("geometry.coordinates"), micros=True).alias("coordinates"),
+        "msg_id",
+    )
