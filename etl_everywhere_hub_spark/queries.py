@@ -6861,3 +6861,93 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arr_csv(F.col("geometry.coordinates"), micros=True).alias("coordinates"),
         "msg_id",
     )
+
+
+@query(
+    "q150_poll_pipeline_oracle",
+    f"""
+    WITH latest AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    SELECT 'inreach-' || CAST(user_id AS VARCHAR) AS id,
+           CASE WHEN event_type = 'error' THEN 'b-a-o-tbl'
+                ELSE 'a-f-G-U-U-S-X' END AS cot_type,
+           CASE WHEN event_id % 3 = 0 THEN 'trk-' || CAST(user_id AS VARCHAR)
+                ELSE 'ops-' || CAST(user_id AS VARCHAR) END AS callsign,
+           epoch_ms(ts) AS time_ms,
+           'UNKNOWN' AS inreach_device_id,
+           event_id AS msg_id
+    FROM latest
+    WHERE rn = 1
+      AND COALESCE(epoch_ms(ts), 0) >=
+          epoch_ms(TIMESTAMP '{DEVICE_CACHE_NOW}') - {DEVICE_CACHE_RETENTION_MS}
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scheduled-poll path (control(), task.ts:166-264)
+    end-to-end under oracle: same synthesized items as q149 but through
+    transform_features(path='poll') — which hard-codes
+    inreachDeviceId='UNKNOWN' (the task.ts:226 trap, preserved
+    deliberately) — then the REAL device_cache_snapshot: last-write-
+    wins per feature id (msg_id order) + TTL retention with null time
+    -> epoch 0 -> evicted. Completes both reference entry points as
+    oracle-checked queries (q149 webhook, q150 poll). One shuffle (the
+    latest-per-key window)."""
+    from etl_everywhere_hub_spark.pipeline.tracks import (
+        device_cache_snapshot,
+        everywhere_item_schema,
+        transform_features,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    item = F.struct(
+        F.col("event_id").alias("msg_id"),
+        F.lit("conv-1").alias("converterId"),
+        (uid * 10).alias("deviceId"),
+        F.lit(7).cast("long").alias("teamId"),
+        uid.alias("entityId"),
+        F.lit("inReach").alias("deviceType"),
+        F.concat(F.lit("trk-"), uid.cast("string")).alias("name"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("ops-"), uid.cast("string"))
+        ).alias("alias"),
+        F.lit("GPS").alias("source"),
+        F.struct(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("time"),
+            F.floor(F.col("value") * 10).cast("long").alias("direction"),
+            F.col("event_id").alias("inboundMessageId"),
+            (F.col("event_type") == "error").alias("isEmergency"),
+            F.lit("poll").alias("source"),
+            F.struct(
+                F.col("value").alias("x"),
+                (F.col("value") * 2.0).alias("y"),
+            ).alias("point"),
+            F.array().cast(
+                "array<struct<id:bigint,description:string,type:string>>"
+            ).alias("alertsList"),
+        ).alias("trackPoint"),
+    )
+    items = (
+        e.select(F.to_json(item).alias("body"))
+        .select(
+            F.from_json(
+                F.col("body"), everywhere_item_schema(), {"mode": "FAILFAST"}
+            ).alias("it")
+        )
+        .select("it.*")
+    )
+    feats = transform_features(items, path="poll")
+    snap = device_cache_snapshot(
+        feats, now_ms=1706659200000, retention_ms=DEVICE_CACHE_RETENTION_MS
+    )
+    return snap.select(
+        "id",
+        F.col("properties.type").alias("cot_type"),
+        F.col("properties.callsign").alias("callsign"),
+        F.col("properties.time_ms").alias("time_ms"),
+        F.col("properties.metadata.inreachDeviceId").alias("inreach_device_id"),
+        "msg_id",
+    )
