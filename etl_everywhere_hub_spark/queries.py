@@ -6951,3 +6951,98 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("properties.metadata.inreachDeviceId").alias("inreach_device_id"),
         "msg_id",
     )
+
+
+@query(
+    "q151_trajectory_similarity",
+    """
+    WITH pts AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(value * 2.0 * 1000000 + 0.5) AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ), sampled AS (
+        SELECT p.user_id, j.j, p.x, p.y
+        FROM pts p
+        JOIN generate_series(1, 8) j(j)
+          ON p.rn = CAST(floor((j.j - 1) * (p.n - 1) / 7.0) AS BIGINT) + 1
+        WHERE p.n >= 8
+    ), pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_micro
+        FROM sampled a JOIN sampled b
+          ON a.j = b.j AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING COUNT(*) = 8
+    )
+    SELECT user_a, user_b, d2_micro FROM (
+        SELECT user_a, user_b, d2_micro,
+               row_number() OVER (ORDER BY d2_micro ASC, user_a ASC, user_b ASC)
+                   AS rn
+        FROM pairs
+    ) t WHERE rn <= 20
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar entity trajectories — the GPS-track
+    similarity search the retrieved trajectory papers (PAPERS.md:
+    REPOSE ICDE'21, streaming-similarity EDBT'19) distribute: each
+    entity's track resamples to 8 evenly-spaced points (pure integer
+    rank arithmetic), similarity is L2 over the resampled signature in
+    exact micro-int coordinates, and the pair join is keyed on the
+    sample index. At fleet scale the all-pairs stage blocks on a
+    coarse grid cell of the track centroid first (the q127 pattern)
+    bounding candidates by spatial density; entity counts are
+    dimension-like here, so the declared form pairs directly. Ties
+    total-order on (d2, user_a, user_b)."""
+    e = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("user_id")
+    pts = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("value") * 2.0 * 1_000_000 + 0.5).cast("bigint").alias("y"),
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).filter(F.col("n") >= 8)
+    js = spark.range(1, 9).select(F.col("id").alias("j"))
+    sampled = pts.join(
+        F.broadcast(js),
+        F.col("rn") == (F.floor((F.col("j") - 1) * (F.col("n") - 1) / 7) + 1),
+    ).select("user_id", "j", "x", "y")
+    a, b = sampled.alias("a"), sampled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+                + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+            )
+            .cast("bigint")
+            .alias("d2_micro"),
+            F.count(F.lit(1)).alias("nj"),
+        )
+        .filter(F.col("nj") == 8)
+        .drop("nj")
+    )
+    w = Window.orderBy(
+        F.col("d2_micro").asc(), F.col("user_a").asc(), F.col("user_b").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("user_a", "user_b", "d2_micro")
+    )
