@@ -7046,3 +7046,76 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("user_a", "user_b", "d2_micro")
     )
+
+
+@query(
+    "q152_track_length",
+    """
+    WITH pts AS (
+        SELECT user_id,
+               CAST(event_id % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat,
+               CAST(event_id % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon,
+               ts, event_id
+        FROM events
+    ), seg AS (
+        SELECT user_id,
+               lag(lat) OVER w AS lat1, lag(lon) OVER w AS lon1,
+               lat AS lat2, lon AS lon2
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), d AS (
+        SELECT user_id,
+               CAST(floor(round(
+                   2.0 * 6371.0088 * asin(sqrt(
+                       pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
+                       + cos(radians(lat1)) * cos(radians(lat2))
+                         * pow(sin((radians(lon2) - radians(lon1)) / 2), 2)
+                   )), 6) * 1000000 + 0.5) AS BIGINT) AS seg_micro
+        FROM seg WHERE lat1 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(seg_micro) AS BIGINT) / 1000000.0 AS track_km
+    FROM d GROUP BY user_id
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity great-circle track length — the geometry surface (F2,
+    functions/geo.py:haversine_km_col) under the full oracle. The
+    haversine runs as a pure Column expression inside whole-stage
+    codegen (the production path; the pandas-UDF twin exists for
+    parity tests). Transcendental engine drift is absorbed by the
+    repo's standard rule: round each segment at 6 decimals, quantize
+    to micro-int, sum exactly. One shuffle (the per-entity window);
+    coordinates synthesize deterministically from event ids so both
+    engines see identical doubles."""
+    from etl_everywhere_hub_spark.functions.geo import haversine_km_col
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        ((F.col("event_id") % 9000).cast("double") / 100.0 - 45.0).alias("lat"),
+        ((F.col("event_id") % 18000).cast("double") / 100.0 - 90.0).alias("lon"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seg = pts.select(
+        "user_id",
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    ).filter(F.col("lat1").isNotNull())
+    km = haversine_km_col(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+    )
+    seg_micro = F.floor(F.round(km, 6) * 1_000_000 + 0.5).cast("bigint")
+    return (
+        seg.select("user_id", seg_micro.alias("seg_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (F.sum("seg_micro").cast("bigint") / 1_000_000.0).alias("track_km"),
+        )
+    )
