@@ -7119,3 +7119,84 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("seg_micro").cast("bigint") / 1_000_000.0).alias("track_km"),
         )
     )
+
+
+@query(
+    "q153_bearing_sectors",
+    """
+    WITH pts AS (
+        SELECT user_id,
+               CAST(event_id % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat,
+               CAST(event_id % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon,
+               ts, event_id
+        FROM events
+    ), seg AS (
+        SELECT user_id,
+               lag(lat) OVER w AS lat1, lag(lon) OVER w AS lon1,
+               lat AS lat2, lon AS lon2
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), b AS (
+        SELECT user_id,
+               round(degrees(atan2(
+                   sin(radians(lon2) - radians(lon1)) * cos(radians(lat2)),
+                   cos(radians(lat1)) * sin(radians(lat2))
+                   - sin(radians(lat1)) * cos(radians(lat2))
+                     * cos(radians(lon2) - radians(lon1))
+               )) + 180.0, 6) AS brg
+        FROM seg WHERE lat1 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(CASE WHEN floor(brg / 45.0) >= 8 THEN 7
+                     ELSE floor(brg / 45.0) END AS INTEGER) AS sector,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity movement-direction profile: initial great-circle
+    bearing per track segment, binned into eight 45-degree sectors —
+    the course/heading analytics the reference's CoT consumers render
+    (properties.course, task.ts:131). atan2's last-ulp engine drift is
+    absorbed by rounding the shifted bearing (0..360) at 6 decimals
+    BEFORE binning, so the floor can't see sub-rounding differences;
+    the 360.0 edge folds into sector 7. Map-side trig in codegen; one
+    window shuffle + one aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        ((F.col("event_id") % 9000).cast("double") / 100.0 - 45.0).alias("lat"),
+        ((F.col("event_id") % 18000).cast("double") / 100.0 - 90.0).alias("lon"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seg = pts.select(
+        "user_id",
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    ).filter(F.col("lat1").isNotNull())
+    rlat1, rlat2 = F.radians("lat1"), F.radians("lat2")
+    dlon = F.radians("lon2") - F.radians("lon1")
+    brg = F.round(
+        F.degrees(
+            F.atan2(
+                F.sin(dlon) * F.cos(rlat2),
+                F.cos(rlat1) * F.sin(rlat2)
+                - F.sin(rlat1) * F.cos(rlat2) * F.cos(dlon),
+            )
+        )
+        + 180.0,
+        6,
+    )
+    sector = F.when(F.floor(brg / 45.0) >= 8, F.lit(7)).otherwise(
+        F.floor(brg / 45.0)
+    ).cast("int")
+    return (
+        seg.select("user_id", sector.alias("sector"))
+        .groupBy("user_id", "sector")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
