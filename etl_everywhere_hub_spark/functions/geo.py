@@ -137,3 +137,22 @@ def haversine_km_col(lon1, lat1, lon2, lat2):
         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
     )
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def destination_point_col(lon, lat, bearing_deg, dist_km):
+    """Destination point as pure Column trig — the codegen production
+    twin of destination_point's pandas UDF (same spherical formula;
+    the UDF stays for parity testing). Returns struct<lon, lat>."""
+    p1 = F.radians(lat)
+    l1 = F.radians(lon)
+    brng = F.radians(bearing_deg)
+    d = dist_km / EARTH_RADIUS_KM
+    p2 = F.asin(
+        F.sin(p1) * F.cos(d) + F.cos(p1) * F.sin(d) * F.cos(brng)
+    )
+    l2 = l1 + F.atan2(
+        F.sin(brng) * F.sin(d) * F.cos(p1),
+        F.cos(d) - F.sin(p1) * F.sin(p2),
+    )
+    lon_out = (F.degrees(l2) + 540.0) % 360.0 - 180.0
+    return F.struct(lon_out.alias("lon"), F.degrees(p2).alias("lat"))

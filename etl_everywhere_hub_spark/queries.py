@@ -7200,3 +7200,66 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sector")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q154_destination_projection",
+    """
+    WITH latest AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), base AS (
+        SELECT user_id,
+               CAST(event_id % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat,
+               CAST(event_id % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon,
+               CAST(event_id % 360 AS DOUBLE) AS brg,
+               CAST(user_id % 50 + 10 AS DOUBLE) AS dist_km
+        FROM latest WHERE rn = 1
+    )
+    SELECT user_id,
+           round((degrees(radians(lon) + atan2(
+                 sin(radians(brg)) * sin(dist_km / 6371.0088) * cos(radians(lat)),
+                 cos(dist_km / 6371.0088)
+                 - sin(radians(lat)) * sin(asin(
+                       sin(radians(lat)) * cos(dist_km / 6371.0088)
+                       + cos(radians(lat)) * sin(dist_km / 6371.0088)
+                         * cos(radians(brg))))
+             )) + 540.0) % 360.0 - 180.0, 6) AS dest_lon,
+           round(degrees(asin(
+               sin(radians(lat)) * cos(dist_km / 6371.0088)
+               + cos(radians(lat)) * sin(dist_km / 6371.0088) * cos(radians(brg))
+           )), 6) AS dest_lat
+    FROM base
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward position projection (turf `destination` semantics, F2):
+    each device's latest position projected dist_km along its course —
+    the geofence-anticipation op a TAK consumer runs on the
+    reference's course field. Uses the new Column-trig
+    destination_point_col (codegen; the pandas UDF twin remains for
+    parity), outputs rounded at 6 decimals per the transcendental
+    rule. One latest-per-key window, then pure map-side trig."""
+    from etl_everywhere_hub_spark.functions.geo import destination_point_col
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    base = latest.select(
+        "user_id",
+        ((F.col("event_id") % 9000).cast("double") / 100.0 - 45.0).alias("lat"),
+        ((F.col("event_id") % 18000).cast("double") / 100.0 - 90.0).alias("lon"),
+        (F.col("event_id") % 360).cast("double").alias("brg"),
+        (F.col("user_id") % 50 + 10).cast("double").alias("dist_km"),
+    )
+    dest = destination_point_col(
+        F.col("lon"), F.col("lat"), F.col("brg"), F.col("dist_km")
+    )
+    return base.select(
+        "user_id",
+        F.round(dest.getField("lon"), 6).alias("dest_lon"),
+        F.round(dest.getField("lat"), 6).alias("dest_lat"),
+    )
