@@ -7263,3 +7263,97 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dest.getField("lon"), 6).alias("dest_lon"),
         F.round(dest.getField("lat"), 6).alias("dest_lat"),
     )
+
+
+@query(
+    "q155_dwell_detection",
+    """
+    WITH pts AS (
+        SELECT user_id,
+               CAST(event_id % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat,
+               CAST(event_id % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon,
+               ts, event_id
+        FROM events
+    ), seg AS (
+        SELECT user_id, ts, event_id,
+               lag(lat) OVER w AS lat1, lag(lon) OVER w AS lon1,
+               lat AS lat2, lon AS lon2
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN round(
+                   2.0 * 6371.0088 * asin(sqrt(
+                       pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
+                       + cos(radians(lat1)) * cos(radians(lat2))
+                         * pow(sin((radians(lon2) - radians(lon1)) / 2), 2)
+                   )), 6) < 2000.0 THEN 1 ELSE 0 END AS dwell
+        FROM seg WHERE lat1 IS NOT NULL
+    ), runs AS (
+        SELECT user_id, dwell,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, dwell
+                                    ORDER BY ts, event_id) AS grp
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_dwell_episodes,
+           CAST(COUNT(*) AS BIGINT) AS n_dwell_segments
+    FROM runs
+    WHERE dwell = 1
+    GROUP BY user_id
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection — the classic trajectory-mining
+    op: consecutive track segments shorter than a radius are 'dwell',
+    and maximal runs of dwell segments (gaps-and-islands via the
+    double-row_number difference) are episodes. The synthesized
+    coordinates hop hundreds of km, so the dwell radius is 2000 km —
+    the CONTRACT is the run-collapse algebra, not the constant, which
+    a real deployment sets to tens of meters. Segment lengths round at
+    6 decimals before the threshold compare (transcendental rule).
+    Two window passes on the same (user) key — one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    from etl_everywhere_hub_spark.functions.geo import haversine_km_col
+
+    pts = e.select(
+        "user_id",
+        ((F.col("event_id") % 9000).cast("double") / 100.0 - 45.0).alias("lat"),
+        ((F.col("event_id") % 18000).cast("double") / 100.0 - 90.0).alias("lon"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seg = pts.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    ).filter(F.col("lat1").isNotNull())
+    km = F.round(
+        haversine_km_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")),
+        6,
+    )
+    flagged = seg.select(
+        "user_id", "ts", "event_id", F.when(km < 2000.0, 1).otherwise(0).alias("dwell")
+    )
+    wd = Window.partitionBy("user_id", "dwell").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    runs = flagged.select(
+        "user_id",
+        "dwell",
+        (F.row_number().over(w) - F.row_number().over(wd)).alias("grp"),
+    )
+    return (
+        runs.filter(F.col("dwell") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("grp").alias("n_dwell_episodes"),
+            F.count(F.lit(1)).alias("n_dwell_segments"),
+        )
+    )
