@@ -6953,6 +6953,35 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resample8(e: DataFrame) -> DataFrame:
+    """8-point evenly-spaced track signature in exact micro-int
+    coordinates (shared by q151 / q156): rank arithmetic picks sample
+    rows, so both engines select identical points bit-for-bit."""
+    wp = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("user_id")
+    pts = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("value") * 2.0 * 1_000_000 + 0.5).cast("bigint").alias("y"),
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).filter(F.col("n") >= 8)
+    # explode the 8 sample indexes per candidate row and keep the rows
+    # whose rank is a sample target — pure Generate + Filter, no join
+    # (the rank condition mixes both sides, so expressing it as a join
+    # would degenerate to a nested-loop)
+    return (
+        pts.withColumn("j0", F.explode(F.sequence(F.lit(1), F.lit(8))))
+        .withColumn("j", F.col("j0").cast("long"))
+        .filter(
+            F.col("rn") == (F.floor((F.col("j") - 1) * (F.col("n") - 1) / 7) + 1)
+        )
+        .select("user_id", "j", "x", "y")
+    )
+
+
 @query(
     "q151_trajectory_similarity",
     """
@@ -6997,25 +7026,11 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample index. At fleet scale the all-pairs stage blocks on a
     coarse grid cell of the track centroid first (the q127 pattern)
     bounding candidates by spatial density; entity counts are
-    dimension-like here, so the declared form pairs directly. Ties
-    total-order on (d2, user_a, user_b)."""
+    dimension-like here, so the declared form pairs directly — this
+    is the ORACLE twin; q156 is the grid-blocked engine path that
+    survives fleet scale. Ties total-order on (d2, user_a, user_b)."""
     e = load_table(spark, sf_dir, "events")
-    wp = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    wn = Window.partitionBy("user_id")
-    pts = e.select(
-        "user_id",
-        F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
-        F.floor(F.col("value") * 2.0 * 1_000_000 + 0.5).cast("bigint").alias("y"),
-        F.row_number().over(wp).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    ).filter(F.col("n") >= 8)
-    js = spark.range(1, 9).select(F.col("id").alias("j"))
-    sampled = pts.join(
-        F.broadcast(js),
-        F.col("rn") == (F.floor((F.col("j") - 1) * (F.col("n") - 1) / 7) + 1),
-    ).select("user_id", "j", "x", "y")
+    sampled = _resample8(e)
     a, b = sampled.alias("a"), sampled.alias("b")
     pairs = (
         a.join(
@@ -7356,4 +7371,131 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("grp").alias("n_dwell_episodes"),
             F.count(F.lit(1)).alias("n_dwell_segments"),
         )
+    )
+
+
+@query(
+    "q156_trajectory_radius_join",
+    """
+    WITH pts AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(value * 2.0 * 1000000 + 0.5) AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ), sampled AS (
+        SELECT p.user_id, j.j, p.x, p.y
+        FROM pts p
+        JOIN generate_series(1, 8) j(j)
+          ON p.rn = CAST(floor((j.j - 1) * (p.n - 1) / 7.0) AS BIGINT) + 1
+        WHERE p.n >= 8
+    ), pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_micro
+        FROM sampled a JOIN sampled b
+          ON a.j = b.j AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING COUNT(*) = 8
+    )
+    SELECT user_a, user_b, d2_micro FROM pairs
+    WHERE d2_micro <= 15000000000000000
+    """,
+    headline=True,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked trajectory radius join — the SCALE-SAFE engine
+    path for q151's fleet question ("which entity tracks move alike"),
+    radius-bounded as production similarity joins are. The oracle is
+    the brute-force all-pairs form; the engine never pairs all
+    entities:
+
+    1. each track resamples to the same 8-point micro-int signature
+       (``_resample8``), pivoted to one row per entity with xs/ys
+       arrays — one groupBy shuffle, map-side combined;
+    2. entities bucket by track-centroid grid cell. Blocking is
+       LOSSLESS by convexity: mean squared pointwise distance >=
+       squared centroid distance, so d2 <= D2 implies the centroids
+       lie within cell = ceil(sqrt(D2/8)) micro-units, i.e. in the
+       same or adjacent cells. Centroids are compared via their exact
+       integer coordinate SUMS (cell scaled by 8) so no float rounding
+       can misplace a boundary centroid;
+    3. one side explodes to its 3x3 cell neighborhood (the q127
+       pattern, queries.py:q127) and the pair join is an EQUI join on
+       the cell key — shuffle parallelism scales with the number of
+       occupied cells, never capped at the 8 sample indexes like the
+       oracle twin's join, and cost is O(n * cell density), not O(n^2);
+    4. exact L2^2 over the 8-point signatures (zip_with/aggregate,
+       all codegen) filters collision pairs to true neighbors. Each
+       qualifying pair is found exactly once (the unexploded side
+       owns one cell; user_a < user_b orients the pair).
+
+    At 100 TB the signature shuffle is the only full-data pass;
+    candidate volume is bounded by spatial density exactly like the
+    LSH band join bounds dedup candidates. tests/test_plans.py pins
+    the plan shape (equi join on the cell key, no cartesian)."""
+    D2 = 15_000_000_000_000_000  # radius^2, micro-int units
+    cell = 43_301_271  # ceil(sqrt(D2 / 8))
+    m = 8 * cell  # grid pitch in coordinate-SUM space (sum of 8 points)
+    e = load_table(spark, sf_dir, "events")
+    sig = (
+        _resample8(e)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("j", "x", "y"))).alias("s"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.count(F.lit(1)).alias("nj"),
+        )
+        .filter(F.col("nj") == 8)
+        .select(
+            "user_id",
+            F.transform("s", lambda r: r["x"]).alias("xs"),
+            F.transform("s", lambda r: r["y"]).alias("ys"),
+            # exact integer floor-division: (sx - pmod(sx, m)) is a
+            # multiple of m, so the double divide is exact
+            ((F.col("sx") - F.pmod(F.col("sx"), F.lit(m))) / F.lit(m))
+            .cast("long")
+            .alias("gx"),
+            ((F.col("sy") - F.pmod(F.col("sy"), F.lit(m))) / F.lit(m))
+            .cast("long")
+            .alias("gy"),
+        )
+    )
+    neighborhood = (
+        sig.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("xs").alias("xs_a"),
+            F.col("ys").alias("ys_a"),
+            (F.col("gx") + F.col("dx")).alias("jx"),
+            (F.col("gy") + F.col("dy")).alias("jy"),
+        )
+    )
+    anchors = sig.select(
+        F.col("user_id").alias("user_b"),
+        F.col("xs").alias("xs_b"),
+        F.col("ys").alias("ys_b"),
+        F.col("gx").alias("jx"),
+        F.col("gy").alias("jy"),
+    )
+    sq = lambda p, q: (p - q) * (p - q)  # noqa: E731
+    d2 = F.aggregate(
+        F.zip_with("xs_a", "xs_b", sq),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ) + F.aggregate(
+        F.zip_with("ys_a", "ys_b", sq),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        neighborhood.join(anchors, ["jx", "jy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .withColumn("d2_micro", d2)
+        .filter(F.col("d2_micro") <= F.lit(D2))
+        .select("user_a", "user_b", "d2_micro")
     )

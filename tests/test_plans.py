@@ -231,3 +231,28 @@ def test_zscore_broadcasts_stats(spark, sf_dir):
     — it must broadcast back onto the exploded matrix."""
     df = REGISTRY["q142_embedding_zscore"].spark(spark, sf_dir)
     assert X.uses_broadcast_join(df), X.simple_plan(df)
+
+
+def test_q156_trajectory_join_is_grid_blocked(spark, sf_dir):
+    """The scale-safe trajectory radius join must pair entities via an
+    EQUI join keyed on the centroid grid cell (jx, jy) — parallelism
+    scales with occupied cells — and must NOT reintroduce q151's
+    all-pairs shape (a join keyed only on the 8-value sample index,
+    which caps shuffle parallelism at 8 and does O(n^2) work)."""
+    df = REGISTRY["q156_trajectory_radius_join"].spark(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert not X.has_cartesian(df), plan[:2000]
+    # the pair join is an equi join keyed on the grid cell (jx, jy) —
+    # broadcast at fixture scale (AQE's right call for a small side),
+    # shuffled-on-the-cell-key at fleet scale; either way the join
+    # keys are the cell coordinates
+    import re
+
+    join_keys = re.findall(r"HashJoin \[([^\]]*)\]", plan)
+    assert any(k.startswith("jx#") for k in join_keys), plan[:3000]
+    # and never the sample index alone: no join or exchange keyed on
+    # j (q151's 8-value key that caps parallelism at 8)
+    for k in join_keys:
+        assert not k.startswith("j#"), f"pair join keyed on sample index:\n{plan[:3000]}"
+    for seg in plan.split("hashpartitioning(")[1:]:
+        assert not seg.split(")")[0].strip().startswith("j#"), plan[:3000]
