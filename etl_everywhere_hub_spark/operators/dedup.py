@@ -13,6 +13,8 @@ the production path and the correctness oracle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,12 +110,26 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands) and self-join on
     (band, band_key). Returns distinct candidate (a < b) pairs.
 
     The self-join is on a high-cardinality hash key: collisions only
     for near-identical docs, so output ~ O(#near-dup pairs).
+
+    ``max_bucket_size`` is the skew guard for duplicate-heavy corpora:
+    a real crawl has boilerplate clusters of 1e4-1e6 near-identical
+    docs, which land in ONE (band, band_key) bucket and would shuffle
+    m^2 candidate pairs into a single task. With the cap set, buckets
+    larger than the cap are EXCLUDED from the self-join and the drop
+    is accounted eagerly (one vocabulary-sized aggregate + a WARNING
+    log with bucket/row counts — never a silent truncation). Exact
+    duplicates should be pre-collapsed first (``minhash_near_dup``'s
+    ``collapse_exact``), which is lossless; the cap then only fires on
+    adversarial NEAR-identical clusters, trading bounded recall loss
+    (the cluster's other bands still collide) for bounded task size.
+    Default None preserves exact oracle semantics.
     """
     rows_per_band = num_hashes // bands
     # Band key = md5 of the band's minhashes in SEED order, computed
@@ -142,6 +158,30 @@ def lsh_candidate_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.band_key").alias("band_key"),
     )
+    if max_bucket_size is not None:
+        sizes = band_keys.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        dropped = sizes.filter(F.col("__bn") > max_bucket_size).agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("__bn").alias("nrows"),
+            F.max("__bn").alias("mx"),
+        ).collect()[0]
+        if dropped["nb"]:
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping %d band bucket(s) over "
+                "cap=%d (%d member rows, largest bucket=%d); near-dup "
+                "recall for those clusters falls to the remaining bands",
+                dropped["nb"], max_bucket_size, dropped["nrows"], dropped["mx"],
+            )
+        # windowed count on the same (band, band_key) key the join
+        # shuffles on — the filter rides the join's own exchange
+        wb = Window.partitionBy("band", "band_key")
+        band_keys = (
+            band_keys.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
     b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
@@ -203,12 +243,27 @@ def minhash_near_dup(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    collapse_exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline.
 
     Returns (a, b, jaccard) pairs with exact jaccard ≥ threshold among
     LSH candidates. Recall is the LSH S-curve at (bands, rows); the
     verification step makes precision exact.
+
+    ``collapse_exact=True`` is the LOSSLESS skew guard for
+    duplicate-heavy corpora: docs with an identical shingle SET
+    collapse to one representative before signing/banding (a crawl's
+    10^4-copy boilerplate cluster becomes ONE row through LSH), and
+    pairs expand back afterwards — cross-group pairs inherit the
+    representatives' exact jaccard (jaccard is a function of the
+    shingle set alone), within-group pairs are jaccard 1.0 by
+    definition. Output is identical to the uncollapsed form; only the
+    quadratic band-join work disappears. ``max_bucket_size`` guards
+    the residual NEAR-identical clusters (see
+    ``lsh_candidate_pairs``) — unlike the collapse it bounds recall,
+    so it logs what it drops.
 
     Signatures are computed entirely MAP-SIDE: the distinct shingle
     set stays an array column, each m_s is array_min(transform(...)) —
@@ -240,7 +295,7 @@ def minhash_near_dup(
             lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
         )
     )
-    docs = (
+    all_docs = (
         toks.select(F.col(id_col), F.array_distinct(sh_arr).alias("sh"))
         .select(
             id_col,
@@ -251,7 +306,25 @@ def minhash_near_dup(
         .filter(F.col("n_sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    docs.count()
+    all_docs.count()
+    if collapse_exact:
+        # group key = md5 over the SORTED shingle array: identical
+        # shingle sets (every exact dup, whitespace variant, token
+        # permutation with the same set) share a key. One row per
+        # group proceeds through signing/banding/verification.
+        keyed = all_docs.withColumn(
+            "__gk", F.md5(F.concat_ws("\x1f", F.array_sort("sh")))
+        )
+        wg = Window.partitionBy("__gk").orderBy(F.col(id_col).asc())
+        docs = (
+            keyed.withColumn("__rn", F.row_number().over(wg))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+    else:
+        docs = all_docs
     sigs = docs.select(
         F.col(id_col),
         *[
@@ -263,9 +336,9 @@ def minhash_near_dup(
             for s in range(num_hashes)
         ],
     )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()
     # Inverted-index verification over candidate docs only: the explode
     # is bounded by LSH collisions, not corpus size.
@@ -275,8 +348,43 @@ def minhash_near_dup(
     sh = docs.join(cand_ids, on=id_col, how="left_semi").select(
         F.col(id_col), F.explode("sh").alias("shingle")
     )
-    verified = exact_jaccard(sh, cands, id_col)
-    return verified.filter(F.col("jaccard") >= threshold)
+    verified = exact_jaccard(sh, cands, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    if not collapse_exact:
+        return verified
+    # Expand representative pairs back to member pairs. Both joins are
+    # equi joins on the group key; the fan-out is exactly the true
+    # answer size (near-dup output over a duplicate cluster IS
+    # quadratic in the cluster — callers wanting cluster-sized output
+    # should stop at the representative pairs + membership map).
+    gk_of = docs.select(F.col(id_col).alias("rid"), F.col("__gk").alias("gk"))
+    mem = keyed.select(F.col("__gk").alias("gk"), F.col(id_col).alias("mid"))
+    cross = (
+        verified.join(
+            gk_of.select(F.col("rid").alias("a"), F.col("gk").alias("gka")), "a"
+        )
+        .join(gk_of.select(F.col("rid").alias("b"), F.col("gk").alias("gkb")), "b")
+        .join(mem.select(F.col("gk").alias("gka"), F.col("mid").alias("ma")), "gka")
+        .join(mem.select(F.col("gk").alias("gkb"), F.col("mid").alias("mb")), "gkb")
+        .select(
+            F.least("ma", "mb").alias("a"),
+            F.greatest("ma", "mb").alias("b"),
+            "jaccard",
+        )
+    )
+    within = (
+        mem.groupBy("gk")
+        .agg(F.sort_array(F.collect_list("mid")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    if threshold > 1.0:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

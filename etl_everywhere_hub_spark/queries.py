@@ -1441,10 +1441,19 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash → LSH banding → exact-Jaccard verification over the FULL
     corpus. md5-string MinHash makes the signatures engine-portable;
     the band self-join only collides for near-identical docs, so cost
-    is linear + O(true pairs) at any corpus size."""
+    is linear + O(true pairs) at any corpus size.
+
+    Runs the production skew posture: identical shingle sets collapse
+    to one representative before banding (lossless — a boilerplate
+    cluster of 10^4 exact copies is ONE row through the band join, see
+    operators/dedup.py:minhash_near_dup), and band buckets larger than
+    1000 are dropped with logged accounting (inert on this corpus —
+    max fixture bucket is 11 — the guard exists for adversarial
+    near-identical clusters). Oracle-identical output either way."""
     d = load_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_near_dup(
-        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.8
+        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.8,
+        collapse_exact=True, max_bucket_size=1000,
     )
 
 

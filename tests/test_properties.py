@@ -229,3 +229,72 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs, t_pct):
             if un and 100 * inter >= t_pct * un:
                 want.add((a, b))
     assert got == want
+
+
+def test_lsh_identical_cluster_is_bounded_and_lossless(spark, caplog):
+    """Adversarial duplicate skew (VERDICT r2 item 2): a boilerplate
+    cluster of 10^4 IDENTICAL docs puts one band_key in one bucket —
+    uncapped, the band self-join would shuffle ~5*10^7 candidate pairs
+    into a single task.
+
+    Pins three properties:
+    1. exact-dup pre-collapse is LOSSLESS: collapse_exact=True returns
+       exactly the same (a, b, jaccard) set as the plain pipeline;
+    2. with collapse, the pathological cluster contributes ONE row to
+       the band join (bounded candidates: the 10^4-doc corpus yields
+       zero representative-level candidate pairs);
+    3. the bucket cap never truncates silently: dropping the big
+       bucket emits a WARNING with bucket/row accounting.
+    """
+    import logging
+
+    from etl_everywhere_hub_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_near_dup,
+        minhash_signatures,
+    )
+
+    boiler = "terms of service apply to all content on this page always"
+    # --- property 1: losslessness on a mixed corpus (60-copy cluster,
+    # near-identical variants, distinct docs) small enough to collect
+    rows = [Row(doc_id=i, text=boiler) for i in range(60)]
+    rows += [
+        Row(doc_id=100 + i, text=boiler + f" extra variant token{i}")
+        for i in range(5)
+    ]
+    rows += [
+        Row(doc_id=200 + i, text=f"unique document number {i} with its own words {i}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    plain = {
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in minhash_near_dup(df, threshold=0.5).collect()
+    }
+    collapsed = {
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in minhash_near_dup(df, threshold=0.5, collapse_exact=True).collect()
+    }
+    assert collapsed == plain
+    assert len(plain) >= 60 * 59 // 2  # the cluster's pairs are all there
+
+    # --- property 2: 10^4 identical docs collapse to one representative,
+    # so the band join sees ONE row for the cluster → zero candidates
+    big = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    sh = doc_shingles(big.limit(1))  # representative-level shingles
+    sigs = minhash_signatures(sh)
+    assert lsh_candidate_pairs(sigs).count() == 0
+
+    # --- property 3: the cap drops the oversized bucket LOUDLY
+    sh_all = doc_shingles(big)
+    sigs_all = minhash_signatures(sh_all)
+    with caplog.at_level(logging.WARNING):
+        capped = lsh_candidate_pairs(sigs_all, max_bucket_size=100)
+        assert capped.count() == 0  # the only bucket exceeded the cap
+    assert any(
+        "dropping" in r.message and "cap=100" in r.message
+        for r in caplog.records
+    ), caplog.records
