@@ -7508,3 +7508,94 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d2_micro") <= F.lit(D2))
         .select("user_a", "user_b", "d2_micro")
     )
+
+
+@query(
+    "q157_tak_protobuf_codec",
+    """
+    SELECT 'inreach-' || CAST(user_id AS VARCHAR) AS uid,
+           CASE WHEN event_type = 'error' THEN 'b-a-o-tbl'
+                ELSE 'a-f-G-U-U-S-X' END AS cot_type,
+           'm-g' AS how,
+           epoch_ms(ts) AS send_ms,
+           epoch_ms(ts) + 3600000 AS stale_ms,
+           CASE WHEN event_id % 3 = 0 THEN 'trk-' || CAST(user_id AS VARCHAR)
+                ELSE 'ops-' || CAST(user_id AS VARCHAR) END AS callsign,
+           CAST(floor(value * 2.0 * 1000000 + 0.5) AS BIGINT) AS lat_micro,
+           CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS lon_micro
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 completion under oracle: the TAK protobuf codec
+    (pipeline/takproto.py — the reference framework's protobuf-first
+    CoT transport, package-lock.json:1581 protobufjs) exercised END TO
+    END on the fixture: synthesize EverywhereItems (q149's shape),
+    transform_features, ENCODE every feature to TAK protocol v1 bytes
+    (mesh-framed TakMessage), DECODE back, flatten to scalars. The
+    oracle recomputes each field directly from the base columns, so a
+    single mis-tagged varint, wrong wire type, or lat/lon swap in the
+    codec mismatches the hash. Doubles survive bit-exactly
+    (fixed64 <-> IEEE754), timestamps ride as uint64 millis. The codec
+    itself is Arrow-batched pandas-UDF work — genuinely Python-side
+    byte packing, never row-at-a-time."""
+    from etl_everywhere_hub_spark.pipeline.takproto import (
+        from_tak_protobuf,
+        to_tak_protobuf,
+    )
+    from etl_everywhere_hub_spark.pipeline.tracks import (
+        everywhere_item_schema,
+        transform_features,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    uid = F.col("user_id")
+    item = F.struct(
+        F.col("event_id").alias("msg_id"),
+        F.lit("conv-1").alias("converterId"),
+        (uid * 10).alias("deviceId"),
+        F.lit(7).cast("long").alias("teamId"),
+        uid.alias("entityId"),
+        F.lit("inReach").alias("deviceType"),
+        F.concat(F.lit("trk-"), uid.cast("string")).alias("name"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("ops-"), uid.cast("string"))
+        ).alias("alias"),
+        F.lit("GPS").alias("source"),
+        F.struct(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("time"),
+            F.floor(F.col("value") * 10).cast("long").alias("direction"),
+            F.col("event_id").alias("inboundMessageId"),
+            (F.col("event_type") == "error").alias("isEmergency"),
+            F.lit("webhook").alias("source"),
+            F.struct(
+                F.col("value").alias("x"),
+                (F.col("value") * 2.0).alias("y"),
+            ).alias("point"),
+            F.array().cast(
+                "array<struct<id:bigint,description:string,type:string>>"
+            ).alias("alertsList"),
+        ).alias("trackPoint"),
+    )
+    items = (
+        e.select(F.to_json(item).alias("body"))
+        .select(
+            F.from_json(
+                F.col("body"), everywhere_item_schema(), {"mode": "FAILFAST"}
+            ).alias("it")
+        )
+        .select("it.*")
+    )
+    feats = transform_features(items, path="webhook").drop("msg_id")
+    decoded = from_tak_protobuf(to_tak_protobuf(feats, stale_ms=3_600_000))
+    return decoded.select(
+        "uid",
+        "cot_type",
+        "how",
+        "send_ms",
+        "stale_ms",
+        "callsign",
+        F.floor(F.col("lat") * 1_000_000 + 0.5).cast("bigint").alias("lat_micro"),
+        F.floor(F.col("lon") * 1_000_000 + 0.5).cast("bigint").alias("lon_micro"),
+    )

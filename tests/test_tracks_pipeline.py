@@ -147,3 +147,57 @@ def test_cot_xml_codec_roundtrip(spark):
         assert back[uid]["lon"] == f[uid]["geometry"]["coordinates"][0]
         assert back[uid]["lat"] == f[uid]["geometry"]["coordinates"][1]
     assert back["inreach-2"]["stale"] > back["inreach-2"]["start"]
+
+
+def test_tak_protobuf_codec_roundtrip_matches_xml(spark):
+    """F1 second half (TAK protobuf — the reference framework's other
+    CoT wire format, package-lock.json:1581 protobufjs): features →
+    TakMessage bytes → decode must preserve every field, frame with the
+    mesh-SA header 0xbf 0x01 0xbf, and agree FIELD-FOR-FIELD with the
+    XML codec on the same features (times compare as epoch ms — XML
+    carries ISO-8601, protobuf carries uint64 millis)."""
+    from etl_everywhere_hub_spark.pipeline.cot import from_cot_xml, to_cot_xml
+    from etl_everywhere_hub_spark.pipeline.takproto import (
+        MESH_HEADER,
+        decode_tak_message,
+        from_tak_protobuf,
+        to_tak_protobuf,
+    )
+
+    feats = transform_features(_items(spark), path="webhook").filter(
+        F.col("msg_id").isin(2, 3)
+    ).drop("msg_id")
+    pb = to_tak_protobuf(feats, stale_ms=60_000)
+    raw = {r["id"]: bytes(r["tak_pb"]) for r in pb.collect()}
+    assert all(b.startswith(MESH_HEADER) for b in raw.values())
+    # pure-Python decode agrees with the Spark decode path
+    py_dec = {u: decode_tak_message(b) for u, b in raw.items()}
+    spark_dec = {r["uid"]: r for r in from_tak_protobuf(pb).collect()}
+    for uid, d in py_dec.items():
+        for k in ("cot_type", "how", "send_ms", "start_ms", "stale_ms",
+                  "lat", "lon", "callsign"):
+            assert spark_dec[uid][k] == d[k], (uid, k)
+
+    # field equivalence against the XML codec
+    xml_back = {r["uid"]: r for r in from_cot_xml(to_cot_xml(feats, stale_ms=60_000)).collect()}
+    f = {r["id"]: r for r in feats.collect()}
+
+    def iso_to_ms(s):
+        from datetime import datetime, timezone
+        return int(
+            datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ")
+            .replace(tzinfo=timezone.utc)
+            .timestamp() * 1000
+        )
+
+    for uid in ("inreach-1", "inreach-2"):
+        x, p = xml_back[uid], spark_dec[uid]
+        assert p["cot_type"] == x["cot_type"]
+        assert p["how"] == x["how"]
+        assert p["callsign"] == x["callsign"]
+        assert p["lat"] == x["lat"] and p["lon"] == x["lon"]
+        assert p["send_ms"] == iso_to_ms(x["time"])
+        assert p["start_ms"] == iso_to_ms(x["start"])
+        assert p["stale_ms"] == iso_to_ms(x["stale"])
+        assert p["send_ms"] == f[uid]["properties"]["time_ms"]
+        assert p["hae"] == 9999999.0 and p["ce"] == 9999999.0
