@@ -156,3 +156,128 @@ def destination_point_col(lon, lat, bearing_deg, dist_km):
     )
     lon_out = (F.degrees(l2) + 540.0) % 360.0 - 180.0
     return F.struct(lon_out.alias("lon"), F.degrees(p2).alias("lat"))
+
+
+# --- turf geometry completion (F2): ellipse / sector / truncate /
+# point-on-feature. All pure Column trig — JVM-side, whole-stage
+# codegen, zero Python in the row path (the reference's framework gets
+# these from @turf/* — package-lock.json:1564-1569). Ring vertices are
+# generated with sequence+transform, so a 64-vertex ellipse is one
+# array expression per row, not 64 rows.
+
+
+def truncate_coords_col(lon, lat, precision: int = 6):
+    """turf `truncate`: snap coordinates to `precision` decimals.
+    Follows JS Math.round semantics (floor(x*f + 0.5)/f — half always
+    rounds toward +inf, also for negatives), which is also exactly
+    reproducible in any engine. Returns struct<lon, lat>."""
+    f = F.lit(float(10**precision))
+    return F.struct(
+        (F.floor(lon * f + 0.5) / f).alias("lon"),
+        (F.floor(lat * f + 0.5) / f).alias("lat"),
+    )
+
+
+def ellipse_ring_col(lon, lat, a_km, b_km, tilt_deg=None, steps: int = 12):
+    """turf `ellipse`: closed polygon ring approximating the geodesic
+    ellipse centered at (lon, lat) with semi-axes a_km (along
+    tilt_deg) and b_km. Vertex i sits at bearing tilt + θ_i at the
+    polar-equation radius r(θ) = ab / sqrt((b cosθ)² + (a sinθ)²);
+    each vertex is a spherical destination point (the codegen
+    destination_point_col). Returns array<struct<lon, lat>> of
+    steps+1 vertices (last ≈ first closes the ring)."""
+    tilt = tilt_deg if tilt_deg is not None else F.lit(0.0)
+
+    def vertex(i):
+        theta = i.cast("double") * F.lit(360.0 / steps)
+        thr = F.radians(theta)
+        r = (a_km * b_km) / F.sqrt(
+            (b_km * F.cos(thr)) ** 2 + (a_km * F.sin(thr)) ** 2
+        )
+        return destination_point_col(lon, lat, theta + tilt, r)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(steps)), vertex)
+
+
+def sector_ring_col(lon, lat, radius_km, bearing1, bearing2, steps: int = 12):
+    """turf `sector`: pie-slice polygon from bearing1 to bearing2 at
+    radius_km — center, the arc (steps+1 points), back to center.
+    The CoT shape primitive sibling connectors emit for field-of-view
+    wedges. Returns array<struct<lon, lat>> (closed ring)."""
+    arc = F.transform(
+        F.sequence(F.lit(0), F.lit(steps)),
+        lambda k: destination_point_col(
+            lon,
+            lat,
+            bearing1 + (bearing2 - bearing1) * k.cast("double") / F.lit(float(steps)),
+            radius_km,
+        ),
+    )
+    center = F.array(
+        F.struct(lon.cast("double").alias("lon"), lat.cast("double").alias("lat"))
+    )
+    return F.concat(center, arc, center)
+
+
+def point_in_ring_col(lon, lat, ring):
+    """Planar even-odd ray cast (turf booleanPointInPolygon
+    semantics — turf is planar here too): count edges of the CLOSED
+    ring crossing the horizontal ray from the point, odd → inside.
+    One aggregate over the edge list, all codegen. Points exactly on
+    an edge follow raw IEEE comparison (same convention both
+    engines)."""
+    n = F.size(ring)
+    edge = lambda i: (  # noqa: E731
+        F.when(
+            ((F.get(ring, i)["lat"] > lat) != (F.get(ring, i + 1)["lat"] > lat))
+            & (
+                lon
+                < (F.get(ring, i + 1)["lon"] - F.get(ring, i)["lon"])
+                * (lat - F.get(ring, i)["lat"])
+                / (F.get(ring, i + 1)["lat"] - F.get(ring, i)["lat"])
+                + F.get(ring, i)["lon"]
+            ),
+            1,
+        ).otherwise(0)
+    )
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), n - 2), F.lit(0), lambda acc, i: acc + edge(i)
+    )
+    return crossings % 2 == 1
+
+
+def point_on_feature_col(ring):
+    """turf `pointOnFeature` for a polygon ring: the vertex-centroid
+    if it falls inside the ring, else the ring vertex nearest to the
+    centroid (planar distance, lowest index wins ties) — a point
+    GUARANTEED on the feature, which the centroid of a concave ring
+    is not. Returns struct<lon, lat, inside: boolean>."""
+    verts = F.slice(ring, 1, F.size(ring) - 1)  # drop closing vertex
+    n = F.size(verts).cast("double")
+    cx = F.aggregate(verts, F.lit(0.0), lambda a, v: a + v["lon"]) / n
+    cy = F.aggregate(verts, F.lit(0.0), lambda a, v: a + v["lat"]) / n
+    inside = point_in_ring_col(cx, cy, ring)
+    ranked = F.array_sort(
+        F.zip_with(
+            verts,
+            F.sequence(F.lit(1), F.size(verts)),
+            lambda v, i: F.struct(
+                # plain multiplication, not pow(): exact IEEE ops that
+                # reproduce bit-identically in any engine (d2 decides a
+                # SORT, so an ulp of libm pow drift could flip ties)
+                (
+                    (v["lon"] - cx) * (v["lon"] - cx)
+                    + (v["lat"] - cy) * (v["lat"] - cy)
+                ).alias("d2"),
+                i.alias("i"),
+                v["lon"].alias("lon"),
+                v["lat"].alias("lat"),
+            ),
+        )
+    )
+    best = F.get(ranked, 0)
+    return F.struct(
+        F.when(inside, cx).otherwise(best["lon"]).alias("lon"),
+        F.when(inside, cy).otherwise(best["lat"]).alias("lat"),
+        inside.alias("inside"),
+    )

@@ -7599,3 +7599,304 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("lat") * 1_000_000 + 0.5).cast("bigint").alias("lat_micro"),
         F.floor(F.col("lon") * 1_000_000 + 0.5).cast("bigint").alias("lon_micro"),
     )
+
+
+def _dest_sql(lat0: str, lon0: str, brg: str, dist_km: str) -> tuple[str, str]:
+    """DuckDB SQL text for the spherical destination point — the exact
+    parse shape of functions/geo.py:destination_point_col (including
+    sin(asin(q)) evaluated literally, so both engines do the identical
+    IEEE op sequence). Returns (lon_expr, lat_expr)."""
+    p1 = f"radians({lat0})"
+    l1 = f"radians({lon0})"
+    br = f"radians({brg})"
+    d = f"(({dist_km}) / 6371.0088)"
+    sinp2 = f"(sin({p1})*cos({d}) + cos({p1})*sin({d})*cos({br}))"
+    p2 = f"asin({sinp2})"
+    l2 = (
+        f"({l1} + atan2(sin({br})*sin({d})*cos({p1}),"
+        f" cos({d}) - sin({p1})*sin({p2})))"
+    )
+    lon_out = f"(mod(degrees({l2}) + 540.0, 360.0) - 180.0)"
+    lat_out = f"degrees({p2})"
+    return lon_out, lat_out
+
+
+def _micro_sql(x: str) -> str:
+    return f"CAST(CAST(floor(({x}) * 1000000 + 0.5) AS BIGINT) AS VARCHAR)"
+
+
+@query(
+    "q158_coordinate_truncate",
+    """
+    SELECT user_id, event_id,
+           floor(value / 3.0 * 10000 + 0.5) / 10000.0 AS t4_lon,
+           floor(value / 7.0 * 10000 + 0.5) / 10000.0 AS t4_lat,
+           floor(value / 3.0 * 100 + 0.5) / 100.0 AS t2_lon,
+           floor(value / 7.0 * 100 + 0.5) / 100.0 AS t2_lat
+    FROM events
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """turf `truncate` (F2): snap coordinates to a decimal precision —
+    the coordinate-hygiene op every CoT emitter runs before the wire
+    (full-precision doubles leak and bloat). JS Math.round semantics
+    (floor(x*f+0.5)/f), pure Column arithmetic, exact in IEEE on both
+    engines — no rounding-mode ambiguity. Zero shuffles."""
+    from etl_everywhere_hub_spark.functions.geo import truncate_coords_col
+
+    e = load_table(spark, sf_dir, "events")
+    lon, lat = F.col("value") / 3.0, F.col("value") / 7.0
+    t4 = truncate_coords_col(lon, lat, 4)
+    t2 = truncate_coords_col(lon, lat, 2)
+    return e.select(
+        "user_id",
+        "event_id",
+        t4.getField("lon").alias("t4_lon"),
+        t4.getField("lat").alias("t4_lat"),
+        t2.getField("lon").alias("t2_lon"),
+        t2.getField("lat").alias("t2_lat"),
+    )
+
+
+_ELLIPSE_R_SQL = (
+    "((a_km*b_km)/sqrt(pow(b_km*cos(radians(i * 30.0)),2)"
+    " + pow(a_km*sin(radians(i * 30.0)),2)))"
+)
+_ELLIPSE_LON_SQL, _ELLIPSE_LAT_SQL = _dest_sql(
+    "lat0", "lon0", "(i * 30.0 + tilt)", _ELLIPSE_R_SQL
+)
+
+
+@query(
+    "q159_geo_ellipse",
+    f"""
+    WITH latest AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), base AS (
+        SELECT user_id,
+               CAST(event_id % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat0,
+               CAST(event_id % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon0,
+               CAST(user_id % 40 + 20 AS DOUBLE) AS a_km,
+               CAST(user_id % 15 + 5 AS DOUBLE) AS b_km,
+               CAST(event_id % 360 AS DOUBLE) AS tilt
+        FROM latest WHERE rn = 1
+    )
+    SELECT user_id,
+           array_to_string(flatten(list_transform(
+               generate_series(0, 12),
+               i -> [{_micro_sql(_ELLIPSE_LON_SQL)},
+                     {_micro_sql(_ELLIPSE_LAT_SQL)}]
+           )), ',') AS ring
+    FROM base
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """turf `ellipse` (F2): geodesic ellipse ring around each entity's
+    latest position — the CoT uncertainty-shape primitive (semi-major
+    along `tilt`). 13 vertices generated as ONE array expression per
+    row (sequence → transform → destination trig), all whole-stage
+    codegen; the per-entity latest is the single shuffle. The oracle
+    re-derives every vertex with the identical IEEE parse shape
+    (including sin(asin(q)) literally) and both sides quantize to
+    micro-degrees."""
+    from etl_everywhere_hub_spark.functions.geo import ellipse_ring_col
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            ((F.col("event_id") % 9000).cast("double") / 100.0 - 45.0).alias("lat0"),
+            ((F.col("event_id") % 18000).cast("double") / 100.0 - 90.0).alias("lon0"),
+            (F.col("user_id") % 40 + 20).cast("double").alias("a_km"),
+            (F.col("user_id") % 15 + 5).cast("double").alias("b_km"),
+            (F.col("event_id") % 360).cast("double").alias("tilt"),
+        )
+    )
+    ring = ellipse_ring_col(
+        F.col("lon0"), F.col("lat0"), F.col("a_km"), F.col("b_km"),
+        F.col("tilt"), steps=12,
+    )
+    flat = F.flatten(F.transform(ring, lambda v: F.array(v["lon"], v["lat"])))
+    return base.select("user_id", _arr_csv(flat, micros=True).alias("ring"))
+
+
+_SECTOR_LON_SQL, _SECTOR_LAT_SQL = _dest_sql(
+    "lat0", "lon0", "(b1 + (b2 - b1) * (k * 1.0) / 8.0)", "r_km"
+)
+
+
+@query(
+    "q160_geo_sector",
+    f"""
+    WITH latest AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), base AS (
+        SELECT user_id,
+               CAST(event_id % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat0,
+               CAST(event_id % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon0,
+               CAST(user_id % 50 + 10 AS DOUBLE) AS r_km,
+               CAST(event_id % 180 AS DOUBLE) AS b1,
+               CAST(event_id % 180 AS DOUBLE) + 90.0
+                 + CAST(user_id % 90 AS DOUBLE) AS b2
+        FROM latest WHERE rn = 1
+    )
+    SELECT user_id,
+           array_to_string(flatten(
+               [[{_micro_sql('lon0')}, {_micro_sql('lat0')}]] ||
+               list_transform(generate_series(0, 8),
+                   k -> [{_micro_sql(_SECTOR_LON_SQL)},
+                         {_micro_sql(_SECTOR_LAT_SQL)}]) ||
+               [[{_micro_sql('lon0')}, {_micro_sql('lat0')}]]
+           ), ',') AS ring
+    FROM base
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """turf `sector` (F2): field-of-view wedge around each entity's
+    latest position (center → arc b1→b2 → center) — the other CoT
+    shape primitive sibling connectors emit. Same codegen posture as
+    q159: one array expression, one latest-per-key shuffle."""
+    from etl_everywhere_hub_spark.functions.geo import sector_ring_col
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            ((F.col("event_id") % 9000).cast("double") / 100.0 - 45.0).alias("lat0"),
+            ((F.col("event_id") % 18000).cast("double") / 100.0 - 90.0).alias("lon0"),
+            (F.col("user_id") % 50 + 10).cast("double").alias("r_km"),
+            (F.col("event_id") % 180).cast("double").alias("b1"),
+            ((F.col("event_id") % 180).cast("double") + 90.0
+             + (F.col("user_id") % 90).cast("double")).alias("b2"),
+        )
+    )
+    ring = sector_ring_col(
+        F.col("lon0"), F.col("lat0"), F.col("r_km"),
+        F.col("b1"), F.col("b2"), steps=8,
+    )
+    flat = F.flatten(F.transform(ring, lambda v: F.array(v["lon"], v["lat"])))
+    return base.select("user_id", _arr_csv(flat, micros=True).alias("ring"))
+
+
+_RAYCAST_SQL = (
+    "(list_sum(list_transform(generate_series(1, len(xs) - 1), i ->"
+    " CASE WHEN ((ys[i] > {py}) != (ys[i+1] > {py}))"
+    " AND ({px} < (xs[i+1] - xs[i]) * ({py} - ys[i])"
+    " / (ys[i+1] - ys[i]) + xs[i]) THEN 1 ELSE 0 END)) % 2 = 1)"
+)
+
+
+@query(
+    "q161_point_on_feature",
+    f"""
+    WITH base AS (
+        SELECT event_id,
+               (value - floor(value / 12.0) * 12.0 - 1.0) AS px,
+               (value * 1.7 - floor(value * 1.7 / 12.0) * 12.0 - 1.0) AS py,
+               CASE WHEN event_id % 2 = 0
+                    THEN [0.0, 8.0, 12.0, 6.0, -2.0, 0.0]
+                    ELSE [0.0, 10.0, 10.0, 2.0, 2.0, 10.0, 10.0, 0.0, 0.0]
+               END AS xs,
+               CASE WHEN event_id % 2 = 0
+                    THEN [0.0, -2.0, 6.0, 11.0, 7.0, 0.0]
+                    ELSE [0.0, 0.0, 2.0, 2.0, 8.0, 8.0, 10.0, 10.0, 0.0]
+               END AS ys
+        FROM events
+    ), cent AS (
+        SELECT *,
+               list_reduce(xs[1:len(xs) - 1], (a, b) -> a + b)
+                   / (len(xs) - 1) AS cx,
+               list_reduce(ys[1:len(ys) - 1], (a, b) -> a + b)
+                   / (len(ys) - 1) AS cy
+        FROM base
+    ), pof AS (
+        SELECT event_id, px, py, xs, ys, cx, cy,
+               {_RAYCAST_SQL.format(px='cx', py='cy')} AS c_inside,
+               list_sort(list_transform(generate_series(1, len(xs) - 1),
+                   i -> {{'d2': (xs[i] - cx) * (xs[i] - cx)
+                                + (ys[i] - cy) * (ys[i] - cy),
+                         'i': i, 'lon': xs[i], 'lat': ys[i]}}))[1] AS best
+        FROM cent
+    )
+    SELECT event_id,
+           CAST(CASE WHEN {_RAYCAST_SQL.format(px='px', py='py')}
+                THEN 1 ELSE 0 END AS BIGINT) AS pt_inside,
+           CAST(CASE WHEN c_inside THEN 1 ELSE 0 END AS BIGINT) AS pof_used_centroid,
+           CAST(floor((CASE WHEN c_inside THEN cx ELSE best.lon END)
+                * 1000000 + 0.5) AS BIGINT) AS pof_lon_micro,
+           CAST(floor((CASE WHEN c_inside THEN cy ELSE best.lat END)
+                * 1000000 + 0.5) AS BIGINT) AS pof_lat_micro
+    FROM pof
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """turf `pointOnFeature` + `booleanPointInPolygon` (F2): per event,
+    an even-odd ray cast of the row's point against a polygon (convex
+    pentagon on even ids, concave C-shape on odd ids — the C exercises
+    the centroid-outside branch: its vertex-centroid lands in the
+    notch, so pointOnFeature must fall back to the nearest vertex,
+    with an EXACT d2 tie between two vertices broken by index). Both
+    the crossing count (one aggregate over the edge list) and the
+    nearest-vertex argmin (array_sort on struct(d2, i)) are single
+    array expressions inside codegen — no explode, no shuffle, no UDF.
+    All polygon arithmetic is exact in doubles, so flags and argmin
+    compare bit-identically cross-engine."""
+    from etl_everywhere_hub_spark.functions.geo import (
+        point_in_ring_col,
+        point_on_feature_col,
+    )
+
+    def ring_lit(coords):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(float(x)).alias("lon"), F.lit(float(y)).alias("lat")
+                )
+                for x, y in coords
+            ]
+        )
+
+    ra = ring_lit([(0, 0), (8, -2), (12, 6), (6, 11), (-2, 7), (0, 0)])
+    rb = ring_lit(
+        [(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8), (10, 10),
+         (0, 10), (0, 0)]
+    )
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    base = e.select(
+        "event_id",
+        (v - F.floor(v / 12.0) * 12.0 - 1.0).alias("px"),
+        (v * 1.7 - F.floor(v * 1.7 / 12.0) * 12.0 - 1.0).alias("py"),
+        F.when(F.col("event_id") % 2 == 0, ra).otherwise(rb).alias("ring"),
+    )
+    pof = point_on_feature_col(F.col("ring"))
+    return base.select(
+        "event_id",
+        F.when(point_in_ring_col(F.col("px"), F.col("py"), F.col("ring")), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("pt_inside"),
+        F.when(pof.getField("inside"), 1).otherwise(0).cast("bigint").alias(
+            "pof_used_centroid"
+        ),
+        F.floor(pof.getField("lon") * 1_000_000 + 0.5).cast("bigint").alias(
+            "pof_lon_micro"
+        ),
+        F.floor(pof.getField("lat") * 1_000_000 + 0.5).cast("bigint").alias(
+            "pof_lat_micro"
+        ),
+    )

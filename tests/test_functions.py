@@ -151,3 +151,66 @@ def test_haversine_column_matches_pandas_udf(spark):
         ).alias("d")
     )
     assert not X.has_python_eval(col_only)
+
+
+def test_turf_geometry_ops(spark):
+    """F2 completion: ellipse/sector rings close and stay codegen
+    (no Python eval), truncate follows JS Math.round, point-in-ring
+    ray cast and point-on-feature handle convex and concave shapes."""
+    from etl_everywhere_hub_spark.functions.geo import (
+        ellipse_ring_col,
+        point_in_ring_col,
+        point_on_feature_col,
+        sector_ring_col,
+        truncate_coords_col,
+    )
+    from etl_everywhere_hub_spark.plans import explain as X
+
+    one = spark.range(1)
+    # truncate: JS Math.round semantics incl. negative halves
+    t = one.select(
+        truncate_coords_col(F.lit(1.2345678), F.lit(-2.00005), 4).alias("t")
+    ).collect()[0]["t"]
+    assert t["lon"] == 1.2346 and t["lat"] == -2.0
+    # ellipse: steps+1 vertices, ring closes (μdeg), radius between axes
+    ring_df = one.select(
+        ellipse_ring_col(
+            F.lit(10.0), F.lit(50.0), F.lit(30.0), F.lit(10.0),
+            F.lit(45.0), steps=16,
+        ).alias("r")
+    )
+    ring = ring_df.collect()[0]["r"]
+    assert len(ring) == 17
+    assert abs(ring[0]["lon"] - ring[-1]["lon"]) < 1e-6
+    assert abs(ring[0]["lat"] - ring[-1]["lat"]) < 1e-6
+    assert not X.has_python_eval(ring_df)
+    # sector: center bookends + arc
+    sec = one.select(
+        sector_ring_col(
+            F.lit(0.0), F.lit(0.0), F.lit(100.0), F.lit(30.0), F.lit(120.0),
+            steps=8,
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert len(sec) == 11
+    assert sec[0]["lon"] == 0.0 and sec[-1]["lat"] == 0.0
+    assert sec[1]["lat"] > 0 and sec[1]["lon"] > 0  # bearing 30°: NE
+    # point-in-ring: concave C-shape — notch point is OUTSIDE
+    cshape = F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("lon"), F.lit(float(y)).alias("lat"))
+            for x, y in [(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8),
+                         (10, 10), (0, 10), (0, 0)]
+        ]
+    )
+    checks = one.select(
+        point_in_ring_col(F.lit(1.0), F.lit(5.0), cshape).alias("arm"),
+        point_in_ring_col(F.lit(5.5), F.lit(5.0), cshape).alias("notch"),
+        point_in_ring_col(F.lit(20.0), F.lit(5.0), cshape).alias("far"),
+        point_on_feature_col(cshape).alias("pof"),
+    ).collect()[0]
+    assert checks["arm"] is True
+    assert checks["notch"] is False and checks["far"] is False
+    # centroid (5.5, 5) falls in the notch -> nearest-vertex fallback,
+    # exact d2 tie between (2,2) and (2,8) broken by index -> (2,2)
+    assert checks["pof"]["inside"] is False
+    assert (checks["pof"]["lon"], checks["pof"]["lat"]) == (2.0, 2.0)
