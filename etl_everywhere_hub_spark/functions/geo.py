@@ -281,3 +281,188 @@ def point_on_feature_col(ring):
         F.when(inside, cy).otherwise(best["lat"]).alias("lat"),
         inside.alias("inside"),
     )
+
+
+# --- F4 completion: spherical-harmonic geomagnetic declination ------------
+#
+# IGRF-13 main-field Gauss coefficients, epoch 2020.0, through degree 8
+# (nT; the published table extends to degree 13 — terms above degree 8
+# contribute only fine spatial detail, typically well under half a
+# degree of declination; the synthesis below takes ANY (n,m)->(g,h)
+# table, so extending it is a data edit, not a code change). Public
+# data: IAGA IGRF-13 (Alken et al. 2021); same source family as the
+# reference's `geomagnetism` dependency (package-lock.json:1575).
+IGRF13_2020 = {
+    (1, 0): (-29404.8, 0.0), (1, 1): (-1450.9, 4652.5),
+    (2, 0): (-2499.6, 0.0), (2, 1): (2982.0, -2991.6), (2, 2): (1677.0, -734.6),
+    (3, 0): (1363.2, 0.0), (3, 1): (-2381.2, -82.1), (3, 2): (1236.2, 241.9),
+    (3, 3): (525.7, -543.4),
+    (4, 0): (903.0, 0.0), (4, 1): (809.5, 281.9), (4, 2): (86.3, -158.4),
+    (4, 3): (-309.4, 199.7), (4, 4): (48.0, -349.7),
+    (5, 0): (-234.3, 0.0), (5, 1): (363.2, 47.7), (5, 2): (187.8, 208.3),
+    (5, 3): (-140.7, -121.2), (5, 4): (-151.2, 32.3), (5, 5): (13.5, 98.9),
+    (6, 0): (66.0, 0.0), (6, 1): (65.5, -19.1), (6, 2): (72.9, 25.1),
+    (6, 3): (-121.5, 52.8), (6, 4): (-36.2, -64.5), (6, 5): (13.5, 8.9),
+    (6, 6): (-64.7, 68.1),
+    (7, 0): (80.6, 0.0), (7, 1): (-76.7, -51.5), (7, 2): (-8.2, -16.9),
+    (7, 3): (56.5, 2.2), (7, 4): (15.8, 23.5), (7, 5): (6.4, -2.2),
+    (7, 6): (-7.2, -27.2), (7, 7): (9.8, -1.8),
+    (8, 0): (23.7, 0.0), (8, 1): (9.7, 8.4), (8, 2): (-17.6, -15.3),
+    (8, 3): (-0.5, 12.8), (8, 4): (-21.1, -11.7), (8, 5): (15.3, 14.9),
+    (8, 6): (13.7, 3.6), (8, 7): (-16.5, -6.9), (8, 8): (-0.3, 2.8),
+}
+
+GEOMAG_REF_RADIUS_KM = 6371.2  # IGRF reference radius
+WGS84_A_KM = 6378.137
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+
+
+def _schmidt_constants(nmax: int):
+    """Python-float recursion constants — computed ONCE here so the
+    Spark plan and any SQL twin embed the identical double literals
+    (an in-engine sqrt could round differently)."""
+    import math
+
+    out = {}
+    for n in range(2, nmax + 1):
+        out[(n, n, "diag")] = math.sqrt((2 * n - 1) / (2.0 * n))
+        for m in range(0, n):
+            out[(n, m, "norm")] = math.sqrt(float((n + m) * (n - m)))
+            out[(n, m, "sub")] = math.sqrt(float((n - 1 + m) * (n - 1 - m)))
+    return out
+
+
+def with_igrf_declination(
+    df,
+    lat_col: str,
+    lon_col: str,
+    out_col: str = "decl_deg",
+    nmax: int = 8,
+    geodetic: bool = True,
+    coeffs: dict | None = None,
+):
+    """Full-series magnetic declination (degrees, east-positive) by
+    Schmidt semi-normalized spherical-harmonic synthesis of the IGRF
+    main field — the production replacement for the degree-1
+    `dipole_declination_deg` truncation.
+
+    Implemented as a DataFrame transformer (not one Column) so every
+    Legendre term P_n^m / dP_n^m is a NAMED projection computed once
+    and shared by name across the B_r/B_theta/B_phi sums — Catalyst
+    keeps the DAG, whole-stage codegen fuses the whole chain, and the
+    expression tree stays linear in the term count instead of
+    Fibonacci-exploding through the recursion. Pure Column trig; zero
+    Python in the row path; zero shuffles.
+
+    With ``geodetic=True`` coordinates are WGS84 geodetic: they
+    convert to geocentric (h=0), the synthesis runs at the true
+    geocentric radius (the (a/r)^(n+2) terms), and the field vector
+    rotates back into the geodetic frame before D = atan2(east,
+    north). ``geodetic=False`` evaluates on the sphere r=a (the
+    dipole function's convention — used by the parity test).
+
+    All recursion/normalization constants are Python-float literals
+    (identical in any engine); in-engine ops are +,-,*,/ and
+    sin/cos/sqrt/atan2 with plain multiplication everywhere a pow()
+    could drift by an ulp between libms.
+    """
+    tbl = coeffs if coeffs is not None else IGRF13_2020
+    tbl = {k: v for k, v in tbl.items() if k[0] <= nmax}
+    ks = _schmidt_constants(nmax)
+    phi = F.radians(F.col(lat_col))
+    lam = F.radians(F.col(lon_col))
+    if geodetic:
+        df = df.withColumn(
+            "__rc",
+            F.lit(WGS84_A_KM)
+            / F.sqrt(F.lit(1.0) - F.lit(WGS84_E2) * F.sin(phi) * F.sin(phi)),
+        )
+        df = df.withColumns(
+            {
+                "__pp": F.col("__rc") * F.cos(phi),
+                "__zz": F.col("__rc") * F.lit(1.0 - WGS84_E2) * F.sin(phi),
+            }
+        )
+        df = df.withColumn(
+            "__rr",
+            F.sqrt(F.col("__pp") * F.col("__pp") + F.col("__zz") * F.col("__zz")),
+        )
+        df = df.withColumns(
+            {
+                "__ct": F.col("__zz") / F.col("__rr"),
+                "__st": F.col("__pp") / F.col("__rr"),
+                "__psi": phi - F.atan2(F.col("__zz"), F.col("__pp")),
+                "__ar": F.lit(GEOMAG_REF_RADIUS_KM) / F.col("__rr"),
+                "__lam": lam,
+            }
+        )
+    else:
+        df = df.withColumns(
+            {
+                "__ct": F.sin(phi),
+                "__st": F.cos(phi),
+                "__psi": F.lit(0.0),
+                "__ar": F.lit(1.0),
+                "__lam": lam,
+            }
+        )
+    ct, st = F.col("__ct"), F.col("__st")
+    # Legendre levels: every P/dP is a named column referencing the
+    # previous levels' names (p_0_0 = 1 folds as a literal).
+    p = {(0, 0): F.lit(1.0)}
+    dp = {(0, 0): F.lit(0.0)}
+    df = df.withColumns({"__p_1_0": ct, "__dp_1_0": -st,
+                         "__p_1_1": st, "__dp_1_1": ct})
+    p[(1, 0)], dp[(1, 0)] = F.col("__p_1_0"), F.col("__dp_1_0")
+    p[(1, 1)], dp[(1, 1)] = F.col("__p_1_1"), F.col("__dp_1_1")
+    for n in range(2, nmax + 1):
+        level = {}
+        kd = ks[(n, n, "diag")]
+        level[f"__p_{n}_{n}"] = F.lit(kd) * st * p[(n - 1, n - 1)]
+        level[f"__dp_{n}_{n}"] = F.lit(kd) * (
+            ct * p[(n - 1, n - 1)] + st * dp[(n - 1, n - 1)]
+        )
+        for m in range(0, n):
+            norm, sub = ks[(n, m, "norm")], ks[(n, m, "sub")]
+            pm2 = p.get((n - 2, m), F.lit(0.0))
+            dpm2 = dp.get((n - 2, m), F.lit(0.0))
+            level[f"__p_{n}_{m}"] = (
+                F.lit(float(2 * n - 1)) * ct * p[(n - 1, m)] - F.lit(sub) * pm2
+            ) / F.lit(norm)
+            level[f"__dp_{n}_{m}"] = (
+                F.lit(float(2 * n - 1)) * (ct * dp[(n - 1, m)] - st * p[(n - 1, m)])
+                - F.lit(sub) * dpm2
+            ) / F.lit(norm)
+        df = df.withColumns(level)
+        for m in range(0, n + 1):
+            p[(n, m)] = F.col(f"__p_{n}_{m}")
+            dp[(n, m)] = F.col(f"__dp_{n}_{m}")
+    # radial attenuation (a/r)^(n+2) by repeated multiplication
+    arp = {1: F.col("__ar") * F.col("__ar") * F.col("__ar")}
+    names = {1: "__arp_1"}
+    df = df.withColumn("__arp_1", arp[1])
+    for n in range(2, nmax + 1):
+        df = df.withColumn(f"__arp_{n}", F.col(f"__arp_{n-1}") * F.col("__ar"))
+        names[n] = f"__arp_{n}"
+    lamc = F.col("__lam")
+    br = F.lit(0.0)
+    bt = F.lit(0.0)
+    bps = F.lit(0.0)  # sum part of B_phi (before -1/st)
+    for (n, m), (g, h) in sorted(tbl.items()):
+        arn = F.col(names[n])
+        cm, sm = F.cos(F.lit(float(m)) * lamc), F.sin(F.lit(float(m)) * lamc)
+        gh = F.lit(g) * cm + F.lit(h) * sm
+        br = br + F.lit(float(n + 1)) * arn * gh * p[(n, m)]
+        bt = bt - arn * gh * dp[(n, m)]
+        if m > 0:
+            bps = bps + arn * F.lit(float(m)) * (
+                F.lit(-g) * sm + F.lit(h) * cm
+            ) * p[(n, m)]
+    df = df.withColumns({"__br": br, "__bt": bt, "__bp": -bps / st})
+    # rotate (north', down') from geocentric to geodetic frame by psi
+    xg, zg = -F.col("__bt"), -F.col("__br")
+    x = xg * F.cos(F.col("__psi")) - zg * F.sin(F.col("__psi"))
+    df = df.withColumn(out_col, F.degrees(F.atan2(F.col("__bp"), x)))
+    drop = [c for c in df.columns if c.startswith("__")]
+    return df.drop(*drop)

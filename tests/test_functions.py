@@ -214,3 +214,44 @@ def test_turf_geometry_ops(spark):
     # exact d2 tie between (2,2) and (2,8) broken by index -> (2,2)
     assert checks["pof"]["inside"] is False
     assert (checks["pof"]["lon"], checks["pof"]["lat"]) == (2.0, 2.0)
+
+
+def test_igrf_declination_full_series(spark):
+    """F4 completion: the spherical-harmonic synthesis must (a) reduce
+    EXACTLY to the degree-1 dipole when truncated to n=1 on the sphere
+    (machinery check — same formula family), (b) reproduce real-world
+    2020 declinations at well-known locations within ±1.5° (the
+    degree-8 truncation + coefficient table check; dipole-only is off
+    by SEVERAL degrees at these points), and (c) stay codegen."""
+    from etl_everywhere_hub_spark.functions.geo import (
+        dipole_declination_deg,
+        with_igrf_declination,
+    )
+    from etl_everywhere_hub_spark.plans import explain as X
+
+    cities = [
+        # (lat, lon, approx true declination 2020, NOAA WMM calculator)
+        ("nyc", 40.71, -74.01, -12.9),
+        ("seattle", 47.61, -122.33, 15.5),
+        ("london", 51.51, -0.13, 0.3),
+        ("sydney", -33.87, 151.21, 12.8),
+        ("tokyo", 35.68, 139.69, -7.5),
+        ("capetown", -33.92, 18.42, -25.5),
+    ]
+    df = spark.createDataFrame(
+        [(n, la, lo, d) for n, la, lo, d in cities],
+        "name string, lat double, lon double, want double",
+    )
+    out = with_igrf_declination(df, "lat", "lon")
+    for r in out.collect():
+        assert abs(r["decl_deg"] - r["want"]) < 1.5, (r["name"], r["decl_deg"])
+    assert not X.has_python_eval(out)
+
+    # truncated to n=1 on the sphere == the closed-form dipole
+    d1 = with_igrf_declination(
+        df, "lat", "lon", out_col="full1", nmax=1, geodetic=False
+    ).withColumn("dip", dipole_declination_deg(F.col("lat"), F.col("lon")))
+    mx = d1.select(
+        F.max(F.abs(F.col("full1") - F.col("dip"))).alias("mx")
+    ).collect()[0]["mx"]
+    assert mx < 1e-9, mx
