@@ -57,6 +57,11 @@ def main() -> None:
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # queries persist() frames they consume more than once; drop
+        # them between queries so a registry sweep doesn't accumulate
+        # executor memory (each query still re-pays its own cache fill
+        # on the second run — both runs measure the same work)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

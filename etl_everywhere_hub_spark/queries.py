@@ -6141,8 +6141,10 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM el GROUP BY label, dim
     )
     SELECT e.vec_id, e.label, e.dim,
-           round((CAST(e.x AS DOUBLE) - s.sx / s.n) /
-                 sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
+           CASE WHEN s.n > 1 THEN
+               round((CAST(e.x AS DOUBLE) - s.sx / s.n) /
+                     sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6)
+           END AS z
     FROM el e JOIN stats s ON e.label = s.label AND e.dim = s.dim
     WHERE e.vec_id % 50 = 0
     """,
@@ -6178,17 +6180,18 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sxx"),
     )
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    # degenerate single-row groups: Spark's non-ANSI divide-by-zero
+    # yields NULL but DuckDB's IEEE default yields inf/NaN — make the
+    # NULL explicit on both engines so the oracle parity cannot
+    # silently diverge if such a group ever appears in a corpus
+    z = F.when(
+        F.col("n") > 1,
+        F.round((F.col("x") - F.col("sx") / F.col("n")) / F.sqrt(var), 6),
+    )
     return (
         el.filter(F.col("vec_id") % 50 == 0)
         .join(F.broadcast(stats), ["label", "dim"])
-        .select(
-            "vec_id",
-            "label",
-            "dim",
-            F.round(
-                (F.col("x") - F.col("sx") / F.col("n")) / F.sqrt(var), 6
-            ).alias("z"),
-        )
+        .select("vec_id", "label", "dim", z.alias("z"))
     )
 
 
@@ -6739,9 +6742,9 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unigram/bigram count tables are vocab-bounded; PMI's ln quantizes
     at 9 decimals with (w1, w2) tiebreaks so the global top-50 is
     total-ordered. Scale shape: one corpus explode + one doc_id
-    window; count joins are vocab-sized; the final top-k compiles to
-    TakeOrderedAndProject (partial top-50 per partition, no global
-    sort)."""
+    window; count joins are vocab-sized; the final top-k is
+    orderBy+limit, which compiles to TakeOrderedAndProject (partial
+    top-50 per partition, no global sort)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
@@ -6776,10 +6779,9 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
     return (
-        pmi.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
+        pmi.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
         .select("w1", "w2", "n12", "pmi")
     )
 
@@ -6948,9 +6950,20 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("it.*")
     )
+    import datetime as dt
+
     feats = transform_features(items, path="poll")
+    # derive now_ms from DEVICE_CACHE_NOW exactly as q34 does — a
+    # duplicated epoch literal would silently desynchronize this query
+    # from its oracle if the constant ever changed
+    now_ms = int(
+        dt.datetime.strptime(DEVICE_CACHE_NOW, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1000
+    )
     snap = device_cache_snapshot(
-        feats, now_ms=1706659200000, retention_ms=DEVICE_CACHE_RETENTION_MS
+        feats, now_ms=now_ms, retention_ms=DEVICE_CACHE_RETENTION_MS
     )
     return snap.select(
         "id",

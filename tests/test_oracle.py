@@ -46,7 +46,12 @@ def canon_df(df: pd.DataFrame) -> list[tuple]:
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, oracle, sf_dir):
     q = REGISTRY[name]
-    sdf = q.spark(spark, sf_dir).toPandas()
+    try:
+        sdf = q.spark(spark, sf_dir).toPandas()
+    finally:
+        # drop per-query persist()s so the full-registry sweep doesn't
+        # accumulate executor memory across 150+ queries
+        spark.catalog.clearCache()
     if q.oracle is None:
         assert len(sdf) >= 0  # rows-only contract
         return

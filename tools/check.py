@@ -79,6 +79,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # drop per-query persist()s so a full-registry sweep
+            # doesn't accumulate executor memory
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"SKIP  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             n_skip += 1
