@@ -159,10 +159,17 @@ def lsh_candidate_pairs(
         F.col("bb.band_key").alias("band_key"),
     )
     if max_bucket_size is not None:
-        sizes = band_keys.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("__bn")
+        # one aggregate pass yields BOTH the oversized-bucket list and
+        # the drop accounting (never a silent truncation). Oversized
+        # buckets are by definition few (each holds >cap near-identical
+        # docs), so the exclusion join broadcasts — no extra shuffle in
+        # the candidate plan.
+        oversized = (
+            band_keys.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
         )
-        dropped = sizes.filter(F.col("__bn") > max_bucket_size).agg(
+        dropped = oversized.agg(
             F.count(F.lit(1)).alias("nb"),
             F.sum("__bn").alias("nrows"),
             F.max("__bn").alias("mx"),
@@ -174,14 +181,11 @@ def lsh_candidate_pairs(
                 "recall for those clusters falls to the remaining bands",
                 dropped["nb"], max_bucket_size, dropped["nrows"], dropped["mx"],
             )
-        # windowed count on the same (band, band_key) key the join
-        # shuffles on — the filter rides the join's own exchange
-        wb = Window.partitionBy("band", "band_key")
-        band_keys = (
-            band_keys.withColumn("__bn", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
+            band_keys = band_keys.join(
+                F.broadcast(oversized.select("band", "band_key")),
+                ["band", "band_key"],
+                "left_anti",
+            )
     a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
     b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
@@ -253,17 +257,23 @@ def minhash_near_dup(
     verification step makes precision exact.
 
     ``collapse_exact=True`` is the LOSSLESS skew guard for
-    duplicate-heavy corpora: docs with an identical shingle SET
-    collapse to one representative before signing/banding (a crawl's
-    10^4-copy boilerplate cluster becomes ONE row through LSH), and
-    pairs expand back afterwards — cross-group pairs inherit the
-    representatives' exact jaccard (jaccard is a function of the
-    shingle set alone), within-group pairs are jaccard 1.0 by
-    definition. Output is identical to the uncollapsed form; only the
-    quadratic band-join work disappears. ``max_bucket_size`` guards
-    the residual NEAR-identical clusters (see
-    ``lsh_candidate_pairs``) — unlike the collapse it bounds recall,
-    so it logs what it drops.
+    duplicate-heavy corpora: docs with identical TEXT collapse to one
+    representative BEFORE tokenization (a crawl's 10^4-copy
+    boilerplate cluster becomes ONE row through shingling, signing and
+    banding), and pairs expand back afterwards — cross-group pairs
+    inherit the representatives' exact jaccard (jaccard is a function
+    of the text alone), within-group pairs are jaccard 1.0 by
+    definition. Output is identical to the uncollapsed form. The
+    collapse is ONE groupBy on md5(text) whose map-side partial
+    aggregation collapses each partition's copies before the exchange
+    — the shuffle shrinks exactly when duplication is heavy, and all
+    per-doc CPU (shingles, signatures) runs once per DISTINCT text.
+    The membership list per group lives in one array row (fine to
+    ~10^6-copy clusters; beyond that, keep the representative pairs
+    and the membership map separate instead of expanding).
+    ``max_bucket_size`` guards the residual NEAR-identical clusters
+    (see ``lsh_candidate_pairs``) — unlike the collapse it bounds
+    recall, so it logs what it drops.
 
     Signatures are computed entirely MAP-SIDE: the distinct shingle
     set stays an array column, each m_s is array_min(transform(...)) —
@@ -287,6 +297,27 @@ def minhash_near_dup(
     if df.rdd.getNumPartitions() < cores:
         df = df.repartition(cores, id_col)
 
+    grouped = None
+    if collapse_exact:
+        # ONE groupBy on the 16-byte text fingerprint, BEFORE any
+        # tokenization: partial aggregation collapses each partition's
+        # copies map-side, the min-id row becomes the representative,
+        # and the member list rides along for the expansion at the end.
+        grouped = (
+            df.groupBy(F.md5(F.col(text_col)).alias("__gk"))
+            .agg(
+                F.min(F.struct(F.col(id_col), F.col(text_col))).alias("__rt"),
+                F.sort_array(F.collect_list(F.col(id_col))).alias("__members"),
+            )
+            .select(
+                F.col("__rt").getField(id_col).alias(id_col),
+                F.col("__rt").getField(text_col).alias(text_col),
+                "__members",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        df = grouped.select(id_col, text_col)
+
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     n = F.size("__toks")
     sh_arr = F.when(n < k, F.array().cast("array<string>")).otherwise(
@@ -295,7 +326,7 @@ def minhash_near_dup(
             lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
         )
     )
-    all_docs = (
+    docs = (
         toks.select(F.col(id_col), F.array_distinct(sh_arr).alias("sh"))
         .select(
             id_col,
@@ -306,25 +337,7 @@ def minhash_near_dup(
         .filter(F.col("n_sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    all_docs.count()
-    if collapse_exact:
-        # group key = md5 over the SORTED shingle array: identical
-        # shingle sets (every exact dup, whitespace variant, token
-        # permutation with the same set) share a key. One row per
-        # group proceeds through signing/banding/verification.
-        keyed = all_docs.withColumn(
-            "__gk", F.md5(F.concat_ws("\x1f", F.array_sort("sh")))
-        )
-        wg = Window.partitionBy("__gk").orderBy(F.col(id_col).asc())
-        docs = (
-            keyed.withColumn("__rn", F.row_number().over(wg))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        docs.count()
-    else:
-        docs = all_docs
+    docs.count()
     sigs = docs.select(
         F.col(id_col),
         *[
@@ -353,32 +366,36 @@ def minhash_near_dup(
     )
     if not collapse_exact:
         return verified
-    # Expand representative pairs back to member pairs. Both joins are
-    # equi joins on the group key; the fan-out is exactly the true
-    # answer size (near-dup output over a duplicate cluster IS
-    # quadratic in the cluster — callers wanting cluster-sized output
-    # should stop at the representative pairs + membership map).
-    gk_of = docs.select(F.col(id_col).alias("rid"), F.col("__gk").alias("gk"))
-    mem = keyed.select(F.col("__gk").alias("gk"), F.col(id_col).alias("mid"))
+    # Expand representative pairs back to member pairs. The joins are
+    # equi joins on the representative id (verified is pair-sized —
+    # tiny — so they broadcast); within-group pairs explode straight
+    # out of the member arrays. The fan-out is exactly the true answer
+    # size (near-dup output over a duplicate cluster IS quadratic in
+    # the cluster — callers wanting cluster-sized output should stop
+    # at the representative pairs + membership map in ``grouped``).
+    mem = grouped.select(
+        F.col(id_col).alias("__rep"), F.explode("__members").alias("__mid")
+    )
     cross = (
         verified.join(
-            gk_of.select(F.col("rid").alias("a"), F.col("gk").alias("gka")), "a"
+            mem.select(F.col("__rep").alias("a"), F.col("__mid").alias("ma")), "a"
         )
-        .join(gk_of.select(F.col("rid").alias("b"), F.col("gk").alias("gkb")), "b")
-        .join(mem.select(F.col("gk").alias("gka"), F.col("mid").alias("ma")), "gka")
-        .join(mem.select(F.col("gk").alias("gkb"), F.col("mid").alias("mb")), "gkb")
+        .join(
+            mem.select(F.col("__rep").alias("b"), F.col("__mid").alias("mb")), "b"
+        )
         .select(
             F.least("ma", "mb").alias("a"),
             F.greatest("ma", "mb").alias("b"),
             "jaccard",
         )
     )
+    # groups whose representative produced no shingles never enter the
+    # pipeline in the uncollapsed form either — exclude them here too
     within = (
-        mem.groupBy("gk")
-        .agg(F.sort_array(F.collect_list("mid")).alias("ms"))
-        .filter(F.size("ms") >= 2)
-        .select(F.explode("ms").alias("a"), "ms")
-        .select("a", F.explode("ms").alias("b"))
+        grouped.filter(F.size("__members") >= 2)
+        .join(docs.select(id_col), id_col, "left_semi")
+        .select(F.explode("__members").alias("a"), "__members")
+        .select("a", F.explode("__members").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.lit(1.0).alias("jaccard"))
     )
