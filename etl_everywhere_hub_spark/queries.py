@@ -8036,3 +8036,322 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lon0"), 6).alias("lon"),
         F.round(F.col("decl"), 6).alias("declination_deg"),
     )
+
+
+@query(
+    "q163_gopher_repetition",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), base AS (
+        SELECT doc_id,
+               len(tk) AS n_tok,
+               len(list_distinct(tk)) AS n_dist
+        FROM toks WHERE len(tk) >= 3
+    ), tri AS (
+        SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+               )) AS gram
+        FROM toks WHERE len(tk) >= 3
+    ), cnt AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM tri GROUP BY doc_id, gram
+    ), top AS (
+        SELECT doc_id, gram, c FROM (
+            SELECT doc_id, gram, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, gram ASC) AS rn
+            FROM cnt
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tok AS BIGINT) AS n_tok,
+           CAST(b.n_tok - b.n_dist AS DOUBLE) / b.n_tok AS dup_word_frac,
+           t.gram AS top_gram,
+           CAST(3 * t.c AS DOUBLE) / b.n_tok AS top_gram_share
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals — the quality
+    filters large-corpus curation applies before training (Rae et al.
+    2021 'repetition' family): fraction of repeated words and the
+    token share occupied by the single most frequent 3-gram (ties on
+    the gram string). Map-side tokenize + one (doc, gram) count and
+    one per-doc window — both shuffles keyed by doc_id, linear at any
+    corpus size. All ratios are small-integer divisions, identical
+    IEEE on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("tk")).alias("n_dist"),
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 3)),
+            )
+        ).alias("gram"),
+    )
+    cnt = tri.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("gram").asc())
+    top = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        ((F.col("n_tok") - F.col("n_dist")).cast("double") / F.col("n_tok")).alias(
+            "dup_word_frac"
+        ),
+        F.col("gram").alias("top_gram"),
+        ((3 * F.col("c")).cast("double") / F.col("n_tok")).alias("top_gram_share"),
+    )
+
+
+@query(
+    "q164_hash_sample",
+    """
+    WITH flagged AS (
+        SELECT source,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         ::BIGINT % 10 = 0
+                    THEN 1 ELSE 0 END AS s
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(s) AS BIGINT) AS n_sampled
+    FROM flagged GROUP BY source
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible downsampling a
+    training pipeline uses instead of rand() (stable across reruns,
+    retries and engines; no seed plumbing): a doc is in the 10%
+    sample iff md5(doc_id) mod 10 == 0. Reported per source so the
+    stratification is visible. Map-side hash + one small aggregate;
+    the cross-engine count equality IS the determinism proof."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.when(md5_long(F.col("doc_id").cast("string")) % 10 == 0, 1).otherwise(0)
+    return (
+        d.select("source", s.alias("s"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("s").cast("bigint").alias("n_sampled"),
+        )
+    )
+
+
+@query(
+    "q165_sequence_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT source, n_tok,
+               CAST(floor((SUM(n_tok) OVER w - n_tok) / 512.0) AS BIGINT) AS bin
+        FROM toks
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, bin
+    """,
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training — concat-and-chunk assignment of
+    documents to fixed token-budget context windows (512 here): each
+    doc's bin is its exclusive running token count div the budget,
+    the standard streaming packing (docs may straddle boundaries;
+    true no-straddle greedy packing needs sequential state and is the
+    streaming job's version). Partitioned by source so the running
+    sum parallelizes — production shards further by (source, shard)
+    so no single partition serializes; one window + one groupBy, both
+    on the same key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(T.tokens(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "q166_track_ewma",
+    """
+    WITH arr AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+    FROM arr
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each entity's track
+    (alpha=0.2) — the classic telemetry smoother, computed as an
+    ORDER-EXACT sequential fold: Spark's F.aggregate over the sorted
+    value array is the same left fold as DuckDB's list_reduce, so the
+    result is bit-identical cross-engine with NO rounding (pure *,+
+    on identical doubles in identical order). One groupBy shuffle;
+    the fold itself is codegen over the array. Recursive sequences
+    like EWMA can't parallelize within a key — the array form makes
+    that explicit (state bounded by track length; the streaming
+    twin carries one scalar per key)."""
+    e = load_table(spark, sf_dir, "events")
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    ).select(
+        "user_id", F.transform("s", lambda r: r["value"]).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.get(F.col("vals"), 0),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return arr.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        ewma.alias("ewma"),
+    )
+
+
+@query(
+    "q167_edit_distance_dedup",
+    """
+    WITH t AS (
+        SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.doc_id < b.doc_id
+     AND levenshtein(a.title, b.title) <= 5
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup titles (levenshtein <= 5 over 24-char
+    prefixes) — the fuzzy-matching dedup for short strings where
+    set-based Jaccard is too coarse (titles, names, URLs). The oracle
+    is the O(n^2) theta join; the engine BLOCKS by length bucket
+    (width 6, one side exploded to its +-1 neighborhood): d edits
+    change length by at most d, so |len_a - len_b| <= 5 implies
+    adjacent buckets — zero false negatives, exactly like q127's
+    spatial grid, with the expensive levenshtein evaluated only on
+    bucket collisions. (This fixture's titles are all exactly 24
+    chars, so the blocking degenerates to one bucket here — the
+    candidate bound comes from real length variance in real data;
+    correctness never depends on it.)"""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.substring("text", 1, 24).alias("title"))
+    lb = F.floor(F.length("title") / 6).cast("long")
+    a = (
+        t.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("title").alias("ta"),
+            (lb + F.col("dx")).alias("jb"),
+        )
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("title").alias("tb"), lb.alias("jb")
+    )
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, "jb")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (dist <= 5))
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"))
+    )
+
+
+@query(
+    "q168_exact_median_iqr",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               event_id
+        FROM events
+    ), ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                    THEN v ELSE 0 END) * 1.0
+             / SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                        THEN 1 ELSE 0 END) / 100.0 AS median,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) / 100.0 AS q1,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) / 100.0 AS q3
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median and quartiles by explicit rank
+    arithmetic — engine-agnostic order statistics (each engine's
+    native percentile_cont/median interpolates differently, so the
+    portable contract is rank positions: median = mean of the one or
+    two central elements, quartiles at ceil(n/4) and ceil(3n/4)).
+    Values quantize to cent-ints first so selection and averaging are
+    integer-exact. One window + one aggregate on the same key."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    m1 = F.floor((F.col("n") + 1) / 2)
+    m2 = F.floor((F.col("n") + 2) / 2)
+    p1 = F.floor((F.col("n") + 3) / 4)
+    p3 = F.floor((3 * F.col("n") + 3) / 4)
+    is_mid = (F.col("rn") == m1) | (F.col("rn") == m2)
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            F.sum(F.when(is_mid, F.col("v")).otherwise(0)) * 1.0
+            / F.sum(F.when(is_mid, 1).otherwise(0))
+            / 100.0
+        ).alias("median"),
+        (F.max(F.when(F.col("rn") == p1, F.col("v"))) / 100.0).alias("q1"),
+        (F.max(F.when(F.col("rn") == p3, F.col("v"))) / 100.0).alias("q3"),
+    )
