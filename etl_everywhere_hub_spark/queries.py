@@ -8114,93 +8114,7 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q164_hash_sample",
-    """
-    WITH flagged AS (
-        SELECT source,
-               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                         ::BIGINT % 10 = 0
-                    THEN 1 ELSE 0 END AS s
-        FROM documents
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_total,
-           CAST(SUM(s) AS BIGINT) AS n_sampled
-    FROM flagged GROUP BY source
-    """,
-)
-def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash sampling — the reproducible downsampling a
-    training pipeline uses instead of rand() (stable across reruns,
-    retries and engines; no seed plumbing): a doc is in the 10%
-    sample iff md5(doc_id) mod 10 == 0. Reported per source so the
-    stratification is visible. Map-side hash + one small aggregate;
-    the cross-engine count equality IS the determinism proof."""
-    d = load_table(spark, sf_dir, "documents")
-    s = F.when(md5_long(F.col("doc_id").cast("string")) % 10 == 0, 1).otherwise(0)
-    return (
-        d.select("source", s.alias("s"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum("s").cast("bigint").alias("n_sampled"),
-        )
-    )
-
-
-@query(
-    "q165_sequence_packing",
-    """
-    WITH toks AS (
-        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
-        FROM documents
-    ), packed AS (
-        SELECT source, n_tok,
-               CAST(floor((SUM(n_tok) OVER w - n_tok) / 512.0) AS BIGINT) AS bin
-        FROM toks
-        WINDOW w AS (PARTITION BY source ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT source, bin,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-    FROM packed GROUP BY source, bin
-    """,
-)
-def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for training — concat-and-chunk assignment of
-    documents to fixed token-budget context windows (512 here): each
-    doc's bin is its exclusive running token count div the budget,
-    the standard streaming packing (docs may straddle boundaries;
-    true no-straddle greedy packing needs sequential state and is the
-    streaming job's version). Partitioned by source so the running
-    sum parallelizes — production shards further by (source, shard)
-    so no single partition serializes; one window + one groupBy, both
-    on the same key."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.size(T.tokens(F.col("text"))).alias("n_tok")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.select(
-        "source",
-        "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0)
-        .cast("bigint")
-        .alias("bin"),
-    )
-    return packed.groupBy("source", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("n_tokens"),
-    )
-
-
-@query(
-    "q166_track_ewma",
+    "q164_track_ewma",
     """
     WITH arr AS (
         SELECT user_id,
@@ -8213,7 +8127,7 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM arr
     """,
 )
-def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average over each entity's track
     (alpha=0.2) — the classic telemetry smoother, computed as an
     ORDER-EXACT sequential fold: Spark's F.aggregate over the sorted
@@ -8245,7 +8159,7 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q167_edit_distance_dedup",
+    "q165_edit_distance_dedup",
     """
     WITH t AS (
         SELECT doc_id, substr(text, 1, 24) AS title FROM documents
@@ -8257,7 +8171,7 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND levenshtein(a.title, b.title) <= 5
     """,
 )
-def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup titles (levenshtein <= 5 over 24-char
     prefixes) — the fuzzy-matching dedup for short strings where
     set-based Jaccard is too coarse (titles, names, URLs). The oracle
@@ -8289,69 +8203,4 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "jb")
         .filter((F.col("doc_a") < F.col("doc_b")) & (dist <= 5))
         .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"))
-    )
-
-
-@query(
-    "q168_exact_median_iqr",
-    """
-    WITH v AS (
-        SELECT event_type,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
-               event_id
-        FROM events
-    ), ranked AS (
-        SELECT event_type, v,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY v, event_id) AS rn,
-               COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM v
-    )
-    SELECT event_type,
-           CAST(MAX(n) AS BIGINT) AS n,
-           SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                    THEN v ELSE 0 END) * 1.0
-             / SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                        THEN 1 ELSE 0 END) / 100.0 AS median,
-           MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) / 100.0 AS q1,
-           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) / 100.0 AS q3
-    FROM ranked GROUP BY event_type
-    """,
-)
-def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group median and quartiles by explicit rank
-    arithmetic — engine-agnostic order statistics (each engine's
-    native percentile_cont/median interpolates differently, so the
-    portable contract is rank positions: median = mean of the one or
-    two central elements, quartiles at ceil(n/4) and ceil(3n/4)).
-    Values quantize to cent-ints first so selection and averaging are
-    integer-exact. One window + one aggregate on the same key."""
-    e = load_table(spark, sf_dir, "events")
-    v = e.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
-        "event_id",
-    )
-    w = Window.partitionBy("event_type").orderBy("v", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = v.select(
-        "event_type",
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    m1 = F.floor((F.col("n") + 1) / 2)
-    m2 = F.floor((F.col("n") + 2) / 2)
-    p1 = F.floor((F.col("n") + 3) / 4)
-    p3 = F.floor((3 * F.col("n") + 3) / 4)
-    is_mid = (F.col("rn") == m1) | (F.col("rn") == m2)
-    return ranked.groupBy("event_type").agg(
-        F.max("n").cast("bigint").alias("n"),
-        (
-            F.sum(F.when(is_mid, F.col("v")).otherwise(0)) * 1.0
-            / F.sum(F.when(is_mid, 1).otherwise(0))
-            / 100.0
-        ).alias("median"),
-        (F.max(F.when(F.col("rn") == p1, F.col("v"))) / 100.0).alias("q1"),
-        (F.max(F.when(F.col("rn") == p3, F.col("v"))) / 100.0).alias("q3"),
     )
