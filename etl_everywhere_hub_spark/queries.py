@@ -8204,3 +8204,441 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_a") < F.col("doc_b")) & (dist <= 5))
         .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"))
     )
+
+
+@query(
+    "q166_triangle_count",
+    """
+    WITH edges AS (
+        SELECT DISTINCT
+               least(user_id, (user_id * 7 + event_id * 13) % 150) AS a,
+               greatest(user_id, (user_id * 7 + event_id * 13) % 150) AS b
+        FROM events
+        WHERE user_id != (user_id * 7 + event_id * 13) % 150
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT x AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles_rooted
+    FROM tri GROUP BY x
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over an entity-affinity graph (completing the
+    graph-analytics block next to PageRank/CC in operators/graph.py)
+    — the standard cohesion/community-density signal. The classic
+    two-join enumeration on ORIENTED edges (a<b, so each triangle
+    {x<y<z} materializes exactly once as x-y, y-z, x-z): both joins
+    are equi joins on node keys, cost O(sum of deg^2) not O(n^3), and
+    at 100-TB scale the canonical optimization (orient edges from
+    low- to high-degree instead of by id) is a one-line swap of the
+    least/greatest key. Edges synthesize deterministically from
+    events; count is rooted at the smallest node (exactly one root
+    per triangle, so the per-node counts sum to the triangle total)."""
+    e = load_table(spark, sf_dir, "events")
+    other = (F.col("user_id") * 7 + F.col("event_id") * 13) % 150
+    edges = (
+        e.filter(F.col("user_id") != other)
+        .select(
+            F.least(F.col("user_id"), other).alias("a"),
+            F.greatest(F.col("user_id"), other).alias("b"),
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_triangles_rooted")
+    )
+
+
+@query(
+    "q167_retention_cohorts",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_wk AS cohort_wk,
+           a.wk - c.cohort_wk AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_wk, a.wk - c.cohort_wk
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — entities grouped by first-active week,
+    counted per week offset since their cohort (the activation/decay
+    view product analytics builds over any event stream; distinct
+    from q96's ordered-step funnel). Weeks are epoch-day div 7, not
+    date_trunc, so the bucket boundary is engine-convention-free. Two
+    aggregations on user_id + one broadcastable cohort join: the
+    cohort table is one row per entity — at fleet scale it shuffles
+    once and the matrix itself is tiny (weeks x offsets)."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id",
+        F.floor(F.unix_date(F.to_date("ts")) / 7).cast("long").alias("wk"),
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q168_rrf_fusion",
+    """
+    WITH lex AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('table', 'data', 'query'))) AS tf
+        FROM documents
+    ), ra AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rank_a
+        FROM lex
+    ), qv AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), sem AS (
+        SELECT d.doc_id,
+               list_reduce(list_transform(range(len(qv.qe)),
+                   i -> qv.qe[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE),
+                   (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(range(len(qv.qe)),
+                      i -> qv.qe[i+1]::DOUBLE * qv.qe[i+1]::DOUBLE),
+                      (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(range(len(e.embedding)),
+                      i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE),
+                      (acc, x) -> acc + x))) AS cos
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        CROSS JOIN qv
+    ), rb AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_b
+        FROM sem
+    ), fused AS (
+        SELECT ra.doc_id,
+               CAST(ra.rank_a AS BIGINT) AS rank_a,
+               CAST(rb.rank_b AS BIGINT) AS rank_b,
+               1.0 / (60 + ra.rank_a) + 1.0 / (60 + rb.rank_b) AS rrf
+        FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rank_a, rank_b, rrf FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn
+        FROM fused
+    ) WHERE rn <= 20
+    """,
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking —
+    the standard hybrid-retrieval combiner (RRF, k=60): rank docs by
+    query-term frequency AND by embedding cosine to the query vector,
+    then fuse with sum of 1/(60+rank). Ranks, not scores, fuse — so
+    the two signals need no calibration, and every arithmetic step
+    (integer ranks, two exact divisions, one two-term sum) is
+    bit-identical cross-engine. Both rankings are global windows over
+    a doc-count-sized frame (the production form per-query-partition
+    windows over the candidate pool, already bounded by the retriever
+    top-k)."""
+    from etl_everywhere_hub_spark.functions.vectors import dot
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                T.tokens(F.col("text")),
+                lambda x: x.isin("table", "data", "query"),
+            )
+        ).alias("tf"),
+    )
+    ra = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc()))
+        .alias("rank_a"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sem = (
+        d.join(emb, d.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (
+                    F.sqrt(dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                )
+            ).alias("cos"),
+        )
+    )
+    rb = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
+        .alias("rank_b"),
+    )
+    fused = ra.join(rb, "doc_id").select(
+        "doc_id",
+        F.col("rank_a").cast("bigint").alias("rank_a"),
+        F.col("rank_b").cast("bigint").alias("rank_b"),
+        (1.0 / (60 + F.col("rank_a")) + 1.0 / (60 + F.col("rank_b"))).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "rank_a", "rank_b", "rrf")
+    )
+
+
+def _maxsim_sql() -> str:
+    """DuckDB twin of q169's 8x8 subvector max-sim: each of the 64
+    (query-token, doc-token) dot products is the identical double
+    fold as the Spark side, micro-quantized BEFORE max/sum so the
+    reduction is integer-exact and order-free."""
+
+    def dotm(s: int, t: int) -> str:
+        return (
+            "CAST(floor(list_reduce(list_transform(range(8), i -> "
+            f"qe[{s * 8} + i + 1]::DOUBLE * ce[{t * 8} + i + 1]::DOUBLE), "
+            "(acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT)"
+        )
+
+    per_q = [
+        "greatest(" + ", ".join(dotm(s, t) for t in range(8)) + ")"
+        for s in range(8)
+    ]
+    return " + ".join(per_q)
+
+
+@query(
+    "q169_maxsim_late_interaction",
+    f"""
+    WITH qv AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT e.vec_id,
+               {_maxsim_sql()} AS maxsim_micro
+        FROM (SELECT vec_id, embedding AS ce FROM embeddings) e CROSS JOIN qv
+    )
+    SELECT vec_id, maxsim_micro FROM (
+        SELECT *, row_number() OVER (ORDER BY maxsim_micro DESC, vec_id ASC)
+            AS rn
+        FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): the 64-dim
+    vector is treated as 8 token-vectors of 8 dims; a document's
+    score against the query is sum over query tokens of the MAX dot
+    product over document tokens — the multi-vector scoring that
+    beats single-vector cosine on fine-grained matches. All 64
+    subvector dots are pure Column folds over array slices, computed
+    map-side against the broadcast query with NO shuffle except the
+    final top-k (TakeOrderedAndProject-able); each dot quantizes to
+    micro-int BEFORE the max/sum reduction so the score is
+    integer-exact cross-engine. At scale the corpus side streams;
+    candidate generation (an ANN pass like q129) bounds the rescoring
+    set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def dotm(s: int, t: int):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qe"), s * 8 + 1, 8),
+                    F.slice(F.col("embedding"), t * 8 + 1, 8),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * 1_000_000
+            + 0.5
+        ).cast("bigint")
+
+    maxsim = None
+    for s in range(8):
+        best = F.greatest(*[dotm(s, t) for t in range(8)])
+        maxsim = best if maxsim is None else maxsim + best
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id", maxsim.alias("maxsim_micro")
+    )
+    w = Window.orderBy(F.col("maxsim_micro").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("vec_id", "maxsim_micro")
+    )
+
+
+@query(
+    "q170_product_quantization",
+    """
+    WITH cent AS (
+        SELECT vec_id AS c, embedding AS cemb FROM embeddings WHERE vec_id < 4
+    ), qv AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), sub AS (
+        SELECT e.vec_id, s.s, c.c,
+               CAST(floor(list_reduce(list_transform(range(8),
+                   i -> (e.embedding[s.s * 8 + i + 1]::DOUBLE
+                         - c.cemb[s.s * 8 + i + 1]::DOUBLE)
+                        * (e.embedding[s.s * 8 + i + 1]::DOUBLE
+                           - c.cemb[s.s * 8 + i + 1]::DOUBLE)),
+                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS d2m
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(8)) AS s) s
+        CROSS JOIN cent c
+    ), coded AS (
+        SELECT vec_id, s, c AS code, d2m FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2m ASC, c ASC) AS rn
+            FROM sub
+        ) WHERE rn = 1
+    ), qd AS (
+        SELECT s.s, c.c,
+               CAST(floor(list_reduce(list_transform(range(8),
+                   i -> (qv.qe[s.s * 8 + i + 1]::DOUBLE
+                         - c.cemb[s.s * 8 + i + 1]::DOUBLE)
+                        * (qv.qe[s.s * 8 + i + 1]::DOUBLE
+                           - c.cemb[s.s * 8 + i + 1]::DOUBLE)),
+                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qd2m
+        FROM qv CROSS JOIN (SELECT unnest(range(8)) AS s) s CROSS JOIN cent c
+    ), ex AS (
+        SELECT e.vec_id, s.s,
+               CAST(floor(list_reduce(list_transform(range(8),
+                   i -> (qv.qe[s.s * 8 + i + 1]::DOUBLE
+                         - e.embedding[s.s * 8 + i + 1]::DOUBLE)
+                        * (qv.qe[s.s * 8 + i + 1]::DOUBLE
+                           - e.embedding[s.s * 8 + i + 1]::DOUBLE)),
+                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS ed2m
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(8)) AS s) s
+        CROSS JOIN qv
+    )
+    SELECT cd.vec_id,
+           string_agg(CAST(cd.code AS VARCHAR), ',' ORDER BY cd.s) AS codes,
+           CAST(SUM(qd.qd2m) AS BIGINT) AS approx_d2_micro,
+           CAST(SUM(ex.ed2m) AS BIGINT) AS exact_d2_micro
+    FROM coded cd
+    JOIN qd ON qd.s = cd.s AND qd.c = cd.code
+    JOIN ex ON ex.vec_id = cd.vec_id AND ex.s = cd.s
+    WHERE cd.vec_id % 25 = 0
+    GROUP BY cd.vec_id
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the memory-side of billion-scale ANN
+    (IVF-PQ): the 64-dim vector splits into 8 subspaces, each encoded
+    as the id of its nearest of 4 codebook centroids (here the first
+    4 corpus vectors, deterministic seeding exactly like q129's IVF),
+    and query distance is answered from the 8 codes alone via the
+    asymmetric-distance table (sum of precomputed query→centroid
+    subspace distances) next to the exact distance for comparison.
+
+    Spark shape: the codebook is 4 rows — collected (bounded,
+    documented like q129's centroid seed) and embedded as literal
+    arrays, so encoding is 32 pure-Column subspace folds per vector,
+    entirely map-side, NO join and NO shuffle; argmin is an
+    array_sort over 4 (d2, c) structs; the ADC lookup is a when-chain
+    over the 4 precomputed query-centroid constants per subspace.
+    Every subspace distance micro-quantizes before argmin/sum, so
+    codes and distances are integer-exact cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cvec = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in cents}
+    qe = cvec[0]
+
+    def lit_arr(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    def d2m_col(sub_col, lit_vals):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(
+                    sub_col,
+                    lit_arr(lit_vals),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * 1_000_000
+            + 0.5
+        ).cast("bigint")
+
+    import math
+
+    def py_d2m(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return int(math.floor(acc * 1_000_000 + 0.5))
+
+    code_cols, adc_cols, exact_cols = [], [], []
+    for s in range(8):
+        sub = F.slice(F.col("embedding"), s * 8 + 1, 8)
+        cands = F.array(
+            *[
+                F.struct(
+                    d2m_col(sub, cvec[c][s * 8 : s * 8 + 8]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(4)
+            ]
+        )
+        best = F.get(F.array_sort(cands), 0)
+        code = best.getField("c")
+        code_cols.append(code.alias(f"code_{s}"))
+        # query->centroid subspace distances are constants; the fold is
+        # replicated in Python with the identical op order (pure *,-,+
+        # on doubles -> bit-identical), mirrored by the oracle's
+        # table-derived qd CTE
+        qd = {c: py_d2m(qe[s * 8 : s * 8 + 8], cvec[c][s * 8 : s * 8 + 8])
+              for c in range(4)}
+        adc = F.when(code == 0, F.lit(qd[0]))
+        for c in range(1, 4):
+            adc = adc.when(code == c, F.lit(qd[c]))
+        adc_cols.append(adc.cast("bigint"))
+        exact_cols.append(d2m_col(sub, qe[s * 8 : s * 8 + 8]))
+    approx = adc_cols[0]
+    exact = exact_cols[0]
+    for s in range(1, 8):
+        approx = approx + adc_cols[s]
+        exact = exact + exact_cols[s]
+    coded = emb.filter(F.col("vec_id") % 25 == 0).select(
+        "vec_id", *code_cols, approx.alias("approx_d2_micro"),
+        exact.alias("exact_d2_micro"),
+    )
+    return coded.select(
+        "vec_id",
+        F.concat_ws(",", *[F.col(f"code_{s}").cast("string") for s in range(8)])
+        .alias("codes"),
+        "approx_d2_micro",
+        "exact_d2_micro",
+    )
