@@ -1,0 +1,84 @@
+"""Regenerate API.md — one line per public callable (signature → first
+docstring sentence), grouped by module. Run from the repo root:
+
+    PYTHONPATH=. python tools/gen_api.py > API.md
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+
+SECTIONS = [
+    ("Session factory", "etl_everywhere_hub_spark.session"),
+    ("Fixture catalog", "etl_everywhere_hub_spark.catalog"),
+    ("Text functions", "etl_everywhere_hub_spark.functions.text"),
+    ("Vector functions", "etl_everywhere_hub_spark.functions.vectors"),
+    ("Portable hashing", "etl_everywhere_hub_spark.functions.hashing"),
+    ("Time functions", "etl_everywhere_hub_spark.functions.timeutil"),
+    ("Geometry functions", "etl_everywhere_hub_spark.functions.geo"),
+    ("Keyed-window operators", "etl_everywhere_hub_spark.operators.windows"),
+    ("As-of / range joins", "etl_everywhere_hub_spark.operators.asof"),
+    ("Deduplication", "etl_everywhere_hub_spark.operators.dedup"),
+    ("Similarity search", "etl_everywhere_hub_spark.operators.similarity"),
+    ("Iterative graph ops", "etl_everywhere_hub_spark.operators.graph"),
+    ("Splits / sampling / packing", "etl_everywhere_hub_spark.operators.sampling"),
+    ("Skew mitigation", "etl_everywhere_hub_spark.operators.skew"),
+    ("Sources", "etl_everywhere_hub_spark.sources.readers"),
+    ("Physical layout", "etl_everywhere_hub_spark.sources.layout"),
+    ("Python DataSource", "etl_everywhere_hub_spark.sources.python_datasource"),
+    ("Reference tracks pipeline", "etl_everywhere_hub_spark.pipeline.tracks"),
+    ("CoT XML codec", "etl_everywhere_hub_spark.pipeline.cot"),
+    ("TAK protobuf codec", "etl_everywhere_hub_spark.pipeline.takproto"),
+    ("Streaming jobs", "etl_everywhere_hub_spark.streaming.jobs"),
+    ("Streaming sinks", "etl_everywhere_hub_spark.streaming.sinks"),
+    ("Streaming near-dup", "etl_everywhere_hub_spark.streaming.neardup"),
+    ("Multimodal columns", "etl_everywhere_hub_spark.multimodal"),
+]
+
+HEADER = '''# API — public operator surface
+
+One line per public callable (signature → first docstring sentence).
+Full semantics and 100 TB notes live in each docstring; every operator
+with result-affecting behavior is exercised by a `queries()` entry
+(COVERAGE.md) or a test.
+'''
+
+
+def first_sentence(doc: str | None) -> str:
+    if not doc:
+        return ""
+    txt = " ".join(line.strip() for line in doc.strip().splitlines())
+    for stop in (". ", ".\n"):
+        if stop in txt:
+            return txt.split(stop)[0]
+    return txt.split(".")[0][:120]
+
+
+def main() -> None:
+    print(HEADER)
+    for title, modname in SECTIONS:
+        mod = importlib.import_module(modname)
+        short = modname.replace("etl_everywhere_hub_spark.", "")
+        rows = []
+        for name in sorted(dir(mod)):
+            if name.startswith("_"):
+                continue
+            obj = getattr(mod, name)
+            if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+                continue
+            if getattr(obj, "__module__", None) != modname:
+                continue
+            try:
+                sig = str(inspect.signature(obj))
+            except (TypeError, ValueError):
+                sig = "(...)"
+            rows.append(f"- `{name}{sig}` — {first_sentence(obj.__doc__)}")
+        if rows:
+            print(f"## {title} (`{short}`)\n")
+            print("\n".join(rows))
+            print()
+
+
+if __name__ == "__main__":
+    main()
