@@ -298,3 +298,56 @@ def test_lsh_identical_cluster_is_bounded_and_lossless(spark, caplog):
         "dropping" in r.message and "cap=100" in r.message
         for r in caplog.records
     ), caplog.records
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_verts=st.integers(3, 9),
+)
+def test_point_in_ring_matches_python_raycast(spark, seed, n_verts):
+    """The Column even-odd ray cast must agree with an independent
+    Python reference implementation on random star-shaped polygons
+    and a grid of probe points (vertices at varied radii around a
+    center — convex and concave shapes both arise)."""
+    import math
+    import random
+
+    from etl_everywhere_hub_spark.functions.geo import point_in_ring_col
+
+    rng = random.Random(seed)
+    cx, cy = rng.uniform(-5, 5), rng.uniform(-5, 5)
+    verts = []
+    for i in range(n_verts):
+        ang = 2 * math.pi * i / n_verts
+        r = rng.uniform(1.0, 6.0)
+        verts.append((cx + r * math.cos(ang), cy + r * math.sin(ang)))
+    ring = verts + [verts[0]]
+
+    def py_inside(px, py):
+        inside = False
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                inside = not inside
+        return inside
+
+    probes = [
+        (cx + dx, cy + dy)
+        for dx in (-7.0, -2.5, -0.1, 0.0, 1.3, 4.0, 7.0)
+        for dy in (-7.0, -1.7, 0.2, 3.1, 7.0)
+    ]
+    ring_col = F.array(
+        *[
+            F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat"))
+            for x, y in ring
+        ]
+    )
+    df = spark.createDataFrame(probes, "px double, py double")
+    got = {
+        (r["px"], r["py"]): r["inside"]
+        for r in df.select(
+            "px", "py", point_in_ring_col(F.col("px"), F.col("py"), ring_col).alias("inside")
+        ).collect()
+    }
+    for px, py in probes:
+        assert got[(px, py)] == py_inside(px, py), (seed, px, py)
