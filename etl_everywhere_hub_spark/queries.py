@@ -8642,3 +8642,52 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_d2_micro",
         "exact_d2_micro",
     )
+
+
+@query(
+    "q171_stream_proximity",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(c_custkey % 48 AS DOUBLE) * 0.25
+                 + CAST(c_custkey % 7 AS DOUBLE) * 0.125 AS lat,
+               CAST(c_custkey % 96 AS DOUBLE) * 0.25
+                 + CAST(c_custkey % 11 AS DOUBLE) * 0.0625 AS lon
+        FROM customer
+    )
+    SELECT a.id AS a, b.id AS b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS dist_sq
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) <= 0.0625
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING spatial proximity (geofence alerting) under the full
+    oracle: the q127 points arrive as a replayed stream, route to
+    their 3x3 grid-cell neighborhood, and pair against CELL-KEYED
+    STATE (streaming/proximity.py — the stateful analogue of the
+    batch grid join, exactly as streaming/neardup.py is to the LSH
+    band join). The drained emissions must equal the batch O(n^2)
+    oracle's qualifying pairs with identical exact distances — the
+    streaming=batch equivalence contract, hash-checked by the driver.
+    State per cell is bounded by spatial density; every update does
+    O(cell occupancy) work."""
+    from etl_everywhere_hub_spark.streaming import jobs as stream_jobs
+    from etl_everywhere_hub_spark.streaming.proximity import (
+        streaming_proximity_pairs,
+    )
+
+    c = stream_jobs.stream_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 48).cast("double") * 0.25
+         + (F.col("c_custkey") % 7).cast("double") * 0.125).alias("lat"),
+        ((F.col("c_custkey") % 96).cast("double") * 0.25
+         + (F.col("c_custkey") % 11).cast("double") * 0.0625).alias("lon"),
+    )
+    pairs = streaming_proximity_pairs(pts, radius=0.25)
+    return stream_jobs.run_to_table(pairs, output_mode="append").dropDuplicates(
+        ["a", "b"]
+    )

@@ -546,3 +546,21 @@ def stateful_track_cache_event_ttl(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Any fixture table as a replayed stream (same symlink-dir
+    pattern as stream_events; no timestamp rescue — callers needing
+    watermarks use stream_events)."""
+    import hashlib
+    import os
+
+    configure_session(spark)
+    key = hashlib.md5(f"{sf_dir}:{name}".encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ee_stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/{name}.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    batch_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    return spark.readStream.schema(batch_schema).parquet(d)

@@ -370,3 +370,43 @@ def test_streaming_near_dup_equals_batch(spark, sf_dir, tmp_path):
         for r in drained.dropDuplicates(["a", "b"]).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_proximity_equals_batch_grid_join(spark, sf_dir, tmp_path):
+    """Streaming grid-cell proximity must emit exactly the batch
+    grid-join's qualifying pairs (q127 semantics) with identical
+    exact distances, regardless of how the stream is batched."""
+    from etl_everywhere_hub_spark.queries import REGISTRY
+    from etl_everywhere_hub_spark.streaming import jobs
+    from etl_everywhere_hub_spark.streaming import proximity as PX
+
+    # the q127 synthetic points (customer-derived, exact 2^-4 grids)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 48).cast("double") * 0.25
+         + (F.col("c_custkey") % 7).cast("double") * 0.125).alias("lat"),
+        ((F.col("c_custkey") % 96).cast("double") * 0.25
+         + (F.col("c_custkey") % 11).cast("double") * 0.0625).alias("lon"),
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in REGISTRY["q127_spatial_proximity_join"].spark(spark, sf_dir).collect()
+    }
+
+    pdf = pts.toPandas()
+    for i, part in enumerate([pdf[pdf.id % 2 == 0], pdf[pdf.id % 2 == 1]]):
+        part.to_json(tmp_path / f"p{i}.jsonl", orient="records", lines=True)
+    stream = (
+        spark.readStream.schema("id long, lat double, lon double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    drained = jobs.run_to_table(
+        PX.streaming_proximity_pairs(stream, radius=0.25), output_mode="append"
+    )
+    got = {
+        (r["a"], r["b"]): r["dist_sq"]
+        for r in drained.dropDuplicates(["a", "b"]).collect()
+    }
+    assert got == want and len(want) > 0
