@@ -213,3 +213,27 @@ def test_map_in_arrow_features_equal_pandas_path(spark, sf_dir):
     b = {r["media_id"]: (r["payload_sha"], r["n_bytes"], tuple(r["features"]))
          for r in M.extract_features(media).collect()}
     assert a == b and len(a) == 50
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet batches (R20's introspection
+    surface in write direction): a later batch adds a column; reading
+    with mergeSchema unions the schemas, back-filling NULL for old
+    rows — the append-only evolution contract a long-lived 100 TB
+    table relies on (no rewrite of historical files)."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("x"))
+    v2 = spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("x"), (F.col("id") * 2).alias("y")
+    )
+    v1.write.parquet(str(tmp_path / "t"), mode="append")
+    v2.write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "x", "y"}
+    rows = {r["id"]: (r["x"], r["y"]) for r in merged.collect()}
+    assert rows[0] == ("a", None) and rows[4] == ("b", 8)
+    # without mergeSchema the footer-sampled schema wins — document
+    # that the option is load-bearing, not default
+    plain_cols = set(spark.read.parquet(str(tmp_path / "t")).columns)
+    assert plain_cols <= {"id", "x", "y"}
