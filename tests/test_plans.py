@@ -256,3 +256,57 @@ def test_q156_trajectory_join_is_grid_blocked(spark, sf_dir):
         assert not k.startswith("j#"), f"pair join keyed on sample index:\n{plan[:3000]}"
     for seg in plan.split("hashpartitioning(")[1:]:
         assert not seg.split(")")[0].strip().startswith("j#"), plan[:3000]
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """SCALE.md's skew story, machine-checked: a sort-merge join with
+    one pathologically hot key must come out of AQE with
+    SortMergeJoin(skew=true) in the FINAL adaptive plan — the hot
+    partition split into advisory-sized subpartitions at runtime,
+    with no salting and no plan change in user code. (Thresholds are
+    lowered so the fixture-sized input crosses the skew detector;
+    production keeps the defaults and the same mechanism fires on
+    real skew.)"""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .cast("long")
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 400_000
+        plan = X.physical_plan(j)
+        assert "isFinalPlan=true" in plan, plan[:1500]
+        assert "SortMergeJoin(skew=true)" in plan, plan[:3000]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
