@@ -8691,3 +8691,42 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_jobs.run_to_table(pairs, output_mode="append").dropDuplicates(
         ["a", "b"]
     )
+
+
+@query(
+    "q172_frame_sampling",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(encode(text)) // 64 AS n_frames
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           md5(substr(text, j * 64 + 1, 64)) AS frame_md5
+    FROM m, LATERAL (
+        SELECT unnest(range(0, n_frames, 3)) AS j
+    )
+    WHERE n_frames > 0
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling under oracle: documents ride as
+    binary media payloads (multimodal.documents_as_media — bytes are
+    bytes to the plumbing), and multimodal.sample_frames extracts
+    every 3rd fixed-stride frame inside a mapInPandas worker, one
+    output row per SAMPLED frame, identified by md5. The oracle
+    recomputes the same frames by string arithmetic (the fixture text
+    is ASCII, so byte and char offsets coincide — the contract the
+    adapter documents). Pins the worker-side explode (unsampled
+    frames never materialize), the Arrow batch shape, and the output
+    schema of the video-curation sampling stage; a real deployment
+    swaps the byte-stride for a demuxer at the marked line."""
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(d), frame_bytes=64, every_kth=3)
