@@ -8730,3 +8730,195 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(d), frame_bytes=64, every_kth=3)
+
+
+@query(
+    "q173_knn_temporal_join",
+    """
+    WITH anchors AS (
+        SELECT user_id, event_id AS anchor_id, epoch_ms(ts) AS at
+        FROM events WHERE event_type = 'error'
+    ), cand AS (
+        SELECT user_id, event_id AS neighbor_id, epoch_ms(ts) AS bt
+        FROM events
+    )
+    SELECT user_id, anchor_id, neighbor_id, dt_ms, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT a.user_id, a.anchor_id, c.neighbor_id,
+               abs(a.at - c.bt) AS dt_ms,
+               row_number() OVER (PARTITION BY a.user_id, a.anchor_id
+                                  ORDER BY abs(a.at - c.bt) ASC,
+                                           c.neighbor_id ASC) AS rnk
+        FROM anchors a
+        JOIN cand c ON c.user_id = a.user_id
+                   AND c.neighbor_id != a.anchor_id
+    ) t WHERE rnk <= 3
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-in-time join (k=3): for every error event, the three
+    temporally closest events of the same entity — the sensor-fusion /
+    incident-context primitive (generalizes the as-of join from
+    'latest before' to 'k nearest either side'). Equi join on the
+    entity key + per-anchor rank window: work is bounded by per-entity
+    event counts (the partition key), never corpus-global; ties
+    total-order on the neighbor id. At fleet scale the same plan
+    shards by entity; a time-bucketed candidate filter (q23's range
+    pattern) bounds dense entities."""
+    e = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    anchors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("anchor_id"), ms.alias("at")
+    )
+    cand = e.select(
+        "user_id", F.col("event_id").alias("neighbor_id"), ms.alias("bt")
+    )
+    j = anchors.join(cand, "user_id").filter(
+        F.col("neighbor_id") != F.col("anchor_id")
+    )
+    dt = F.abs(F.col("at") - F.col("bt"))
+    w = Window.partitionBy("user_id", "anchor_id").orderBy(
+        dt.asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("dt_ms", dt)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "anchor_id", "neighbor_id", "dt_ms",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+@query(
+    "q174_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), cnt AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           n * 1.0 / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM cnt
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences — the behavioral-model primitive (what follows what,
+    with maximum-likelihood transition probabilities). One lead
+    window on the entity key, one (from, to) count — |types|² output,
+    tiny at any corpus size — and the row-normalization is a window
+    over the bounded matrix itself. The probability is one integer
+    division per row (n and the row sum are exact), bit-identical
+    cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") * 1.0 / F.sum("n").over(wf)).alias("p"),
+    )
+
+
+@query(
+    "q175_cusum_changepoint",
+    """
+    WITH arr AS (
+        SELECT user_id,
+               list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ORDER BY ts, event_id) AS vals,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id
+    ), folded AS (
+        SELECT user_id, n,
+               list_reduce(
+                   list_prepend({'smax': CAST(0.0 AS DOUBLE),
+                                 's': CAST(0.0 AS DOUBLE)},
+                       list_transform(vals, v -> {'smax': CAST(0.0 AS DOUBLE),
+                                                  's': CAST(v AS DOUBLE)})),
+                   -- smax FIRST and from the OLD s: DuckDB evaluates
+                   -- struct-lambda fields sequentially (acc.s mutates
+                   -- before later fields see it); with smax >= 0 the
+                   -- max(smax, raw) form needs no reference to new s,
+                   -- so the fold is identical under sequential AND
+                   -- snapshot lambda semantics (Spark uses snapshot)
+                   (acc, x) -> {
+                       'smax': greatest(acc.smax,
+                                        acc.s + (x.s - CAST(sc AS DOUBLE) / n)),
+                       's': greatest(CAST(0.0 AS DOUBLE),
+                                     acc.s + (x.s - CAST(sc AS DOUBLE) / n))
+                   }) AS f
+        FROM arr
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(floor(f.smax * 10000 + 0.5) AS BIGINT) AS cusum_max_e4
+    FROM folded
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per entity track: S_i =
+    max(0, S_{i-1} + (x_i − mean)), reported as the series maximum —
+    the classic drift/shift alarm statistic. Like q164's EWMA this is
+    an inherently sequential recursion, computed as an ORDER-EXACT
+    fold over the sorted per-entity array with a STRUCT accumulator
+    (running S and its max in one pass); Spark's F.aggregate and
+    DuckDB's list_reduce perform the identical op sequence on
+    identical doubles (values quantize to cent-ints first, the mean
+    is one exact division), so the statistic matches bit-for-bit
+    before the final defensive quantize. One groupBy shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    arr = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id",
+                        F.floor(F.col("value") * 100 + 0.5)
+                        .cast("bigint")
+                        .alias("vc"),
+                    )
+                )
+            ).alias("svals"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("sc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.transform("svals", lambda r: r["vc"]).alias("vals"),
+            (F.col("sc") * 1.0 / F.col("n")).alias("mu"),
+        )
+    )
+    folded = F.aggregate(
+        F.col("vals"),
+        F.struct(F.lit(0.0).alias("smax"), F.lit(0.0).alias("s")),
+        # smax = max(old smax, raw) needs no reference to the new s
+        # (equivalent because smax >= 0), keeping the fold identical
+        # under Spark's snapshot lambda AND DuckDB's sequential one
+        lambda acc, v: F.struct(
+            F.greatest(
+                acc["smax"], acc["s"] + (v * 1.0 - F.col("mu"))
+            ).alias("smax"),
+            F.greatest(F.lit(0.0), acc["s"] + (v * 1.0 - F.col("mu"))).alias("s"),
+        ),
+    )
+    return arr.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.floor(folded["smax"] * 10_000 + 0.5).cast("bigint").alias("cusum_max_e4"),
+    )
