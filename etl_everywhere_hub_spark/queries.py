@@ -8922,3 +8922,110 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.floor(folded["smax"] * 10_000 + 0.5).cast("bigint").alias("cusum_max_e4"),
     )
+
+
+@query(
+    "q176_time_weighted_average",
+    """
+    WITH seg AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+               epoch_ms(ts) AS t,
+               lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS t_next
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(t_next - t) AS BIGINT) AS total_ms,
+           CASE WHEN SUM(t_next - t) > 0 THEN
+               CAST(SUM((t_next - t) * vc) AS DOUBLE)
+                 / SUM(t_next - t) / 100.0
+           END AS twap
+    FROM seg WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per entity (TWAP): each reading
+    holds until the next one, so the average weights each value by
+    its holding duration — the correct aggregate for irregularly
+    sampled telemetry (plain avg over-weights bursty periods; q87's
+    LOCF gapfill is the row-level view of the same semantics).
+    Integer-exact core: cent-values × millisecond durations summed in
+    int64, ONE double division at the end. One window + one groupBy
+    on the entity key. Zero-duration tracks yield explicit NULL on
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seg = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+        ms.alias("t"),
+        F.lead(ms).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    g = seg.groupBy("user_id").agg(
+        F.sum(dur).cast("bigint").alias("total_ms"),
+        F.sum(dur * F.col("vc")).alias("wsum"),
+    )
+    return g.select(
+        "user_id",
+        "total_ms",
+        F.when(
+            F.col("total_ms") > 0,
+            F.col("wsum").cast("double") / F.col("total_ms") / 100.0,
+        ).alias("twap"),
+    )
+
+
+@query(
+    "q177_boolean_retrieval",
+    """
+    WITH inv AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), hits AS (
+        SELECT doc_id FROM inv
+        WHERE tok IN ('table', 'data')
+        GROUP BY doc_id
+        HAVING COUNT(*) = 2
+    )
+    SELECT h.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+    FROM hits h
+    JOIN documents d ON d.doc_id = h.doc_id
+    WHERE h.doc_id NOT IN (SELECT doc_id FROM inv WHERE tok = 'vector')
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean inverted-index retrieval: documents containing ALL of
+    the positive terms and NONE of the negative term — the AND/NOT
+    query shape under a (doc, term) inverted index: the AND is a
+    group-count-equals-|terms| over index rows filtered to the query
+    terms (never a per-term join chain), the NOT is an anti join.
+    The index relation is what a 100 TB deployment materializes once
+    and serves many queries from (partitioned by term); the ranked
+    cousin is q89's BM25. Index rows for the query terms only —
+    cost is bounded by those terms' posting lists, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    inv = d.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("tok")
+    )
+    hits = (
+        inv.filter(F.col("tok").isin("table", "data"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == 2)
+        .select("doc_id")
+    )
+    neg = inv.filter(F.col("tok") == "vector").select("doc_id")
+    return (
+        hits.join(neg, "doc_id", "left_anti")
+        .join(d, "doc_id")
+        .select(
+            "doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok")
+        )
+    )
