@@ -8400,10 +8400,9 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_b").cast("bigint").alias("rank_b"),
         (1.0 / (60 + F.col("rank_a")) + 1.0 / (60 + F.col("rank_b"))).alias("rrf"),
     )
-    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     return (
-        fused.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
         .select("doc_id", "rank_a", "rank_b", "rrf")
     )
 
@@ -8483,10 +8482,9 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(qv)).select(
         "vec_id", maxsim.alias("maxsim_micro")
     )
-    w = Window.orderBy(F.col("maxsim_micro").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        scored.orderBy(F.col("maxsim_micro").desc(), F.col("vec_id").asc())
+        .limit(20)
         .select("vec_id", "maxsim_micro")
     )
 
