@@ -9027,3 +9027,210 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok")
         )
     )
+
+
+@query(
+    "q178_track_simplification",
+    """
+    WITH RECURSIVE pts AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(value * 2.0 * 1000000 + 0.5) AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ), rec AS (
+        SELECT user_id, i, n, x AS lx, y AS ly, CAST(1 AS BIGINT) AS kept
+        FROM pts WHERE i = 1
+        UNION ALL
+        SELECT p.user_id, p.i, p.n,
+               CASE WHEN (p.x - r.lx) * (p.x - r.lx)
+                         + (p.y - r.ly) * (p.y - r.ly) > 10000000000000000
+                    THEN p.x ELSE r.lx END,
+               CASE WHEN (p.x - r.lx) * (p.x - r.lx)
+                         + (p.y - r.ly) * (p.y - r.ly) > 10000000000000000
+                    THEN p.y ELSE r.ly END,
+               r.kept + CASE WHEN (p.x - r.lx) * (p.x - r.lx)
+                                  + (p.y - r.ly) * (p.y - r.ly)
+                                  > 10000000000000000
+                             THEN 1 ELSE 0 END
+        FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.i = r.i + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_points, kept AS n_kept
+    FROM rec WHERE i = n
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial-distance track simplification — the GPS thinning op
+    every fleet pipeline runs before storage/display (keep a point
+    only if it moved more than a tolerance from the last KEPT point;
+    the streaming cousin of Douglas-Peucker, O(n) and single-pass
+    where DP is recursive). Inherently sequential per track, so it is
+    an order-exact fold with a (last_kept_x, last_kept_y, count)
+    struct accumulator over the sorted micro-int coordinate array —
+    every comparison integer-exact. One groupBy shuffle; track length
+    bounds the fold. The ORACLE expresses the same recursion as a
+    WITH RECURSIVE step join rather than list_reduce: DuckDB's
+    list_reduce miscomputes CASE-returning-struct lambdas when
+    several rows share a vector (verified against an independent
+    Python fold — accumulator state leaks across rows; scalar and
+    arithmetic-only struct folds like q164/q166/q175 are unaffected
+    and are themselves re-verified against Python references in
+    tests)."""
+    e = load_table(spark, sf_dir, "events")
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts",
+                    "event_id",
+                    F.floor(F.col("value") * 1_000_000 + 0.5)
+                    .cast("bigint")
+                    .alias("x"),
+                    F.floor(F.col("value") * 2.0 * 1_000_000 + 0.5)
+                    .cast("bigint")
+                    .alias("y"),
+                )
+            )
+        ).alias("s")
+    ).select(
+        "user_id",
+        F.transform(
+            "s", lambda r: F.struct(r["x"].alias("x"), r["y"].alias("y"))
+        ).alias("pp"),
+    )
+    thr = F.lit(10_000_000_000_000_000)  # (0.1 deg)^2 in micro-int^2
+    first = F.get(F.col("pp"), 0)
+    init = F.struct(
+        first["x"].alias("lx"), first["y"].alias("ly"),
+        F.lit(1).cast("bigint").alias("kept"),
+    )
+    folded = F.aggregate(
+        F.slice(F.col("pp"), 2, F.size("pp") - 1),
+        init,
+        lambda acc, p: F.when(
+            (p["x"] - acc["lx"]) * (p["x"] - acc["lx"])
+            + (p["y"] - acc["ly"]) * (p["y"] - acc["ly"])
+            > thr,
+            F.struct(
+                p["x"].alias("lx"), p["y"].alias("ly"),
+                (acc["kept"] + 1).alias("kept"),
+            ),
+        ).otherwise(acc),
+    )
+    return arr.select(
+        "user_id",
+        F.size("pp").cast("bigint").alias("n_points"),
+        folded["kept"].alias("n_kept"),
+    )
+
+
+@query(
+    "q179_merge_apply",
+    """
+    WITH target AS (
+        SELECT user_id, event_id AS pk, value AS v
+        FROM events WHERE event_id % 4 != 0
+    ), changes AS (
+        SELECT event_id AS pk,
+               CASE WHEN event_id % 4 = 0 THEN 'I'
+                    WHEN event_id % 3 = 0 THEN 'D'
+                    ELSE 'U' END AS op,
+               value * 2.0 AS new_v,
+               user_id
+        FROM events WHERE event_id % 2 = 0
+    )
+    SELECT COALESCE(t.user_id, c.user_id) AS user_id,
+           COALESCE(t.pk, c.pk) AS pk,
+           CASE WHEN c.op = 'U' THEN c.new_v
+                WHEN c.op = 'I' THEN c.new_v
+                ELSE t.v END AS v
+    FROM target t
+    FULL OUTER JOIN changes c ON c.pk = t.pk
+    WHERE NOT (c.op IS NOT NULL AND c.op = 'D')
+      AND NOT (t.pk IS NULL AND c.op != 'I')
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply an
+    insert/update/delete changeset to a snapshot in one full outer
+    join — WHEN MATCHED AND op='U' THEN UPDATE, AND op='D' THEN
+    DELETE, WHEN NOT MATCHED AND op='I' THEN INSERT (unmatched
+    non-inserts drop, exactly MERGE's rule). This is the batch
+    foundation the Delta/Iceberg sinks documented in
+    streaming/sinks.py compile to; q101 derives a changeset, this
+    applies one — the CDC round trip. Equi join on the primary key;
+    at 100 TB both sides pre-bucket by pk (sources/layout.py) and the
+    join is zero-exchange."""
+    e = load_table(spark, sf_dir, "events")
+    target = e.filter(F.col("event_id") % 4 != 0).select(
+        "user_id", F.col("event_id").alias("pk"), F.col("value").alias("v")
+    )
+    changes = e.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("pk"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("I"))
+        .when(F.col("event_id") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("value") * 2.0).alias("new_v"),
+        "user_id",
+    )
+    t, c = target.alias("t"), changes.alias("c")
+    j = t.join(c, F.col("t.pk") == F.col("c.pk"), "full_outer")
+    return (
+        j.filter(
+            ~(F.col("c.op").isNotNull() & (F.col("c.op") == "D"))
+            & ~(F.col("t.pk").isNull() & (F.col("c.op") != "I"))
+        )
+        .select(
+            F.coalesce(F.col("t.user_id"), F.col("c.user_id")).alias("user_id"),
+            F.coalesce(F.col("t.pk"), F.col("c.pk")).alias("pk"),
+            F.when(F.col("c.op") == "U", F.col("c.new_v"))
+            .when(F.col("c.op") == "I", F.col("c.new_v"))
+            .otherwise(F.col("t.v"))
+            .alias("v"),
+        )
+    )
+
+
+@query(
+    "q180_density_grid",
+    """
+    WITH pts AS (
+        SELECT (CAST(event_id % 9000 AS DOUBLE) / 100.0 - 45.0) AS lat,
+               (CAST(event_id % 18000 AS DOUBLE) / 100.0 - 90.0) AS lon,
+               user_id
+        FROM events
+    )
+    SELECT CAST(floor(lon / 10.0) AS BIGINT) AS gx,
+           CAST(floor(lat / 10.0) AS BIGINT) AS gy,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+    FROM pts
+    GROUP BY 1, 2
+    """,
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid (the heatmap layer every tracking UI
+    draws): position stream → 10-degree cells → point and distinct-
+    entity counts per cell. One hash aggregation with map-side
+    combine; output bounded by the grid (648 cells max), so the
+    heatmap is broadcast-small no matter the fleet size. Completes
+    the grid family: q127 joins on cells, q171 keeps state per cell,
+    this aggregates per cell."""
+    e = load_table(spark, sf_dir, "events")
+    lat = (F.col("event_id") % 9000).cast("double") / 100.0 - 45.0
+    lon = (F.col("event_id") % 18000).cast("double") / 100.0 - 90.0
+    return (
+        e.select(
+            F.floor(lon / 10.0).cast("bigint").alias("gx"),
+            F.floor(lat / 10.0).cast("bigint").alias("gy"),
+            "user_id",
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count_distinct("user_id").alias("n_entities"),
+        )
+    )

@@ -351,3 +351,37 @@ def test_point_in_ring_matches_python_raycast(spark, seed, n_verts):
     }
     for px, py in probes:
         assert got[(px, py)] == py_inside(px, py), (seed, px, py)
+
+
+def test_track_simplification_matches_python_fold(spark, sf_dir):
+    """q178's Spark fold vs an independent Python implementation of
+    radial-distance simplification (guards the fold against lambda-
+    evaluation-semantics surprises — the class of bug found in
+    DuckDB's list_reduce during q178's construction)."""
+    from collections import defaultdict
+
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = e.select("user_id", "ts", "event_id", "value").collect()
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    import math
+
+    tracks = defaultdict(list)
+    for r in rows:
+        x = math.floor(r["value"] * 1_000_000 + 0.5)
+        y = math.floor(r["value"] * 2.0 * 1_000_000 + 0.5)
+        tracks[r["user_id"]].append((x, y))
+    want = {}
+    for u, pts in tracks.items():
+        lx, ly = pts[0]
+        kept = 1
+        for x, y in pts[1:]:
+            if (x - lx) ** 2 + (y - ly) ** 2 > 10_000_000_000_000_000:
+                lx, ly, kept = x, y, kept + 1
+        want[u] = (len(pts), kept)
+    got = {
+        r["user_id"]: (r["n_points"], r["n_kept"])
+        for r in REGISTRY["q178_track_simplification"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
