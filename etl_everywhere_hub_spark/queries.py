@@ -9234,3 +9234,39 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_entities"),
         )
     )
+
+
+@query(
+    "q181_stream_ewma",
+    """
+    WITH arr AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+    FROM arr
+    """,
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-entity EWMA under the batch oracle: the O(1)
+    per-key scalar-state twin of q164's array fold (the docstring
+    promise made good). Events replay as a stream, each micro-batch
+    folds its (ts, event_id)-sorted rows into the carried scalar, and
+    the final carried value per entity must equal the batch fold
+    bit-for-bit — same recursion, same doubles, state is one
+    (ewma, n, position) tuple per entity regardless of track length.
+    Cross-batch order protection: rows at-or-before the carried
+    position drop visibly (the count would mismatch the oracle)."""
+    from etl_everywhere_hub_spark.operators.windows import latest_per_key
+    from etl_everywhere_hub_spark.streaming import jobs as stream_jobs
+
+    s = stream_jobs.stream_events(spark, sf_dir)
+    out = stream_jobs.run_to_table(
+        stream_jobs.stateful_ewma(s, alpha=0.2), output_mode="update"
+    )
+    return latest_per_key(out, ["user_id"], "n_events").select(
+        "user_id", "n_events", "ewma"
+    )

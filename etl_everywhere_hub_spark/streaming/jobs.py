@@ -564,3 +564,68 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         os.symlink(f"{sf_dir}/{name}.parquet", link)
     batch_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     return spark.readStream.schema(batch_schema).parquet(d)
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+        StructField("n", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("last_eid", LongType()),
+    ]
+)
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-entity EWMA as STREAMING per-key scalar state — the O(1)
+    state twin of q164's batch array fold (same recursion, same
+    doubles): each micro-batch sorts its rows by (ts, event_id),
+    folds them into the carried scalar, and emits the running value.
+    Late rows older than the carried position are DROPPED (an EWMA is
+    order-defined; reordering inside a micro-batch is fine, across
+    batches is not) — the count output makes any drop visible to the
+    equivalence test rather than silent. Emits in update style: the
+    latest (user, n, ewma) per batch."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            ew, n, lts, leid = state.get
+        else:
+            ew, n, lts, leid = None, 0, -1, -1
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append((int(r.ts_ms), int(r.event_id), float(r.value)))
+        rows.sort()
+        for ts_ms, eid, v in rows:
+            if (ts_ms, eid) <= (lts, leid):
+                continue  # out-of-order across batches: dropped, visible via n
+            ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
+            n += 1
+            lts, leid = ts_ms, eid
+        state.update((ew, n, lts, leid))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [ew]}
+        )
+
+    src = events.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_id",
+        "value",
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -410,3 +410,49 @@ def test_streaming_proximity_equals_batch_grid_join(spark, sf_dir, tmp_path):
         for r in drained.dropDuplicates(["a", "b"]).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_ewma_carries_state_across_batches(spark, sf_dir, tmp_path):
+    """q181's scalar state must survive micro-batch boundaries: the
+    same events split into two TIME-ORDERED files (two micro-batches)
+    must fold to the exact batch-EWMA values — the second batch
+    continues from the carried (ewma, n, position) rather than
+    restarting."""
+    import pandas as pd_
+
+    from etl_everywhere_hub_spark.streaming import jobs
+    from etl_everywhere_hub_spark.operators.windows import latest_per_key
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pdf = e.select("user_id", "ts", "event_id", "value").toPandas()
+    cut = pdf["ts"].median().to_pydatetime()
+    e4 = e.select("user_id", "ts", "event_id", "value")
+    cut_col = F.lit(cut).cast(dict(e4.dtypes)["ts"])
+    # two TIME-ORDERED spark-written files -> two micro-batches in
+    # file-mtime order (written sequentially)
+    e4.filter(F.col("ts") <= cut_col).coalesce(1).write.parquet(
+        str(tmp_path / "b0")
+    )
+    e4.filter(F.col("ts") > cut_col).coalesce(1).write.parquet(
+        str(tmp_path / "b1")
+    )
+    stream = (
+        spark.readStream.schema(e4.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    out = jobs.run_to_table(jobs.stateful_ewma(stream), output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in latest_per_key(out, ["user_id"], "n_events").collect()
+    }
+    # batch reference: exact same fold over the fully-sorted track
+    want = {}
+    for uid, grp in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        vals = list(grp["value"])
+        ew = vals[0]
+        for v in vals[1:]:
+            ew = 0.2 * v + 0.8 * ew
+        want[int(uid)] = (len(vals), ew)
+    assert got == want and len(want) > 0
