@@ -310,3 +310,24 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round3_maponly_ops_stay_shuffle_free(spark, sf_dir):
+    """Round-3 map-only ops must keep zero hash exchanges: coordinate
+    truncate and the full IGRF synthesis are pure projections, frame
+    sampling explodes inside the Arrow worker, PQ encodes against
+    literal codebooks, and MaxSim's only reduction is the final
+    TakeOrderedAndProject (partial top-k, no exchange)."""
+    for name in [
+        "q158_coordinate_truncate",
+        "q162_igrf_declination",
+        "q172_frame_sampling",
+        "q169_maxsim_late_interaction",
+        "q170_product_quantization",
+    ]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        p = X.physical_plan(df)
+        assert p.count("Exchange hashpartitioning") == 0, f"{name}:\n{p[:2000]}"
+    assert "TakeOrderedAndProject" in X.physical_plan(
+        REGISTRY["q169_maxsim_late_interaction"].spark(spark, sf_dir)
+    )
