@@ -33,6 +33,7 @@ SECTIONS = [
     ("Streaming jobs", "etl_everywhere_hub_spark.streaming.jobs"),
     ("Streaming sinks", "etl_everywhere_hub_spark.streaming.sinks"),
     ("Streaming near-dup", "etl_everywhere_hub_spark.streaming.neardup"),
+    ("Streaming proximity", "etl_everywhere_hub_spark.streaming.proximity"),
     ("Multimodal columns", "etl_everywhere_hub_spark.multimodal"),
 ]
 
