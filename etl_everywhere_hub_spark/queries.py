@@ -6982,7 +6982,10 @@ def _resample8(e: DataFrame) -> DataFrame:
     wp = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    wn = Window.partitionBy("user_id")
+    # count over the SAME ordered spec with a full frame: both window
+    # expressions share one Window operator (one sort pass) instead of
+    # a second unordered-spec pass
+    wn = wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pts = e.select(
         "user_id",
         F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint").alias("x"),
