@@ -2163,7 +2163,8 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
-    wn = Window.partitionBy("o_orderpriority")
+    # same ordered spec + full frame -> one Window operator, one sort
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = o.select(
         "o_orderpriority",
         "o_totalprice",
@@ -6630,7 +6631,7 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast joins of source-level scalars back onto the corpus."""
     d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    wn = Window.partitionBy("source")
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = d.select(
         "source",
         "n_chars",
@@ -6657,11 +6658,12 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("n_chars").cast("double") - F.col("median_chars")).alias("ad"),
     )
     wd = Window.partitionBy("source").orderBy(F.col("ad").asc(), F.col("doc_id").asc())
+    wdn = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     devranked = dev.select(
         "source",
         "ad",
         F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        F.count(F.lit(1)).over(wdn).alias("n"),
     )
     mad = (
         devranked.filter(
