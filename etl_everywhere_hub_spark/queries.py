@@ -9275,3 +9275,115 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(out, ["user_id"], "n_events").select(
         "user_id", "n_events", "ewma"
     )
+
+
+@query(
+    "q182_incremental_agg_maintenance",
+    """
+    WITH target AS (
+        SELECT user_id, event_id AS pk,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE event_id % 4 != 0
+    ), changes AS (
+        SELECT event_id AS pk,
+               CASE WHEN event_id % 4 = 0 THEN 'I'
+                    WHEN event_id % 3 = 0 THEN 'D'
+                    ELSE 'U' END AS op,
+               CAST(floor(value * 2.0 * 100 + 0.5) AS BIGINT) AS new_vc,
+               user_id
+        FROM events WHERE event_id % 2 = 0
+    ), merged AS (
+        SELECT COALESCE(t.user_id, c.user_id) AS user_id,
+               CASE WHEN c.op IN ('U', 'I') THEN c.new_vc ELSE t.vc END AS vc
+        FROM target t
+        FULL OUTER JOIN changes c ON c.pk = t.pk
+        WHERE NOT (c.op IS NOT NULL AND c.op = 'D')
+          AND NOT (t.pk IS NULL AND c.op != 'I')
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vc) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY user_id
+    """,
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (the IVM algebra): a
+    count/sum aggregate table is UPDATED from a changeset alone —
+    inserts add (+1, +v), deletes subtract the OLD value, updates add
+    the value shift — with the old values fetched by a pk-bounded
+    join against the target, never a rescan. The ORACLE recomputes
+    the aggregate from the fully-merged table (q179's MERGE), so the
+    hash match proves delta-maintenance == recompute. At 100 TB this
+    is the difference between touching |changeset| rows and touching
+    the corpus: the base aggregate is corpus-derived once, and each
+    refresh costs O(changes) — the materialized-view refresh shape
+    Spark itself does not ship. Zero-count groups drop (a group fully
+    deleted must vanish, exactly as the recompute drops it)."""
+    e = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    target = e.filter(F.col("event_id") % 4 != 0).select(
+        "user_id", F.col("event_id").alias("pk"), vc.alias("vc")
+    )
+    changes = e.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("pk"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("I"))
+        .when(F.col("event_id") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 2.0 * 100 + 0.5).cast("bigint").alias("new_vc"),
+        F.col("user_id").alias("c_user"),
+    )
+    # the base aggregate — in production this is the stored table
+    base = target.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+    )
+    # deltas from the changeset only (old values via pk-bounded join)
+    cj = changes.join(
+        target.select(F.col("pk"), F.col("user_id").alias("t_user"), "vc"),
+        "pk",
+        "left",
+    )
+    dn = (
+        F.when((F.col("op") == "I") & F.col("t_user").isNull(), 1)
+        .when((F.col("op") == "D") & F.col("t_user").isNotNull(), -1)
+        .otherwise(0)
+    )
+    ds = (
+        F.when((F.col("op") == "I") & F.col("t_user").isNull(), F.col("new_vc"))
+        .when((F.col("op") == "D") & F.col("t_user").isNotNull(), -F.col("vc"))
+        .when(
+            (F.col("op") == "U") & F.col("t_user").isNotNull(),
+            F.col("new_vc") - F.col("vc"),
+        )
+        .otherwise(0)
+    )
+    delta = (
+        cj.select(
+            F.coalesce(F.col("t_user"), F.col("c_user")).alias("user_id"),
+            dn.alias("dn"),
+            ds.alias("ds"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0))
+                + F.coalesce(F.col("d.ds"), F.lit(0))
+            ).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("sum_cents"),
+        )
+    )
