@@ -456,3 +456,57 @@ def test_stateful_ewma_carries_state_across_batches(spark, sf_dir, tmp_path):
             ew = 0.2 * v + 0.8 * ew
         want[int(uid)] = (len(vals), ew)
     assert got == want and len(want) > 0
+
+
+def test_streaming_proximity_checkpoint_restart(spark, tmp_path):
+    """Kill/restart recovery for the cell-keyed proximity state: run
+    over file 1 (entities A, B co-located) with a checkpoint, stop;
+    drop file 2 (entity C near A; entity D far away); restart with the
+    SAME checkpoint. The restarted query must resume from the file
+    source checkpoint, recover the cell state (A and B are still
+    residents), and emit exactly the new qualifying pairs — total
+    emissions equal the batch answer over all four points."""
+    import json as _json
+
+    from etl_everywhere_hub_spark.streaming import proximity as PX
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, lon double, lat double")
+            .json(str(in_dir))
+        )
+        q = (
+            PX.streaming_proximity_pairs(stream, radius=0.25)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [{"id": 1, "lon": 1.0, "lat": 1.0}, {"id": 2, "lon": 1.1, "lat": 1.1}]
+    (in_dir / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in b1))
+    run_once()
+    b2 = [{"id": 3, "lon": 0.9, "lat": 1.05}, {"id": 4, "lon": 50.0, "lat": 50.0}]
+    (in_dir / "b2.jsonl").write_text("\n".join(_json.dumps(r) for r in b2))
+    run_once()
+
+    got = {
+        (r["a"], r["b"]): round(r["dist_sq"], 12)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch truth over all four points (r=0.25): (1,2) from run 1;
+    # (1,3) and (2,3) from run 2 — state for 1 and 2 survived the restart
+    want = {
+        (1, 2): round(0.1**2 + 0.1**2, 12),
+        (1, 3): round(0.1**2 + 0.05**2, 12),
+        (2, 3): round(0.2**2 + 0.05**2, 12),
+    }
+    assert got == want
