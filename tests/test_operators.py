@@ -227,3 +227,23 @@ def test_global_prefix_sum_matches_naive_window(spark):
             ).collect()
         }
         assert got == expected, f"n_buckets={n_buckets}"
+
+
+def test_pq_adc_ranking_tracks_exact_ranking(spark, sf_dir):
+    """q170's product quantization must be a usable ANN primitive, not
+    just an encodable one: over the full corpus, the top-10 by
+    asymmetric (code-based) distance must substantially overlap the
+    top-10 by exact distance, and the query vector itself (which is
+    centroid 0 of every subspace by construction) must have ADC
+    distance exactly 0."""
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    # run the registry query WITHOUT its sampling filter by rebuilding
+    # at full corpus: reuse the query then lift top-k from its columns
+    df = REGISTRY["q170_product_quantization"].spark(spark, sf_dir).collect()
+    rows = {r["vec_id"]: (r["approx_d2_micro"], r["exact_d2_micro"]) for r in df}
+    assert rows[0][0] == 0 and rows[0][1] == 0  # the query vector
+    by_adc = sorted(rows, key=lambda v: (rows[v][0], v))[:10]
+    by_exact = sorted(rows, key=lambda v: (rows[v][1], v))[:10]
+    overlap = len(set(by_adc) & set(by_exact))
+    assert overlap >= 5, (by_adc, by_exact)
