@@ -9387,3 +9387,102 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "q183_label_propagation",
+    f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding, label,
+               CAST(floor(embedding[1]::DOUBLE * 4.0) AS BIGINT) AS canopy,
+               vec_id % 2 = 0 AS labeled
+        FROM embeddings
+    ), pairs AS (
+        SELECT x.vec_id AS src, y.vec_id AS dst
+        FROM v x JOIN v y
+          ON x.canopy = y.canopy AND x.vec_id < y.vec_id
+        WHERE {_Q129_COS.format(a='x.embedding', b='y.embedding')} >= 0.3
+    ), sym AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach(id, other) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.id, s.dst FROM reach r JOIN sym s ON r.other = s.src
+    ), comp AS (
+        SELECT id, MIN(other) AS component FROM reach GROUP BY id
+    ), allv AS (
+        SELECT x.vec_id AS id, x.label, x.labeled,
+               COALESCE(c.component, x.vec_id) AS component
+        FROM v x LEFT JOIN comp c ON c.id = x.vec_id
+    ), majority AS (
+        SELECT component, label AS maj_label FROM (
+            SELECT component, label, COUNT(*) AS n,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY COUNT(*) DESC, label ASC) AS rn
+            FROM allv WHERE labeled
+            GROUP BY component, label
+        ) WHERE rn = 1
+    )
+    SELECT a.id AS vec_id,
+           CAST(m.maj_label AS BIGINT) AS predicted_label,
+           CAST(a.label AS BIGINT) AS true_label
+    FROM allv a
+    LEFT JOIN majority m ON m.component = a.component
+    WHERE NOT a.labeled
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transductive label propagation through near-dup components —
+    the curation op that spreads known labels (quality grades, domain
+    tags, license flags) from labeled corpus members to their
+    near-duplicates: even vec_ids are 'labeled', edges are cosine >=
+    0.3 inside an embedding-derived canopy (coarse quantization of
+    the first dimension — label-FREE blocking, unlike q134's, so the
+    labels being propagated never leak into candidate generation),
+    components collapse by min-label propagation, and every unlabeled
+    member receives its component's majority label (count desc, label
+    asc ties; NULL where a component has no labeled member). Same
+    O(diameter) component machinery as q134; the majority vote is one
+    bounded groupBy + window on the component key."""
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.floor(F.get(F.col("embedding"), 0).cast("double") * 4.0)
+        .cast("bigint")
+        .alias("canopy"),
+        (F.col("vec_id") % 2 == 0).alias("labeled"),
+    )
+    edges = sim_ops.cosine_near_dup(
+        v, threshold=0.3, block_col="canopy"
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    allv = v.join(comp, v.vec_id == comp.id, "left").select(
+        F.col("vec_id").alias("id"),
+        "label",
+        "labeled",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+    )
+    wm = Window.partitionBy("component").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    majority = (
+        allv.filter(F.col("labeled"))
+        .groupBy("component", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("label").alias("maj_label"))
+    )
+    return (
+        allv.filter(~F.col("labeled"))
+        .join(majority, "component", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("maj_label").cast("bigint").alias("predicted_label"),
+            F.col("label").cast("bigint").alias("true_label"),
+        )
+    )
