@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,7 +164,12 @@ def lsh_candidate_pairs(
         # the drop accounting (never a silent truncation). Oversized
         # buckets are by definition few (each holds >cap near-identical
         # docs), so the exclusion join broadcasts — no extra shuffle in
-        # the candidate plan.
+        # the candidate plan. band_keys is persisted FIRST so the
+        # accounting collect materializes the shingle->signature->band
+        # pipeline once and the candidate self-join below reuses the
+        # cache instead of recomputing it (cache is cleared between
+        # queries by the harness, same as minhash_near_dup's persists).
+        band_keys = band_keys.persist(StorageLevel.MEMORY_AND_DISK)
         oversized = (
             band_keys.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("__bn"))
@@ -286,8 +292,6 @@ def minhash_near_dup(
     re-running the upstream DAG — measured 47s → ~5s at sf0.1). On a
     cluster this is the same call with MEMORY_AND_DISK spilling.
     """
-    from pyspark import StorageLevel
-
     # All the heavy per-doc work (shingling, md5, minhash transforms)
     # is map-side, so its parallelism equals the SCAN's partition count.
     # A small corpus arrives as one parquet split — spread it across

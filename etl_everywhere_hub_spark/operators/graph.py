@@ -22,8 +22,105 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
+    """Connected components via large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    every vertex converges to the smallest vertex id in its component.
+    Returns (id, component). Identical output contract to
+    ``connected_components_labelprop`` (the r1-r3 implementation, kept
+    below for differential testing) but converges in O(log n) rounds on
+    ANY graph shape — label propagation needs O(diameter) rounds, which
+    stalls on chain/path-shaped 100 TB graphs (VERDICT r3 item #3,
+    SCALE.md §4.3).
+
+    Per round (2 shuffle stages each, AQE-sized):
+    - large-star: every node u connects its LARGER neighbors to
+      m(u) = min(Γ(u) ∪ {u}) — long chains fold onto their local minima
+      in parallel;
+    - small-star: every node u connects its smaller neighbors (and
+      itself) to its smallest neighbor — stars flatten.
+    The edge set is kept as canonical (src<dst) distinct pairs;
+    convergence = the canonical edge set reaches a fixed point (exact
+    set equality, deterministic). At the fixed point every edge is
+    (component-min, member); labels read off with one groupBy-min.
+    """
+    v_src = F.col(src).cast("long").alias("src")
+    v_dst = F.col(dst).cast("long").alias("dst")
+    verts = (
+        edges.select(v_src)
+        .union(edges.select(v_dst.alias("src")))
+        .distinct()
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(
+            F.least(v_src, v_dst).alias("src"), F.greatest(v_src, v_dst).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # --- large-star: symmetric neighborhoods; for node u emit
+        # (m(u), v) for every neighbor v > u, where m(u) is the min of
+        # u and its neighbors. m(u) <= u < v keeps pairs canonical.
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("m").alias("src"), F.col("dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- small-star: orient each edge toward its greater endpoint;
+        # for node u (the greater), m = min smaller neighbor; connect u
+        # and every other smaller neighbor to m.
+        gm = large.groupBy("dst").agg(F.min("src").alias("m"))
+        e2 = (
+            large.join(gm, "dst")
+            .select(F.col("m").alias("src"), F.col("src").alias("old_dst"))
+            .filter(F.col("src") != F.col("old_dst"))
+            .withColumnRenamed("old_dst", "dst")
+            .union(gm.select(F.col("m").alias("src"), F.col("dst")))
+            .select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: canonical distinct sets are equal iff same count
+        # and empty one-sided difference (both exact integer sets)
+        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
+            e = e2
+            break
+        e = e2
+    member_labels = e.select(F.col("dst").alias("id"), F.col("src").alias("component"))
+    root_labels = e.select(F.col("src").alias("id"), F.col("src").alias("component"))
+    labels = (
+        member_labels.union(root_labels)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    # vertices untouched by contraction (isolated after self-loop
+    # removal) label themselves
+    return verts.join(labels, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
+def connected_components_labelprop(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
     """Min-label propagation: every vertex converges to the smallest
     vertex id in its component. Returns (id, component).
+
+    O(diameter) rounds — kept as the differential twin for
+    ``connected_components`` (star contraction) and for tiny-diameter
+    graphs where its 1-shuffle round is marginally cheaper.
 
     ``max_iter`` bounds the loop; iteration stops early the first round
     no label changes (an exact, deterministic check — the count is 0 or

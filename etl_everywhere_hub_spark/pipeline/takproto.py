@@ -79,6 +79,8 @@ def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     val = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated uvarint: buffer ended mid-value")
         b = buf[pos]
         pos += 1
         val |= (b & 0x7F) << shift
@@ -164,13 +166,22 @@ def _parse_fields(buf: bytes) -> dict[int, Any]:
         if wt == _WT_VARINT:
             out[field], pos = _read_uvarint(buf, pos)
         elif wt == _WT_I64:
+            if pos + 8 > len(buf):
+                raise ValueError("truncated i64 field")
             out[field] = struct.unpack_from("<d", buf, pos)[0]
             pos += 8
         elif wt == _WT_LEN:
             ln, pos = _read_uvarint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError(
+                    f"truncated length-delimited field: need {ln} bytes, "
+                    f"have {len(buf) - pos}"
+                )
             out[field] = buf[pos : pos + ln]
             pos += ln
         elif wt == 5:  # 32-bit — not in this schema, skip by width
+            if pos + 4 > len(buf):
+                raise ValueError("truncated i32 field")
             pos += 4
         else:
             raise ValueError(f"unsupported wire type {wt}")

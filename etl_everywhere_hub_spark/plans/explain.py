@@ -112,6 +112,40 @@ def shuffle_exchange_count(df: DataFrame) -> int:
     )
 
 
+def distinct_shuffle_exchange_count(df: DataFrame) -> int:
+    """Distinct shuffle-exchange NODES (hash/range partitioning) in the
+    plan, counted from the formatted explain's numbered node-detail
+    blocks — each physical node prints exactly ONE `(n) Exchange` block
+    there, no matter how many times its subtree reprints in the tree
+    section (cached InMemoryRelation feeds N consumers → N tree
+    reprints, 1 block) or how AQE duplicates initial/final plans.
+    Counting raw string hits in the tree overstates by >20x on cached
+    plans (r3 PLANS.md reported 313 for q41; true count ~a dozen)."""
+    plan = formatted_plan(df)
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if _re.match(r"^\(\d+\) Exchange$", line.strip()):
+            # the block's Arguments: line says which partitioning
+            for follow in lines[i + 1 : i + 6]:
+                if follow.startswith("Arguments:"):
+                    if "hashpartitioning" in follow or "rangepartitioning" in follow:
+                        n += 1
+                    break
+    return n
+
+
+def distinct_exchange_count(df: DataFrame) -> int:
+    """Distinct exchange nodes of ANY kind (shuffle + broadcast) — same
+    node-id-block counting as distinct_shuffle_exchange_count."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if _re.match(r"^\(\d+\) (Exchange|BroadcastExchange)$", line.strip())
+    )
+
+
 def partition_filters(df: DataFrame) -> str:
     """The scan's planning-time PartitionFilters entry ('' if none) —
     nonempty means whole directories are pruned before I/O."""

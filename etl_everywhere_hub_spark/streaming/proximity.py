@@ -89,33 +89,58 @@ def cell_routed(
     )
 
 
-def _cell_fn(r2: float, max_cell: int):
+def _cell_fn(r2: float, max_cell: int, idle_timeout_ms: int | None):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # cell idle for the full TTL: drop all resident positions
+            # (bounds state for entities that jumped far away and will
+            # never route a row back through this cell).
+            state.remove()
+            return
         members: dict = (
             {int(k): v for k, v in json.loads(state.get[0]).items()}
             if state.exists
             else {}
         )
         out_a, out_b, out_d = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id")
-            for row in pdf.itertuples(index=False):
-                eid, lon, lat = int(row.id), float(row.lon), float(row.lat)
-                for mid, (mlon, mlat) in members.items():
-                    if mid == eid:
-                        continue
-                    d2 = (lon - mlon) * (lon - mlon) + (lat - mlat) * (lat - mlat)
-                    if d2 <= r2:
-                        out_a.append(min(eid, mid))
-                        out_b.append(max(eid, mid))
-                        out_d.append(d2)
-                if bool(row.resident) and (
-                    eid in members or len(members) < max_cell
-                ):
+        # Accumulate EVERY chunk before sorting: applyInPandasWithState
+        # feeds a group as multiple ~10k-row chunks, and the
+        # batch-split-invariant equivalence (streaming == batch grid
+        # join for any batching of the stream) requires one global
+        # id-order over the whole micro-batch group, not per-chunk
+        # order — same pattern as stateful_ewma in streaming/jobs.py.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(chunks, ignore_index=True).sort_values("id")
+            if chunks
+            else pd.DataFrame(columns=["id", "lon", "lat", "resident"])
+        )
+        for row in rows.itertuples(index=False):
+            eid, lon, lat = int(row.id), float(row.lon), float(row.lat)
+            for mid, (mlon, mlat) in members.items():
+                if mid == eid:
+                    continue
+                d2 = (lon - mlon) * (lon - mlon) + (lat - mlat) * (lat - mlat)
+                if d2 <= r2:
+                    out_a.append(min(eid, mid))
+                    out_b.append(max(eid, mid))
+                    out_d.append(d2)
+            if bool(row.resident):
+                if eid in members or len(members) < max_cell:
                     members[eid] = [lon, lat]
+            elif eid in members:
+                # A visitor row for a current member means this cell is
+                # now only a NEIGHBOR of the entity's home cell — the
+                # entity re-positioned, so its residency here is stale.
+                # Evict it so later arrivals don't pair against a ghost
+                # position. (Far jumps route no row through the old
+                # cell at all; those are reclaimed by idle_timeout_ms.)
+                del members[eid]
         state.update((json.dumps(members),))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if out_a:
             yield pd.DataFrame({"a": out_a, "b": out_b, "dist_sq": out_d})
 
@@ -129,15 +154,29 @@ def streaming_proximity_pairs(
     lat_col: str = "lat",
     radius: float = 0.25,
     max_cell: int = 10_000,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """(a < b, dist_sq) pairs within `radius` from an unbounded
     position stream. Cell size equals the radius (the q127 lossless
-    choice: any pair within r sits in the same or adjacent cells)."""
+    choice: any pair within r sits in the same or adjacent cells).
+
+    Staleness: a re-positioned entity is evicted from any prior cell
+    its new position still routes a (visitor) row through; cells the
+    entity left entirely keep its last position until `idle_timeout_ms`
+    of processing-time inactivity drops the whole cell's state. With
+    idle_timeout_ms=None the state is append-only per cell (bounded by
+    cell occupancy x entity churn) — fine for replay/backfill, set a
+    TTL for long-running deployments."""
     routed = cell_routed(point_stream, id_col, lon_col, lat_col, cell=radius)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return routed.groupBy("jx", "jy").applyInPandasWithState(
-        _cell_fn(radius * radius, max_cell),
+        _cell_fn(radius * radius, max_cell, idle_timeout_ms),
         outputStructType=PROX_PAIR_SCHEMA,
         stateStructType=_CELL_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

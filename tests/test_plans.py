@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_everywhere_hub_spark.plans import explain as X
 from etl_everywhere_hub_spark.queries import REGISTRY
 
@@ -331,3 +333,43 @@ def test_round3_maponly_ops_stay_shuffle_free(spark, sf_dir):
     assert "TakeOrderedAndProject" in X.physical_plan(
         REGISTRY["q169_maxsim_late_interaction"].spark(spark, sf_dir)
     )
+
+
+def test_distinct_exchange_counter_ignores_cached_reprints(spark):
+    """VERDICT r3 'what's wrong' #1: the PLANS.md exchange counter read
+    26x high because a cached InMemoryRelation's subtree reprints once
+    per consumer in the tree string. The node-block counter must report
+    the TRUE distinct count: one shuffle for the cached agg (reused by
+    both join sides), regardless of tree reprints."""
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    agg = df.groupBy((F.col("k") % 10).alias("g")).count().cache()
+    try:
+        j = agg.alias("a").join(agg.alias("b"), "g")
+        tree_hits = X.physical_plan(j).count("Exchange hashpartitioning")
+        distinct = X.distinct_shuffle_exchange_count(j)
+        # the cached subtree prints twice in the tree -> raw count 2,
+        # but there is exactly ONE physical shuffle node
+        assert tree_hits >= 2
+        assert distinct == 1
+        # broadcast exchanges are excluded from the shuffle count but
+        # included in the any-kind count
+        assert X.distinct_exchange_count(j) == distinct + 1
+    finally:
+        agg.unpersist()
+
+
+def test_distinct_exchange_counter_plain_plans_match_raw_count(spark):
+    """On an uncached single-consumer plan the node-block counter and
+    the raw tree count agree — the counter only removes double-counted
+    reprints, never real exchanges."""
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    q = (
+        df.groupBy((F.col("k") % 7).alias("g"))
+        .agg(F.sum("k").alias("s"))
+        .orderBy("g")
+    )
+    raw = X.physical_plan(q).count("Exchange hashpartitioning") + X.physical_plan(
+        q
+    ).count("Exchange rangepartitioning")
+    assert X.distinct_shuffle_exchange_count(q) == raw
+    assert raw >= 2  # one hash (agg) + one range (sort)

@@ -510,3 +510,102 @@ def test_streaming_proximity_checkpoint_restart(spark, tmp_path):
         (2, 3): round(0.2**2 + 0.05**2, 12),
     }
     assert got == want
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing state fns."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_proximity_cell_fn_chunk_split_invariant():
+    """ADVICE r3 (medium): a group split across pandas chunks in
+    non-id order must still emit the pair — the resident's upsert has
+    to be seen by the visitor regardless of chunk boundaries."""
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.streaming.proximity import _cell_fn
+
+    fn = _cell_fn(r2=0.25 * 0.25, max_cell=100, idle_timeout_ms=None)
+    # entity 2 (visitor-ordered FIRST chunk), entity 1 (resident, second
+    # chunk): per-chunk sorting would process 2 before 1 is upserted in
+    # this cell and emit nothing.
+    chunk_a = pd.DataFrame(
+        {"id": [2], "lon": [0.05], "lat": [0.05], "resident": [True]}
+    )
+    chunk_b = pd.DataFrame(
+        {"id": [1], "lon": [0.01], "lat": [0.01], "resident": [True]}
+    )
+    st = _FakeGroupState()
+    out = list(fn((0, 0), iter([chunk_a, chunk_b]), st))
+    assert len(out) == 1
+    got = out[0].iloc[0]
+    assert (got["a"], got["b"]) == (1, 2)
+
+
+def test_proximity_cell_fn_visitor_evicts_stale_residency():
+    """ADVICE r3 (low): an entity re-positioned into a neighboring cell
+    sends a visitor row through its OLD home cell; that row must evict
+    the stale resident position so later arrivals don't pair against a
+    ghost."""
+    import json as _json
+
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.streaming.proximity import _cell_fn
+
+    fn = _cell_fn(r2=0.25 * 0.25, max_cell=100, idle_timeout_ms=None)
+    st = _FakeGroupState((_json.dumps({"7": [0.05, 0.05]}),))
+    # entity 7's new position routes a VISITOR row through this cell
+    visit = pd.DataFrame(
+        {"id": [7], "lon": [0.30], "lat": [0.05], "resident": [False]}
+    )
+    list(fn((0, 0), iter([visit]), st))
+    assert _json.loads(st.get[0]) == {}
+    # and a later arrival near the ghost position emits nothing
+    later = pd.DataFrame(
+        {"id": [9], "lon": [0.06], "lat": [0.05], "resident": [True]}
+    )
+    out = list(fn((0, 0), iter([later]), st))
+    assert out == []
+
+
+def test_proximity_cell_fn_idle_timeout_drops_cell():
+    """With idle_timeout_ms set, a timed-out invocation clears the
+    cell's members and live invocations re-arm the timer."""
+    import json as _json
+
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.streaming.proximity import _cell_fn
+
+    fn = _cell_fn(r2=1.0, max_cell=100, idle_timeout_ms=5000)
+    st = _FakeGroupState((_json.dumps({"7": [0.05, 0.05]}),))
+    st.hasTimedOut = True
+    assert list(fn((0, 0), iter([]), st)) == []
+    assert not st.exists
+    # live path re-arms the processing-time timer
+    st2 = _FakeGroupState()
+    row = pd.DataFrame({"id": [1], "lon": [0.0], "lat": [0.0], "resident": [True]})
+    list(fn((0, 0), iter([row]), st2))
+    assert st2.timeout_set == 5000

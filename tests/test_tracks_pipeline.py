@@ -201,3 +201,42 @@ def test_tak_protobuf_codec_roundtrip_matches_xml(spark):
         assert p["stale_ms"] == iso_to_ms(x["stale"])
         assert p["send_ms"] == f[uid]["properties"]["time_ms"]
         assert p["hae"] == 9999999.0 and p["ce"] == 9999999.0
+
+
+def test_tak_protobuf_decode_rejects_truncated_bytes():
+    """Malformed TAK bytes must raise a clean ValueError, not silently
+    decode a short slice or leak a bare IndexError (ADVICE r3): truncate
+    a valid message at every byte offset and feed pure garbage."""
+    import pytest
+
+    from etl_everywhere_hub_spark.pipeline.takproto import (
+        decode_tak_message,
+        encode_cot_event,
+    )
+
+    good = encode_cot_event(
+        uid="inreach-1",
+        cot_type="a-f-G-E-V-C",
+        how="m-g",
+        lat=42.5,
+        lon=-71.1,
+        send_ms=1700000000000,
+        start_ms=1700000000000,
+        stale_ms=1700000060000,
+        callsign="ALPHA",
+    )
+    assert decode_tak_message(good)["callsign"] == "ALPHA"
+    # every strict prefix either raises ValueError or — when the cut
+    # lands exactly on a field boundary — decodes with FEWER fields,
+    # never wrong values for the fields it does return
+    full = decode_tak_message(good)
+    for cut in range(4, len(good)):
+        try:
+            partial = decode_tak_message(good[:cut])
+        except ValueError:
+            continue
+        for k, v in partial.items():
+            if v not in (None, 0, 0.0):
+                assert full[k] == v, (cut, k)
+    with pytest.raises(ValueError):
+        decode_tak_message(b"\xbf\x01\xbf\x12\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff")

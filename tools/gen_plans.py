@@ -45,7 +45,13 @@ def main() -> None:
     for name, q in sorted(headline_queries().items()):
         df = q.spark(spark, sf_dir)
         plan = X.physical_plan(df)
-        n_ex = plan.count("Exchange hashpartitioning")
+        # distinct exchange NODES, not raw tree-string hits — cached
+        # subtrees reprint per consumer and inflated r3's counts 26x
+        n_ex = X.distinct_shuffle_exchange_count(df)
+        assert n_ex < 50, (
+            f"{name}: {n_ex} shuffle exchanges — counter bug or a "
+            "genuinely pathological plan; investigate before publishing"
+        )
         bj = "yes" if "BroadcastHashJoin" in plan else "no"
         print(f"## {name}\n")
         print(f"shuffle exchanges: {n_ex} · broadcast join: {bj}\n")
