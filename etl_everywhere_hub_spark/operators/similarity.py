@@ -169,26 +169,31 @@ def lsh_ann_topk(
     )
 
 
-def ivf_topk(
+def train_ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+    n_cells: int = 16,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
-    n_probe: int = 4,
-) -> DataFrame:
-    """IVF-flat approximate top-k: coarse-quantize the corpus into
-    ``n_cells`` Voronoi cells, search only the query's ``n_probe``
-    nearest cells, exact-rerank inside them.
+) -> np.ndarray:
+    """Deterministic distributed Lloyd (spherical k-means) for IVF/PQ
+    codebooks — VERDICT r3 item #4, replacing bare lowest-id seeding.
 
-    Centroids are deterministic: the ``n_cells`` lowest-id corpus
-    vectors seed the cells (no RNG, no iteration — one assignment
-    pass). That trades centroid quality for reproducibility; a
-    production deployment would run a few Lloyd iterations with fixed
-    seeds. Assignment ships as ONE broadcast numpy matmul per Arrow
-    batch; the probe join is equi-shaped on cell id, so at 100 TB the
-    cost is |corpus| assignments + (n_probe/n_cells)·|corpus| reranks.
+    Seeds are the ``n_cells`` lowest-id corpus vectors (no RNG); each
+    iteration is the q145 step distributed and made run-reproducible:
+
+    - E-step: nearest-centroid-by-cosine assignment via ONE broadcast
+      numpy matmul per Arrow batch (map-only, ties break on lower cell
+      index via argmax-first-occurrence);
+    - M-step: per-(cell, dim) mean where the SUM folds through exact
+      micro-int64 (floor(x*1e6 + 0.5)) — integer addition is
+      order-independent, so the trained centroids are bit-identical
+      across runs and cluster layouts, unlike a float sum whose value
+      depends on partition merge order. The collect is bounded:
+      n_cells x dim rows per iteration (16 x 64 = 1024 here), same
+      bound class as the seed collect.
+
+    Empty cells keep their previous centroid. Returns (C, dim) float64.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -198,7 +203,70 @@ def ivf_topk(
         .select(vec_col)
         .collect()
     )
-    centroids = np.array([list(r[0]) for r in seeds], dtype=np.float64)  # (C, dim)
+    centroids = np.array([list(r[0]) for r in seeds], dtype=np.float64)
+    dim = centroids.shape[1]
+    for _ in range(train_iters):
+        cent = centroids
+        c_norm = np.linalg.norm(cent, axis=1)
+        c_norm[c_norm == 0.0] = 1.0
+
+        @pandas_udf("int")
+        def nearest_cell(v: pd.Series) -> pd.Series:
+            E = np.vstack(v.to_numpy()).astype(np.float64)
+            n = np.linalg.norm(E, axis=1)
+            n[n == 0.0] = 1.0
+            sims = (E @ cent.T) / (n[:, None] * c_norm[None, :])
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+        stats = (
+            corpus.select(
+                nearest_cell(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("i", "x"),
+            )
+            .groupBy("cell", "i")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5))
+                ).alias("sm"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in stats:
+            new[r["cell"], r["i"]] = (r["sm"] / 1_000_000.0) / r["n"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_iters: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` Voronoi cells, search only the query's ``n_probe``
+    nearest cells, exact-rerank inside them.
+
+    Centroids are Lloyd-trained (``train_iters`` deterministic
+    spherical-k-means iterations over lowest-id seeds — see
+    ``train_ivf_centroids``; ``train_iters=0`` reproduces the r1-r3
+    seed-only behavior). Assignment ships as ONE broadcast numpy
+    matmul per Arrow batch; the probe join is equi-shaped on cell id,
+    so at 100 TB the cost is train_iters + 1 corpus passes +
+    (n_probe/n_cells)·|corpus| reranks.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = train_ivf_centroids(
+        corpus, n_cells=n_cells, train_iters=train_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
     c_norm = np.linalg.norm(centroids, axis=1)
 
     def cell_udf(n_top: int):

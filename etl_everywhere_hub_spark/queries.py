@@ -8494,39 +8494,67 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q170_product_quantization",
-    """
-    WITH cent AS (
-        SELECT vec_id AS c, embedding AS cemb FROM embeddings WHERE vec_id < 4
-    ), qv AS (
+def _q170_sql(iters: int = 2) -> str:
+    """Generate the q170 oracle SQL with `iters` Lloyd iterations —
+    the CTE chain is mechanical per iteration, so it is built here
+    instead of hand-unrolled (cent0 -> [assign -> means -> cent{k+1}]
+    x iters -> final coding/ADC against cent{iters})."""
+    d2m_vs_cent = """
+           CAST(floor(list_reduce(list_transform(range(8),
+               i -> ({v}[c.s * 8 + i + 1]::DOUBLE - c.sub[i + 1])
+                    * ({v}[c.s * 8 + i + 1]::DOUBLE - c.sub[i + 1])),
+               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT)"""
+    parts = ["""
+    WITH cent0 AS (
+        SELECT vec_id AS c, s.s,
+               list_transform(range(8),
+                              i -> embedding[s.s * 8 + i + 1]::DOUBLE) AS sub
+        FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS s) s
+        WHERE vec_id < 4
+    )"""]
+    for k in range(iters):
+        parts.append(f""", d{k} AS (
+        SELECT e.vec_id, c.s, c.c,
+               {d2m_vs_cent.format(v='e.embedding')} AS d2m
+        FROM embeddings e CROSS JOIN cent{k} c
+    ), a{k} AS (
+        SELECT vec_id, s, c AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2m ASC, c ASC) AS rn
+            FROM d{k}
+        ) WHERE rn = 1
+    ), m{k} AS (
+        SELECT a.code AS c, a.s, i.i,
+               SUM(CAST(floor(e.embedding[a.s * 8 + i.i + 1]::DOUBLE
+                              * 1000000 + 0.5) AS BIGINT)) AS sm,
+               COUNT(*) AS n
+        FROM a{k} a JOIN embeddings e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(8)) AS i) i
+        GROUP BY a.code, a.s, i.i
+    ), cent{k + 1} AS (
+        SELECT cp.c, cp.s,
+               list(COALESCE(m.sm / 1000000.0 / m.n, cp.sub[ii.i + 1])
+                    ORDER BY ii.i) AS sub
+        FROM cent{k} cp CROSS JOIN (SELECT unnest(range(8)) AS i) ii
+        LEFT JOIN m{k} m ON m.c = cp.c AND m.s = cp.s AND m.i = ii.i
+        GROUP BY cp.c, cp.s
+    )""")
+    parts.append(f""", qv AS (
         SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
-    ), sub AS (
-        SELECT e.vec_id, s.s, c.c,
-               CAST(floor(list_reduce(list_transform(range(8),
-                   i -> (e.embedding[s.s * 8 + i + 1]::DOUBLE
-                         - c.cemb[s.s * 8 + i + 1]::DOUBLE)
-                        * (e.embedding[s.s * 8 + i + 1]::DOUBLE
-                           - c.cemb[s.s * 8 + i + 1]::DOUBLE)),
-                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS d2m
-        FROM embeddings e
-        CROSS JOIN (SELECT unnest(range(8)) AS s) s
-        CROSS JOIN cent c
+    ), subf AS (
+        SELECT e.vec_id, c.s, c.c,
+               {d2m_vs_cent.format(v='e.embedding')} AS d2m
+        FROM embeddings e CROSS JOIN cent{iters} c
     ), coded AS (
         SELECT vec_id, s, c AS code, d2m FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id, s
                                          ORDER BY d2m ASC, c ASC) AS rn
-            FROM sub
+            FROM subf
         ) WHERE rn = 1
     ), qd AS (
-        SELECT s.s, c.c,
-               CAST(floor(list_reduce(list_transform(range(8),
-                   i -> (qv.qe[s.s * 8 + i + 1]::DOUBLE
-                         - c.cemb[s.s * 8 + i + 1]::DOUBLE)
-                        * (qv.qe[s.s * 8 + i + 1]::DOUBLE
-                           - c.cemb[s.s * 8 + i + 1]::DOUBLE)),
-                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qd2m
-        FROM qv CROSS JOIN (SELECT unnest(range(8)) AS s) s CROSS JOIN cent c
+        SELECT c.s, c.c,
+               {d2m_vs_cent.format(v='qv.qe')} AS qd2m
+        FROM qv CROSS JOIN cent{iters} c
     ), ex AS (
         SELECT e.vec_id, s.s,
                CAST(floor(list_reduce(list_transform(range(8),
@@ -8548,33 +8576,45 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN ex ON ex.vec_id = cd.vec_id AND ex.s = cd.s
     WHERE cd.vec_id % 25 = 0
     GROUP BY cd.vec_id
-    """,
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q170_product_quantization",
+    _q170_sql(iters=2),
 )
 def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization — the memory-side of billion-scale ANN
     (IVF-PQ): the 64-dim vector splits into 8 subspaces, each encoded
-    as the id of its nearest of 4 codebook centroids (here the first
-    4 corpus vectors, deterministic seeding exactly like q129's IVF),
-    and query distance is answered from the 8 codes alone via the
+    as the id of its nearest of 4 codebook centroids, and query
+    distance is answered from the 8 codes alone via the
     asymmetric-distance table (sum of precomputed query→centroid
     subspace distances) next to the exact distance for comparison.
 
-    Spark shape: the codebook is 4 rows — collected (bounded,
-    documented like q129's centroid seed) and embedded as literal
-    arrays, so encoding is 32 pure-Column subspace folds per vector,
-    entirely map-side, NO join and NO shuffle; argmin is an
-    array_sort over 4 (d2, c) structs; the ADC lookup is a when-chain
-    over the 4 precomputed query-centroid constants per subspace.
-    Every subspace distance micro-quantizes before argmin/sum, so
-    codes and distances are integer-exact cross-engine."""
+    The codebook is LLOYD-TRAINED (VERDICT r3 item #4): 2 deterministic
+    k-means iterations per subspace over lowest-id seeds. Each
+    iteration is one distributed pass — encode (map-side fold chain,
+    no shuffle) then ONE groupBy(code, subspace, dim) whose sums fold
+    through exact micro-int64, so the trained centroids are
+    bit-identical across runs/engines (the q145 M-step trick); the
+    per-iteration collect is bounded at 4x8x8 = 256 rows. Empty
+    (code, subspace) cells keep their previous centroid.
+
+    Encoding shape is unchanged from the seeded r3 form: the codebook
+    embeds as literal arrays, so encoding is 32 pure-Column subspace
+    folds per vector, entirely map-side, NO join and NO shuffle;
+    argmin is an array_sort over 4 (d2m, c) structs; the ADC lookup is
+    a when-chain over the 4 precomputed query-centroid constants per
+    subspace. Every subspace distance micro-quantizes before
+    argmin/sum, so codes and distances are integer-exact
+    cross-engine against _q170_sql's identical CTE chain."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        emb.filter(F.col("vec_id") < 4)
-        .select("vec_id", "embedding")
-        .collect()
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
     )
-    cvec = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in cents}
-    qe = cvec[0]
+    cb = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in seed_rows}
+    qe = cb[0]  # query = vec 0; its RAW vector, independent of training
 
     def lit_arr(vals):
         return F.array(*[F.lit(v) for v in vals])
@@ -8595,6 +8635,55 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.5
         ).cast("bigint")
 
+    def code_col(s, book):
+        sub = F.slice(F.col("embedding"), s * 8 + 1, 8)
+        cands = F.array(
+            *[
+                F.struct(
+                    d2m_col(sub, book[c][s * 8 : s * 8 + 8]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(4)
+            ]
+        )
+        return F.get(F.array_sort(cands), 0).getField("c")
+
+    for _ in range(2):  # Lloyd iterations (mirrors _q170_sql(iters=2))
+        per_s = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    code_col(s, cb).alias("c"),
+                    F.slice(F.col("embedding"), s * 8 + 1, 8).alias("sub"),
+                )
+                for s in range(8)
+            ]
+        )
+        stats = (
+            emb.select(F.explode(per_s).alias("e"))
+            .select(
+                F.col("e.s").alias("s"),
+                F.col("e.c").alias("c"),
+                F.posexplode(F.col("e.sub")).alias("i", "x"),
+            )
+            .groupBy("c", "s", "i")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("x").cast("double") * 1_000_000 + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("sm"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # bounded: codes x subspaces x dims = 256 rows
+        )
+        new_cb = {c: list(v) for c, v in cb.items()}
+        for r in stats:
+            new_cb[r["c"]][r["s"] * 8 + r["i"]] = (
+                r["sm"] / 1_000_000.0 / r["n"]
+            )
+        cb = new_cb
+
     import math
 
     def py_d2m(a, b):
@@ -8606,23 +8695,13 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_cols, adc_cols, exact_cols = [], [], []
     for s in range(8):
         sub = F.slice(F.col("embedding"), s * 8 + 1, 8)
-        cands = F.array(
-            *[
-                F.struct(
-                    d2m_col(sub, cvec[c][s * 8 : s * 8 + 8]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(4)
-            ]
-        )
-        best = F.get(F.array_sort(cands), 0)
-        code = best.getField("c")
+        code = code_col(s, cb)
         code_cols.append(code.alias(f"code_{s}"))
         # query->centroid subspace distances are constants; the fold is
         # replicated in Python with the identical op order (pure *,-,+
         # on doubles -> bit-identical), mirrored by the oracle's
         # table-derived qd CTE
-        qd = {c: py_d2m(qe[s * 8 : s * 8 + 8], cvec[c][s * 8 : s * 8 + 8])
+        qd = {c: py_d2m(qe[s * 8 : s * 8 + 8], cb[c][s * 8 : s * 8 + 8])
               for c in range(4)}
         adc = F.when(code == 0, F.lit(qd[0]))
         for c in range(1, 4):

@@ -61,3 +61,32 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     # probing half the cells on near-uniform data: expect ≳0.5
     assert recall >= 0.4, f"IVF recall too low: {recall}"
     assert (approx["query_id"] != approx["neighbor_id"]).all()
+
+
+def test_lloyd_training_improves_or_matches_seed_recall(spark, sf_dir):
+    """VERDICT r3 item #4: Lloyd-trained centroids must not lose recall
+    vs the lowest-id seeding they replace (same cells/probes), and must
+    be deterministic — bit-identical across two training runs."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # queries must NOT be the seed vectors (vec_id < n_cells ARE the
+    # lowest-id seeds, which hands the seeded index a perfect-recall
+    # bias: a query that IS a centroid always probes its own cell)
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    exact = cosine_topk(emb, q, k=3, exact=False).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+
+    def recall(df):
+        pairs = set(zip(df["query_id"], df["neighbor_id"]))
+        return len(exact_pairs & pairs) / len(exact_pairs)
+
+    seeded = recall(ivf_topk(emb, q, k=3, n_cells=16, n_probe=2, train_iters=0).toPandas())
+    trained = recall(ivf_topk(emb, q, k=3, n_cells=16, n_probe=2, train_iters=2).toPandas())
+    assert trained >= seeded, f"Lloyd lost recall: {trained} < {seeded}"
+
+    c1 = train_ivf_centroids(emb, n_cells=8, train_iters=2)
+    c2 = train_ivf_centroids(emb, n_cells=8, train_iters=2)
+    assert np.array_equal(c1, c2)  # bit-identical, not allclose
