@@ -33,6 +33,7 @@ from etl_everywhere_hub_spark.operators import asof as asof_ops
 from etl_everywhere_hub_spark.operators import dedup as dedup_ops
 from etl_everywhere_hub_spark.operators import similarity as sim_ops
 from etl_everywhere_hub_spark.operators.windows import latest_per_key, topk_per_group
+from etl_everywhere_hub_spark.plans.hints import vocab_broadcast
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3383,7 +3384,10 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     scored = (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        # df table is vocab-bounded under Heaps' law, but the hint is
+        # size-GATED (plans/hints.py): a pathological corpus that
+        # breaks the bound falls back to a shuffle equi-join
+        .join(vocab_broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
     term_score = F.expr(_BM25_TERM_SCORE)
@@ -4685,8 +4689,10 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     )
     scored = (
-        bg.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
+        # count tables are vocab-bounded; hints size-gated with a
+        # shuffle-join fallback (plans/hints.py, SCALE.md §4.2)
+        bg.join(vocab_broadcast(c12), ["w1", "w2"])
+        .join(vocab_broadcast(c1), ["w1"])
         .join(F.broadcast(v))
         .select(
             "doc_id",
@@ -5593,7 +5599,9 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup_ops.doc_shingles(d, "text", "doc_id", k=3)
     gdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per = (
-        sh.join(gdf, "shingle")
+        # broadcast while the gram-df table's size estimate stays
+        # bounded; shuffle equi-join beyond (plans/hints.py)
+        sh.join(vocab_broadcast(gdf), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -373,3 +373,60 @@ def test_distinct_exchange_counter_plain_plans_match_raw_count(spark):
     ).count("Exchange rangepartitioning")
     assert X.distinct_shuffle_exchange_count(q) == raw
     assert raw >= 2  # one hash (agg) + one range (sort)
+
+
+def test_vocab_broadcast_gate_switches_join_strategy(spark, sf_dir):
+    """VERDICT r3 item #5: the vocab-stat broadcast hint must be
+    size-gated. Toggling the ceiling to 1 byte must switch the q116
+    count-table joins from BroadcastHashJoin to a shuffle join in the
+    initial plan — with IDENTICAL results (a hint never changes
+    semantics)."""
+    from etl_everywhere_hub_spark.plans import hints
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    q = REGISTRY["q116_bigram_lm_score"]
+    saved = hints.DEFAULT_MAX_BYTES
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        hints.DEFAULT_MAX_BYTES = 1
+        # without the hint Catalyst re-decides from its own estimate —
+        # at sf0.001 that still picks broadcast (correctly!), so
+        # simulate the at-scale estimate by disabling auto-broadcast;
+        # the explicit F.broadcast(v) hint still overrides it, which is
+        # exactly the layering the gate relies on
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        starved = q.spark(spark, sf_dir)
+        # AQE's initial plan must NOT pre-commit the count-table joins
+        # to broadcast when the gate rejects the hint. (v, the 1-row
+        # vocab-size agg, keeps its unconditional hint; so assert the
+        # plan gained shuffle joins rather than "no broadcast at all".)
+        p1 = X.physical_plan(starved)
+        assert "SortMergeJoin" in p1 or "ShuffledHashJoin" in p1, p1[:2000]
+        rows_starved = sorted(map(tuple, starved.collect()))
+        spark.catalog.clearCache()
+
+        hints.DEFAULT_MAX_BYTES = saved
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        hinted = q.spark(spark, sf_dir)
+        p2 = X.physical_plan(hinted)
+        assert "SortMergeJoin" not in p2 and "ShuffledHashJoin" not in p2, p2[:2000]
+        assert X.uses_broadcast_join(hinted)
+        rows_hinted = sorted(map(tuple, hinted.collect()))
+        spark.catalog.clearCache()
+        assert rows_starved == rows_hinted
+    finally:
+        hints.DEFAULT_MAX_BYTES = saved
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+
+
+def test_vocab_broadcast_gate_uses_planning_estimate_only(spark, sf_dir):
+    """The gate must cost zero jobs: it reads Catalyst's sizeInBytes
+    estimate. Sanity: estimates are positive and monotone-ish (the
+    corpus-sized frame estimates bigger than its 100-row head)."""
+    from etl_everywhere_hub_spark.plans.hints import estimated_size_bytes
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est_full = estimated_size_bytes(d)
+    est_head = estimated_size_bytes(d.limit(10))
+    assert est_full > 0 and est_head > 0
+    assert est_full > est_head
