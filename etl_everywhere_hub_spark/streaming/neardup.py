@@ -142,12 +142,16 @@ def _bucket_fn(max_bucket: int):
             json.loads(state.get[0]) if state.exists else []
         )
         out_a, out_b, out_s = [], [], []
-        for pdf in pdfs:
-            # deterministic intra-batch order: a doc pairs with every
-            # doc that arrived strictly before it (any batch split of
-            # the same stream yields the same pair set)
-            pdf = pdf.sort_values("doc_id")
-            for row in pdf.itertuples(index=False):
+        # Accumulate every chunk BEFORE sorting (a group arrives as
+        # multiple ~10k-row chunks): pair EMISSION is order-independent
+        # (each new doc pairs against all prior members), but which
+        # docs are RETAINED once max_bucket trips is order-dependent —
+        # one global doc_id sort keeps that deterministic under any
+        # batch split (same fix as streaming/proximity.py, ADVICE r3).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            for row in allrows.itertuples(index=False):
                 did = int(row.doc_id)
                 sig = [int(x) for x in row.sig]
                 if any(did == m[0] for m in members):
