@@ -7498,7 +7498,10 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("gy"),
         )
-    )
+    ).persist()  # feeds BOTH join sides: without this the full events
+    # scan + window resample + signature groupBy runs twice (measured
+    # 3.0 s -> 1.1-1.8 s warm at sf0.1; at 100 TB it halves the only
+    # full-data pass)
     neighborhood = (
         sig.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
         .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
