@@ -511,3 +511,149 @@ def prefix_filter_jaccard_pairs(
             (F.col("inter") * 1.0 / F.col("un")).alias("jaccard"),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level exact-substring duplicate spans — the ExactSubstr
+    posture of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499) — re-expressed as hash equi-joins
+    instead of a suffix array. Every length-``window`` token run that
+    occurs >= ``min_count`` times ANYWHERE in the corpus (across docs
+    or repeated within one) marks its token interval as duplicated;
+    overlapping/adjacent marks merge per doc into maximal spans.
+
+    Scale shape (the reason this beats a distributed suffix array at
+    100 TB): window hashing is pure map-side — one ``transform`` over
+    the token array and one explode, NO join; the occurrence count is
+    a single groupBy on the window hash (map-side partial counts
+    apply); the span merge is one window function partitioned by doc.
+    For duplicated runs of length L >= window the reformulation is
+    lossless: a fully duplicated run contains only duplicated
+    W-windows, and merging their overlapping [s, s+W-1] marks
+    reconstructs [runstart, runend] exactly. Runs shorter than
+    ``window`` are below the match threshold by definition (the paper
+    uses 50 BPE tokens; the W here plays that role).
+
+    Returns one row per maximal duplicated span:
+    (id_col, span_start, span_end) — 0-based inclusive token indexes.
+    """
+    w = window
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    wins = (
+        toks.filter(F.size("toks") >= w)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - w),
+                    lambda i: F.struct(
+                        i.cast("long").alias("s"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("toks", i + 1, w))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("win"),
+        )
+        .select(id_col, F.col("win.s").alias("s"), F.col("win.h").alias("h"))
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h").select(
+        id_col, "s", (F.col("s") + (w - 1)).alias("e")
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_isl = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        marked.withColumn("prev_e", F.max("e").over(w_run))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_isl))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ``exact_substring_spans`` output: drop every token inside
+    a duplicated span and reassemble the surviving text order-exactly
+    (the q135 md5-proof pattern). Map-side after ONE shuffle join of
+    the per-doc span lists back onto the docs; the per-token span
+    membership test is an array ``exists`` over the doc's own spans —
+    no token-level shuffle.
+
+    Returns (id_col, n_tokens, n_spans, dup_tokens, clean_md5) where
+    clean_md5 = md5 of the space-rejoined surviving tokens (md5('') if
+    the whole doc was duplicated).
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    sp = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("spans")
+    )
+    joined = toks.join(sp, id_col, "left").withColumn(
+        "spans",
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.struct(i.cast("long").alias("i"), x.alias("x")),
+        ),
+        lambda p: ~F.exists(
+            F.col("spans"),
+            lambda s: (p["i"] >= s["s"]) & (p["i"] <= s["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.aggregate(
+            "spans",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + (s["e"] - s["s"] + F.lit(1)),
+        ).alias("dup_tokens"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda p: p["x"]))).alias(
+            "clean_md5"
+        ),
+    )

@@ -9640,3 +9640,81 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a pair fires once per colliding band with the same sig_sim —
     # collapse to one row per pair, as the batch readout does
     return drained.groupBy("a", "b").agg(F.max("sig_sim").alias("sig_sim"))
+
+
+@query(
+    "q185_exact_substring_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+        SELECT doc_id, i AS s,
+               md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS h
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)
+    ),
+    dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+    marked AS (SELECT w.doc_id, w.s, w.s + 7 AS e FROM wins w JOIN dups USING (h)),
+    flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN max(e) OVER w2 IS NULL OR s > max(e) OVER w2 + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM marked
+        WINDOW w2 AS (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        FROM (SELECT doc_id, s, e,
+                     SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM flagged)
+        GROUP BY doc_id, island
+    ),
+    tokpos AS (
+        SELECT doc_id, i AS pos, t[i + 1] AS tok
+        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)
+    ),
+    keep AS (
+        SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                          WHERE sp.doc_id = tp.doc_id
+                            AND tp.pos BETWEEN sp.s AND sp.e)
+    ),
+    clean AS (
+        SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+        FROM keep GROUP BY doc_id
+    ),
+    spanstats AS (
+        SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ss.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(ss.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           COALESCE(c.clean_md5, md5('')) AS clean_md5
+    FROM toks t
+    LEFT JOIN spanstats ss USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. arXiv:2107.06499 ExactSubstr):
+    every 8-token run occurring >= 2 times anywhere in the corpus marks
+    its interval; marks merge into maximal per-doc spans; span tokens
+    are stripped and the surviving text is reassembled order-exactly
+    (clean_md5 is the proof — md5 of the rejoined survivors).
+
+    The reference paper builds a corpus suffix array; at 100 TB that is
+    a global sort of every suffix. `operators/dedup.py:
+    exact_substring_spans` gets the identical >= W-token answer from
+    one map-side window explode + ONE hash groupBy + a per-doc window
+    function — no global sort, no suffix array, every stage map-side
+    partial or equi-shuffle. The oracle recomputes the whole chain
+    (windows -> dup hashes -> island merge -> strip -> md5 reassembly)
+    in SQL, including docs that dedup to empty (clean_md5 = md5(''))."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = dedup_ops.exact_substring_spans(
+        d, "text", "doc_id", window=8, min_count=2
+    )
+    return dedup_ops.strip_duplicate_spans(d, spans, "text", "doc_id")

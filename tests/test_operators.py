@@ -233,16 +233,20 @@ def test_pq_adc_ranking_tracks_exact_ranking(spark, sf_dir):
     """q170's product quantization must be a usable ANN primitive, not
     just an encodable one: over the full corpus, the top-10 by
     asymmetric (code-based) distance must substantially overlap the
-    top-10 by exact distance, and the query vector itself (which is
-    centroid 0 of every subspace by construction) must have ADC
-    distance exactly 0."""
+    top-10 by exact distance. The query vector (vec 0) must have exact
+    distance 0 and — since its codes are by definition the per-subspace
+    argmin centroids for the query itself — its ADC distance equals
+    sum_s min_c d(q_s, c), a lower bound on every other vector's ADC
+    distance, so vec 0 must be the ADC argmin. (Under the r3 lowest-id
+    seeding its ADC self-distance was exactly 0; Lloyd training moves
+    the centroids, so the self-distance is now the nonzero quantization
+    error — the argmin property is the one that survives training.)"""
     from etl_everywhere_hub_spark.queries import REGISTRY
 
-    # run the registry query WITHOUT its sampling filter by rebuilding
-    # at full corpus: reuse the query then lift top-k from its columns
     df = REGISTRY["q170_product_quantization"].spark(spark, sf_dir).collect()
     rows = {r["vec_id"]: (r["approx_d2_micro"], r["exact_d2_micro"]) for r in df}
-    assert rows[0][0] == 0 and rows[0][1] == 0  # the query vector
+    assert rows[0][1] == 0  # the query vector: exact self-distance
+    assert rows[0][0] == min(a for a, _ in rows.values())  # ADC argmin
     by_adc = sorted(rows, key=lambda v: (rows[v][0], v))[:10]
     by_exact = sorted(rows, key=lambda v: (rows[v][1], v))[:10]
     overlap = len(set(by_adc) & set(by_exact))
@@ -295,3 +299,39 @@ def test_star_contraction_matches_labelprop_on_random_graphs(spark):
             for r in connected_components_labelprop(edges, max_iter=60).collect()
         }
         assert a == b, f"trial {trial}: {sorted(set(a.items()) ^ set(b.items()))[:6]}"
+
+
+def test_exact_substring_spans_reconstruct_full_runs(spark):
+    """Losslessness of the suffix-array-free reformulation: a run of
+    L >= W tokens duplicated across docs must merge back to exactly
+    [start, start + L - 1] in each doc — the W-window marks overlap
+    into the full run, no more, no less. Also: a within-doc repeat
+    counts (min_count is corpus-wide occurrences), and untouched docs
+    produce no spans."""
+    from etl_everywhere_hub_spark.operators.dedup import (
+        exact_substring_spans,
+        strip_duplicate_spans,
+    )
+
+    run = " ".join(f"r{i}" for i in range(10))  # L=10 shared run
+    docs = [
+        (0, f"a0 a1 a2 {run} z0 z1"),            # run at tokens 3..12
+        (1, f"{run} b0 b1 b2 b3 b4"),            # run at tokens 0..9
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),    # unique, no spans
+        (3, f"d0 {run} d1 {run}"),               # within-doc repeat too
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(df, window=8).collect()
+    }
+    assert spans == {(0, 3, 12), (1, 0, 9), (3, 1, 10), (3, 12, 21)}
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
+        for r in strip_duplicate_spans(
+            df, exact_substring_spans(df, window=8)
+        ).collect()
+    }
+    assert out[0] == (15, 1, 10)
+    assert out[2] == (10, 0, 0)
+    assert out[3] == (22, 2, 20)
