@@ -1,0 +1,103 @@
+"""Bounded-memory sketch operators with exact verification passes.
+
+The house rule (queries.py header) is cross-engine determinism, which
+rules out emitting sketch *estimates* as results. The pattern here is
+the two-pass one: a bounded-memory sketch pass produces a CANDIDATE
+superset with a proven coverage guarantee, then an exact pass over
+only the candidates produces the final — exactly correct — answer.
+The sketch's job is to bound memory and shuffle width at 100 TB, not
+to appear in the output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str, k_counters: int = 256
+) -> DataFrame:
+    """Phase 1 of exact heavy hitters: a mergeable Misra-Gries summary
+    per partition (Agarwal et al., "Mergeable Summaries", PODS'12).
+
+    Per Arrow batch the update is vectorized: add the batch's
+    ``value_counts`` into the running counter dict, then if more than
+    ``k_counters`` counters remain, subtract the (k+1)-th largest
+    count from all and drop the non-positive — the standard mergeable
+    MG step. Total subtracted over a partition stream of N_p items is
+    <= N_p/(k_counters+1), so every item with in-partition frequency
+    > N_p/(k_counters+1) ends with a positive counter and survives.
+    Pigeonhole lifts this to the corpus: an item with global share
+    > 1/(k_counters+1) must exceed that share in at least one
+    partition, hence appears in the union of partition summaries.
+
+    Memory is O(k_counters) per task regardless of domain size — the
+    point at 100 TB, where the token domain is billions and a full
+    groupBy of it is the shuffle this avoids. Returns a small
+    DataFrame of distinct candidate values (column named ``col``);
+    the candidate SET depends on partitioning, but phase 2's exact
+    filter makes the final answer partition-invariant.
+    """
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k_counters:
+                cut = sorted(counters.values(), reverse=True)[k_counters]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(mg, schema=f"{col} string").distinct()
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    k_counters: int = 256,
+    threshold_den: int = 100,
+) -> DataFrame:
+    """Exact heavy hitters (share > 1/threshold_den) without shuffling
+    the full value domain: Misra-Gries candidates (phase 1, bounded
+    memory, map-only) then ONE aggregation that counts candidates
+    exactly and totals everything else into a single overflow bucket
+    (so N comes from the same pass). Requires
+    ``threshold_den < k_counters + 1`` — then the candidate superset
+    guarantee (see misra_gries_candidates) makes the output EXACTLY
+    ``SELECT col, count(*) GROUP BY col HAVING count(*)*den > N``.
+
+    Returns (col, cnt, share_ppm) with share_ppm = cnt*1e6 div N —
+    integer-exact cross-engine.
+    """
+    if threshold_den >= k_counters + 1:
+        raise ValueError(
+            "coverage guarantee needs threshold_den < k_counters + 1"
+        )
+    cands = misra_gries_candidates(df, col, k_counters).withColumn(
+        "is_cand", F.lit(True)
+    )
+    keyed = df.select(col).join(F.broadcast(cands), col, "left").select(
+        F.when(F.col("is_cand"), F.col(col)).alias("k")
+    )
+    counts = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    return (
+        counts.filter(F.col("k").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * threshold_den > F.col("n_total"))
+        .select(
+            F.col("k").alias(col),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("cnt * 1000000 div n_total").cast("bigint").alias(
+                "share_ppm"
+            ),
+        )
+    )

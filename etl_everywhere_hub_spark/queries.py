@@ -9718,3 +9718,32 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", window=8, min_count=2
     )
     return dedup_ops.strip_duplicate_spans(d, spans, "text", "doc_id")
+
+
+@query(
+    "q186_heavy_hitters",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_ppm
+    FROM tok GROUP BY tok
+    HAVING COUNT(*) * 100 > (SELECT n FROM tot)
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with > 1% corpus share) via the
+    two-pass Misra-Gries sweep (operators/sketches.py): phase 1 is a
+    map-only bounded-memory candidate pass (256 counters per task, the
+    mergeable-summaries batch update), phase 2 counts ONLY candidates
+    exactly — the full token domain never shuffles. The coverage proof
+    (share > 1/257 survives some partition) makes the result exactly
+    the oracle's GROUP BY ... HAVING, even though the intermediate
+    candidate set is partitioning-dependent. At 100 TB this is the
+    difference between shuffling billions of distinct tokens and
+    shuffling ~256 x tasks candidates."""
+    from etl_everywhere_hub_spark.operators.sketches import heavy_hitters_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return heavy_hitters_exact(toks, "tok", k_counters=256, threshold_den=100)

@@ -335,3 +335,25 @@ def test_exact_substring_spans_reconstruct_full_runs(spark):
     assert out[0] == (15, 1, 10)
     assert out[2] == (10, 0, 0)
     assert out[3] == (22, 2, 20)
+
+
+def test_misra_gries_trimming_path_still_exact(spark):
+    """The MG trim must actually engage (vocab >> counters) and the
+    two-pass answer must still be EXACTLY the naive groupBy-HAVING:
+    one heavy value at 1/3 share buried in 200 distinct fillers,
+    k_counters=8 (so partitions trim constantly), threshold den=4
+    (strict >1/4 keeps 1/3; den=3 would exclude it — the HAVING is
+    strict). Coverage guarantee: 1/3 > 1/(8+1), so the heavy value
+    must survive phase 1 in some partition; phase 2 exactness does
+    the rest."""
+    from etl_everywhere_hub_spark.operators.sketches import heavy_hitters_exact
+
+    rows = [("heavy",)] * 100 + [(f"f{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["tok"]).repartition(5)
+    got = {
+        (r["tok"], r["cnt"], r["share_ppm"])
+        for r in heavy_hitters_exact(
+            df, "tok", k_counters=8, threshold_den=4
+        ).collect()
+    }
+    assert got == {("heavy", 100, 100 * 1_000_000 // 300)}
