@@ -9747,3 +9747,67 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     return heavy_hitters_exact(toks, "tok", k_counters=256, threshold_den=100)
+
+
+@query(
+    "q187_grid_dbscan",
+    """
+    WITH RECURSIVE pts AS (
+        SELECT doc_id AS id,
+               CAST(doc_id % 20 AS DOUBLE)*0.25 + CAST(doc_id % 7 AS DOUBLE)*0.125 AS lat,
+               CAST(doc_id % 40 AS DOUBLE)*0.25 + CAST(doc_id % 11 AS DOUBLE)*0.0625 AS lon
+        FROM documents
+    ),
+    nb AS (
+        SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+          ON a.id <> b.id
+         AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 0.0625
+    ),
+    deg AS (SELECT a, COUNT(*) AS n FROM nb GROUP BY a),
+    core AS (SELECT p.id FROM pts p LEFT JOIN deg d ON d.a = p.id
+             WHERE COALESCE(d.n, 0) + 1 >= 4),
+    ce AS (SELECT nb.a, nb.b FROM nb
+           JOIN core ca ON ca.id = nb.a JOIN core cb ON cb.id = nb.b),
+    reach(id, other) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN ce e ON r.other = e.a
+    ),
+    comp AS (SELECT id, MIN(other) AS cluster FROM reach GROUP BY id),
+    border AS (
+        SELECT nb.a AS id, MIN(c.cluster) AS cluster
+        FROM nb JOIN comp c ON c.id = nb.b
+        WHERE nb.a NOT IN (SELECT id FROM core)
+        GROUP BY nb.a
+    )
+    SELECT p.id,
+           CASE WHEN comp.id IS NOT NULL THEN 'core'
+                WHEN border.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(comp.cluster, border.cluster, -1) AS BIGINT) AS cluster
+    FROM pts p
+    LEFT JOIN comp ON comp.id = p.id
+    LEFT JOIN border ON border.id = p.id
+    """,
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (eps=0.25, minPts=4) over a deterministic lattice point
+    cloud, decomposed into the three scale-safe relational pieces
+    (operators/clustering.py): grid-blocked eps-graph (O(n*density)),
+    degree-based core detection (one groupBy), star-contraction
+    components for cluster labels (O(log n) rounds). Border points
+    take the MINIMUM core-neighbor cluster (the deterministic variant
+    of the paper's scan-order-dependent assignment). The oracle is
+    the brute-force eps-graph + recursive-CTE transitive closure —
+    the same fixed point computed the O(n^2) way."""
+    from etl_everywhere_hub_spark.operators.clustering import grid_dbscan
+
+    d = load_table(spark, sf_dir, "documents")
+    pts = d.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 20).cast("double") * 0.25
+         + (F.col("doc_id") % 7).cast("double") * 0.125).alias("lat"),
+        ((F.col("doc_id") % 40).cast("double") * 0.25
+         + (F.col("doc_id") % 11).cast("double") * 0.0625).alias("lon"),
+    )
+    return grid_dbscan(pts, eps=0.25, min_pts=4, id_col="id")

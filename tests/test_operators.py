@@ -357,3 +357,32 @@ def test_misra_gries_trimming_path_still_exact(spark):
         ).collect()
     }
     assert got == {("heavy", 100, 100 * 1_000_000 // 300)}
+
+
+def test_grid_dbscan_known_answer(spark):
+    """Constructed two-blob + border + noise case with a hand-checked
+    DBSCAN answer (eps=1.0, minPts=3, closed neighborhoods): blob A
+    {1,2,3,4} all core (cluster 1), blob B {5,6,7} all core (cluster
+    5), point 8 is density-reachable from A's edge but not core
+    (border, cluster 1), point 9 is noise (cluster -1)."""
+    from etl_everywhere_hub_spark.operators.clustering import grid_dbscan
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0), (2, 0.5, 0.0), (3, 0.0, 0.5), (4, 0.5, 0.5),
+            (5, 10.0, 10.0), (6, 10.5, 10.0), (7, 10.0, 10.5),
+            (8, 1.4, 0.0),
+            (9, 20.0, 20.0),
+        ],
+        ["id", "lon", "lat"],
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in grid_dbscan(pts, eps=1.0, min_pts=3).collect()
+    }
+    assert got == {
+        1: ("core", 1), 2: ("core", 1), 3: ("core", 1), 4: ("core", 1),
+        5: ("core", 5), 6: ("core", 5), 7: ("core", 5),
+        8: ("border", 1),
+        9: ("noise", -1),
+    }
