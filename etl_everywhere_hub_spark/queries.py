@@ -9811,3 +9811,76 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
          + (F.col("doc_id") % 11).cast("double") * 0.0625).alias("lon"),
     )
     return grid_dbscan(pts, eps=0.25, min_pts=4, id_col="id")
+
+
+@query(
+    "q188_zorder_box_query",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(CAST(c_custkey % 48 AS DOUBLE)*2.0 + CAST(c_custkey % 7 AS DOUBLE) AS BIGINT) AS xi,
+               CAST(CAST(c_custkey % 96 AS DOUBLE)*4.0 + CAST(c_custkey % 11 AS DOUBLE) AS BIGINT) AS yi
+        FROM customer
+    ),
+    z AS (
+        SELECT id, xi, yi,
+               CAST((
+                 (((xi >> 0) & 1) << 0) +
+                 (((yi >> 0) & 1) << 1) +
+                 (((xi >> 1) & 1) << 2) +
+                 (((yi >> 1) & 1) << 3) +
+                 (((xi >> 2) & 1) << 4) +
+                 (((yi >> 2) & 1) << 5) +
+                 (((xi >> 3) & 1) << 6) +
+                 (((yi >> 3) & 1) << 7) +
+                 (((xi >> 4) & 1) << 8) +
+                 (((yi >> 4) & 1) << 9) +
+                 (((xi >> 5) & 1) << 10) +
+                 (((yi >> 5) & 1) << 11) +
+                 (((xi >> 6) & 1) << 12) +
+                 (((yi >> 6) & 1) << 13) +
+                 (((xi >> 7) & 1) << 14) +
+                 (((yi >> 7) & 1) << 15) +
+                 (((xi >> 8) & 1) << 16) +
+                 (((yi >> 8) & 1) << 17)
+               ) AS BIGINT) AS z
+        FROM pts
+    )
+    SELECT id, xi, yi, z FROM z
+    WHERE xi BETWEEN 16 AND 48 AND yi BETWEEN 80 AND 160
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key + a 2-D box query answered
+    through the z-range prefilter (sources/layout.py:zorder_key).
+    The engine filters z BETWEEN z(16,80) AND z(48,160) FIRST — the
+    interval a z-sorted layout prunes via parquet row-group min/max —
+    then applies the exact box residual; dominance monotonicity of
+    Morton order makes the prefilter a proven superset, so the result
+    equals the oracle's direct box scan. The layout side (range-
+    partitioned z-sorted files actually pruning) is pinned by
+    tests/test_layout.py::test_zorder_write_prunes_box_query."""
+    from etl_everywhere_hub_spark.sources.layout import zorder_key
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 48).cast("double") * 2.0
+         + (F.col("c_custkey") % 7).cast("double")).cast("bigint").alias("xi"),
+        ((F.col("c_custkey") % 96).cast("double") * 4.0
+         + (F.col("c_custkey") % 11).cast("double")).cast("bigint").alias("yi"),
+    ).withColumn("z", zorder_key(F.col("xi"), F.col("yi"), bits=9))
+
+    def z_of(x: int, y: int) -> int:
+        z = 0
+        for b in range(9):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    zlo, zhi = z_of(16, 80), z_of(48, 160)
+    return (
+        pts.filter(F.col("z").between(zlo, zhi))  # the prunable range
+        .filter(F.col("xi").between(16, 48) & F.col("yi").between(80, 160))
+        .select("id", "xi", "yi", "z")
+    )

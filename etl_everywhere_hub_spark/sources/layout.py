@@ -85,3 +85,48 @@ def write_sized(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def zorder_key(x_col, y_col, bits: int = 9):
+    """Morton/Z-order interleave of two non-negative integer grid
+    coordinates (Column expressions) into one sort key — the
+    multi-dimensional clustering lever (Delta OPTIMIZE ZORDER, Hudi
+    space-filling curves) expressed as pure codegen bit arithmetic.
+
+    Sorting/range-partitioning a table by z co-locates rows that are
+    close in BOTH dimensions, so parquet row-group min/max stats (and
+    hive partitions on a z prefix) prune 2-D box queries — a 1-D sort
+    on x prunes only x. The z range [z(x1,y1), z(x2,y2)] is a proven
+    SUPERSET of any box [x1..x2]x[y1..y2]: Morton order is monotone
+    under componentwise dominance (at the highest differing bit of
+    the interleaved words, the dominating point has 1 vs 0), so a
+    z-range prefilter plus the exact box residual loses nothing.
+    """
+    from pyspark.sql import functions as F
+
+    xi = x_col.cast("long")
+    yi = y_col.cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z + F.shiftleft(F.shiftright(xi, b).bitwiseAND(F.lit(1)), 2 * b)
+        z = z + F.shiftleft(
+            F.shiftright(yi, b).bitwiseAND(F.lit(1)), 2 * b + 1
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, x_col: str, y_col: str, bits: int = 9, n_files: int = 8
+) -> None:
+    """Write parquet range-partitioned and sorted by the z key: each
+    output file covers a compact z interval, so its parquet footer
+    min/max on ``z`` prunes 2-D box queries at scan time."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("z", zorder_key(F.col(x_col), F.col(y_col), bits))
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -80,3 +80,76 @@ def test_sized_write_caps_file_records(spark, sf_dir, tmp_path):
     assert len(files) >= n // 400, files
     for f in files:
         assert spark.read.parquet(f).count() <= 400, f
+
+
+def test_zorder_write_prunes_box_query(spark, sf_dir, tmp_path):
+    """Z-order clustering must make 2-D box queries file-prunable:
+    after write_zordered, the box's z interval must intersect only a
+    minority of file footers' [min_z, max_z] (parquet min/max stats —
+    what the reader's row-group skip consumes), while an unclustered
+    layout spreads every file across the full z range (nothing
+    prunes). Correctness: the z-prefiltered box read equals the
+    direct box filter — the dominance-monotonicity superset proof."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_everywhere_hub_spark.sources.layout import write_zordered, zorder_key
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 48) * 2 + (F.col("c_custkey") % 7))
+        .cast("long")
+        .alias("xi"),
+        ((F.col("c_custkey") % 96) * 4 + (F.col("c_custkey") % 11))
+        .cast("long")
+        .alias("yi"),
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(pts, zpath, "xi", "yi", bits=9, n_files=8)
+    flat = str(tmp_path / "flat")
+    pts.withColumn("z", zorder_key(F.col("xi"), F.col("yi"), 9)).repartition(
+        8
+    ).write.parquet(flat)
+
+    def z_of(x, y):
+        z = 0
+        for b in range(9):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    zlo, zhi = z_of(16, 80), z_of(48, 160)
+
+    def files_hit(path):
+        hit = tot = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            zs = [
+                (md.row_group(i).column(c).statistics.min,
+                 md.row_group(i).column(c).statistics.max)
+                for i in range(md.num_row_groups)
+                for c in range(md.num_columns)
+                if md.row_group(i).column(c).path_in_schema == "z"
+            ]
+            lo, hi = min(a for a, _ in zs), max(b for _, b in zs)
+            tot += 1
+            hit += int(not (hi < zlo or lo > zhi))
+        return hit, tot
+
+    z_hit, z_tot = files_hit(zpath)
+    f_hit, f_tot = files_hit(flat)
+    assert z_hit <= z_tot // 2, (z_hit, z_tot)     # clustered: most files skip
+    assert f_hit == f_tot, (f_hit, f_tot)          # unclustered: nothing skips
+
+    got = (
+        spark.read.parquet(zpath)
+        .filter(F.col("z").between(zlo, zhi))
+        .filter(F.col("xi").between(16, 48) & F.col("yi").between(80, 160))
+        .count()
+    )
+    want = pts.filter(
+        F.col("xi").between(16, 48) & F.col("yi").between(80, 160)
+    ).count()
+    assert got == want
