@@ -9884,3 +9884,100 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("xi").between(16, 48) & F.col("yi").between(80, 160))
         .select("id", "xi", "yi", "z")
     )
+
+
+@query(
+    "q189_merkle_bucket_diff",
+    """
+    WITH snap_a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 977 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 613 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    ),
+    ha AS (
+        SELECT o_orderkey % 64 AS bucket,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM snap_a
+    ),
+    hb AS (
+        SELECT o_orderkey % 64 AS bucket,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM snap_b
+    ),
+    ca AS (SELECT bucket, COUNT(*) AS cnt_a, bit_xor(h) AS xor_a FROM ha GROUP BY bucket),
+    cb AS (SELECT bucket, COUNT(*) AS cnt_b, bit_xor(h) AS xor_b FROM hb GROUP BY bucket)
+    SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+           CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+           CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b
+    FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+    WHERE COALESCE(cnt_a, -1) <> COALESCE(cnt_b, -1)
+       OR COALESCE(xor_a, 0) <> COALESCE(xor_b, 0)
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style bucket checksum diff — 'which parts of two 100 TB
+    table versions differ' WITHOUT aligning a single row: one pass per
+    snapshot computes a commutative per-bucket fingerprint (count +
+    bit_xor of a portable md5 row hash over key|status|exact-cents),
+    and only the tiny (bucket, checksum) tables join. Exchange volume
+    is O(buckets), not O(rows); the dirty buckets this emits are then
+    the ONLY key ranges q101's row-level full-outer diff must touch —
+    the standard replication-audit two-phase (bucket checksums, then
+    per-dirty-bucket row diff). bit_xor is order- and partition-
+    insensitive, so the fingerprint is shuffle-free map-side
+    aggregable on both engines. Money folds through exact cents
+    (floor(x*100+0.5)) so the hashed string is bit-identical
+    cross-engine — never hash a raw double's string rendering."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 977 != 0)
+    snap_b = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 613 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def bucket_checksums(snap, suffix):
+        h = md5_long(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("bigint")
+                .cast("string"),
+            )
+        )
+        return (
+            snap.select((F.col("o_orderkey") % 64).alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias(f"cnt_{suffix}"),
+                F.expr("bit_xor(h)").alias(f"xor_{suffix}"),
+            )
+        )
+
+    ca, cb = bucket_checksums(snap_a, "a"), bucket_checksums(snap_b, "b")
+    j = ca.join(cb, "bucket", "full_outer")
+    return (
+        j.filter(
+            (F.coalesce(F.col("cnt_a"), F.lit(-1))
+             != F.coalesce(F.col("cnt_b"), F.lit(-1)))
+            | (F.coalesce(F.col("xor_a"), F.lit(0))
+               != F.coalesce(F.col("xor_b"), F.lit(0)))
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("bigint").alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("bigint").alias("cnt_b"),
+        )
+    )

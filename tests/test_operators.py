@@ -386,3 +386,21 @@ def test_grid_dbscan_known_answer(spark):
         8: ("border", 1),
         9: ("noise", -1),
     }
+
+
+def test_merkle_bucket_diff_finds_exactly_dirty_buckets(spark, sf_dir):
+    """q189's checksum layer must flag exactly the buckets containing a
+    modified (%613) or deleted (%977) key — no misses (a miss would be
+    an xor collision), no false alarms (clean buckets hash equal)."""
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    got = {r["bucket"] for r in REGISTRY["q189_merkle_bucket_diff"].spark(
+        spark, sf_dir).collect()}
+    keys = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter((F.col("o_orderkey") % 613 == 0) | (F.col("o_orderkey") % 977 == 0))
+        .filter(F.col("o_orderkey") != 0)  # key 0: A drops it, B updates it
+        .collect()
+    ]
+    assert got == {k % 64 for k in keys} | {0}  # bucket 0 holds key 0
