@@ -34,9 +34,23 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+# Per-session DataFrame memo — the metastore analogue. A bare
+# spark.read.parquet re-lists the directory and re-reads parquet
+# footers for schema inference on EVERY call; a real deployment
+# resolves tables through a catalog that caches exactly this
+# metadata. DataFrames are immutable plans, so handing back the same
+# object is safe; keyed by the session so a stopped/rebuilt session
+# never leaks stale plans.
+_TABLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical column types."""
     configure_session(spark)
+    memo_key = (id(spark), f"{sf_dir}/{name}.parquet")
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read the raw int64 nanos; truncate to micros like
@@ -46,6 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
         )
+    _TABLE_MEMO[memo_key] = df
     return df
 
 

@@ -1332,7 +1332,6 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     top term per doc. The df side is vocabulary-sized (tiny), so it
     broadcasts at any corpus scale."""
     d = load_table(spark, sf_dir, "documents")
-    nd = d.count()
     tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf already has exactly one row per (doc, term), so document
@@ -1341,9 +1340,14 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token explode is the dominant cost and now runs once).
     df_w = Window.partitionBy("term")
     tf = tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+    # corpus size rides along as a broadcast scalar — a d.count() here
+    # would be a separate driver job per invocation
+    tf = tf.crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("nd"))))
     # ln is transcendental (last-ulp engine drift) → rank and report the
     # 6-decimal rounding; ties fall to the term tiebreak on both sides.
-    tfidf = F.round(F.col("tf") * F.log(F.lit(nd) * 1.0 / F.col("df")), 6)
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("nd").cast("double") / F.col("df")), 6
+    )
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term").asc())
     return (
         tf.withColumn("rn", F.row_number().over(w))
@@ -4657,30 +4661,42 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low scores flag word-salad/boilerplate — the standard perplexity
     filter before LLM training, minus the external KenLM dependency.
 
-    Scale shape: ONE explode of the corpus; bigrams from a per-doc
-    lead() window (shuffle keyed by doc_id); the two count tables are
-    vocab-bounded (≪ corpus) and broadcast back onto the bigram stream,
-    so the fact table is shuffled once, not three times. Determinism:
-    ln is quantized per-bigram (round 9dp → scaled int, the repo's
-    transcendental rule), so the per-doc sum is an exact integer sum —
-    no cross-row double accumulation."""
+    Scale shape: bigram pairs are built MAP-SIDE from each doc's token
+    array (an indexed transform — the shingle trick), so there is NO
+    per-doc window and NO doc_id shuffle anywhere: the only exchanges
+    are the two vocab-bounded count groupBys (map-side partials), the
+    vocab distinct, and the final per-doc agg. The count tables
+    broadcast back onto the bigram stream (size-gated with a
+    shuffle-join fallback). Determinism: ln is quantized per-bigram
+    (round 9dp → scaled int, the repo's transcendental rule), so the
+    per-doc sum is an exact integer sum — no cross-row double
+    accumulation."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    ).filter(F.col("tok") != "")
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.select(
-            "doc_id",
-            F.col("tok").alias("w1"),
-            F.lead("tok").over(wdoc).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .persist()  # three consumers (c12, c1, scoring): explode+window once
+    # materialize the token array as a named column FIRST: an
+    # element_at(<expr>, ...) inside a transform lambda would
+    # re-evaluate the whole split+filter per element (O(n^2)/doc);
+    # against a column reference it's an O(1) array index.
+    toks_df = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
+    bg_arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(tk, i + 2).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toks_df.select("doc_id", F.explode(bg_arr).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsize"))
+    v = toks_df.select(F.explode(tk).alias("tok")).agg(
+        F.count_distinct("tok").alias("vsize")
+    )
     logp = F.round(
         F.log(
             (F.col("n12").cast("double") + 1.0)
