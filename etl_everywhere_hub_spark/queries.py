@@ -9997,3 +9997,63 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt_b"), F.lit(0)).cast("bigint").alias("cnt_b"),
         )
     )
+
+
+@query(
+    "q190_convoy_pairs",
+    """
+    WITH pos AS (
+        SELECT DISTINCT user_id,
+               epoch_ms(ts) // 86400000 AS tb,
+               CAST(user_id % 4 AS BIGINT) * 20 + (epoch_ms(ts) // 86400000) % 7 AS cx,
+               CAST(user_id % 3 AS BIGINT) * 20 + (epoch_ms(ts) // 86400000) % 5 AS cy
+        FROM events
+    )
+    SELECT a.user_id AS a, b.user_id AS b,
+           CAST(COUNT(*) AS BIGINT) AS shared_buckets
+    FROM pos a JOIN pos b
+      ON a.tb = b.tb AND a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    HAVING COUNT(*) >= 25
+    """,
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convoy / co-travel detection — the spatiotemporal extension of
+    the geofence proximity join (q127, q171): two entities 'travel
+    together' when they occupy the SAME moving grid cell in >= m
+    distinct time buckets. The reference domain's 'which devices move
+    together' question (mutual proximity sustained over time, not a
+    single snapshot).
+
+    Scale shape: one map-side projection to (entity, day-bucket,
+    cell) + a distinct (collapses multiple pings per day — map-side
+    partials), then ONE equi self-join keyed on (tb, cell) — never a
+    cross join; candidate pairs are bounded by per-cell occupancy per
+    bucket (the same density argument as every grid operator here),
+    and the pair count is one groupBy. Positions derive
+    deterministically from (entity, day) so the oracle is exact; with
+    real telemetry the projection is the track table and nothing else
+    changes."""
+    e = load_table(spark, sf_dir, "events")
+    tb = F.floor(
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86400000)
+    ).cast("long")
+    pos = e.select(
+        "user_id",
+        tb.alias("tb"),
+        ((F.col("user_id") % 4).cast("long") * 20 + tb % 7).alias("cx"),
+        ((F.col("user_id") % 3).cast("long") * 20 + tb % 5).alias("cy"),
+    ).distinct()
+    a = pos.select(
+        F.col("user_id").alias("a"), "tb", "cx", "cy"
+    )
+    b = pos.select(
+        F.col("user_id").alias("b"), "tb", "cx", "cy"
+    )
+    return (
+        a.join(b, ["tb", "cx", "cy"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_buckets"))
+        .filter(F.col("shared_buckets") >= 25)
+    )

@@ -430,3 +430,62 @@ def test_vocab_broadcast_gate_uses_planning_estimate_only(spark, sf_dir):
     est_head = estimated_size_bytes(d.limit(10))
     assert est_full > 0 and est_head > 0
     assert est_full > est_head
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering (Spark's InjectRuntimeFilter): on a
+    shuffle join whose build side is selective, the optimizer must
+    inject a bloom_filter_agg over the build keys and gate the FACT
+    side scan with might_contain — rows that cannot join die before
+    the exchange. At 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the ~match fraction; it
+    composes with (and covers keys too wide for) static partition
+    pruning. Thresholds are lowered to engage on the fixture;
+    defaults engage at production sizes. Result equality pinned
+    against the filterless plan."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "extended"
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:3000]
+        with_filter = sorted(map(tuple, j.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                    F.col("o_totalprice") > 400000
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert with_filter == plain
