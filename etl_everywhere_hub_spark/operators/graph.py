@@ -214,3 +214,119 @@ def pagerank_exact(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed vertex,
+    bounded by ``max_hops``. Returns (id, hops) for every REACHED
+    vertex (seeds at 0; unreached vertices are absent — the caller
+    left-joins if it wants nulls). Edges are treated as undirected
+    (symmetrized here).
+
+    This is the "influence radius" / contact-tracing primitive over
+    the pair graphs the dedup and proximity operators emit (q41 LSH
+    pairs, q190 convoy pairs): how far is every document/entity from a
+    labeled seed set.
+
+    Scale shape: per hop, ONE equi-join frontier⋈edges (frontier is
+    the newly labeled vertices only, never the full visited set), one
+    distinct, one anti-join against visited — all key-partitioned;
+    rounds = min(max_hops, eccentricity). Frontier-only expansion
+    keeps per-round work proportional to the hop boundary, not the
+    visited volume; lineage is truncated per round (see
+    connected_components). Early-exits when a frontier is empty (the
+    count is the same job that materializes the checkpoint).
+    """
+    sym = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    sym = (
+        sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-core membership: the maximal subgraph in which every vertex
+    has degree >= k, computed by iterative peeling (remove all
+    vertices of degree < k, recompute degrees, repeat to fixpoint).
+    Returns (id, core_deg) — the surviving vertex set with each
+    vertex's degree INSIDE the core. The fixpoint is unique (peeling
+    order cannot change the maximal subgraph) and rounds commute with
+    extra no-op rounds, so a fixed-round unrolled oracle computes the
+    identical set whether or not it converges early.
+
+    The spam/boilerplate-farm detector over near-dup pair graphs:
+    genuine duplicate clusters are dense (survive k-core), incidental
+    single-pair collisions are not.
+
+    Scale shape: per round, one degree groupBy over the surviving
+    canonical edge set and two semi-joins to drop edges incident to
+    peeled vertices — all equi-shaped on vertex keys; round count is
+    bounded by the degeneracy peel depth, with early-exit when no
+    vertex is removed (checked via the edge count of the checkpoint
+    materialization). The edge set only SHRINKS, so per-round cost is
+    monotonically decreasing.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("src"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )

@@ -10057,3 +10057,334 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_buckets"))
         .filter(F.col("shared_buckets") >= 25)
     )
+
+
+# Shared graph for q191/q192: sparse co-purchase graph — parts that
+# appear in the SAME order (both on low-quantity lines, which keeps
+# per-part degree SF-constant: lines-per-order and lines-per-part are
+# both scale-invariant in the fixture generator, so the subgraph stays
+# sparse at every SF instead of densifying into a clique).
+_COPURCHASE_EDGE_SQL = """
+    e0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity <= 5 AND b.l_quantity <= 5
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@query(
+    "q191_bfs_hops",
+    """
+    WITH RECURSIVE """ + _COPURCHASE_EDGE_SQL + """,
+    sym AS (
+        SELECT src, dst FROM e0
+        UNION
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0),
+    walk(id, hops) AS (
+        SELECT id, 0 FROM seeds
+        UNION
+        SELECT s.dst, w.hops + 1 FROM walk w JOIN sym s ON s.src = w.id
+        WHERE w.hops < 6
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY id
+    """,
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py:bfs_hops) over
+    the co-purchase part graph: minimum hops from the seed part set
+    (p_partkey % 97 == 0), horizon 6. The contact-tracing / influence-
+    radius primitive over any pair graph the dedup or proximity
+    operators emit. Frontier-only expansion: each round joins ONLY the
+    newly-labeled boundary against the edge list (equi-join on the
+    vertex key), so per-round cost tracks the hop boundary, not the
+    visited set; the oracle is the recursive-CTE fixpoint of the same
+    bounded walk."""
+    from etl_everywhere_hub_spark.operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    out = bfs_hops(edges, seeds, max_hops=6)
+    return out.select(F.col("id").cast("long"), F.col("hops").cast("int"))
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled peeling oracle for q192. Peeling's fixpoint is unique
+    and extra rounds past convergence are no-ops, so a FIXED round
+    count computes the same survivors as the engine's early-exit loop
+    whenever either has reached the fixpoint — and the identical
+    intermediate set when neither has (both sides execute the same
+    round count on the same edge set). Generated, not hand-written:
+    one degree-filter + one edge-restriction CTE pair per round. Every
+    round CTE is MATERIALIZED: each references its predecessor three
+    times, so default CTE inlining would expand e{rounds} into
+    3^rounds copies of the base scan (observed as a too-many-open-
+    files explosion); materialization keeps the oracle O(rounds)."""
+    base = _COPURCHASE_EDGE_SQL.strip().replace("e0 AS (", "e0 AS MATERIALIZED (", 1)
+    parts = ["WITH " + base]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT v AS id FROM (
+            SELECT src AS v FROM e{p} UNION ALL SELECT dst AS v FROM e{p}
+        ) t GROUP BY v HAVING COUNT(*) >= {k}
+    )"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT src, dst FROM e{p}
+        WHERE src IN (SELECT id FROM k{i}) AND dst IN (SELECT id FROM k{i})
+    )"""
+        )
+    final = (
+        f"SELECT CAST(v AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS core_deg "
+        f"FROM (SELECT src AS v FROM e{rounds} UNION ALL SELECT dst AS v "
+        f"FROM e{rounds}) t GROUP BY v"
+    )
+    return ",\n    ".join(parts) + "\n    " + final
+
+
+@query("q192_kcore_peeling", _kcore_oracle_sql(k=3, rounds=10))
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-purchase part graph by
+    iterative peeling (operators/graph.py:k_core) — the density filter
+    that separates genuinely dense duplicate/affinity clusters from
+    incidental pair collisions in any pair graph (LSH bands, convoy
+    pairs, co-purchase). Per round one degree groupBy + two semi-joins,
+    edge set monotonically shrinking, early-exit at the fixpoint; the
+    oracle unrolls the identical peel a fixed 10 rounds (a no-op past
+    convergence, so the two formulations agree exactly)."""
+    from etl_everywhere_hub_spark.operators.graph import k_core
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return k_core(edges, k=3, max_iter=10)
+
+
+@query(
+    "q193_association_rules",
+    """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS nb FROM basket),
+    df AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS df FROM basket GROUP BY item),
+    pair AS (
+        SELECT a.item AS pa, b.item AS pb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 2
+    )
+    SELECT pa, pb, cnt, da.df AS dfa, db.df AS dfb,
+           round(cnt * 1.0 / nb, 6) AS support,
+           round(cnt * 1.0 / da.df, 6) AS confidence,
+           round(cnt * 1.0 * nb / (da.df * db.df), 6) AS lift
+    FROM pair
+    JOIN df da ON da.item = pa
+    JOIN df db ON db.item = pb
+    CROSS JOIN n
+    ORDER BY lift DESC, pa ASC, pb ASC
+    LIMIT 50
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules / market-basket analysis: support, confidence
+    and lift for part pairs co-purchased in the same order, top-50 by
+    lift — the Apriori 1-itemset -> 2-itemset step expressed
+    relationally. Scale shape: baskets are (order, item) DISTINCT
+    pairs; the candidate join is an EQUI self-join on the basket key,
+    so fan-out is bounded by lines-per-order squared (SF-constant in
+    this schema, and in general bounded by basket size — never corpus
+    size); pair counting and item document-frequency are one
+    map-side-combined groupBy each; the item-frequency table joined
+    back for scoring is item-vocabulary-sized (size-gated broadcast).
+    All ratios derive from exact BIGINT counts with identical parse
+    shape cross-engine, and the top-50 carries a total-order (lift,
+    pa, pb) tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb_df = basket.agg(F.countDistinct("ok").alias("nb"))
+    df = basket.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    a = basket.select("ok", F.col("item").alias("pa"))
+    b = basket.select("ok", F.col("item").alias("pb"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    da = df.select(F.col("item").alias("pa"), F.col("df").alias("dfa"))
+    db = df.select(F.col("item").alias("pb"), F.col("df").alias("dfb"))
+    scored = (
+        pair.join(vocab_broadcast(da), "pa")
+        .join(vocab_broadcast(db), "pb")
+        .crossJoin(F.broadcast(nb_df))
+        .select(
+            "pa",
+            "pb",
+            "cnt",
+            "dfa",
+            "dfb",
+            F.round(F.col("cnt") * 1.0 / F.col("nb"), 6).alias("support"),
+            F.round(F.col("cnt") * 1.0 / F.col("dfa"), 6).alias("confidence"),
+            F.round(
+                F.col("cnt") * 1.0 * F.col("nb") / (F.col("dfa") * F.col("dfb")), 6
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(50)
+
+
+@query(
+    "q194_interval_concurrency",
+    """
+    WITH iv AS (
+        SELECT event_id, event_type,
+               epoch_ms(ts) AS s,
+               epoch_ms(ts) + (event_id % 7 + 1) * 60000 AS e
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    c AS (
+        SELECT event_type, t, delta,
+               SUM(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, delta, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS conc
+        FROM b
+    )
+    SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY event_type
+    """,
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum interval concurrency (peak simultaneous sessions) per
+    event type via the boundary-sweep: each interval contributes a +1
+    at its start and a -1 at its exclusive end, a running sum ordered
+    by (time, delta, id) — delta ascending puts ends before starts at
+    the same instant, i.e. end-exclusive semantics — and the peak is
+    one MAX. O(n log n) sort inside each event_type partition instead
+    of the O(n^2) interval self-join; the total order tiebreaker makes
+    the running sum engine-independent. The occupancy/capacity
+    primitive (concurrent devices, open connections, active tracks)."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") % 7 + 1) * 60000
+        ).alias("e"),
+    )
+    b = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.withColumn("conc", F.sum("delta").over(w))
+    return c.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )
+
+
+@query(
+    "q195_histogram_quantile_sketch",
+    """
+    WITH h AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT flag, SUM(cnt) AS n FROM h GROUP BY flag),
+    c AS (
+        SELECT flag, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h
+    ),
+    pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT c.flag, p.pct,
+           CAST(MIN(c.bin) * 100 AS BIGINT) AS est_price_lo
+    FROM c JOIN tot ON tot.flag = c.flag
+    CROSS JOIN pcts p
+    WHERE c.cum * 100 >= tot.n * p.pct
+    GROUP BY c.flag, p.pct
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width-histogram quantile sketch: p50/p90/p99 of
+    l_extendedprice per return flag, answered from per-(group, bin)
+    counts — the sketch is ONE map-side-combinable groupBy whose size
+    is bounded by (groups x bins), independent of row count, and
+    histograms merge by adding counts (the 100 TB path: no global sort,
+    no per-row state; error bounded by the $100 bin width). Quantile
+    lookup = cumulative sum over the tiny histogram + first bin whose
+    cumulative rank covers ceil(n*pct/100), in pure integer arithmetic
+    (cum*100 >= n*pct) so both engines pick the identical bin. The
+    scalable twin of exact q62/q77 (which keep their per-row
+    formulations as oracles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / 100.0).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = h.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.withColumn("cum", F.sum("cnt").over(w))
+    pcts = c.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct")
+    )
+    return (
+        c.join(tot, "flag")
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("n") * F.col("pct"))
+        .groupBy("flag", "pct")
+        .agg((F.min("bin") * 100).cast("long").alias("est_price_lo"))
+    )

@@ -153,3 +153,22 @@ def test_zorder_write_prunes_box_query(spark, sf_dir, tmp_path):
         F.col("xi").between(16, 48) & F.col("yi").between(80, 160)
     ).count()
     assert got == want
+
+
+def test_orc_roundtrip_matches_parquet_source(spark, sf_dir, tmp_path):
+    """ORC sink/source parity: writing the lineitem fixture as ORC and
+    reading it back yields bit-identical rows and schema (ORC is the
+    second columnar format Spark ships natively; a lakehouse migration
+    path should not change a single value). Timestamp columns survive
+    with UTC semantics because the session timezone is pinned."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "lineitem_orc")
+    li.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.format("orc").load(out)
+    assert back.schema == li.schema
+    fp = lambda df: (  # noqa: E731 — order-free content fingerprint
+        df.select(F.md5(F.to_json(F.struct(*sorted(df.columns)))).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"))
+        .collect()[0]
+    )
+    assert fp(back) == fp(li)

@@ -404,3 +404,57 @@ def test_merkle_bucket_diff_finds_exactly_dirty_buckets(spark, sf_dir):
         .collect()
     ]
     assert got == {k % 64 for k in keys} | {0}  # bucket 0 holds key 0
+
+
+def test_bfs_hops_known_graph(spark):
+    """Path 0-1-2-3-4-5 plus isolated seed 10: hops are exact shortest
+    distances, the horizon cuts at max_hops, unreached vertices are
+    absent, and an isolated seed still reports hop 0."""
+    from etl_everywhere_hub_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,), (10,)], ["id"])
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 10: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_min_over_multiple_seeds(spark):
+    """A vertex reachable from two seeds takes the MINIMUM hop count
+    (frontier expansion can't relabel an already-visited vertex)."""
+    from etl_everywhere_hub_spark.operators.graph import bfs_hops
+
+    # 0-1-2-3-4 with seeds at both ends: middle vertex 2 is 2 hops
+    # from either seed; vertex 3 is 1 from seed 4, not 3 from seed 0.
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (4,)], ["id"])
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """4-clique {1,2,3,4} with a pendant chain 4-5-6: the 3-core is
+    exactly the clique (the chain unravels over two peel rounds), and
+    every survivor reports its degree inside the core."""
+    from etl_everywhere_hub_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(clique + [(4, 5), (5, 6)], ["src", "dst"])
+    got = {r["id"]: r["core_deg"] for r in k_core(edges, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the max degree peels everything
+    assert k_core(edges, k=5).count() == 0
+
+
+def test_kcore_fixed_rounds_equal_fixpoint(spark):
+    """The q192 oracle contract: running MORE rounds than convergence
+    needs is a no-op — max_iter=2 (converged) and max_iter=10 agree on
+    a graph whose peel depth is 2."""
+    from etl_everywhere_hub_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(clique + [(4, 5), (5, 6)], ["src", "dst"])
+    a = sorted(map(tuple, k_core(edges, k=3, max_iter=2).collect()))
+    b = sorted(map(tuple, k_core(edges, k=3, max_iter=10).collect()))
+    assert a == b
