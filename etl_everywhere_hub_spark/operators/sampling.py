@@ -141,3 +141,52 @@ def global_prefix_sum(
         .withColumn(out, F.col("__offset") + F.col("__local_cum"))
         .drop("__bucket", "__v", "__local_cum", "__offset")
     )
+
+
+def global_prefix_min(
+    df: DataFrame,
+    value_col: Column | str,
+    order_col: str,
+    tiebreak_col: str,
+    out: str = "prefix_min",
+    n_buckets: int = 32,
+    quantile_err: float = 0.01,
+) -> DataFrame:
+    """Exact running MIN over a global ascending total order on
+    ``order_col``, EXCLUSIVE of the current row (null for the global
+    first row) — same two-phase shape as ``global_prefix_sum``: range
+    buckets from an approxQuantile sketch (placement affects load
+    balance only), per-bucket window pass, ≤ n_buckets cumulative
+    bucket minima broadcast back as offsets. The strictly-preceding
+    frame is what dominance-style consumers (Pareto frontier q197)
+    need: "best value among everything ordered before me"."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(order_col, probs, quantile_err)))
+        if probs
+        else []
+    )
+    key = F.col(order_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(key > F.lit(b), 1).otherwise(0)
+    tagged = df.withColumn("__bucket", bucket.cast("int")).withColumn("__v", v)
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(key.asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn("__local_min", F.min("__v").over(local_w))
+    totals = tagged.groupBy("__bucket").agg(F.min("__v").alias("__total"))
+    off_w = (
+        Window.orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ n_buckets rows: bounded single-partition window
+    offsets = totals.withColumn("__offset", F.min("__total").over(off_w))
+    # least() skips nulls (null only when BOTH are null = global first)
+    return (
+        local.join(F.broadcast(offsets.select("__bucket", "__offset")), "__bucket")
+        .withColumn(out, F.least(F.col("__offset"), F.col("__local_min")))
+        .drop("__bucket", "__v", "__local_min", "__offset")
+    )

@@ -10388,3 +10388,269 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag", "pct")
         .agg((F.min("bin") * 100).cast("long").alias("est_price_lo"))
     )
+
+
+@query(
+    "q196_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT 'step2_click' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s2
+    UNION ALL
+    SELECT 'step3_purchase' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s3
+    """,
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): a user
+    advances a step only with an event of the NEXT type STRICTLY AFTER
+    their earliest qualifying time at the previous step — the sequence
+    constraint that separates funnels from mere per-type distinct
+    counts. Each step is one user-keyed min-agg plus one equi-join to
+    the previous step's frontier (monotonically shrinking), so the
+    whole funnel is a chain of shuffle-on-user_id stages with map-side
+    partials — no window over the full event history and nothing
+    ordered globally."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t3"))
+    )
+
+    def cnt(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("step"), F.count(F.lit(1)).cast("long").alias("users")
+        )
+
+    return (
+        cnt(s1, "step1_view")
+        .unionAll(cnt(s2, "step2_click"))
+        .unionAll(cnt(s3, "step3_purchase"))
+    )
+
+
+@query(
+    "q197_pareto_skyline",
+    """
+    WITH pts AS (
+        SELECT p_retailprice AS price, p_size AS sz,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               MIN(p_partkey) AS min_partkey
+        FROM part GROUP BY 1, 2
+    )
+    SELECT price, sz, n_parts, min_partkey FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price <= a.price AND b.sz <= a.sz
+          AND (b.price < a.price OR b.sz < a.sz)
+    )
+    """,
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize retail price AND size): the
+    dominance frontier over distinct (price, size) points. The engine
+    computes it in O(n log n) — per-price min size, then one
+    DISTRIBUTED prefix-min pass (operators/sampling.py:
+    global_prefix_min — range-bucketed two-phase scan, no corpus-sized
+    single-partition window) where a point survives iff its size is
+    strictly below the running min over every cheaper price — while
+    the oracle pays the O(n^2) NOT-EXISTS dominance anti-join. The
+    prefix order is a total order on price, so the frontier is
+    deterministic; ties in (price, size) collapse into one row
+    carrying the part count and min key. At 100 TB the
+    distinct-collapse is the reducer (points << rows), and the
+    frontier pass is one bucketed shuffle."""
+    from etl_everywhere_hub_spark.operators.sampling import global_prefix_min
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    per_price = pts.groupBy("price").agg(F.min("sz").alias("ymin"))
+    frontier = (
+        global_prefix_min(
+            per_price, "ymin", order_col="price", tiebreak_col="price",
+            out="prev_min",
+        )
+        .filter(F.col("prev_min").isNull() | (F.col("ymin") < F.col("prev_min")))
+        .select("price", F.col("ymin").alias("sz"))
+    )
+    return pts.join(frontier, ["price", "sz"], "left_semi").select(
+        "price", "sz", "n_parts", "min_partkey"
+    )
+
+
+@query(
+    "q198_phrase_search",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'fast' AND b.term = 'table'
+    GROUP BY a.doc_id
+    """,
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: find documents containing the
+    exact phrase "fast table" by joining the (doc, term, position)
+    index against itself on (doc, pos+1) — the standard phrase-query
+    plan over an inverted positional index. Both sides are FILTERED TO
+    THE PHRASE TERMS BEFORE the join (the posting lists, not the
+    corpus), so join input is term-frequency-sized; the position
+    arithmetic is engine-local (Spark posexplode is 0-based, DuckDB
+    generate_subscripts is 1-based — only pos+1 adjacency is compared,
+    never absolute positions)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "term")
+    )
+    a = tok.filter(F.col("term") == "fast").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.filter(F.col("term") == "table").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("occurrences"))
+    )
+
+
+@query(
+    "q199_gram_covariance",
+    """
+    WITH m AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM m GROUP BY i),
+    p AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+        FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, p.sxy,
+           CAST(n.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
+    FROM p
+    JOIN s sa ON sa.i = p.i
+    JOIN s sb ON sb.i = p.j
+    CROSS JOIN n
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram/covariance matrix of the embedding corpus —
+    the d x d statistic behind PCA whitening, covariance-shrinkage
+    scoring, and feature decorrelation. Embeddings quantize to exact
+    milli-integers (floor(x*1000+0.5), the repo's cross-engine
+    rounding convention), so sums are BIGINT-exact and order-free.
+
+    Scale shape (the part that matters at 100 TB): the engine does NOT
+    self-join the exploded (vec, dim, value) table — it computes
+    PARTIAL GRAM MATRICES per Arrow batch with one numpy matmul
+    (mapInPandas, d(d+1)/2 rows out per batch regardless of batch row
+    count) and reduces them with one tiny groupBy(i, j). Driver sees
+    nothing; shuffle volume is O(partitions * d^2), independent of
+    corpus size. The oracle IS the quadratic unnest self-join — the
+    same numbers the slow way. Column sums ride the same exploded agg;
+    cov_num = n*Sxy - Sx*Sy stays in exact BIGINT."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    milli = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("mx"),
+    )
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["mx"].to_numpy()).astype(np.int64)
+            G = V.T @ V
+            iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype(np.int32),
+                    "j": (ju + 1).astype(np.int32),
+                    "sxy": G[iu, ju],
+                }
+            )
+
+    p = (
+        milli.select("mx")
+        .mapInPandas(partial_gram, "i int, j int, sxy long")
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").cast("long").alias("sxy"))
+    )
+    expl = milli.select(F.posexplode("mx").alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("int").alias("i"), "x"
+    )
+    s = expl.groupBy("i").agg(F.sum("x").cast("long").alias("sx"))
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = s.select(F.col("i").alias("ia"), F.col("sx").alias("sxa"))
+    sb = s.select(F.col("i").alias("jb"), F.col("sx").alias("sxb"))
+    return (
+        p.join(F.broadcast(sa), p.i == sa.ia)
+        .join(F.broadcast(sb), p.j == sb.jb)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            "sxy",
+            (F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb"))
+            .cast("long")
+            .alias("cov_num"),
+        )
+    )

@@ -458,3 +458,35 @@ def test_kcore_fixed_rounds_equal_fixpoint(spark):
     a = sorted(map(tuple, k_core(edges, k=3, max_iter=2).collect()))
     b = sorted(map(tuple, k_core(edges, k=3, max_iter=10).collect()))
     assert a == b
+
+
+def test_global_prefix_min_matches_naive_window(spark):
+    """Two-phase distributed prefix-min == the naive single-partition
+    exclusive-frame window, including null for the global first row
+    and ties in the order key (tiebreak column pins a total order)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_everywhere_hub_spark.operators.sampling import global_prefix_min
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 99) / 4.0, rng.randint(-50, 50)) for i in range(400)]
+    # inject order-key ties
+    rows += [(1000 + i, rows[i][1], rng.randint(-50, 50)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "key", "val"])
+    w = (
+        Window.orderBy(F.col("key").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["naive"]
+        for r in df.withColumn("naive", F.min("val").over(w)).collect()
+    }
+    got = {
+        r["id"]: r["prefix_min"]
+        for r in global_prefix_min(
+            df, "val", order_col="key", tiebreak_col="id", n_buckets=8
+        ).collect()
+    }
+    assert got == want
