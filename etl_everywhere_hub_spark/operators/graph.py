@@ -330,3 +330,53 @@ def k_core(
     return sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )
+
+
+def bellman_ford_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Hop-bounded single/multi-source shortest path over positive
+    INTEGER edge weights: synchronous Bellman-Ford, where after round
+    k every vertex holds the exact minimum cost over walks of <= k
+    edges from any seed (for positive weights that equals the min over
+    simple paths of <= k edges, so the hop bound is a well-defined,
+    engine-independent contract rather than a convergence heuristic).
+    Returns (id, dist) for vertices reachable within ``max_hops``;
+    edges are treated as undirected. Integer weights keep every
+    relaxation exact — no float accumulation order anywhere.
+
+    Scale shape: per round ONE equi-join dist⋈edges on the vertex key
+    + one groupBy-min (map-side combinable), lineage truncated per
+    round; identical shuffle shape to the BFS/PageRank loops above.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

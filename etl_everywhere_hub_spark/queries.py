@@ -10654,3 +10654,133 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_num"),
         )
     )
+
+
+@query(
+    "q200_weighted_shortest_path",
+    """
+    WITH RECURSIVE ew AS MATERIALIZED (
+        SELECT src, dst,
+               CAST(100 - CASE WHEN cnt > 50 THEN 50 ELSE cnt END AS BIGINT) AS w
+        FROM (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   COUNT(*) AS cnt
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_quantity <= 5 AND b.l_quantity <= 5
+            GROUP BY 1, 2
+        ) t
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst, w FROM ew
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM ew
+    ),
+    seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0),
+    walk(id, dist, hops) AS (
+        SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM seeds
+        UNION
+        SELECT s.dst, w.dist + s.w, w.hops + 1
+        FROM walk w JOIN sym s ON s.src = w.id
+        WHERE w.hops < 4
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY id
+    """,
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest path (synchronous Bellman-Ford,
+    operators/graph.py:bellman_ford_hops) over the co-purchase graph
+    with affinity-derived positive integer weights (w = 100 -
+    min(co-occurrence count, 50): stronger affinity = cheaper edge).
+    After 4 rounds every vertex holds the EXACT minimum cost over
+    paths of <= 4 edges from the seed set — a well-defined contract
+    (not a convergence heuristic), which is why the recursive-CTE
+    walk enumeration with the same hop bound is an exact oracle.
+    Integer weights keep relaxation order-free; per round the engine
+    does one vertex-keyed equi-join + one map-side-combined
+    groupBy-min."""
+    from etl_everywhere_hub_spark.operators.graph import bellman_ford_hops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            (100 - F.least(F.col("cnt"), F.lit(50))).cast("long").alias("w"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    out = bellman_ford_hops(edges, seeds, max_hops=4)
+    return out.select(F.col("id").cast("long"), F.col("dist").cast("long"))
+
+
+@query(
+    "q201_chi_square_contingency",
+    """
+    WITH o AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS rtot FROM o GROUP BY source),
+    ct AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS ctot FROM o GROUP BY lang),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    grid AS (
+        SELECT rt.source, ct.lang, rt.rtot, ct.ctot, COALESCE(o.obs, 0) AS obs
+        FROM rt CROSS JOIN ct
+        LEFT JOIN o ON o.source = rt.source AND o.lang = ct.lang
+    )
+    SELECT source, lang, obs, rtot, ctot,
+           round((obs * 1.0 - rtot * 1.0 * ctot / n)
+                 * (obs * 1.0 - rtot * 1.0 * ctot / n)
+                 / (rtot * 1.0 * ctot / n), 6) AS chi2_term
+    FROM grid CROSS JOIN n
+    """,
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis of source x language — the
+    feature-association test a data-curation pipeline runs to detect
+    distribution drift between corpus slices. The FULL grid (row
+    marginals cross column marginals, zero cells included via left
+    join — omitting empties would understate the statistic) with each
+    cell's (O-E)^2/E contribution. Marginals are exact BIGINT counts;
+    every double expression has identical parse shape cross-engine, so
+    round-6 terms hash-match. Scale: marginals are two tiny aggs, the
+    grid is dims-sized (broadcast both ways), and the corpus is
+    touched exactly once for the observed counts."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rt = o.groupBy("source").agg(F.sum("obs").cast("long").alias("rtot"))
+    ct = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("ctot"))
+    n_df = o.agg(F.sum("obs").cast("long").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "rtot", "ctot", F.coalesce("obs", F.lit(0)).alias("obs")
+        )
+    )
+    e_term = F.col("rtot") * 1.0 * F.col("ctot") / F.col("n")
+    dev = F.col("obs") * 1.0 - e_term
+    return grid.crossJoin(F.broadcast(n_df)).select(
+        "source",
+        "lang",
+        "obs",
+        "rtot",
+        "ctot",
+        F.round(dev * dev / e_term, 6).alias("chi2_term"),
+    )

@@ -490,3 +490,20 @@ def test_global_prefix_min_matches_naive_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bellman_ford_prefers_cheap_long_path(spark):
+    """Weighted relaxation must beat hop-greedy: direct edge 0-3 costs
+    10, the three-hop detour 0-1-2-3 costs 3 — Bellman-Ford at 4 hops
+    returns 3 for vertex 3 (BFS would stop at the 1-hop edge)."""
+    from etl_everywhere_hub_spark.operators.graph import bellman_ford_hops
+
+    edges = spark.createDataFrame(
+        [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {r["id"]: r["dist"] for r in bellman_ford_hops(edges, seeds, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # hop bound 1: only the direct (expensive) edge is reachable
+    got1 = {r["id"]: r["dist"] for r in bellman_ford_hops(edges, seeds, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 10}
