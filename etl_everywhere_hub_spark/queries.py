@@ -10784,3 +10784,60 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ctot",
         F.round(dev * dev / e_term, 6).alias("chi2_term"),
     )
+
+
+@query(
+    "q202_hierarchy_rollup",
+    """
+    WITH RECURSIVE anc(node, anc) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT node, anc // 4 FROM anc WHERE anc // 4 >= 1
+    ),
+    q AS (
+        SELECT l_partkey AS node,
+               CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(a.anc AS BIGINT) AS part,
+           CAST(SUM(q.qty) AS BIGINT) AS subtree_qty,
+           CAST(COUNT(*) AS BIGINT) AS contributing_nodes
+    FROM anc a JOIN q ON q.node = a.node
+    GROUP BY a.anc
+    """,
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy / BOM-style subtree rollup: parts form a synthetic
+    4-ary forest (parent = partkey div 4, roots below 4); every part
+    aggregates the lineitem quantity of its ENTIRE subtree. The engine
+    flattens the hierarchy with pointer-doubling transitive closure
+    (operators/graph.py:ancestors_doubling — O(log depth) self-join
+    rounds, not depth parent-hops), then one (node->ancestor) join +
+    one groupBy does the rollup; the oracle walks the same parent
+    chain with a recursive CTE. Quantities are integral doubles
+    folded through exact BIGINT."""
+    from etl_everywhere_hub_spark.operators.graph import ancestors_doubling
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") >= 4, F.expr("p_partkey div 4")).alias("parent"),
+    )
+    anc = ancestors_doubling(p)
+    q = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("node"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    return (
+        anc.select(F.col("id").alias("node"), "anc")
+        .join(q, "node")
+        .groupBy(F.col("anc").alias("part"))
+        .agg(
+            F.sum("qty").cast("long").alias("subtree_qty"),
+            F.count(F.lit(1)).cast("long").alias("contributing_nodes"),
+        )
+    )

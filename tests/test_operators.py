@@ -507,3 +507,15 @@ def test_bellman_ford_prefers_cheap_long_path(spark):
     # hop bound 1: only the direct (expensive) edge is reachable
     got1 = {r["id"]: r["dist"] for r in bellman_ford_hops(edges, seeds, max_hops=1).collect()}
     assert got1 == {0: 0, 1: 1, 3: 10}
+
+
+def test_ancestors_doubling_chain_depth_exceeds_linear_rounds(spark):
+    """A 64-deep chain closes within 6 doubling rounds (log2(64)) —
+    the closure contains every (node, ancestor-or-self) pair."""
+    from etl_everywhere_hub_spark.operators.graph import ancestors_doubling
+
+    rows = [(i, i - 1 if i > 0 else None) for i in range(64)]
+    df = spark.createDataFrame(rows, ["id", "parent"])
+    got = {(r["id"], r["anc"]) for r in ancestors_doubling(df, max_rounds=6).collect()}
+    want = {(i, a) for i in range(64) for a in range(i + 1)}
+    assert got == want
