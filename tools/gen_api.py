@@ -22,6 +22,8 @@ SECTIONS = [
     ("Deduplication", "etl_everywhere_hub_spark.operators.dedup"),
     ("Similarity search", "etl_everywhere_hub_spark.operators.similarity"),
     ("Iterative graph ops", "etl_everywhere_hub_spark.operators.graph"),
+    ("Clustering", "etl_everywhere_hub_spark.operators.clustering"),
+    ("Frequency sketches", "etl_everywhere_hub_spark.operators.sketches"),
     ("Splits / sampling / packing", "etl_everywhere_hub_spark.operators.sampling"),
     ("Skew mitigation", "etl_everywhere_hub_spark.operators.skew"),
     ("Sources", "etl_everywhere_hub_spark.sources.readers"),
