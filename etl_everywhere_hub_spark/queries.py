@@ -10841,3 +10841,95 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("contributing_nodes"),
         )
     )
+
+
+@query(
+    "q203_budget_water_filling",
+    """
+    WITH c AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    budget AS (SELECT total * 3 // 5 AS b, n FROM tot),
+    ranked AS (
+        SELECT source, tokens,
+               ROW_NUMBER() OVER (ORDER BY tokens ASC, source ASC) AS k,
+               SUM(tokens) OVER (ORDER BY tokens ASC, source ASC
+                                 ROWS UNBOUNDED PRECEDING) AS s
+        FROM c
+    ),
+    -- largest k whose sources all fit uncapped: S_k + c_k*(n-k) <= B
+    kstar AS (
+        SELECT COALESCE(MAX(k), 0) AS k0 FROM ranked CROSS JOIN budget
+        WHERE s + tokens * (n - k) <= b
+    ),
+    level AS (
+        SELECT CASE WHEN k0 >= n THEN NULL
+                    ELSE (b - COALESCE((SELECT s FROM ranked WHERE k = k0), 0))
+                         // (n - k0) END AS t
+        FROM kstar CROSS JOIN budget
+    )
+    SELECT r.source, r.tokens,
+           CAST(CASE WHEN l.t IS NULL OR r.tokens <= l.t
+                     THEN r.tokens ELSE l.t END AS BIGINT) AS alloc
+    FROM ranked r CROSS JOIN level l
+    """,
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across corpus sources:
+    give every source min(its tokens, t) where the water level t is
+    the largest integer with sum(min(c_i, t)) <= 60% of the corpus —
+    the fair-share primitive behind dataset mixing under a global
+    training-token budget (small sources keep everything, large
+    sources are capped at a common level). Exact integer derivation:
+    sort sources by count, prefix sums locate the largest k whose k
+    smallest sources all fit uncapped, then t = (B - S_k) div (n-k).
+    The per-source count agg is the only corpus-scale stage; the
+    solve runs on the source-cardinality table (window over
+    vocabulary-of-sources rows, not corpus rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("tokens")
+    )
+    tot = c.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(F.expr("total * 3 div 5").alias("b"), "n")
+    w = Window.orderBy(F.col("tokens").asc(), F.col("source").asc())
+    ranked = c.select(
+        "source",
+        "tokens",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+    ).crossJoin(F.broadcast(tot))
+    kstar = ranked.filter(
+        F.col("s") + F.col("tokens") * (F.col("n") - F.col("k")) <= F.col("b")
+    ).agg(F.coalesce(F.max("k"), F.lit(0).cast("long")).alias("k0"))
+    sk = (
+        ranked.join(F.broadcast(kstar), F.col("k") == F.col("k0"))
+        .select(F.col("s").alias("s0"))
+    )
+    level = (
+        kstar.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sk), F.lit(True), "left")
+        .select(
+            F.when(
+                F.col("k0") >= F.col("n"), F.lit(None).cast("long")
+            ).otherwise(
+                F.expr("(b - coalesce(s0, 0L)) div (n - k0)")
+            ).alias("t")
+        )
+    )
+    return ranked.crossJoin(F.broadcast(level)).select(
+        "source",
+        "tokens",
+        F.when(
+            F.col("t").isNull() | (F.col("tokens") <= F.col("t")), F.col("tokens")
+        )
+        .otherwise(F.col("t"))
+        .cast("long")
+        .alias("alloc"),
+    )

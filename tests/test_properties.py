@@ -385,3 +385,21 @@ def test_track_simplification_matches_python_fold(spark, sf_dir):
         for r in REGISTRY["q178_track_simplification"].spark(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_water_filling_level_is_maximal(spark, sf_dir):
+    """q203 invariants: total allocation fits the budget, and the
+    water level is maximal — raising every capped source by one more
+    token would overshoot."""
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    rows = REGISTRY["q203_budget_water_filling"].spark(spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in rows)
+    budget = total * 3 // 5
+    alloc = sum(r["alloc"] for r in rows)
+    assert alloc <= budget
+    capped = [r for r in rows if r["alloc"] < r["tokens"]]
+    if capped:  # level+1 on every capped source must exceed the budget
+        assert alloc + len(capped) > budget
+    else:
+        assert alloc == total
