@@ -10933,3 +10933,86 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+@query(
+    "q204_interval_coverage",
+    """
+    WITH iv AS (
+        SELECT event_id, event_type,
+               epoch_ms(ts) AS s,
+               epoch_ms(ts) + (event_id % 7 + 1) * 60000 AS e
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    c AS (
+        SELECT event_type, t, delta,
+               SUM(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, delta, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS conc,
+               LEAD(t) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, delta, event_id
+               ) AS nxt
+        FROM b
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN conc > 0 THEN nxt - t ELSE 0 END) AS BIGINT)
+               AS covered_ms
+    FROM c WHERE nxt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length (total covered time) per event type — the
+    complement of q194's peak concurrency from the same boundary
+    sweep: between consecutive boundaries the coverage state is
+    constant, so the union length is the sum of segment widths where
+    the running interval count is positive. Overlaps and containment
+    collapse naturally (no pairwise interval merging join); one sort
+    per event_type partition, O(n log n), exact integer milliseconds.
+    The utilization/uptime primitive (sensor coverage, device online
+    time, SLA windows)."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") % 7 + 1) * 60000
+        ).alias("e"),
+    )
+    b = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    ow = Window.partitionBy("event_type").orderBy(
+        F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc()
+    )
+    c = b.select(
+        "event_type",
+        "t",
+        F.sum("delta").over(ow.rowsBetween(Window.unboundedPreceding, 0)).alias("conc"),
+        F.lead("t").over(ow).alias("nxt"),
+    )
+    return (
+        c.filter(F.col("nxt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("conc") > 0, F.col("nxt") - F.col("t")).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered_ms")
+        )
+    )
