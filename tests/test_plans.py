@@ -489,3 +489,49 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         )
     )
     assert with_filter == plain
+
+
+def test_round4_ops_stay_equi_shaped(spark, sf_dir):
+    """Round-4 join-bearing queries must be equi-shaped. Exempt by
+    design: the 1-row broadcast scalar cross joins (corpus size /
+    budget level / percentile list) in q193/q195/q199/q203 plan as
+    BroadcastNestedLoopJoin over a single-row side — assert instead
+    that NO non-broadcast cartesian appears anywhere."""
+    for name in [
+        "q191_bfs_hops",
+        "q193_association_rules",
+        "q196_funnel_conversion",
+        "q198_phrase_search",
+        "q200_weighted_shortest_path",
+        "q202_hierarchy_rollup",
+    ]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = X.physical_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan[:2000]}"
+
+
+def test_gram_covariance_is_arrow_partial(spark, sf_dir):
+    """q199's corpus pass must be the mapInPandas partial-Gram path —
+    no exploded self-join anywhere: the plan carries a MapInPandas
+    node, no SortMergeJoin on the corpus, and no cartesian."""
+    df = REGISTRY["q199_gram_covariance"].spark(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_skyline_prefix_min_windows_are_bucket_partitioned(spark, sf_dir):
+    """q197's frontier pass must not run a corpus-sized
+    single-partition window: every Window over the per-price table is
+    partitioned by the range bucket; the only unpartitioned window is
+    the bounded (<= n_buckets rows) offset cascade."""
+    df = REGISTRY["q197_pareto_skyline"].spark(spark, sf_dir)
+    plan = X.physical_plan(df)
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # window specs: [funcs], [partition], [order] — partitioned ones
+    # name __bucket; the offset window partitions by nothing but reads
+    # the totals aggregate (bounded by n_buckets)
+    assert any("__bucket" in w for w in wins), plan[:3000]
