@@ -11016,3 +11016,230 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("covered_ms")
         )
     )
+
+
+@query(
+    "q205_markov_next_event_eval",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    train AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL AND user_id % 2 = 0
+        GROUP BY from_type, to_type
+    ),
+    pred AS (
+        SELECT from_type, to_type AS predicted FROM (
+            SELECT from_type, to_type,
+                   row_number() OVER (PARTITION BY from_type
+                                      ORDER BY n DESC, to_type ASC) AS rn
+            FROM train
+        ) t WHERE rn = 1
+    ),
+    ev AS (
+        SELECT from_type, to_type FROM seq
+        WHERE to_type IS NOT NULL AND user_id % 2 = 1
+    )
+    SELECT ev.from_type, p.predicted,
+           CAST(COUNT(*) AS BIGINT) AS eval_n,
+           CAST(SUM(CASE WHEN ev.to_type = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           round(SUM(CASE WHEN ev.to_type = p.predicted THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS accuracy
+    FROM ev JOIN pred p ON p.from_type = ev.from_type
+    GROUP BY ev.from_type, p.predicted
+    """,
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model EVALUATION as a query: train a first-order Markov
+    next-event predictor on half the users (argmax transition count,
+    to_type tiebreak), score top-1 accuracy on the held-out half —
+    the train/eval split, fit and metric all inside the engine, the
+    pattern any behavioral-model QA pipeline runs before shipping a
+    model. The model is |types|^2 rows (broadcast side); eval is one
+    equi-join on from_type + exact integer hit counts, so accuracy is
+    bit-stable cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    train = (
+        seq.filter(F.col("user_id") % 2 == 0)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rw = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type").asc()
+    )
+    pred = (
+        train.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    ev = seq.filter(F.col("user_id") % 2 == 1).select("from_type", "to_type")
+    hit = F.when(F.col("to_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        ev.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("eval_n"),
+            F.sum(hit).cast("long").alias("hits"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+    )
+
+
+@query(
+    "q206_psi_drift",
+    """
+    WITH binned AS (
+        SELECT l_orderkey % 2 AS half,
+               CAST(FLOOR(l_extendedprice / 500.0) AS BIGINT) AS bin
+        FROM lineitem
+    ),
+    a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ca FROM binned
+          WHERE half = 0 GROUP BY bin),
+    b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cb FROM binned
+          WHERE half = 1 GROUP BY bin),
+    bins AS (SELECT bin FROM a UNION SELECT bin FROM b),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM binned WHERE half = 0) AS na,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM binned WHERE half = 1) AS nb,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bins) AS k
+    )
+    SELECT bins.bin,
+           COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb,
+           round(((COALESCE(a.ca, 0) + 1) * 1.0 / (na + k)
+                  - (COALESCE(b.cb, 0) + 1) * 1.0 / (nb + k))
+                 * ln(((COALESCE(a.ca, 0) + 1) * 1.0 / (na + k))
+                      / ((COALESCE(b.cb, 0) + 1) * 1.0 / (nb + k))), 6)
+               AS psi_term
+    FROM bins
+    LEFT JOIN a ON a.bin = bins.bin
+    LEFT JOIN b ON b.bin = bins.bin
+    CROSS JOIN tot
+    """,
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus slices — the
+    standard drift gate a production pipeline runs before accepting a
+    new data batch (chi-square's q201 cousin for continuous columns).
+    Fixed $500 bins (deterministic, mergeable — the q195 sketch
+    argument), Laplace +1 smoothing over the UNION bin set so empty
+    bins are defined, per-bin (pA - pB)·ln(pA/pB) contributions from
+    exact integer counts; ln is the only transcendental and follows
+    the repo's round-6 convention. Corpus is touched once per slice
+    (one map-side-combined bin count each); everything after runs on
+    the bin table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        (F.col("l_orderkey") % 2).alias("half"),
+        F.floor(F.col("l_extendedprice") / 500.0).cast("long").alias("bin"),
+    )
+    a = (
+        binned.filter(F.col("half") == 0)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    b = (
+        binned.filter(F.col("half") == 1)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    bins = a.select("bin").union(b.select("bin")).distinct()
+    tot = (
+        binned.agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        )
+        .crossJoin(F.broadcast(bins.agg(F.count(F.lit(1)).cast("long").alias("k"))))
+    )
+    g = (
+        bins.join(a, "bin", "left")
+        .join(b, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            "na",
+            "nb",
+            "k",
+        )
+    )
+    pa = (F.col("ca") + 1) * 1.0 / (F.col("na") + F.col("k"))
+    pb = (F.col("cb") + 1) * 1.0 / (F.col("nb") + F.col("k"))
+    return g.select(
+        "bin", "ca", "cb", F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term")
+    )
+
+
+@query(
+    "q207_classifier_confusion",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), bucketed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b
+        FROM tok
+    ), weights AS (
+        SELECT b,
+               ('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                   % 1001 - 500 AS w_milli
+        FROM generate_series(0, 1023) t(b)
+    ), scores AS (
+        SELECT doc_id, SUM(w_milli) > 0 AS pred
+        FROM bucketed JOIN weights USING (b)
+        GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(SUM(CASE WHEN s.pred AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s.pred AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN NOT s.pred AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT s.pred AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           round(SUM(CASE WHEN s.pred AND d.lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN s.pred THEN 1 ELSE 0 END), 0), 6) AS precision,
+           round(SUM(CASE WHEN s.pred AND d.lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END), 0), 6) AS recall
+    FROM scores s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source confusion matrix (+ precision/recall) of the q136
+    hashed-n-gram classifier against the language label — closing the
+    model-based-filtering loop with in-engine evaluation: score, join
+    the label, count TP/FP/FN/TN per corpus slice. Counts are exact
+    integers; ratios are rounded integer divisions with NULLIF guards
+    for empty denominators. Reuses q136's scoring pipeline verbatim
+    (broadcast weights, map-side scoring, one doc-keyed shuffle); the
+    confusion aggregation adds one groupBy over the already-scored
+    docs."""
+    scores = REGISTRY["q136_hashed_ngram_classifier"].spark(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pred")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    j = scores.join(d, "doc_id")
+    is_en = F.col("lang") == "en"
+    tp = F.sum(F.when(F.col("pred") & is_en, 1).otherwise(0))
+    fp = F.sum(F.when(F.col("pred") & ~is_en, 1).otherwise(0))
+    fn = F.sum(F.when(~F.col("pred") & is_en, 1).otherwise(0))
+    tn = F.sum(F.when(~F.col("pred") & ~is_en, 1).otherwise(0))
+    npred = F.sum(F.when(F.col("pred"), 1).otherwise(0))
+    nact = F.sum(F.when(is_en, 1).otherwise(0))
+    return j.groupBy("source").agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(tp * 1.0 / F.nullif(npred, F.lit(0)), 6).alias("precision"),
+        F.round(tp * 1.0 / F.nullif(nact, F.lit(0)), 6).alias("recall"),
+    )
