@@ -619,3 +619,69 @@ def test_proximity_cell_fn_idle_timeout_drops_cell():
     row = pd.DataFrame({"id": [1], "lon": [0.0], "lat": [0.0], "resident": [True]})
     list(fn((0, 0), iter([row]), st2))
     assert st2.timeout_set == 5000
+
+
+def test_streaming_heavy_hitters_guarantee_across_batches(spark, sf_dir, tmp_path):
+    """Sharded streaming Misra-Gries: after a two-micro-batch replay,
+    every item whose TRUE in-shard frequency exceeds n_shard/k must
+    appear in its shard's final candidate set (the MG guarantee lifts
+    globally because sharding is by item), each count_lb must be a
+    valid lower bound, and state stays bounded (< k items per shard).
+    """
+    from etl_everywhere_hub_spark.streaming.heavyhitters import (
+        streaming_heavy_hitters,
+    )
+
+    k, shards = 8, 4
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pdf = e.select("user_id", "ts").toPandas()
+    cut = pdf["ts"].median().to_pydatetime()
+    e2 = e.select("user_id", "ts")
+    cut_col = F.lit(cut).cast(dict(e2.dtypes)["ts"])
+    e2.filter(F.col("ts") <= cut_col).coalesce(1).write.parquet(str(tmp_path / "b0"))
+    e2.filter(F.col("ts") > cut_col).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    stream = (
+        spark.readStream.schema(e2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    from etl_everywhere_hub_spark.streaming import jobs
+
+    out = jobs.run_to_table(
+        streaming_heavy_hitters(stream, "user_id", k=k, shards=shards),
+        output_mode="update",
+    ).toPandas()
+    final = out[out.groupby("shard")["bseq"].transform("max") == out["bseq"]]
+
+    # exact truth, same sharding
+    truth = (
+        e.select(
+            F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(shards))
+            .cast("int")
+            .alias("shard"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .groupBy("shard", "item")
+        .count()
+        .toPandas()
+    )
+    n_shard = truth.groupby("shard")["count"].sum().to_dict()
+    cands = {
+        s: set(g["item"]) for s, g in final.groupby("shard")
+    }
+    lbs = {(r.shard, r.item): r.count_lb for r in final.itertuples()}
+    missed = []
+    for r in truth.itertuples():
+        if r.count * k > n_shard[r.shard]:  # freq > n_shard/k
+            if r.item not in cands.get(r.shard, set()):
+                missed.append((r.shard, r.item, r.count))
+    assert missed == [], f"MG guarantee violated: {missed}"
+    for (s, item), lb in lbs.items():
+        true_c = truth[(truth["shard"] == s) & (truth["item"] == item)]["count"]
+        assert len(true_c) == 1 and lb <= int(true_c.iloc[0])
+    assert final.groupby("shard")["item"].count().max() < k
+    # final emission accounts every row of both batches
+    assert final.groupby("shard")["n_shard"].first().to_dict() == {
+        int(s): int(v) for s, v in n_shard.items()
+    }

@@ -35,6 +35,7 @@ SECTIONS = [
     ("Streaming jobs", "etl_everywhere_hub_spark.streaming.jobs"),
     ("Streaming sinks", "etl_everywhere_hub_spark.streaming.sinks"),
     ("Streaming near-dup", "etl_everywhere_hub_spark.streaming.neardup"),
+    ("Streaming heavy hitters", "etl_everywhere_hub_spark.streaming.heavyhitters"),
     ("Streaming proximity", "etl_everywhere_hub_spark.streaming.proximity"),
     ("Multimodal columns", "etl_everywhere_hub_spark.multimodal"),
 ]
