@@ -11243,3 +11243,81 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp * 1.0 / F.nullif(npred, F.lit(0)), 6).alias("precision"),
         F.round(tp * 1.0 / F.nullif(nact, F.lit(0)), 6).alias("recall"),
     )
+
+
+@query(
+    "q208_cross_source_contamination",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3]))) AS shingle
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+    )
+    SELECT CASE WHEN da.source <= db.source THEN da.source ELSE db.source END
+               AS source_x,
+           CASE WHEN da.source <= db.source THEN db.source ELSE da.source END
+               AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+           CAST(MIN(doc_a) AS BIGINT) AS example_doc
+    FROM dup
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which corpus sources share
+    near-duplicate content with which (exact shingle-Jaccard >= 0.8
+    pairs from the PPJoin prefix filter, q141's operator, rolled up
+    to canonical source pairs) — the provenance diagnostic a curation
+    team reads before deciding what to dedup against what, and the
+    direct composition proof that the pair operators feed relational
+    analytics. The label join is doc-keyed equi both ways with NO
+    broadcast hint: the doc->source map is CORPUS-sized (hinting it
+    would be the q208 version of the vocab-broadcast bug), while the
+    near-dup pair side is duplicate-volume-bounded — AQE picks the
+    build side from runtime sizes. The matrix is |sources|^2-bounded."""
+    from etl_everywhere_hub_spark.operators.dedup import (
+        doc_shingles,
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id", k=3)
+    dup = prefix_filter_jaccard_pairs(
+        sh, id_col="doc_id", item_col="shingle", threshold=0.8
+    ).select("doc_a", "doc_b")
+    src = d.select("doc_id", "source")
+    labeled = (
+        dup.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return labeled.groupBy(
+        F.least("sa", "sb").alias("source_x"),
+        F.greatest("sa", "sb").alias("source_y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+        F.min("doc_a").cast("long").alias("example_doc"),
+    )
