@@ -429,3 +429,58 @@ def ancestors_doubling(
             break
         n = n2
     return r
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    time_col: str = "t",
+) -> DataFrame:
+    """Time-respecting (earliest-arrival) reachability over TIMED
+    contact edges: a vertex is reached only through a path whose edge
+    times never decrease — the contact-tracing / influence-spread
+    semantics over co-location events (q190's convoy contacts), where
+    plain BFS would happily travel backwards in time. Returns
+    (id, arrival) = the minimum arrival time within ``max_hops``
+    contacts of a seed (seeds carry arrival -1 = "before all
+    contacts"); edges are treated as symmetric (a contact exposes both
+    parties).
+
+    Min-arrival relaxation is exact here because earlier arrival
+    DOMINATES: any edge catchable after a later arrival is catchable
+    after an earlier one, so relaxing from each vertex's current
+    minimum loses nothing (the classic earliest-arrival-path
+    property). Per round: one equi-join frontier⋈edges on the vertex
+    key with the time-monotone filter + one groupBy-min — the same
+    bounded shuffle shape as bfs_hops/bellman_ford_hops.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(time_col).cast("long").alias("t"),
+    )
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "t")
+    ).localCheckpoint(eager=True)
+    arrival = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
+        .distinct()
+        .withColumn("arrival", F.lit(-1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            sym.join(arrival.withColumnRenamed("id", "src"), "src")
+            .filter(F.col("t") >= F.col("arrival"))
+            .select(F.col("dst").alias("id"), F.col("t").alias("arrival"))
+        )
+        arrival = (
+            arrival.union(relaxed)
+            .groupBy("id")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+    return arrival

@@ -11321,3 +11321,76 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("dup_pairs"),
         F.min("doc_a").cast("long").alias("example_doc"),
     )
+
+
+@query(
+    "q209_temporal_reachability",
+    """
+    WITH RECURSIVE pos AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+               epoch_ms(ts) // 86400000 AS tb,
+               CAST(user_id % 4 AS BIGINT) * 20 + (epoch_ms(ts) // 86400000) % 7 AS cx,
+               CAST(user_id % 3 AS BIGINT) * 20 + (epoch_ms(ts) // 86400000) % 5 AS cy
+        FROM events
+    ),
+    contact AS MATERIALIZED (
+        SELECT DISTINCT a.user_id AS a, b.user_id AS b, a.tb AS t
+        FROM pos a JOIN pos b
+          ON a.tb = b.tb AND a.cx = b.cx AND a.cy = b.cy
+         AND a.user_id < b.user_id
+    ),
+    sym AS MATERIALIZED (
+        SELECT a AS src, b AS dst, t FROM contact
+        UNION ALL
+        SELECT b AS src, a AS dst, t FROM contact
+    ),
+    seeds AS (SELECT DISTINCT user_id AS id FROM events WHERE user_id % 29 = 0),
+    walk(id, t, hops) AS (
+        SELECT id, CAST(-1 AS BIGINT) AS t, 0 AS hops FROM seeds
+        UNION
+        SELECT s.dst, s.t, w.hops + 1
+        FROM walk w JOIN sym s ON s.src = w.id AND s.t >= w.t
+        WHERE w.hops < 5
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(t) AS BIGINT) AS arrival
+    FROM walk GROUP BY id
+    """,
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting contact-tracing reachability
+    (operators/graph.py:temporal_reachability) over the co-location
+    contact graph (q190's moving-cell buckets, with the day bucket as
+    the contact time): earliest arrival at every entity within 5
+    contacts of the seed set, where infection can only flow FORWARD
+    in time — the question a plain BFS answers wrongly. Min-arrival
+    relaxation is exact (earlier arrival dominates), so the bounded
+    recursive-CTE walk enumeration is an exact oracle. Contacts stay
+    equi-join-shaped (cell+bucket keys, q127's density bound); each
+    relaxation round is one vertex-keyed join + groupBy-min."""
+    from etl_everywhere_hub_spark.operators.graph import temporal_reachability
+
+    e = load_table(spark, sf_dir, "events")
+    tb = F.floor(
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86400000)
+    ).cast("long")
+    pos = e.select(
+        "user_id",
+        tb.alias("tb"),
+        ((F.col("user_id") % 4).cast("long") * 20 + tb % 7).alias("cx"),
+        ((F.col("user_id") % 3).cast("long") * 20 + tb % 5).alias("cy"),
+    ).distinct()
+    a = pos.select(F.col("user_id").alias("a"), "tb", "cx", "cy")
+    b = pos.select(F.col("user_id").alias("b"), "tb", "cx", "cy")
+    contact = (
+        a.join(b, ["tb", "cx", "cy"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.col("tb").alias("t")
+        )
+        .distinct()
+    )
+    seeds = (
+        e.filter(F.col("user_id") % 29 == 0).select(F.col("user_id").alias("id"))
+    )
+    out = temporal_reachability(contact, seeds, max_hops=5)
+    return out.select(F.col("id").cast("long"), F.col("arrival").cast("long"))

@@ -519,3 +519,21 @@ def test_ancestors_doubling_chain_depth_exceeds_linear_rounds(spark):
     got = {(r["id"], r["anc"]) for r in ancestors_doubling(df, max_rounds=6).collect()}
     want = {(i, a) for i in range(64) for a in range(i + 1)}
     assert got == want
+
+
+def test_temporal_reachability_respects_time_order(spark):
+    """The defining case: 0 contacts 1 at t=5, 1 contacted 2 at t=3 —
+    a plain BFS reaches 2, but time-respecting reachability must NOT
+    (the 1->2 contact happened before 1 was reached); a later 1->3
+    contact at t=7 IS reached with arrival 7."""
+    from etl_everywhere_hub_spark.operators.graph import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 3), (1, 3, 7)], ["src", "dst", "t"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {
+        r["id"]: r["arrival"]
+        for r in temporal_reachability(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {0: -1, 1: 5, 3: 7}
