@@ -264,3 +264,70 @@ def sample_frames(
             )
 
     return media.select("media_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_h", IntegerType()),
+        StructField("src_w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def fake_decode_grid(payload: bytes, h: int = 32, w: int = 32) -> "np.ndarray":
+    """Deterministic stand-in for `decode_image` (same container
+    limitation, same swap point): tile the payload bytes into an
+    h x w uint8 pixel grid. Keeps every downstream resize/feature
+    path exercised with real byte volumes and exact expectations."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    reps = -(-(h * w) // arr.size)
+    return np.tile(arr, reps)[: h * w].reshape(h, w)
+
+
+def resize_nearest(grid: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resample by pure integer index math
+    (ys = floor(i*H/out_h)) — deterministic on every platform, no
+    float interpolation, the standard thumbnail step before feature
+    extraction."""
+    ys = (np.arange(out_h) * grid.shape[0]) // out_h
+    xs = (np.arange(out_w) * grid.shape[1]) // out_w
+    return grid[np.ix_(ys, xs)]
+
+
+def resize_images(
+    media: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    src_h: int = 32,
+    src_w: int = 32,
+) -> DataFrame:
+    """Batch image resize over binary payloads: decode (stand-in) →
+    nearest-neighbor downsample → re-encode row-major bytes, all
+    inside one Arrow-batched mapInPandas (the decode-resize-embed
+    shape a real PIL/opencv deployment uses; swap `fake_decode_grid`
+    for `decode_image` at the marked line). Embarrassingly parallel —
+    zero shuffles, scales with executor count; output bytes shrink by
+    (src_h*src_w)/(out_h*out_w), which is the point of resizing
+    BEFORE any shuffle-bearing stage."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                grid = fake_decode_grid(bytes(payload), src_h, src_w)  # swap: decode_image
+                small = resize_nearest(grid, out_h, out_w)
+                out.append(
+                    (int(mid), src_h, src_w, out_h, out_w,
+                     small.astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "src_h", "src_w", "h", "w", "pixels"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(rz, RESIZED_SCHEMA)

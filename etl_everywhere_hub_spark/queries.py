@@ -11394,3 +11394,65 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = temporal_reachability(contact, seeds, max_hops=5)
     return out.select(F.col("id").cast("long"), F.col("arrival").cast("long"))
+
+
+@query(
+    "q210_image_resize_contract",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               ascii(substr(text,
+                            ((128 * i.i + 4 * j.j) % length(text)) + 1,
+                            1)) AS v,
+               i.i AS i, j.j AS j
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(8)) AS i) i
+        CROSS JOIN (SELECT unnest(range(8)) AS j) j
+    )
+    SELECT doc_id AS media_id, 8 AS h, 8 AS w,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
+           CAST(MIN(CASE WHEN i = 0 AND j = 0 THEN v END) AS BIGINT) AS top_left,
+           CAST(MIN(CASE WHEN i = 7 AND j = 7 THEN v END) AS BIGINT)
+               AS bottom_right
+    FROM px GROUP BY doc_id
+    """,
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-contract oracle for the multimodal RESIZE path (q138's
+    pattern, applied to multimodal/resize_images): decode the binary
+    payload with the deterministic stand-in (payload bytes tiled into
+    a 32x32 grid — the swap point for a real codec), nearest-neighbor
+    downsample to 8x8 by pure integer index math (pixel (i,j) = tiled
+    byte at (128i+4j) mod n — exactly what the oracle computes from
+    the text bytes with substr/ascii), and report checksum stats per
+    image. Everything runs in ONE Arrow-batched mapInPandas over the
+    payload column — zero shuffles before the per-image aggregate,
+    the embarrassingly-parallel shape of real thumbnailing."""
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        fake_decode_grid,
+        resize_nearest,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                g = fake_decode_grid(bytes(payload), 32, 32)
+                s = resize_nearest(g, 8, 8)
+                rows.append(
+                    (int(mid), 8, 8, int(s.sum()), int(s[0, 0]), int(s[7, 7]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "h", "w", "pix_sum", "top_left", "bottom_right"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats,
+        "media_id long, h int, w int, pix_sum long, top_left long, bottom_right long",
+    )

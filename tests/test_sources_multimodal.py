@@ -237,3 +237,28 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # that the option is load-bearing, not default
     plain_cols = set(spark.read.parquet(str(tmp_path / "t")).columns)
     assert plain_cols <= {"id", "x", "y"}
+
+
+def test_resize_images_nearest_matches_reference(spark):
+    """resize_images: the distributed output must equal the local
+    numpy reference exactly (integer nearest-neighbor indices over the
+    deterministic stand-in decode), with row-major uint8 bytes and the
+    dims metadata carried through."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal import (
+        fake_decode_grid,
+        resize_images,
+        resize_nearest,
+    )
+
+    rows = [(i, bytes([(i * 7 + j) % 256 for j in range(40 + i)])) for i in range(9)]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    assert set(got) == {r[0] for r in rows}
+    for mid, payload in rows:
+        want = resize_nearest(fake_decode_grid(payload, 32, 32), 8, 8)
+        r = got[mid]
+        assert (r["h"], r["w"], r["src_h"], r["src_w"]) == (8, 8, 32, 32)
+        back = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(8, 8)
+        assert (back == want).all()
