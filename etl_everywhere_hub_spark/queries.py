@@ -11456,3 +11456,79 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "media_id long, h int, w int, pix_sum long, top_left long, bottom_right long",
     )
+
+
+@query(
+    "q211_geofence_transitions",
+    """
+    WITH pos AS (
+        SELECT user_id, event_id,
+               epoch_ms(ts) AS ms,
+               CAST(user_id % 19 AS DOUBLE) + (epoch_ms(ts) // 3600000) % 13
+                   AS x,
+               CAST(user_id % 23 AS DOUBLE) + (epoch_ms(ts) // 3600000) % 11
+                   AS y
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ms,
+               CASE WHEN (x - 12.0) * (x - 12.0) + (y - 14.0) * (y - 14.0)
+                         <= 36.0
+                    THEN 1 ELSE 0 END AS inside
+        FROM pos
+    ),
+    seq AS (
+        SELECT user_id, event_id, ms, inside,
+               lag(inside) OVER (PARTITION BY user_id
+                                 ORDER BY ms, event_id) AS prev
+        FROM flagged
+    )
+    SELECT user_id, event_id, CAST(ms AS BIGINT) AS ms,
+           CASE WHEN inside = 1 THEN 'ENTER' ELSE 'EXIT' END AS transition
+    FROM seq
+    WHERE prev IS NOT NULL AND inside <> prev
+    """,
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence ENTER/EXIT alerting — the event-detection primitive of
+    the reference's tracker domain (a device crossing a watch zone
+    should page someone): per-entity position stream, point-in-circle
+    test, and a transition fires exactly when the inside flag CHANGES
+    between consecutive fixes (lag over the entity-keyed time order).
+    One shuffle on the entity key, codegen'd geometry, no state beyond
+    the one-row lag; the streaming twin is the same flag with
+    applyInPandasWithState carrying the last inside bit. Positions
+    derive deterministically from (entity, hour) so the oracle is
+    exact; swap in real lat/lon and the haversine predicate
+    (functions/geo.py) without touching the shape."""
+    e = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    hr = F.floor(ms / F.lit(3600000))
+    pos = e.select(
+        "user_id",
+        "event_id",
+        ms.alias("ms"),
+        ((F.col("user_id") % 19).cast("double") + hr % 13).alias("x"),
+        ((F.col("user_id") % 23).cast("double") + hr % 11).alias("y"),
+    )
+    inside = F.when(
+        (F.col("x") - 12.0) * (F.col("x") - 12.0)
+        + (F.col("y") - 14.0) * (F.col("y") - 14.0)
+        <= 36.0,
+        1,
+    ).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy(F.col("ms").asc(), F.col("event_id").asc())
+    seq = pos.withColumn("inside", inside).withColumn(
+        "prev", F.lag("inside").over(w)
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull() & (F.col("inside") != F.col("prev")))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ms").cast("long").alias("ms"),
+            F.when(F.col("inside") == 1, F.lit("ENTER"))
+            .otherwise(F.lit("EXIT"))
+            .alias("transition"),
+        )
+    )
