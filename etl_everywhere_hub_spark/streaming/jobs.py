@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -627,5 +628,80 @@ def stateful_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputStructType=EWMA_SCHEMA,
         stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+GEOFENCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ms", LongType()),
+        StructField("transition", StringType()),
+    ]
+)
+
+_GEOFENCE_STATE_SCHEMA = StructType(
+    [
+        StructField("inside", IntegerType()),
+        StructField("last_ts", LongType()),
+        StructField("last_eid", LongType()),
+    ]
+)
+
+
+def streaming_geofence_transitions(events: DataFrame) -> DataFrame:
+    """Geofence ENTER/EXIT alerts as STREAMING per-entity state — the
+    O(1)-state twin of q211's batch lag: state is ONE bit (last inside
+    flag) plus the stream position; each micro-batch accumulates all
+    chunks, sorts by (ts, event_id) — the batch-split invariant — and
+    emits a row exactly when the flag changes. Rows at or before the
+    carried position are dropped (order-defined semantics, same
+    contract as stateful_ewma; the drop is visible because the
+    missing transition differs from the batch twin). Geometry is the
+    identical deterministic point-in-circle predicate, so
+    stream == batch row-for-row under file replay."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            inside, lts, leid = state.get
+            inside = None if inside == -1 else inside  # -1 encodes "no flag yet"
+        else:
+            inside, lts, leid = None, -1, -1
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append((int(r.ms), int(r.event_id), int(r.inside)))
+        rows.sort()
+        out = []
+        for ms, eid, ins in rows:
+            if (ms, eid) <= (lts, leid):
+                continue
+            if inside is not None and ins != inside:
+                out.append(
+                    (int(key[0]), eid, ms, "ENTER" if ins == 1 else "EXIT")
+                )
+            inside = ins
+            lts, leid = ms, eid
+        state.update((inside if inside is not None else -1, lts, leid))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ms", "transition"]
+        )
+
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    hr = F.floor(ms / F.lit(3600000))
+    x = (F.col("user_id") % 19).cast("double") + hr % 13
+    y = (F.col("user_id") % 23).cast("double") + hr % 11
+    inside = F.when(
+        (x - 12.0) * (x - 12.0) + (y - 14.0) * (y - 14.0) <= 36.0, 1
+    ).otherwise(0)
+    src = events.select(
+        "user_id", "event_id", ms.alias("ms"), inside.alias("inside")
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=GEOFENCE_SCHEMA,
+        stateStructType=_GEOFENCE_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

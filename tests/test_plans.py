@@ -504,6 +504,10 @@ def test_round4_ops_stay_equi_shaped(spark, sf_dir):
         "q198_phrase_search",
         "q200_weighted_shortest_path",
         "q202_hierarchy_rollup",
+        "q205_markov_next_event_eval",
+        "q208_cross_source_contamination",
+        "q209_temporal_reachability",
+        "q211_geofence_transitions",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)

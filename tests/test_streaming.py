@@ -685,3 +685,37 @@ def test_streaming_heavy_hitters_guarantee_across_batches(spark, sf_dir, tmp_pat
     assert final.groupby("shard")["n_shard"].first().to_dict() == {
         int(s): int(v) for s, v in n_shard.items()
     }
+
+
+def test_streaming_geofence_equals_batch_transitions(spark, sf_dir, tmp_path):
+    """Streaming geofence alerts (O(1)-bit state) must equal q211's
+    batch lag row-for-row when the same events replay as two
+    time-ordered micro-batches — including transitions that straddle
+    the batch boundary (the carried inside flag)."""
+    from etl_everywhere_hub_spark.queries import REGISTRY
+    from etl_everywhere_hub_spark.streaming import jobs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pdf = e.select("ts").toPandas()
+    cut = pdf["ts"].median().to_pydatetime()
+    e3 = e.select("user_id", "event_id", "ts")
+    cut_col = F.lit(cut).cast(dict(e3.dtypes)["ts"])
+    e3.filter(F.col("ts") <= cut_col).coalesce(1).write.parquet(str(tmp_path / "b0"))
+    e3.filter(F.col("ts") > cut_col).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    stream = (
+        spark.readStream.schema(e3.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["ms"], r["transition"])
+        for r in jobs.run_to_table(
+            jobs.streaming_geofence_transitions(stream), output_mode="append"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["ms"], r["transition"])
+        for r in REGISTRY["q211_geofence_transitions"].spark(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
