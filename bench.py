@@ -30,6 +30,14 @@ def main() -> None:
     from etl_everywhere_hub_spark.queries import headline_queries
     from etl_everywhere_hub_spark.session import get_spark
 
+    # Shuffle partitions sized to the DATA, not the core count
+    # (SCALE.md §1: over-partition only when there are bytes to
+    # spread). The sf0.1 fixtures shuffle ≤ a few MB per exchange, so
+    # core-count partitions are pure per-task overhead — measured 25-30%
+    # on the shuffle-stage-heavy q41 (alternating 32-vs-8 A/B, warm
+    # session). Honors an explicit SPARK_SHUFFLE_PARTITIONS override;
+    # on a cluster the env carries the real (much larger) setting.
+    os.environ.setdefault("SPARK_SHUFFLE_PARTITIONS", "8")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -45,6 +45,9 @@ def main() -> None:
     from etl_everywhere_hub_spark.queries import headline_queries
     from etl_everywhere_hub_spark.session import get_spark
 
+    # data-sized shuffle partitions, same rule and rationale as bench.py
+    os.environ.setdefault("SPARK_SHUFFLE_PARTITIONS", "8")
+
     spark = get_spark("bench-pair")
     spark.sparkContext.setLogLevel("ERROR")
 
