@@ -11532,3 +11532,47 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("transition"),
         )
     )
+
+
+@query(
+    "q212_stream_geofence_alerts",
+    """
+    WITH pos AS (
+        SELECT user_id, event_id,
+               epoch_ms(ts) AS ms,
+               CAST(user_id % 19 AS DOUBLE) + (epoch_ms(ts) // 3600000) % 13
+                   AS x,
+               CAST(user_id % 23 AS DOUBLE) + (epoch_ms(ts) // 3600000) % 11
+                   AS y
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ms,
+               CASE WHEN (x - 12.0) * (x - 12.0) + (y - 14.0) * (y - 14.0)
+                         <= 36.0
+                    THEN 1 ELSE 0 END AS inside
+        FROM pos
+    ),
+    seq AS (
+        SELECT user_id, event_id, ms, inside,
+               lag(inside) OVER (PARTITION BY user_id
+                                 ORDER BY ms, event_id) AS prev
+        FROM flagged
+    )
+    SELECT user_id, event_id, CAST(ms AS BIGINT) AS ms,
+           CASE WHEN inside = 1 THEN 'ENTER' ELSE 'EXIT' END AS transition
+    FROM seq
+    WHERE prev IS NOT NULL AND inside <> prev
+    """,
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q211's geofence alerts computed by the STREAMING twin — file
+    replay through applyInPandasWithState carrying one inside-bit per
+    entity (streaming/jobs.py:streaming_geofence_transitions) — and
+    held to the identical SQL oracle: the streaming=batch equivalence
+    contract (SURVEY §5 item 3) for the alerting path, enforced by
+    the driver's hash gate, not just a unit test."""
+    s = stream_jobs.stream_events(spark, sf_dir)
+    return stream_jobs.run_to_table(
+        stream_jobs.streaming_geofence_transitions(s), output_mode="append"
+    )
