@@ -11576,3 +11576,84 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_jobs.run_to_table(
         stream_jobs.streaming_geofence_transitions(s), output_mode="append"
     )
+
+
+@query(
+    "q213_funnel_latency_quantiles",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t3
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.t1
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT s3.user_id, (t3 - t1) // 3600000 AS bin
+        FROM s3 JOIN s1 ON s1.user_id = s3.user_id
+    ),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM lat GROUP BY bin),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    c AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h
+    ),
+    pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT p.pct,
+           CAST(MIN(c.bin) AS BIGINT) AS est_hours_lo,
+           n AS converted_users
+    FROM c CROSS JOIN tot CROSS JOIN pcts p
+    WHERE c.cum * 100 >= tot.n * p.pct
+    GROUP BY p.pct, n
+    """,
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency quantiles: p50/p90/p99 of the view->purchase
+    delay for converting users — q196's funnel chain composed with
+    q195's mergeable histogram-quantile sketch (1-hour bins, integer
+    rank arithmetic), the composition a growth dashboard actually
+    ships. The delay table is user-cardinality-sized; the histogram
+    collapse makes the quantile lookup constant-memory no matter how
+    many users convert. The tiny cumulative window runs on the
+    hour-bin table (bounded by the latency horizon, not by users)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t3"))
+    )
+    lat = s3.join(s1, "user_id").select(
+        F.expr("(t3 - t1) div 3600000").alias("bin")
+    )
+    h = lat.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = h.agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.withColumn("cum", F.sum("cnt").over(w))
+    pcts = c.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("n") * F.col("pct"))
+        .groupBy("pct", "n")
+        .agg(F.min("bin").cast("long").alias("est_hours_lo"))
+        .select("pct", "est_hours_lo", F.col("n").alias("converted_users"))
+    )
