@@ -11657,3 +11657,53 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bin").cast("long").alias("est_hours_lo"))
         .select("pct", "est_hours_lo", F.col("n").alias("converted_users"))
     )
+
+
+@query(
+    "q214_dedup_roi_accounting",
+    """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars, md5(text) AS h FROM documents
+    ),
+    keep AS (
+        SELECT h, MIN(doc_id) AS keeper FROM keyed GROUP BY h
+    ),
+    marked AS (
+        SELECT k.source,
+               CASE WHEN k.doc_id = kp.keeper THEN 0 ELSE 1 END AS removed,
+               k.n_chars
+        FROM keyed k JOIN keep kp ON kp.h = k.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(removed) AS BIGINT) AS removed_docs,
+           CAST(SUM(CASE WHEN removed = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS bytes_saved,
+           round(SUM(removed) * 1.0 / COUNT(*), 6) AS dup_ratio
+    FROM marked GROUP BY source
+    """,
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI accounting per source — the report a curation run
+    ships with its output: how many documents exact-dedup (md5
+    content key, keep-min-doc_id — q35's deterministic survivor rule)
+    would remove from each source and how many bytes that saves. One
+    content-hash groupBy (map-side combined — the hash, not the text,
+    crosses the wire), one hash-keyed join back, one source rollup;
+    dup_ratio derives from exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "source", "n_chars", F.md5("text").alias("h"))
+    keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    marked = keyed.join(keep, "h").select(
+        "source",
+        F.when(F.col("doc_id") == F.col("keeper"), 0).otherwise(1).alias("removed"),
+        "n_chars",
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("removed").cast("long").alias("removed_docs"),
+        F.sum(F.when(F.col("removed") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("bytes_saved"),
+        F.round(F.sum("removed") * 1.0 / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )
