@@ -403,3 +403,131 @@ def test_water_filling_level_is_maximal(spark, sf_dir):
         assert alloc + len(capped) > budget
     else:
         assert alloc == total
+
+
+def _random_edges(seed, n=40, m=70):
+    import random
+
+    rng = random.Random(seed)
+    return list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def test_bfs_hops_matches_python_reference_on_random_graphs(spark):
+    """bfs_hops == textbook BFS on seeded random graphs (undirected,
+    self-loops dropped, multi-seed min-hop semantics, horizon cut)."""
+    from collections import deque
+
+    from etl_everywhere_hub_spark.operators.graph import bfs_hops
+
+    for seed in (3, 11):
+        edges = _random_edges(seed)
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        seeds = sorted({a for a, _ in edges if a % 5 == 0})
+        want, dq = {s: 0 for s in seeds}, deque((s, 0) for s in seeds)
+        while dq:
+            u, d = dq.popleft()
+            if d >= 3:
+                continue
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = d + 1
+                    dq.append((v, d + 1))
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["id"])
+        got = {r["id"]: r["hops"] for r in bfs_hops(edf, sdf, max_hops=3).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_kcore_matches_python_peel_on_random_graphs(spark):
+    """k_core == naive python peel-to-fixpoint (survivor set AND
+    in-core degrees) on seeded random graphs."""
+    from etl_everywhere_hub_spark.operators.graph import k_core
+
+    for seed in (5, 17):
+        edges = {
+            (min(a, b), max(a, b)) for a, b in _random_edges(seed) if a != b
+        }
+        k = 3
+        cur = set(edges)
+        while True:
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {v for v, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        want = {}
+        for a, b in cur:
+            want[a] = want.get(a, 0) + 1
+            want[b] = want.get(b, 0) + 1
+        edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        got = {r["id"]: r["core_deg"] for r in k_core(edf, k=k).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_bellman_ford_matches_python_dp_on_random_graphs(spark):
+    """bellman_ford_hops == the <=k-edge DP recurrence (exact integer
+    distances, undirected, multi-seed) on seeded random weighted
+    graphs."""
+    from etl_everywhere_hub_spark.operators.graph import bellman_ford_hops
+
+    for seed in (7, 23):
+        import random
+
+        rng = random.Random(seed)
+        base = [(a, b) for a, b in _random_edges(seed) if a != b]
+        edges = [(a, b, rng.randrange(1, 20)) for a, b in base]
+        seeds = sorted({a for a, _, _ in edges if a % 7 == 0}) or [base[0][0]]
+        INF = float("inf")
+        dist = {s: 0 for s in seeds}
+        for _ in range(4):
+            new = dict(dist)
+            for a, b, w in edges:
+                for u, v in ((a, b), (b, a)):
+                    if dist.get(u, INF) + w < new.get(v, INF):
+                        new[v] = dist[u] + w
+            dist = new
+        edf = spark.createDataFrame(edges, ["src", "dst", "w"])
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["id"])
+        got = {
+            r["id"]: r["dist"]
+            for r in bellman_ford_hops(edf, sdf, max_hops=4).collect()
+        }
+        assert got == dist, f"seed {seed}"
+
+
+def test_temporal_reachability_matches_python_dp_on_random_graphs(spark):
+    """temporal_reachability == earliest-arrival DP (time-monotone
+    relaxation from the per-vertex minimum) on seeded random timed
+    contact graphs."""
+    from etl_everywhere_hub_spark.operators.graph import temporal_reachability
+
+    for seed in (9, 29):
+        import random
+
+        rng = random.Random(seed)
+        base = [(a, b) for a, b in _random_edges(seed) if a != b]
+        edges = [(a, b, rng.randrange(0, 50)) for a, b in base]
+        seeds = sorted({a for a, _, _ in edges if a % 6 == 0}) or [base[0][0]]
+        arrival = {s: -1 for s in seeds}
+        for _ in range(5):
+            new = dict(arrival)
+            for a, b, t in edges:
+                for u, v in ((a, b), (b, a)):
+                    if u in arrival and t >= arrival[u] and t < new.get(v, 10**9):
+                        new[v] = min(new.get(v, 10**9), t)
+            arrival = new
+        edf = spark.createDataFrame(edges, ["src", "dst", "t"])
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["id"])
+        got = {
+            r["id"]: r["arrival"]
+            for r in temporal_reachability(edf, sdf, max_hops=5).collect()
+        }
+        assert got == arrival, f"seed {seed}"
