@@ -11707,3 +11707,99 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bytes_saved"),
         F.round(F.sum("removed") * 1.0 / F.count(F.lit(1)), 6).alias("dup_ratio"),
     )
+
+
+@query(
+    "q215_source_mix_entropy",
+    """
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM c GROUP BY lang)
+    SELECT c.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           nl AS docs,
+           round(-SUM((n * 1.0 / nl) * ln(n * 1.0 / nl)), 6) AS shannon_h,
+           round(-SUM((n * 1.0 / nl) * ln(n * 1.0 / nl))
+                 / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS evenness
+    FROM c JOIN tot USING (lang)
+    GROUP BY c.lang, nl
+    HAVING COUNT(*) > 1
+    """,
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition health: Shannon diversity of the source mix
+    within each language, plus Pielou evenness (H / ln(k)) — the
+    one-number check that a language's data isn't secretly one source
+    wearing five names (a mixture-collapse regression gate for q131's
+    sampling weights). All probabilities derive from exact BIGINT
+    counts; ln follows the round-6 convention; languages with a
+    single source are excluded (evenness undefined). Two tiny aggs —
+    the corpus is touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    p = F.col("n") * 1.0 / F.col("nl")
+    h = -F.sum(p * F.log(p))
+    return (
+        c.join(tot, "lang")
+        .groupBy("lang", "nl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.round(h, 6).alias("shannon_h"),
+            F.round(
+                h / F.log(F.count(F.lit(1)).cast("double")), 6
+            ).alias("evenness"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .select(
+            "lang", "n_sources", F.col("nl").alias("docs"), "shannon_h", "evenness"
+        )
+    )
+
+
+@query(
+    "q216_benford_first_digit",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           round(n * 1.0 / total, 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+           round((n * 1.0 / total - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 * (n * 1.0 / total - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS chi2_term
+    FROM c CROSS JOIN tot
+    """,
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    anomaly/fabrication screen for financial columns: observed
+    first-digit frequencies vs Benford's log10(1 + 1/d) expectation
+    with per-digit chi-square terms. Digit extraction is exact
+    integer/string work; expected frequencies and deviations follow
+    the round-6 transcendental convention with identical parse shape.
+    One 9-row aggregate over a single corpus scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n") * 1.0 / F.col("total")
+    ben = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(ben, 6).alias("benford"),
+        F.round((obs - ben) * (obs - ben) / ben, 6).alias("chi2_term"),
+    )
