@@ -11803,3 +11803,158 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ben, 6).alias("benford"),
         F.round((obs - ben) * (obs - ben) / ben, 6).alias("chi2_term"),
     )
+
+
+@query(
+    "q217_teleport_filter",
+    """
+    WITH pos AS (
+        SELECT user_id, event_id,
+               epoch_ms(ts) AS ms,
+               CAST(user_id % 19 AS BIGINT) * 1000
+                   + (epoch_ms(ts) // 3600000) % 977
+                   + CASE WHEN event_id % 101 = 0 THEN 50000 ELSE 0 END AS x,
+               CAST(user_id % 23 AS BIGINT) * 1000
+                   + (epoch_ms(ts) // 3600000) % 659 AS y
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_id, ms, x, y,
+               lag(x) OVER w AS px, lag(y) OVER w AS py, lag(ms) OVER w AS pms
+        FROM pos
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    )
+    SELECT user_id, event_id, CAST(ms AS BIGINT) AS ms,
+           CAST((x - px) * (x - px) + (y - py) * (y - py) AS BIGINT) AS d2,
+           CAST(ms - pms AS BIGINT) AS dt_ms
+    FROM seq
+    WHERE px IS NOT NULL
+      AND ((x - px) * (x - px) + (y - py) * (y - py)) * 1000000
+          > 25 * (ms - pms) * (ms - pms)
+    """,
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-speed (teleport) fix rejection — the first cleaning
+    pass every GPS pipeline runs before dwell/track analytics: flag a
+    fix when the implied speed from the previous fix exceeds vmax.
+    The test is sqrt-FREE and float-free: d2 * 1e6 > vmax^2 * dt^2
+    compares exact BIGINTs (vmax = 5 units/s, positions on an integer
+    grid), so the flag set is bit-identical everywhere — no
+    transcendental rounding in a DATA-DROPPING decision (rounding is
+    fine for reported scores, not for which rows survive). Glitch
+    fixes are injected deterministically (event_id % 101 jumps x by
+    50k) so the flag set is non-empty at every SF — both the jump and
+    the return-to-track fix flag, as a real GPS glitch does. One
+    entity-keyed window, codegen arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    hr = F.floor(ms / F.lit(3600000))
+    pos = e.select(
+        "user_id",
+        "event_id",
+        ms.alias("ms"),
+        (
+            (F.col("user_id") % 19).cast("long") * 1000
+            + hr % 977
+            + F.when(F.col("event_id") % 101 == 0, 50000).otherwise(0)
+        ).alias("x"),
+        ((F.col("user_id") % 23).cast("long") * 1000 + hr % 659).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ms").asc(), F.col("event_id").asc())
+    seq = pos.select(
+        "user_id",
+        "event_id",
+        "ms",
+        "x",
+        "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("ms").over(w).alias("pms"),
+    )
+    d2 = (F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (
+        F.col("y") - F.col("py")
+    ) * (F.col("y") - F.col("py"))
+    dt = F.col("ms") - F.col("pms")
+    return (
+        seq.filter(F.col("px").isNotNull() & (d2 * 1000000 > 25 * dt * dt))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ms").cast("long").alias("ms"),
+            d2.cast("long").alias("d2"),
+            dt.cast("long").alias("dt_ms"),
+        )
+    )
+
+
+@query(
+    "q218_skipgram_pmi",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+                   AS pos,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tok),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+    pair AS (
+        SELECT a.term AS wa, b.term AS wb, CAST(COUNT(*) AS BIGINT) AS co
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+        GROUP BY a.term, b.term
+        HAVING COUNT(*) >= 5
+    )
+    SELECT wa, wb, co, ua.cnt AS ca, ub.cnt AS cb,
+           round(ln((co * 1.0 * nt) / (ua.cnt * 1.0 * ub.cnt * 2.0)), 6) AS pmi
+    FROM pair
+    JOIN uni ua ON ua.term = wa
+    JOIN uni ub ON ub.term = wb
+    CROSS JOIN n
+    ORDER BY pmi DESC, wa ASC, wb ASC
+    LIMIT 100
+    """,
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (window +2, direction-preserving) PMI — the word2vec-
+    style co-occurrence statistic, complementing q148's adjacent-
+    bigram collocations: pair counts from a positional self-join
+    bounded to 2 positions ahead (fan-out is 2 rows per token — LINEAR
+    in corpus size, never quadratic), unigram counts as the
+    vocabulary-sized denominator, PMI = ln(co*N / (ca*cb*W)) with
+    W = 2 window slots, round-6. Top-100 by PMI with a total-order
+    tiebreak. The join is doc+position-local; unigram stats ride a
+    vocab-bounded join (size-gated broadcast pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "term")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+    nt_df = tok.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = tok.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("wa"))
+    b = tok.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("wb"))
+    pair = (
+        a.join(b, "doc_id")
+        .filter((F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + 2))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    ua = uni.select(F.col("term").alias("wa"), F.col("cnt").alias("ca"))
+    ub = uni.select(F.col("term").alias("wb"), F.col("cnt").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("co") * 1.0 * F.col("nt"))
+            / (F.col("ca") * 1.0 * F.col("cb") * 2.0)
+        ),
+        6,
+    )
+    return (
+        pair.join(vocab_broadcast(ua), "wa")
+        .join(vocab_broadcast(ub), "wb")
+        .crossJoin(F.broadcast(nt_df))
+        .select("wa", "wb", "co", "ca", "cb", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("wa").asc(), F.col("wb").asc())
+        .limit(100)
+    )
