@@ -11958,3 +11958,144 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("wa").asc(), F.col("wb").asc())
         .limit(100)
     )
+
+
+@query(
+    "q219_top_session_paths",
+    """
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM x
+    ),
+    r AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts ASC, event_id ASC) AS step
+        FROM s
+    ),
+    p AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY step ASC) AS path
+        FROM r WHERE step <= 3
+        GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions
+    FROM p GROUP BY path
+    ORDER BY sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: the first three event types of every
+    session (q29's 30-minute gap sessionization), joined into a
+    `a>b>c` path string, counted, top-20 — the "common journeys"
+    report behind every product-analytics funnel explorer. Ordering
+    inside the path is pinned by (ts, event_id); Spark builds it from
+    an array_sort over (step, type) structs (collect_list order is
+    not guaranteed — sorting structs is), DuckDB with an ORDER BY
+    string_agg; identical strings hash-match. All stages are
+    entity/session-keyed; the path table is sessions-sized and the
+    final top-20 is a bounded TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    x = e.withColumn(
+        "brk", F.when(gap.isNull() | (gap >= 1800000), 1).otherwise(0)
+    )
+    s = x.withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    r = s.withColumn(
+        "step",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        ),
+    ).filter(F.col("step") <= 3)
+    p = (
+        r.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("step", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("steps"), lambda t: t["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("sessions"))
+        .orderBy(F.col("sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q220_dau_wau_stickiness",
+    """
+    WITH du AS (
+        SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard carries: daily actives over trailing-7-day actives.
+    The corpus collapses FIRST to distinct (day, user) pairs (one
+    map-side-combined dedup — the only corpus-scale stage); the
+    trailing-window distinct EXPLODES each day-user row into its <= 7
+    serving windows and equi-aggregates (fan-out is 7x the deduped
+    table, never the event count — and never a theta join). Exact integer counts, one rounded
+    ratio."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86400000)
+    ).cast("long")
+    du = e.select(day.alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    # activity on day a serves windows [a, a+6]: a bounded 7-way
+    # explode + EQUI groupBy — the range join's theta shape (which
+    # Catalyst can only nested-loop) never appears; the final equi
+    # join with dau restricts to observed days, matching the oracle's
+    # BETWEEN formulation exactly
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+    )
