@@ -12099,3 +12099,134 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "q221_session_abandonment",
+    """
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+        SELECT user_id, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM x
+    ),
+    flags AS (
+        SELECT user_id, session_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchased
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS sessions,
+           CAST(SUM(clicked) AS BIGINT) AS engaged,
+           CAST(SUM(CASE WHEN clicked = 1 AND purchased = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS abandoned,
+           round(SUM(CASE WHEN clicked = 1 AND purchased = 0 THEN 1 ELSE 0 END)
+                 * 1.0 / NULLIF(SUM(clicked), 0), 6) AS abandonment_rate
+    FROM flags
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session abandonment: of sessions that engaged (clicked), the
+    share that never purchased — the funnel-leak KPI. Sessionization
+    is q29's 30-minute gap rule; per-session flags are one
+    entity-keyed agg (map-side MAX over two indicator columns), and
+    the report is a single global fold of exact counts. No event-level
+    data survives past the first agg, so the scan is the only
+    corpus-scale stage."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    s = e.withColumn(
+        "brk", F.when(gap.isNull() | (gap >= 1800000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    flags = s.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicked"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchased"
+        ),
+    )
+    abandoned = F.sum(
+        F.when((F.col("clicked") == 1) & (F.col("purchased") == 0), 1).otherwise(0)
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("sessions"),
+        F.sum("clicked").cast("long").alias("engaged"),
+        abandoned.cast("long").alias("abandoned"),
+        F.round(
+            abandoned * 1.0 / F.nullif(F.sum("clicked"), F.lit(0)), 6
+        ).alias("abandonment_rate"),
+    )
+
+
+@query(
+    "q222_weekday_seasonality",
+    """
+    WITH d AS (
+        SELECT event_type,
+               CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT) AS dow
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY event_type, dow
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_dows
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.n,
+           round(c.n * 1.0 * n_dows / total, 6) AS seasonality_index
+    FROM c JOIN tot USING (event_type)
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: each (type,
+    weekday) cell's volume relative to that type's flat-week
+    expectation (index 1.0 = no seasonality) — the load-shaping
+    profile capacity planning reads. Weekday derives from the epoch
+    day in pure integer arithmetic (epoch day 0 was a Thursday, +4
+    mod 7 makes 0=Monday) — no timezone/calendar functions to
+    disagree on; the index is one rounded ratio of exact counts. Two
+    tiny aggs over one scan."""
+    e = load_table(spark, sf_dir, "events")
+    dow = (
+        (
+            F.floor(
+                F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86400000)
+            )
+            + 4
+        )
+        % 7
+    ).cast("long")
+    c = e.select("event_type", dow.alias("dow")).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_dows"),
+    )
+    return c.join(tot, "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(F.col("n") * 1.0 * F.col("n_dows") / F.col("total"), 6).alias(
+            "seasonality_index"
+        ),
+    )
