@@ -12230,3 +12230,116 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_index"
         ),
     )
+
+
+@query(
+    "q223_source_concentration_gini",
+    """
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    r AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n ASC, source ASC) AS rk,
+               COUNT(*) OVER () AS k,
+               SUM(n) OVER () AS tot
+        FROM c
+    )
+    SELECT CAST(MAX(k) AS BIGINT) AS n_sources,
+           CAST(MAX(tot) AS BIGINT) AS docs,
+           round(2.0 * SUM(rk * n) / (MAX(k) * 1.0 * MAX(tot))
+                 - (MAX(k) + 1.0) / MAX(k), 6) AS gini
+    FROM r
+    """,
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of documents across sources — the corpus-
+    balance number (0 = perfectly even, ->1 = one source dominates)
+    that decides whether q130's quotas / q203's water-filling need to
+    run at all. Uses the rank formulation G = 2*sum(rank*n)/(k*total)
+    - (k+1)/k over the SOURCE-cardinality table (the only corpus-
+    scale stage is the per-source count; the rank window runs over k
+    rows, bounded by the source vocabulary), with a (count, source)
+    total order so ties are deterministic. Exact integer sums, one
+    rounded division."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("source").asc())
+    r = c.select(
+        "n",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("docs"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("n"))
+            / (F.count(F.lit(1)) * 1.0 * F.sum("n"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q224_zipf_slope",
+    """
+    WITH tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) t GROUP BY term
+    ),
+    r AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+                        AS DOUBLE)) AS lx,
+               ln(CAST(freq AS DOUBLE)) AS ly
+        FROM tf
+    ),
+    s AS (
+        SELECT COUNT(*) AS k, SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+        FROM r
+    )
+    SELECT CAST(k AS BIGINT) AS vocab,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the token frequency distribution — the log-log
+    OLS fit of frequency vs rank whose departure from ~-1 flags a
+    degenerate corpus (template spam flattens it, truncated vocab
+    steepens it). Runs entirely on the VOCABULARY table after one
+    token-count agg; the rank window is vocab-bounded. The double
+    sums fold over ln() values in a deterministic per-rank order
+    (both engines sum the same k values; k is tiny so accumulation
+    order is the sorted rank order in both... pinned instead by
+    round-6 on the final slope only, the established transcendental
+    convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    r = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    return s.select(
+        F.col("k").cast("long").alias("vocab"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
