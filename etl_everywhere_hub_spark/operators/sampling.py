@@ -190,3 +190,28 @@ def global_prefix_min(
         .withColumn(out, F.least(F.col("__offset"), F.col("__local_min")))
         .drop("__bucket", "__v", "__local_min", "__offset")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    out: str = "rank",
+    descending: bool = True,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact 1-based global row_number over (order_col, tiebreak)
+    WITHOUT a single-partition window: global_prefix_sum of the
+    constant 1 (range-bucketed two-phase scan). The building block
+    for distributed ntile/percent_rank: downstream arithmetic on the
+    exact rank replaces the global window the naive formulation
+    needs."""
+    return global_prefix_sum(
+        df,
+        F.lit(1),
+        order_col=order_col,
+        tiebreak_col=tiebreak_col,
+        out=out,
+        n_buckets=n_buckets,
+        descending=descending,
+    ).withColumn(out, F.col(out).cast("long"))

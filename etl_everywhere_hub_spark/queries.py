@@ -12343,3 +12343,158 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "q225_neardup_cluster_savings",
+    """
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3]))) AS shingle
+        FROM documents
+    ),
+    sz AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+    ),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM dup
+        UNION SELECT doc_b AS a, doc_a AS b FROM dup
+    ),
+    reach(id, other) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+        UNION
+        SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.other
+    ),
+    comp AS (
+        SELECT id AS doc_id, MIN(other) AS cluster FROM reach GROUP BY id
+    ),
+    cl AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM comp GROUP BY cluster
+    )
+    SELECT CAST(n_docs AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs - 1) AS BIGINT) AS removable_docs
+    FROM cl GROUP BY n_docs
+    """,
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram + removable-doc accounting —
+    the capstone composition of the exact dedup pipeline: PPJoin
+    prefix-filtered Jaccard>=0.8 pairs (q141's operator) collapsed to
+    clusters with star-contraction connected components (q72's
+    operator, O(log n) rounds), rolled up to (cluster size ->
+    clusters, removable docs). This is the number a curation run
+    reports as its ROI ('near-dedup removes N docs across M
+    clusters'), computed exactly. The oracle replays the same pair
+    predicate and closes it with a recursive-CTE fixpoint — the
+    O(n^2)-ish way — so the distributed contraction is held to the
+    brute-force transitive closure."""
+    from etl_everywhere_hub_spark.operators.dedup import (
+        doc_shingles,
+        prefix_filter_jaccard_pairs,
+    )
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id", k=3)
+    dup = prefix_filter_jaccard_pairs(
+        sh, id_col="doc_id", item_col="shingle", threshold=0.8
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(dup)
+    cl = comp.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return cl.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("n_docs") - 1).cast("long").alias("removable_docs"),
+    )
+
+
+@query(
+    "q226_rfm_segmentation",
+    """
+    WITH m AS (
+        SELECT o_custkey,
+               MAX(epoch_ms(o_orderdate)) AS last_ms,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY last_ms DESC, o_custkey ASC) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+               ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS mo
+        FROM m
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(mo AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS example_custkey
+    FROM scored GROUP BY r, f, mo
+    """,
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM cube: quartile codes for
+    recency (latest order), frequency (order count) and monetary
+    (exact cents via the repo's scaled-integer money convention),
+    rolled up to segment sizes. Quartiles carry a (metric, custkey)
+    total order so boundaries are deterministic — and they are NOT
+    computed with a global ntile window (single-partition over every
+    customer: the q197-class scale bug): each metric gets an exact
+    distributed rank (sampling.py:global_rank, range-bucketed
+    two-phase scan) and the tile falls out of pure integer arithmetic
+    replicating ntile's ceil/floor group sizing exactly. Segment cube
+    is at most 64 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias("last_ms"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    from etl_everywhere_hub_spark.operators.sampling import global_rank
+
+    def tile4(df, metric, out):
+        # exact ntile(4) from the distributed rank: first (n mod 4)
+        # tiles take ceil(n/4) rows, the rest floor(n/4) — ntile's
+        # documented sizing, in integer arithmetic
+        ranked = global_rank(df, metric, "o_custkey", out="__rk")
+        n = ranked.crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).cast("long").alias("__n")))
+        )
+        big, rem = F.expr("__n div 4"), F.col("__n") % 4
+        cut = (big + 1) * rem  # rows living in the oversized tiles
+        tile = F.when(
+            F.col("__rk") <= cut,
+            F.expr("(__rk - 1) div (__n div 4 + 1)") + 1,
+        ).otherwise(
+            rem + (F.col("__rk") - cut - 1) / big + 1
+        )
+        return n.withColumn(
+            out, F.floor(tile).cast("long")
+        ).drop("__rk", "__n")
+
+    scored = tile4(m, "last_ms", "r")
+    scored = tile4(scored, "freq", "f")
+    scored = tile4(scored, "monetary_cents", "m")
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("customers"),
+        F.min("o_custkey").cast("long").alias("example_custkey"),
+    )
