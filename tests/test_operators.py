@@ -537,3 +537,24 @@ def test_temporal_reachability_respects_time_order(spark):
         for r in temporal_reachability(edges, seeds, max_hops=4).collect()
     }
     assert got == {0: -1, 1: 5, 3: 7}
+
+
+def test_global_rank_matches_naive_row_number(spark):
+    """global_rank == the single-partition row_number window on seeded
+    data with order-key ties (descending order, ascending tiebreak)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_everywhere_hub_spark.operators.sampling import global_rank
+
+    rng = random.Random(13)
+    rows = [(i, rng.randrange(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, "v", "id", descending=True, n_buckets=8).collect()
+    }
+    assert got == want
