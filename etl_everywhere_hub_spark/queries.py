@@ -12498,3 +12498,141 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("customers"),
         F.min("o_custkey").cast("long").alias("example_custkey"),
     )
+
+
+@query(
+    "q227_embedding_norm_outliers",
+    """
+    WITH nz AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n2) AS BIGINT) AS sx,
+               CAST(SUM(CAST(n2 AS HUGEINT) * CAST(n2 AS HUGEINT)) AS HUGEINT)
+                   AS sxx
+        FROM nz
+    )
+    SELECT vec_id, n2
+    FROM nz CROSS JOIN s
+    WHERE CAST(CAST(n * n2 - sx AS HUGEINT) * CAST(n * n2 - sx AS HUGEINT)
+               AS HUGEINT)
+          > 9 * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+    """,
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: flag vectors whose squared L2 norm is a
+    >3-sigma outlier — the broken-encoder / wrong-scale screen an
+    embedding pipeline runs before indexing. The gate is EXACT
+    integer arithmetic end-to-end: milli-quantized squared norms are
+    BIGINT, and (x-mu)^2 > 9*sigma^2 is cleared of denominators into
+    (n*x - Sx)^2 > 9*(n*Sxx - Sx^2), evaluated in 128-bit integers
+    (DECIMAL(38,0) / HUGEINT) — a row-DROPPING decision with zero
+    float rounding anywhere (the q217 principle). One map-side fold
+    per vector + one 3-number aggregate broadcast back."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    nz = emb.select(
+        "vec_id",
+        F.aggregate(
+            m, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("n2"),
+    )
+    d38 = "decimal(38,0)"
+    s = nz.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n2").cast("long").alias("sx"),
+        F.sum(F.col("n2").cast(d38) * F.col("n2").cast(d38)).cast(d38).alias("sxx"),
+    )
+    dev = (F.col("n") * F.col("n2") - F.col("sx")).cast(d38)
+    return (
+        nz.crossJoin(F.broadcast(s))
+        .filter(
+            dev * dev
+            > 9
+            * (
+                F.col("n").cast(d38) * F.col("sxx")
+                - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+            )
+        )
+        .select("vec_id", "n2")
+    )
+
+
+@query(
+    "q228_leadtime_percentiles",
+    """
+    WITH lt AS (
+        SELECT o.o_orderpriority AS priority,
+               (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)) // 86400000
+                   AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    h AS (
+        SELECT priority, days AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lt GROUP BY priority, days
+    ),
+    tot AS (SELECT priority, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY priority),
+    c AS (
+        SELECT priority, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY priority ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM h
+    ),
+    pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT c.priority, p.pct,
+           CAST(MIN(c.bin) AS BIGINT) AS days_lo
+    FROM c JOIN tot ON tot.priority = c.priority
+    CROSS JOIN pcts p
+    WHERE c.cum * 100 >= tot.n * p.pct
+    GROUP BY c.priority, p.pct
+    """,
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time percentiles per order priority — the
+    supply-chain SLA report, computed with the mergeable day-bin
+    histogram (q195's sketch; days are already integer bins, so the
+    'sketch' is exact here) after ONE fact-fact equi join. Integer
+    rank arithmetic picks the percentile bin identically on both
+    engines; the cumulative window runs over (priority, day-bin)
+    cells, bounded by the lead-time horizon."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("ship_ms"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+    )
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "priority",
+        F.expr("(ship_ms - order_ms) div 86400000").alias("bin"),
+    )
+    h = lt.groupBy("priority", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = h.groupBy("priority").agg(F.sum("cnt").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.withColumn("cum", F.sum("cnt").over(w))
+    pcts = c.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct")
+    )
+    return (
+        c.join(tot, "priority")
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("n") * F.col("pct"))
+        .groupBy("priority", "pct")
+        .agg(F.min("bin").cast("long").alias("days_lo"))
+    )
