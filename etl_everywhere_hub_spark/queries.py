@@ -12636,3 +12636,127 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority", "pct")
         .agg(F.min("bin").cast("long").alias("days_lo"))
     )
+
+
+@query(
+    "q229_supplier_hhi",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation, s.s_suppkey,
+               CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, s.s_suppkey
+    ),
+    tot AS (SELECT nation, CAST(SUM(r) AS BIGINT) AS t FROM rev GROUP BY nation)
+    SELECT rev.nation,
+           CAST(COUNT(*) AS BIGINT) AS suppliers,
+           round(SUM((r * 1.0 / t) * (r * 1.0 / t)), 6) AS hhi
+    FROM rev JOIN tot USING (nation)
+    GROUP BY rev.nation
+    """,
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration (Herfindahl-Hirschman index) per
+    nation — the market-concentration / single-point-of-failure
+    screen: HHI = sum of squared revenue shares, 1/k = perfectly even,
+    1.0 = monopoly supplier. Revenue folds through the repo's exact
+    scaled-integer money convention (4 decimals exact for
+    price*(1-discount)); shares and their squares are per-row double
+    ops with identical parse shape, rounded once. One fact scan, two
+    supplier-cardinality aggs, dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(F.sum("r").cast("long").alias("t"))
+    share = F.col("r") * 1.0 / F.col("t")
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "q230_completeness_profile",
+    """
+    SELECT col, n_rows, n_null, n_distinct,
+           round((n_rows - n_null) * 1.0 / n_rows, 6) AS fill_rate
+    FROM (
+        SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+        FROM orders
+    ) t
+    """,
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness / cardinality profile of the orders table —
+    the first query any data-quality framework (Deequ-style) issues:
+    per column, row count, null count, exact distinct count, fill
+    rate. The Spark side computes ALL columns in ONE aggregate pass
+    (count + conditional sum + count-distinct per column, map-side
+    partials) and unpivots the 1-row result via stack — one scan, no
+    union of per-column scans (the oracle's UNION ALL formulation is
+    the readable equivalent; Catalyst cannot share its scans, ours
+    needs none shared)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"dist_{c}"))
+    one = o.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    prof = one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_expr}) AS (col, n_null, n_distinct)",
+    )
+    return prof.select(
+        "col",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        F.round(
+            (F.col("n_rows") - F.col("n_null")) * 1.0 / F.col("n_rows"), 6
+        ).alias("fill_rate"),
+    )
