@@ -64,13 +64,72 @@ FEATURES_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — requires an imaging library not present in
-    this container. The Spark plumbing calls `fake_image_features`
-    instead; swap this in when PIL/opencv is available."""
+    """Real, dependency-free image decode for uncompressed formats —
+    PPM (P6), PGM (P5), and uncompressed 24/32-bit BMP — returning a
+    uint8 ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB.
+    Compressed formats (PNG/JPEG/WebP/...) need an imaging library
+    that is not in this container; they raise NotImplementedError at
+    this narrowed swap point (wire PIL/opencv here when available).
+    Exercised on real pixel bytes under oracle by q231."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use fake_image_features for plumbing tests"
+        "compressed image formats (PNG/JPEG/...) require an imaging "
+        "library not installed in this environment; PPM/PGM/BMP decode "
+        "natively"
     )
+
+
+def _decode_pnm(payload: bytes) -> "np.ndarray":
+    """PPM P6 (RGB) / PGM P5 (grayscale) parser: ASCII header of
+    magic, width, height, maxval with '#' comments, a single
+    whitespace, then raw samples (spec: netpbm format, public)."""
+    magic = payload[:2]
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit-per-sample PNM not supported")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray":
+    """Uncompressed (BI_RGB) 24/32-bit BMP parser: BITMAPFILEHEADER
+    (14 bytes) + BITMAPINFOHEADER, rows padded to 4-byte stride,
+    bottom-up unless height is negative, BGR(A) channel order."""
+    import struct
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError("only uncompressed 24/32-bit BMP (BI_RGB)")
+    top_down = h < 0
+    h = abs(h)
+    bypp = bpp // 8
+    stride = (w * bypp + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
 
 
 def _fake_feature_vector(payload: bytes) -> np.ndarray:
@@ -154,11 +213,25 @@ def extract_features_sql_contract(media: DataFrame) -> DataFrame:
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter: text payloads as binary media rows (the container has no
-    real image fixtures; bytes are bytes to the plumbing)."""
+    real image fixtures; bytes are bytes to the plumbing).
+
+    ASCII CONTRACT (enforced): downstream byte-indexed engine paths
+    are oracle-checked against character-indexed SQL (q210), which
+    agree only when every char is one byte. Rather than silently
+    diverging on a future non-ASCII fixture, the payload column
+    asserts octet_length == char length and fails loudly."""
+    n_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    ascii_ok = F.assert_true(
+        n_bytes == F.length(F.col("text")),
+        "documents_as_media: fixture text must be pure ASCII "
+        "(byte-indexed engine vs char-indexed oracle contract)",
+    )
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(ascii_ok.isNull(), F.encode(F.col("text"), "UTF-8")).alias(
+            "payload"
+        ),
         F.struct(
             F.lit(0).alias("width"),
             F.lit(0).alias("height"),

@@ -237,11 +237,14 @@ def bfs_hops(
     Scale shape: per hop, ONE equi-join frontier⋈edges (frontier is
     the newly labeled vertices only, never the full visited set), one
     distinct, one anti-join against visited — all key-partitioned;
-    rounds = min(max_hops, eccentricity). Frontier-only expansion
-    keeps per-round work proportional to the hop boundary, not the
-    visited volume; lineage is truncated per round (see
-    connected_components). Early-exits when a frontier is empty (the
-    count is the same job that materializes the checkpoint).
+    rounds = min(max_hops, eccentricity). Per-round MATERIALIZATION is
+    the frontier delta only (each hop layer is localCheckpointed once
+    and never rewritten; the final result is one union of the layers
+    after the loop), so write volume per round tracks the hop
+    boundary. The anti-join necessarily *reads* all prior layers —
+    already-materialized, lineage-flat scans. Early-exits when a
+    frontier is empty (the count is the same job that materializes
+    the checkpoint).
     """
     sym = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
     sym = (
@@ -250,27 +253,35 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    visited = (
+    layer0 = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
         .distinct()
         .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("id")
+    layers = [layer0]
+    visited_ids = layer0.select("id")
+    frontier = layer0.select("id")
     for h in range(1, max_hops + 1):
         nxt = (
             sym.join(frontier.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(visited_ids, "id", "left_anti")
             .withColumn("hops", F.lit(h))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        layers.append(nxt)
+        # metadata-only union of already-checkpointed deltas: no
+        # re-materialization of the visited set, lineage stays flat
+        visited_ids = visited_ids.union(nxt.select("id"))
         frontier = nxt.select("id")
-    return visited
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.union(layer)
+    return out
 
 
 def k_core(
@@ -401,7 +412,28 @@ def ancestors_doubling(
     + distinct, both key-partitioned; closure size is bounded by
     n·depth (real catalog/org hierarchies are shallow), checked to a
     fixpoint on exact row counts, lineage truncated per round.
+
+    PRECONDITION (enforced): the input is a FOREST — at most one
+    parent row per id. On a multi-parent DAG the distinct() collapses
+    parallel paths, so path-multiplicity rollups would silently
+    undercount (SCALE.md §4.7); this fails loudly instead. The check
+    is one tiny groupBy on the parent table — noise next to the
+    closure rounds' own fixpoint counts.
     """
+    multi = (
+        parents.filter(F.col(parent_col).isNotNull())
+        .groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if multi:
+        raise ValueError(
+            f"ancestors_doubling requires a forest: node {multi[0][0]} has "
+            "multiple parents (DAG closure has path-multiplicity semantics "
+            "this operator does not implement — see SCALE.md §4.7)"
+        )
     ids = parents.select(F.col(id_col).cast("long").alias("id"))
     r = (
         ids.select("id", F.col("id").alias("anc"))

@@ -11427,7 +11427,15 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text bytes with substr/ascii), and report checksum stats per
     image. Everything runs in ONE Arrow-batched mapInPandas over the
     payload column — zero shuffles before the per-image aggregate,
-    the embarrassingly-parallel shape of real thumbnailing."""
+    the embarrassingly-parallel shape of real thumbnailing.
+
+    FIXTURE CONTRACT (enforced, not incidental): the engine tiles
+    UTF-8 payload BYTES while the oracle indexes CHARACTERS
+    (substr/ascii over text) — these agree iff the fixture text is
+    pure ASCII, so documents_as_media ASCII-normalizes the payload
+    (non-ASCII bytes would silently diverge engine vs oracle) and
+    the oracle's `length(text)` equals the byte count by the same
+    contract."""
     import pandas as pd
 
     from etl_everywhere_hub_spark.multimodal import (
@@ -11924,19 +11932,33 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus size, never quadratic), unigram counts as the
     vocabulary-sized denominator, PMI = ln(co*N / (ca*cb*W)) with
     W = 2 window slots, round-6. Top-100 by PMI with a total-order
-    tiebreak. The join is doc+position-local; unigram stats ride a
-    vocab-bounded join (size-gated broadcast pattern)."""
+    tiebreak. Pair construction is map-side ``lead(term, 1..2)`` over
+    a (doc_id, pos) window — ONE doc_id shuffle and exactly 2 emitted
+    rows per token, so the work (not just the output) is linear in
+    corpus size; the naive doc_id self-join with a range post-filter
+    would enumerate O(L²) same-doc candidates per document. Unigram
+    stats ride a vocab-bounded join (size-gated broadcast pattern)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "term")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
     nt_df = tok.agg(F.count(F.lit(1)).cast("long").alias("nt"))
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    a = tok.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("wa"))
-    b = tok.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("wb"))
+    dw = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    led = tok.select(
+        F.col("term").alias("wa"),
+        F.lead("term", 1).over(dw).alias("__n1"),
+        F.lead("term", 2).over(dw).alias("__n2"),
+    )
     pair = (
-        a.join(b, "doc_id")
-        .filter((F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + 2))
+        led.select(
+            "wa",
+            F.explode(
+                F.filter(
+                    F.array("__n1", "__n2"), lambda x: x.isNotNull()
+                )
+            ).alias("wb"),
+        )
         .groupBy("wa", "wb")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .filter(F.col("co") >= 5)
@@ -12310,22 +12332,23 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf slope of the token frequency distribution — the log-log
     OLS fit of frequency vs rank whose departure from ~-1 flags a
     degenerate corpus (template spam flattens it, truncated vocab
-    steepens it). Runs entirely on the VOCABULARY table after one
-    token-count agg; the rank window is vocab-bounded. The double
-    sums fold over ln() values in a deterministic per-rank order
-    (both engines sum the same k values; k is tiny so accumulation
-    order is the sorted rank order in both... pinned instead by
-    round-6 on the final slope only, the established transcendental
-    convention)."""
+    steepens it). Runs on the VOCABULARY table after one token-count
+    agg — but at 100 TB the vocabulary itself is 10⁸–10⁹ distinct
+    tokens, so the rank comes from the repo's exact distributed rank
+    (sampling.py:global_rank, range-bucketed two-phase scan — the
+    q226 pattern), NOT an unpartitioned row_number window that would
+    sort the whole vocab in one partition. Round-6 pins the final
+    slope only, the established transcendental convention."""
+    from etl_everywhere_hub_spark.operators.sampling import global_rank
+
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    r = tf.select(
-        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+    r = global_rank(tf, "freq", "term", out="__rk", descending=True).select(
+        F.log(F.col("__rk").cast("double")).alias("lx"),
         F.log(F.col("freq").cast("double")).alias("ly"),
     )
     s = r.agg(
@@ -12481,15 +12504,16 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         big, rem = F.expr("__n div 4"), F.col("__n") % 4
         cut = (big + 1) * rem  # rows living in the oversized tiles
+        # both branches pure integer `div` — exact past 2^53-scale ranks
         tile = F.when(
             F.col("__rk") <= cut,
             F.expr("(__rk - 1) div (__n div 4 + 1)") + 1,
         ).otherwise(
-            rem + (F.col("__rk") - cut - 1) / big + 1
+            rem
+            + F.expr("(__rk - (__n div 4 + 1) * (__n % 4) - 1) div (__n div 4)")
+            + 1
         )
-        return n.withColumn(
-            out, F.floor(tile).cast("long")
-        ).drop("__rk", "__n")
+        return n.withColumn(out, tile.cast("long")).drop("__rk", "__n")
 
     scored = tile4(m, "last_ms", "r")
     scored = tile4(scored, "freq", "f")
@@ -12759,4 +12783,80 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("n_rows") - F.col("n_null")) * 1.0 / F.col("n_rows"), 6
         ).alias("fill_rate"),
+    )
+
+
+@query(
+    "q231_ppm_decode_real_pixels",
+    """
+    WITH px AS (
+        SELECT doc_id, k.k AS k,
+               ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(768)) AS k) k
+    )
+    SELECT doc_id AS media_id, 16 AS h, 16 AS w,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_r,
+           CAST(MIN(CASE WHEN k = 767 THEN v END) AS BIGINT) AS last_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under oracle: each document's payload bytes
+    are serialized into an actual PPM P6 file (header + 16x16 RGB
+    raster tiled from the payload), then decoded back by
+    multimodal.decode_image's dependency-free netpbm parser — real
+    pixel bytes through the real decoder, not the stand-in — and
+    checksummed per image. The oracle reproduces the tiling with pure
+    character arithmetic (pixel k = text byte k mod n; valid by the
+    documents_as_media ASCII contract). Same embarrassingly-parallel
+    mapInPandas shape as q210: zero shuffles before the per-image
+    aggregate. Closes the round-4 'real image decode' gap for
+    uncompressed formats (multimodal/__init__.py:decode_image)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    H = W = 16
+
+    def render_decode(batches):
+        n = H * W * 3
+        header = b"P6\n%d %d\n255\n" % (W, H)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                reps = -(-n // len(buf))
+                ppm = header + (buf * reps)[:n]
+                img = decode_image(ppm)  # the REAL parser, not the stand-in
+                assert img.shape == (H, W, 3) and img.dtype == np.uint8
+                rows.append(
+                    (
+                        int(mid),
+                        H,
+                        W,
+                        int(img.sum()),
+                        int(img[:, :, 0].sum(dtype=np.int64)),
+                        int(img[0, 0, 0]),
+                        int(img[H - 1, W - 1, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "pix_sum", "r_sum", "first_r", "last_b",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, pix_sum long, r_sum long, "
+        "first_r long, last_b long",
     )

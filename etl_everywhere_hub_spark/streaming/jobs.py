@@ -650,17 +650,23 @@ _GEOFENCE_STATE_SCHEMA = StructType(
 )
 
 
-def streaming_geofence_transitions(events: DataFrame) -> DataFrame:
+def streaming_geofence_transitions(
+    events: DataFrame, dropped_acc=None
+) -> DataFrame:
     """Geofence ENTER/EXIT alerts as STREAMING per-entity state — the
     O(1)-state twin of q211's batch lag: state is ONE bit (last inside
     flag) plus the stream position; each micro-batch accumulates all
     chunks, sorts by (ts, event_id) — the batch-split invariant — and
     emits a row exactly when the flag changes. Rows at or before the
     carried position are dropped (order-defined semantics, same
-    contract as stateful_ewma; the drop is visible because the
-    missing transition differs from the batch twin). Geometry is the
-    identical deterministic point-in-circle predicate, so
-    stream == batch row-for-row under file replay."""
+    contract as stateful_ewma). The loss is OBSERVABLE, not silent:
+    pass ``dropped_acc`` (a SparkContext accumulator) and every
+    cross-batch out-of-order row increments it — operators alert on
+    it instead of discovering the gap via the downstream hash gate.
+    Geometry is the identical deterministic point-in-circle
+    predicate, so stream == batch row-for-row under ORDERED file
+    replay (monotone-replay test: test_streaming.py geofence
+    out-of-order case)."""
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
@@ -676,6 +682,8 @@ def streaming_geofence_transitions(events: DataFrame) -> DataFrame:
         out = []
         for ms, eid, ins in rows:
             if (ms, eid) <= (lts, leid):
+                if dropped_acc is not None:
+                    dropped_acc.add(1)
                 continue
             if inside is not None and ins != inside:
                 out.append(

@@ -521,6 +521,20 @@ def test_ancestors_doubling_chain_depth_exceeds_linear_rounds(spark):
     assert got == want
 
 
+def test_ancestors_doubling_rejects_multi_parent_dag(spark):
+    """The forest precondition fails LOUDLY: node 3 with two parents
+    (a DAG) must raise, not silently collapse parallel paths
+    (SCALE.md §4.7)."""
+    import pytest
+
+    from etl_everywhere_hub_spark.operators.graph import ancestors_doubling
+
+    rows = [(1, None), (2, None), (3, 1), (3, 2)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    with pytest.raises(ValueError, match="multiple parents"):
+        ancestors_doubling(df)
+
+
 def test_temporal_reachability_respects_time_order(spark):
     """The defining case: 0 contacts 1 at t=5, 1 contacted 2 at t=3 —
     a plain BFS reaches 2, but time-respecting reachability must NOT

@@ -82,9 +82,91 @@ def test_poll_source_empty(spark):
     assert df.schema == everywhere_item_schema()
 
 
-def test_decode_stub_raises():
+def test_decode_compressed_raises():
+    # compressed formats remain the narrowed NotImplementedError swap point
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
+
+
+def test_decode_ppm_p6_with_comments():
+    import numpy as np
+
+    pixels = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# a comment\n3 2\n# another\n255\n" + pixels.tobytes()
+    out = multimodal.decode_image(payload)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out, pixels)
+
+
+def test_decode_pgm_p5():
+    import numpy as np
+
+    pixels = np.arange(4 * 5, dtype=np.uint8).reshape(4, 5)
+    out = multimodal.decode_image(b"P5\n5 4\n255\n" + pixels.tobytes())
+    assert out.shape == (4, 5)
+    assert np.array_equal(out, pixels)
+
+
+def _make_bmp(pixels, bpp=24, top_down=False):
+    """Serialize an (h, w, 3) RGB array as an uncompressed BMP."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    bypp = bpp // 8
+    stride = (w * bypp + 3) & ~3
+    raster = bytearray()
+    row_order = range(h) if top_down else range(h - 1, -1, -1)
+    for i in row_order:
+        row = bytearray()
+        for j in range(w):
+            r, g, b = (int(x) for x in pixels[i, j])
+            row += bytes([b, g, r] + ([0xAA] if bypp == 4 else []))
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, bpp, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    return header + bytes(raster)
+
+
+@pytest.mark.parametrize("bpp", [24, 32])
+@pytest.mark.parametrize("top_down", [False, True])
+def test_decode_bmp_uncompressed(bpp, top_down):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    out = multimodal.decode_image(_make_bmp(pixels, bpp=bpp, top_down=top_down))
+    assert out.shape == (5, 3, 3)
+    assert np.array_equal(out, pixels)
+
+
+def test_decode_bmp_compressed_raises():
+    import struct
+
+    import numpy as np
+
+    payload = bytearray(_make_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(payload))
+
+
+def test_documents_as_media_rejects_non_ascii(spark):
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    docs = spark.createDataFrame([(1, "café")], "doc_id long, text string")
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        multimodal.documents_as_media(docs).collect()
 
 
 def test_multimodal_feature_plumbing(spark, sf_dir):

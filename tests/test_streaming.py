@@ -719,3 +719,50 @@ def test_streaming_geofence_equals_batch_transitions(spark, sf_dir, tmp_path):
         for r in REGISTRY["q211_geofence_transitions"].spark(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_geofence_out_of_order_drop_is_observable(spark, sf_dir, tmp_path):
+    """Cross-batch late arrivals are dropped BY CONTRACT — but the
+    loss must be countable, not silent: replay the events stream with
+    the LATER half first so every early row arrives behind the carried
+    (ms, event_id) position, and assert the dropped accumulator saw
+    them all. Ordered replay (the contract's precondition) must keep
+    the accumulator at zero."""
+    from etl_everywhere_hub_spark.streaming import jobs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = e.select("ts").toPandas()["ts"].median().to_pydatetime()
+    e3 = e.select("user_id", "event_id", "ts")
+    cut_col = F.lit(cut).cast(dict(e3.dtypes)["ts"])
+    early = e3.filter(F.col("ts") <= cut_col)
+    late = e3.filter(F.col("ts") > cut_col)
+    n_early = early.count()
+    # reversed arrival order: name b0 = LATE half, b1 = EARLY half
+    late.coalesce(1).write.parquet(str(tmp_path / "b0"))
+    early.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    stream = (
+        spark.readStream.schema(e3.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    acc = spark.sparkContext.accumulator(0)
+    jobs.run_to_table(
+        jobs.streaming_geofence_transitions(stream, dropped_acc=acc),
+        output_mode="append",
+    ).collect()
+    assert acc.value == n_early > 0
+
+    # ordered replay: zero drops
+    acc2 = spark.sparkContext.accumulator(0)
+    stream2 = (
+        spark.readStream.schema(e3.schema)
+        .option("maxFilesPerTrigger", 2)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    jobs.run_to_table(
+        jobs.streaming_geofence_transitions(stream2, dropped_acc=acc2),
+        output_mode="append",
+    ).collect()
+    assert acc2.value == 0
