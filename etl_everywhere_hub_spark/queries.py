@@ -4582,11 +4582,15 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary profile: global token counts, Zipf
     rank, and cumulative corpus coverage — 'how many vocab entries
     cover 95% of tokens' is THE sizing question before training a
-    tokenizer. Shape: explode → map-side-combined count → the top-100
-    ranking runs on the already-aggregated vocab (|V| rows, not
-    |tokens|), single-partition window over a tiny set, grand total
-    via 1-row broadcast. Exact BIGINT counts; the one double (share)
-    is a single division of two exact ints — bit-identical."""
+    tokenizer. Shape: explode → map-side-combined count → the rank
+    window carries ONLY row_number so the rnk<=100 filter compiles to
+    TakeOrderedAndProject (per-partition top-100, never a full-vocab
+    single-partition sort — at 100 TB the vocab is 10⁸⁺ rows); the
+    running coverage sum then runs over the already-limited 100 rows
+    (cumsum at rank k<=100 touches exactly the top-k rows, so the
+    bounded second window is exact). Grand total via 1-row broadcast.
+    Exact BIGINT counts; the one double (share) is a single division
+    of two exact ints — bit-identical."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -4597,12 +4601,15 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("n").alias("total"))
     w = Window.orderBy(F.col("n").desc(), "tok")
-    ranked = counts.select(
+    top = counts.select(
         "tok",
         "n",
         F.row_number().over(w).cast("long").alias("rnk"),
-        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
     ).filter(F.col("rnk") <= 100)
+    ranked = top.withColumn(
+        "cum_n",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return ranked.join(F.broadcast(total)).select(
         "tok",
         "n",
