@@ -54,10 +54,44 @@ def main() -> None:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count().collect()
 
-    # Two passes per query, report the min: this VM is shared and
-    # single runs see 2-3x spikes from external load; the min is the
-    # engine's actual cost (the quantity that transfers to a cluster).
+    # Per-round diffability (VERDICT r4 #8): the JSON line carries the
+    # paired DuckDB oracle timing and the PREVIOUS round's spark number
+    # per query, so regressions are machine-diffable from the artifact
+    # alone. Prev comes from the latest committed BENCH_r*.json.
+    prev: dict[str, float] = {}
+    try:
+        import glob
+        import re as _re
+
+        cands = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"BENCH_r(\d+)", p).group(1)),
+        )
+        if cands:
+            raw = json.load(open(cands[-1]))
+            parsed = raw.get("parsed")
+            if not isinstance(parsed, dict) or "queries" not in parsed:
+                m = _re.search(r'\{"metric".*\}', raw.get("tail", ""))
+                parsed = json.loads(m.group(0)) if m else {}
+            prev = parsed.get("queries", {}) or {}
+    except Exception:
+        prev = {}
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # Two passes per query per engine, report the min: this VM is
+    # shared and single runs see 2-3x spikes from external load; the
+    # min is the engine's actual cost (the quantity that transfers to
+    # a cluster).
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, q in sorted(headline_queries().items()):
         best = float("inf")
         for _ in range(2):
@@ -70,8 +104,27 @@ def main() -> None:
         # executor memory (each query still re-pays its own cache fill
         # on the second run — both runs measure the same work)
         spark.catalog.clearCache()
+        d_best = None
+        if q.oracle is not None:
+            d_best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                con.sql(q.oracle).df()
+                d_best = min(d_best, time.time() - t0)
+            d_best = round(d_best, 3)
+        detail[name] = {
+            "spark_s": timings[name],
+            "duckdb_s": d_best,
+            "prev_spark_s": prev.get(name),
+        }
 
     total = round(sum(timings.values()), 3)
+    duck_total = round(
+        sum(d["duckdb_s"] for d in detail.values() if d["duckdb_s"] is not None), 3
+    )
+    paired_spark = round(
+        sum(d["spark_s"] for d in detail.values() if d["duckdb_s"] is not None), 3
+    )
     print(
         json.dumps(
             {
@@ -79,6 +132,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_detail": detail,
+                "duckdb_total_paired": duck_total,
+                "spark_total_paired": paired_spark,
+                "ratio_paired": round(paired_spark / duck_total, 3) if duck_total else None,
                 "sf": sf_val,
                 "runs_per_query": 2,
                 "aggregation": "min",

@@ -12867,3 +12867,446 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, h int, w int, pix_sum long, r_sum long, "
         "first_r long, last_b long",
     )
+
+
+@query(
+    "q232_winnowing_fingerprints",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')),
+                       1, 15)) AS BIGINT)
+                for i in range(len(toks) - 2)] AS h
+        FROM t
+    ), s AS (
+        SELECT doc_id, h,
+               list_distinct([
+                   list_reduce(
+                       list_transform(range(p, p + 4),
+                                      j -> {'pos': j, 'hv': h[j + 1]}),
+                       (a, b) -> CASE WHEN b.hv <= a.hv THEN b ELSE a END).pos
+                   for p in range(len(h) - 3)
+               ]) AS sel_pos
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(sel_pos) AS BIGINT) AS n_fp,
+           CAST(list_sum(list_transform(sel_pos, p -> h[p + 1] % 1000000007))
+                AS BIGINT) AS fp_checksum
+    FROM s
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm — the guarantee-carrying alternative to q140's
+    fixed-stride span hashes): hash every token 3-gram (portable
+    md5_long), slide a window of 4 consecutive hashes, select the
+    RIGHTMOST MINIMAL hash per window, dedupe selections — any shared
+    substring of >= w+k-1 tokens is guaranteed to share a fingerprint,
+    with ~2/(w+1) selection density. Entirely map-side higher-order
+    array functions (transform/aggregate over materialized columns —
+    no per-element re-evaluation, no explode, ZERO shuffles): the
+    shape that scales to 100 TB by adding executors. Output is the
+    fingerprint count + an exact mod-p checksum per document (scalar
+    columns, driver-contract safe). The left-fold argmin with <=
+    implements the rightmost tiebreak identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    g = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("toks"), i, 3))),
+        ).alias("h"),
+    )
+    big = F.lit(1 << 62).cast("long")
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("h") - 3),
+        lambda p: F.aggregate(
+            F.sequence(p, p + 3),
+            F.struct(
+                F.lit(-1).cast("long").alias("pos"), big.alias("hv")
+            ),
+            lambda acc, j: F.when(
+                F.element_at(F.col("h"), j.cast("int")) <= acc["hv"],
+                F.struct(
+                    j.cast("long").alias("pos"),
+                    F.element_at(F.col("h"), j.cast("int")).alias("hv"),
+                ),
+            ).otherwise(acc),
+        )["pos"],
+    )
+    s = g.select("doc_id", "h", F.array_distinct(sel).alias("sel_pos"))
+    return s.select(
+        "doc_id",
+        F.size("sel_pos").cast("long").alias("n_fp"),
+        F.aggregate(
+            F.col("sel_pos"),
+            F.lit(0).cast("long"),
+            lambda a, p: a
+            + F.element_at(F.col("h"), p.cast("int")) % F.lit(1000000007),
+        ).alias("fp_checksum"),
+    )
+
+
+@query(
+    "q233_temperature_mixture",
+    """
+    WITH c AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    z AS (
+        SELECT SUM(pow(CAST(tokens AS DOUBLE), 0.7)) AS z,
+               CAST(SUM(tokens) AS BIGINT) AS total
+        FROM c
+    )
+    SELECT source, tokens,
+           round(pow(CAST(tokens AS DOUBLE), 0.7) / z, 6) AS weight,
+           round(pow(CAST(tokens AS DOUBLE), 0.7) / z
+                 / (tokens * 1.0 / total), 6) AS upweight
+    FROM c CROSS JOIN z
+    """,
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-LM
+    sampling rule: p_i ∝ n_i^α with α=0.7) over per-source token
+    counts: small sources are boosted, large ones damped, and
+    `upweight` = weight / natural-share is the boost factor a sampler
+    applies per source — the q203 water-filler's smooth cousin. The
+    corpus is touched once (token-count agg); the solve runs on the
+    source-cardinality table with a 1-row broadcast normalizer. pow/
+    sum-of-doubles follow the repo's round-6 transcendental
+    convention (q215)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("tokens")
+    )
+    z = c.agg(
+        F.sum(F.pow(F.col("tokens").cast("double"), F.lit(0.7))).alias("z"),
+        F.sum("tokens").cast("long").alias("total"),
+    )
+    p = F.pow(F.col("tokens").cast("double"), F.lit(0.7)) / F.col("z")
+    return c.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tokens",
+        F.round(p, 6).alias("weight"),
+        F.round(p / (F.col("tokens") * 1.0 / F.col("total")), 6).alias(
+            "upweight"
+        ),
+    )
+
+
+@query(
+    "q234_domain_blocklist",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END) || source ||
+               (CASE (doc_id // 7) % 4 WHEN 0 THEN '.example.com'
+                                WHEN 1 THEN '.example.org'
+                                WHEN 2 THEN '.spam.net'
+                                ELSE '.mirror.io' END) AS host
+        FROM documents
+    ),
+    r AS (SELECT * FROM (VALUES ('spam.net'), ('example.org'),
+                                ('src3.example.org'),
+                                ('cdn.src5.example.com')) AS t(rule)),
+    m AS (
+        SELECT doc_id, arg_max(rule, len(rule)) AS rule
+        FROM h JOIN r ON h.host = r.rule OR h.host LIKE '%.' || r.rule
+        GROUP BY doc_id
+    )
+    SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_blocked,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM m GROUP BY rule
+    """,
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist filtering — the URL-level curation step
+    every web-scale corpus runs before anything else. Hosts are
+    synthesized deterministically from (doc_id, source) [the fixture
+    has no URL column; same convention as q211's coordinates].
+    Longest-matching rule wins (src3.example.org beats example.org on
+    the same host). SCALE SHAPE: instead of the oracle's non-equi
+    `host LIKE '%.'||rule` theta join (O(docs×rules) work), the
+    engine explodes each host into its ≤5 dot-boundary label
+    suffixes and EQUI-joins the broadcast rule list — work is
+    O(docs×labels) with a map-side hash probe, the only shuffle the
+    final per-doc/per-rule aggs. That rewrite is what keeps a 10⁹-row
+    blocklist check off the all-pairs cliff at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.element_at(
+            F.array(
+                F.lit(".example.com"),
+                F.lit(".example.org"),
+                F.lit(".spam.net"),
+                F.lit(".mirror.io"),
+            ),
+            (F.expr("doc_id div 7") % 4 + 1).cast("int"),
+        ),
+    )
+    h = d.select("doc_id", host.alias("host")).withColumn(
+        "labels", F.split(F.col("host"), "\\.")
+    )
+    sfx = h.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("labels")),
+                lambda i: F.array_join(
+                    F.slice(F.col("labels"), i, F.size(F.col("labels")) - i + 1),
+                    ".",
+                ),
+            )
+        ).alias("sfx"),
+    )
+    rules = spark.createDataFrame(
+        [("spam.net",), ("example.org",), ("src3.example.org",),
+         ("cdn.src5.example.com",)],
+        "rule string",
+    )
+    m = sfx.join(F.broadcast(rules), sfx.sfx == rules.rule).select("doc_id", "rule")
+    best = m.groupBy("doc_id").agg(
+        F.max(F.struct(F.length("rule").alias("l"), F.col("rule").alias("r")))[
+            "r"
+        ].alias("rule")
+    )
+    return best.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocked"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+@query(
+    "q235_bpe_merge_round",
+    """
+    WITH words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE len(tok) >= 2 GROUP BY tok
+    ),
+    sym AS (
+        SELECT tok, wc,
+               CAST(generate_subscripts(string_split(tok, ''), 1) AS BIGINT)
+                   AS p,
+               unnest(string_split(tok, '')) AS s
+        FROM words
+    ),
+    p1 AS (
+        SELECT s AS a, lead(s) OVER (PARTITION BY tok ORDER BY p) AS b, wc
+        FROM sym QUALIFY b IS NOT NULL
+    ),
+    best AS (
+        SELECT a, b FROM p1 GROUP BY a, b
+        ORDER BY SUM(wc) DESC, a ASC, b ASC LIMIT 1
+    ),
+    cand AS (
+        SELECT tok, p
+        FROM (
+            SELECT tok, p, s, lead(s) OVER (PARTITION BY tok ORDER BY p) AS nx
+            FROM sym
+        )
+        WHERE s = (SELECT a FROM best) AND nx = (SELECT b FROM best)
+    ),
+    taken AS (
+        -- greedy left-to-right: within a run of CONSECUTIVE candidate
+        -- positions (only possible when a = b), every other one merges
+        SELECT tok, p
+        FROM (
+            SELECT tok, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY p) AS grp
+            FROM cand
+        )
+        QUALIFY (ROW_NUMBER() OVER (PARTITION BY tok, grp ORDER BY p) - 1)
+                % 2 = 0
+    ),
+    merged AS (
+        SELECT sym.tok, sym.wc, sym.p,
+               CASE WHEN t.p IS NOT NULL
+                    THEN sym.s || lead(sym.s)
+                         OVER (PARTITION BY sym.tok ORDER BY sym.p)
+                    ELSE sym.s END AS s,
+               COALESCE(lag(CASE WHEN t.p IS NOT NULL THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY sym.tok ORDER BY sym.p), 0)
+                   AS consumed
+        FROM sym LEFT JOIN taken t ON t.tok = sym.tok AND t.p = sym.p
+    ),
+    p2 AS (
+        SELECT s AS a2, lead(s) OVER (PARTITION BY tok ORDER BY p) AS b2, wc
+        FROM merged WHERE consumed = 0
+        QUALIFY b2 IS NOT NULL
+    ),
+    ranked AS (
+        SELECT a2 || ' ' || b2 AS pair, CAST(SUM(wc) AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, a2, b2)
+                    AS BIGINT) AS rnk
+        FROM p2 GROUP BY a2, b2
+    )
+    SELECT r.pair, r.n, r.rnk,
+           (SELECT a || b FROM best) AS merge_applied
+    FROM ranked r WHERE r.rnk <= 10
+    """,
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, iteration TWO — the step q128 stops
+    short of: pick the argmax pair (exact counts, (n desc, a, b)
+    total order — both engines agree bit-exactly), APPLY the merge to
+    every word's symbol sequence with greedy left-to-right
+    non-overlapping semantics (the real BPE rule, incl. the a==b
+    overlap case: 'xxx' → ['xx','x']), and recount pairs on the
+    merged sequences. The engine applies the merge as a map-side
+    array fold (F.aggregate over the symbol array — correct for
+    round 1 because merge outputs are 2 chars and can't alias a
+    1-char pair side); the oracle proves the same result through an
+    independent alternating-runs window formulation. Scale shape:
+    everything after the one corpus scan is VOCABULARY-sized
+    (Heaps-law sublinear); the single driver round-trip is the
+    1-row argmax pair — the canonical iterative-training shape
+    (q145's Lloyd step). Exercises the full learn→apply→relearn
+    tokenizer loop in-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("syms", F.split(F.col("tok"), ""))
+    )
+    pairs1 = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i.cast("int")).alias("a"),
+                    F.element_at(F.col("syms"), (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("pr"),
+        "wc",
+    ).select("pr.a", "pr.b", "wc")
+    top = (
+        pairs1.groupBy("a", "b")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    a, b = top["a"], top["b"]
+    m = a + b
+    empty = F.array().cast("array<string>")
+    merged = F.aggregate(
+        F.col("syms"),
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    w2 = words.select("wc", merged.alias("ms"))
+    pairs2 = w2.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ms"), i.cast("int")).alias("a"),
+                    F.element_at(F.col("ms"), (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("pr"),
+        "wc",
+    ).select("pr.a", "pr.b", "wc")
+    wr = Window.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        pairs2.groupBy("a", "b")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("pair"),
+            "n",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .withColumn("merge_applied", F.lit(m))
+    )
+
+
+@query(
+    "q236_curriculum_schedule",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               n_chars * 1.0 / len(string_split(text, ' ')) AS difficulty
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, difficulty,
+               CAST(ROW_NUMBER() OVER (ORDER BY difficulty ASC, doc_id ASC)
+                    AS BIGINT) AS rk,
+               CAST(NTILE(10) OVER (ORDER BY difficulty ASC, doc_id ASC)
+                    AS BIGINT) AS decile,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM t
+    )
+    SELECT decile,
+           CAST((rk - 1) % 8 AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           round(AVG(difficulty), 6) AS avg_difficulty
+    FROM r GROUP BY decile, batch
+    """,
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: rank the corpus by a difficulty
+    proxy (mean token length — exact single division of two BIGINTs,
+    bit-identical cross-engine), cut into 10 curriculum stages, and
+    deal documents round-robin into 8 training batches so every batch
+    spans the difficulty spectrum (the anti-correlation shuffle a
+    curriculum sampler needs). The oracle says ntile+row_number; the
+    engine computes the SAME numbers without any global window:
+    sampling.py:global_rank (range-bucketed two-phase scan) plus the
+    q226 integer-exact ntile arithmetic — the pattern that holds at
+    10⁹ documents. Output is the (stage, batch) occupancy grid:
+    bounded 80 rows."""
+    from etl_everywhere_hub_spark.operators.sampling import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("n_chars") * 1.0 / F.size(T.tokens(F.col("text")))).alias(
+            "difficulty"
+        ),
+    )
+    ranked = global_rank(
+        t, "difficulty", "doc_id", out="rk", descending=False
+    )
+    n1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    g = ranked.crossJoin(F.broadcast(n1))
+    # exact ntile(10): first (n mod 10) tiles get ceil(n/10) rows
+    cut = F.expr("(__n div 10 + 1) * (__n % 10)")
+    decile = F.when(
+        F.col("rk") <= cut,
+        F.expr("(rk - 1) div (__n div 10 + 1)") + 1,
+    ).otherwise(
+        F.expr("__n % 10 + (rk - (__n div 10 + 1) * (__n % 10) - 1) div (__n div 10)")
+        + 1
+    )
+    return (
+        g.withColumn("decile", decile.cast("long"))
+        .withColumn("batch", ((F.col("rk") - 1) % 8).cast("long"))
+        .groupBy("decile", "batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.round(F.avg("difficulty"), 6).alias("avg_difficulty"),
+        )
+    )

@@ -551,6 +551,11 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q229_supplier_hhi",
         "q230_completeness_profile",
         "q231_ppm_decode_real_pixels",
+        "q232_winnowing_fingerprints",
+        "q233_temperature_mixture",
+        "q234_domain_blocklist",
+        "q235_bpe_merge_round",
+        "q236_curriculum_schedule",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -587,6 +592,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q213_funnel_latency_quantiles": "hour-bin histogram (latency horizon)",
     "q223_source_concentration_gini": "per-source table (source vocabulary)",
     "q208_cross_source_contamination": "source-pair table (|sources|²)",
+    "q236_curriculum_schedule": "global_rank offset cascade over ≤32 bucket totals",
 }
 
 

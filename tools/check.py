@@ -49,12 +49,18 @@ def canon_df(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = "/root/testdata/sf0.001"
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf":
-            sf_dir = sys.argv[1:][i + 1]
-            args = [x for x in args if x != sf_dir]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = argv
 
     from etl_everywhere_hub_spark.queries import REGISTRY
     from etl_everywhere_hub_spark.session import get_spark
@@ -71,12 +77,14 @@ def main() -> int:
         n: q for n, q in REGISTRY.items() if not args or any(a in n for a in args)
     }
     n_pass = n_fail = n_skip = 0
+    results: dict[str, dict] = {}
     for name, q in sorted(selected.items()):
         t0 = time.time()
         try:
             sdf = q.spark(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            results[name] = {"match": False, "error": str(e)[:300]}
             n_fail += 1
             continue
         finally:
@@ -85,21 +93,30 @@ def main() -> int:
             spark.catalog.clearCache()
         if q.oracle is None:
             print(f"SKIP  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "match": None, "rows": len(sdf), "sec": round(time.time() - t0, 2),
+            }
             n_skip += 1
             continue
         try:
             odf = con.sql(q.oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            results[name] = {"match": False, "error": "oracle: " + str(e)[:300]}
             n_fail += 1
             continue
         s_rows, o_rows = canon_df(sdf), canon_df(odf)
         if sorted(sdf.columns) != sorted(odf.columns):
             print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            results[name] = {"match": False, "error": "column mismatch"}
             n_fail += 1
             continue
         if len(s_rows) != len(o_rows):
             print(f"FAIL  {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+            results[name] = {
+                "match": False,
+                "error": f"rowcount spark={len(s_rows)} oracle={len(o_rows)}",
+            }
             n_fail += 1
             continue
         mismatch = None
@@ -116,11 +133,32 @@ def main() -> int:
                 if x != y
             ]
             print(f"FAIL  {name}: row {i} differs → {'; '.join(diffs[:4])}")
+            results[name] = {"match": False, "error": f"row {i}: {'; '.join(diffs[:2])[:200]}"}
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "match": True, "rows": len(s_rows), "sec": round(time.time() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_skip,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
