@@ -131,3 +131,51 @@ def fingerprint(text: Column) -> Column:
     """
     normalized = F.regexp_replace(F.lower(F.trim(text)), " +", " ")
     return F.md5(normalized)
+
+
+def gram_hashes(toks: Column | str, k: int = 3) -> Column:
+    """Portable md5_long hash of every k-token gram, in position order
+    (array<long>, empty when the doc has < k tokens). Pass a
+    MATERIALIZED column (see shingles_of's lambda-capture warning)."""
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i, k))),
+        )
+    )
+
+
+def winnow_positions(h: Column | str, w: int = 4) -> Column:
+    """Winnowing selection (Schleimer/Wilkerson/Aiken, MOSS): slide a
+    window of ``w`` consecutive gram hashes, keep the RIGHTMOST
+    MINIMAL hash per window, dedupe positions. Returns the distinct
+    selected 1-based positions into ``h`` (array<long>, selection
+    density ~2/(w+1)). Guarantee: two docs sharing >= w+k-1
+    consecutive tokens share at least one selected hash. The
+    left-fold argmin with <= implements the rightmost tiebreak; all
+    higher-order functions over a materialized column — zero
+    shuffles. Docs with fewer than w hashes yield an empty selection
+    (winnow the whole doc with a smaller w upstream if needed)."""
+    h = F.col(h) if isinstance(h, str) else h
+    big = F.lit(1 << 62).cast("long")
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size(h) - (w - 1)),
+        lambda p: F.aggregate(
+            F.sequence(p, p + (w - 1)),
+            F.struct(F.lit(-1).cast("long").alias("pos"), big.alias("hv")),
+            lambda acc, j: F.when(
+                F.element_at(h, j.cast("int")) <= acc["hv"],
+                F.struct(
+                    j.cast("long").alias("pos"),
+                    F.element_at(h, j.cast("int")).alias("hv"),
+                ),
+            ).otherwise(acc),
+        )["pos"],
+    )
+    return F.when(
+        F.size(h) < w, F.array().cast("array<bigint>")
+    ).otherwise(F.array_distinct(sel))

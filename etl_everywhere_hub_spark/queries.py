@@ -12914,31 +12914,10 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     implements the rightmost tiebreak identically in both engines."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    g = toks.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("toks"), i, 3))),
-        ).alias("h"),
+    g = toks.select("doc_id", T.gram_hashes("toks", k=3).alias("h"))
+    s = g.select(
+        "doc_id", "h", T.winnow_positions("h", w=4).alias("sel_pos")
     )
-    big = F.lit(1 << 62).cast("long")
-    sel = F.transform(
-        F.sequence(F.lit(1), F.size("h") - 3),
-        lambda p: F.aggregate(
-            F.sequence(p, p + 3),
-            F.struct(
-                F.lit(-1).cast("long").alias("pos"), big.alias("hv")
-            ),
-            lambda acc, j: F.when(
-                F.element_at(F.col("h"), j.cast("int")) <= acc["hv"],
-                F.struct(
-                    j.cast("long").alias("pos"),
-                    F.element_at(F.col("h"), j.cast("int")).alias("hv"),
-                ),
-            ).otherwise(acc),
-        )["pos"],
-    )
-    s = g.select("doc_id", "h", F.array_distinct(sel).alias("sel_pos"))
     return s.select(
         "doc_id",
         F.size("sel_pos").cast("long").alias("n_fp"),
@@ -13308,5 +13287,194 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("docs"),
             F.min("doc_id").cast("long").alias("first_doc"),
             F.round(F.avg("difficulty"), 6).alias("avg_difficulty"),
+        )
+    )
+
+
+_Q237_COS = """
+               list_reduce(list_transform(range({n}),
+                   i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(range({n}),
+                      i -> {a}[i+1]::DOUBLE * {a}[i+1]::DOUBLE), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(range({n}),
+                      i -> {b}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)))
+"""
+
+
+@query(
+    "q237_matryoshka_agreement",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id % 40 = 1
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               {_Q237_COS.format(a='q.qe', b='e.embedding', n='len(q.qe)')} AS cf,
+               {_Q237_COS.format(a='q.qe', b='e.embedding', n='16')} AS ct
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    rf AS (
+        SELECT qid, vec_id AS full_nn,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cf DESC, vec_id ASC) AS rn
+        FROM scored
+    ),
+    rt AS (
+        SELECT qid, vec_id AS trunc_nn,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ct DESC, vec_id ASC) AS rn
+        FROM scored
+    )
+    SELECT rf.qid, CAST(rf.full_nn AS BIGINT) AS full_nn,
+           CAST(rt.trunc_nn AS BIGINT) AS trunc_nn,
+           CAST(CASE WHEN rf.full_nn = rt.trunc_nn THEN 1 ELSE 0 END AS BIGINT)
+               AS agree
+    FROM rf JOIN rt ON rt.qid = rf.qid AND rt.rn = 1
+    WHERE rf.rn = 1
+    """,
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding retrieval agreement: for each query
+    vector, the exact top-1 neighbor under FULL 64-dim cosine vs
+    under the FIRST-16-dims truncation — the measurement that decides
+    whether MRL-style truncated candidate generation (cheap: 4× less
+    arithmetic and shuffle bytes) can front a full-dim reranker. Both
+    cosines are sequential double left-folds (F.aggregate ≡ DuckDB
+    list_reduce — bit-identical, so both engines pick the identical
+    argmax; (cos desc, vec_id) total order breaks ties). Scale shape:
+    the tiny query set BROADCASTS across the corpus (q43's exempt
+    bounded cross-join pattern); per-query top-1 is one max-struct
+    agg, no corpus self-join, no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    from etl_everywhere_hub_spark.functions.vectors import cosine
+
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cf = cosine(F.col("qe"), F.col("embedding"))
+    ct = cosine(F.slice(F.col("qe"), 1, 16), F.slice(F.col("embedding"), 1, 16))
+    scored = pairs.select("qid", "vec_id", cf.alias("cf"), ct.alias("ct"))
+    best = scored.groupBy("qid").agg(
+        F.max(
+            F.struct(
+                F.col("cf").alias("c"),
+                (-F.col("vec_id")).alias("ni"),
+                F.col("vec_id").alias("id"),
+            )
+        )["id"].alias("full_nn"),
+        F.max(
+            F.struct(
+                F.col("ct").alias("c"),
+                (-F.col("vec_id")).alias("ni"),
+                F.col("vec_id").alias("id"),
+            )
+        )["id"].alias("trunc_nn"),
+    )
+    return best.select(
+        "qid",
+        F.col("full_nn").cast("long"),
+        F.col("trunc_nn").cast("long"),
+        F.when(F.col("full_nn") == F.col("trunc_nn"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("agree"),
+    )
+
+
+@query(
+    "q238_two_stage_retrieval_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id % 40 = 1
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               {_Q237_COS.format(a='q.qe', b='e.embedding', n='len(q.qe)')} AS cf,
+               {_Q237_COS.format(a='q.qe', b='e.embedding', n='16')} AS ct
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    full_nn AS (
+        SELECT qid, vec_id
+        FROM (SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cf DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    cand AS (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ct DESC, vec_id ASC) AS crank
+        FROM scored
+    )
+    SELECT f.qid, CAST(f.vec_id AS BIGINT) AS full_nn,
+           CAST(CASE WHEN c.crank IS NOT NULL AND c.crank <= 10
+                     THEN 1 ELSE 0 END AS BIGINT) AS found,
+           CAST(CASE WHEN c.crank <= 10 THEN c.crank ELSE 0 END AS BIGINT)
+               AS cand_rank
+    FROM full_nn f
+    LEFT JOIN cand c ON c.qid = f.qid AND c.vec_id = f.vec_id
+    """,
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval recall@10 — the composition q237 motivates,
+    measured per query: generate 10 candidates with the CHEAP
+    first-16-dims cosine, then ask whether the exact full-dim top-1
+    neighbor survived candidate generation (found), and at which
+    candidate rank. This is THE acceptance metric for shipping a
+    truncated-dim (or PQ/IVF) first stage in front of an exact
+    reranker. Same bounded broadcast cross-join shape as q237; the
+    candidate rank is a per-query (partitioned, rank-limited)
+    window. Both cosines are sequential double folds — bit-identical
+    argsorts across engines."""
+    from etl_everywhere_hub_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("cf"),
+        cosine(
+            F.slice(F.col("qe"), 1, 16), F.slice(F.col("embedding"), 1, 16)
+        ).alias("ct"),
+    ).persist()
+    full_nn = scored.groupBy("qid").agg(
+        F.max(
+            F.struct(
+                F.col("cf").alias("c"),
+                (-F.col("vec_id")).alias("ni"),
+                F.col("vec_id").alias("id"),
+            )
+        )["id"].alias("full_nn")
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("ct").desc(), F.col("vec_id").asc())
+    cand = scored.select(
+        "qid", "vec_id", F.row_number().over(wc).alias("crank")
+    ).filter(F.col("crank") <= 10)
+    return (
+        full_nn.join(
+            cand,
+            (cand.qid == full_nn.qid) & (cand.vec_id == full_nn.full_nn),
+            "left",
+        )
+        .select(
+            full_nn.qid,
+            F.col("full_nn").cast("long"),
+            F.when(F.col("crank").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("found"),
+            F.coalesce(F.col("crank"), F.lit(0)).cast("long").alias("cand_rank"),
         )
     )

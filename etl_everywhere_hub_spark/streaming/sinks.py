@@ -61,3 +61,60 @@ def upsert_snapshot_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def http_submit_sink(
+    features: DataFrame,
+    url: str,
+    feature_col: str = "feature_json",
+    chunk: int = 100,
+) -> None:
+    """Submit GeoJSON FeatureCollections over HTTP POST — the live
+    CloudTAK submit leg (reference: `this.submit(fc)` after both the
+    webhook and poll transforms, task.ts:151-154 and task.ts:235).
+
+    Executor-side, stdlib-only: each PARTITION groups its rows into
+    FeatureCollection bodies of ≤ ``chunk`` features and POSTs them —
+    no driver collect, so submission bandwidth scales with executor
+    count exactly like the reference's horizontally-scaled lambda.
+    Delivery is at-least-once per micro-batch (a failed task retries
+    whole partitions; CloudTAK upserts by feature id, task.ts:145-149,
+    so replays converge — same contract as the snapshot sink).
+
+    ``feature_col`` holds one serialized GeoJSON Feature per row
+    (build with F.to_json(struct(...)); pipeline/cot.py owns the
+    CoT-flavored construction). For streams, wrap in foreachBatch:
+
+        q = fc.writeStream.foreachBatch(
+            lambda df, _id: http_submit_sink(df, url)).start()
+    """
+
+    def send_partition(rows) -> None:
+        import json as _json
+        import urllib.request
+
+        feats: list = []
+
+        def flush() -> None:
+            if not feats:
+                return
+            body = _json.dumps(
+                {"type": "FeatureCollection", "features": feats}
+            ).encode()
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                resp.read()
+            feats.clear()
+
+        for row in rows:
+            feats.append(_json.loads(row[feature_col]))
+            if len(feats) >= chunk:
+                flush()
+        flush()
+
+    features.select(feature_col).foreachPartition(send_partition)

@@ -556,6 +556,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q234_domain_blocklist",
         "q235_bpe_merge_round",
         "q236_curriculum_schedule",
+        "q237_matryoshka_agreement",
+        "q238_two_stage_retrieval_recall",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)

@@ -531,3 +531,73 @@ def test_temporal_reachability_matches_python_dp_on_random_graphs(spark):
             for r in temporal_reachability(edf, sdf, max_hops=5).collect()
         }
         assert got == arrival, f"seed {seed}"
+
+
+def _winnow_ref(tokens: list[str], k: int = 3, w: int = 4) -> list[int]:
+    """Pure-python winnowing reference (Schleimer et al. fig. 4 with
+    rightmost-min tiebreak): returns distinct selected 1-based gram
+    positions."""
+    import hashlib
+
+    def h(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    hs = [h(" ".join(tokens[i : i + k])) for i in range(len(tokens) - k + 1)]
+    if len(hs) < w:
+        return []
+    sel: list[int] = []
+    for p in range(len(hs) - w + 1):
+        best_pos, best = -1, 1 << 62
+        for j in range(p, p + w):
+            if hs[j] <= best:
+                best_pos, best = j, hs[j]
+        if best_pos + 1 not in sel:
+            sel.append(best_pos + 1)
+    return sel
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=14
+    )
+)
+def test_winnow_positions_match_pure_python_reference(spark, toks):
+    """Engine winnowing (higher-order array folds) == the pure-python
+    MOSS reference, including ties (4-symbol alphabet forces repeated
+    grams) and short docs (< k tokens, < w grams)."""
+    from etl_everywhere_hub_spark.functions import text as T
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    out = (
+        df.select(T.gram_hashes("toks", k=3).alias("h"))
+        .select(T.winnow_positions("h", w=4).alias("sel"))
+        .collect()[0]["sel"]
+    )
+    assert list(out) == _winnow_ref(toks)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The MOSS guarantee: two docs sharing >= w+k-1 = 6 consecutive
+    tokens must share at least one selected fingerprint HASH."""
+    from etl_everywhere_hub_spark.functions import text as T
+
+    shared = ["the", "quick", "brown", "fox", "jumps", "over"]
+    doc_a = ["alpha", "beta"] + shared + ["gamma"]
+    doc_b = ["x1", "y2", "z3", "w4"] + shared + ["v5", "u6"]
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, toks array<string>"
+    )
+    rows = (
+        df.select("doc_id", T.gram_hashes("toks", k=3).alias("h"))
+        .select(
+            "doc_id",
+            "h",
+            T.winnow_positions("h", w=4).alias("sel"),
+        )
+        .collect()
+    )
+    fps = {
+        r["doc_id"]: {r["h"][p - 1] for p in r["sel"]} for r in rows
+    }
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"

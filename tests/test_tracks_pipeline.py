@@ -299,3 +299,57 @@ def test_http_bridge_end_to_end_matches_batch_device_cache(spark, tmp_path):
     assert set(got) == set(want) and len(want) > 0
     for k in want:
         assert got[k] == want[k], k
+
+
+def test_http_submit_sink_delivers_feature_collections(spark, tmp_path):
+    """The LIVE submit leg (task.ts:151-154/235 `this.submit(fc)`):
+    POST the transformed features to a real localhost receiver as
+    FeatureCollections and assert every feature arrives exactly once
+    with its payload intact, chunked into ≤2-feature collections
+    (exercising multi-POST flushes), from executor-side partitions
+    (no driver collect). The receiver is the in-repo WebhookBridge —
+    each delivery spools to one JSON file, so arrival is auditable."""
+    import json as _json
+
+    from etl_everywhere_hub_spark.sources.http_bridge import WebhookBridge
+    from etl_everywhere_hub_spark.streaming.sinks import http_submit_sink
+
+    feats = transform_features(_items(spark), path="webhook")
+    fc_rows = feats.select(
+        F.to_json(F.struct("*")).alias("feature_json")
+    )
+    # entity 1 legitimately emits two features (msg 1 and msg 2 — the
+    # dedup happens downstream at the cache), so deliveries are keyed
+    # by (feature id, msg_id)
+    want = {
+        (f["id"], f["msg_id"]): f
+        for f in (_json.loads(r["feature_json"]) for r in fc_rows.collect())
+    }
+
+    spool = str(tmp_path / "submit_spool")
+    bridge = WebhookBridge(spool)
+    host, port = bridge.start()
+    try:
+        http_submit_sink(
+            fc_rows, f"http://{host}:{port}/cloudtak-submit", chunk=2
+        )
+    finally:
+        bridge.stop()
+
+    import glob
+    import os
+
+    got = {}
+    n_collections = 0
+    for path in sorted(glob.glob(os.path.join(spool, "*.jsonl"))):
+        with open(path) as fh:
+            fc = _json.loads(fh.read())
+        assert fc["type"] == "FeatureCollection"
+        assert 1 <= len(fc["features"]) <= 2  # chunk contract
+        n_collections += 1
+        for f in fc["features"]:
+            key = (f["id"], f["msg_id"])
+            assert key not in got, "duplicate delivery"
+            got[key] = f
+    assert got == want and len(want) > 0
+    assert n_collections >= 2  # chunking actually produced multiple POSTs
