@@ -13478,3 +13478,158 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("crank"), F.lit(0)).cast("long").alias("cand_rank"),
         )
     )
+
+
+@query(
+    "q239_content_defined_chunking",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               list_concat(list_concat(
+                   CAST([0] AS BIGINT[]),
+                   [i for i in range(1, len(toks))
+                    if CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]),
+                             1, 15)) AS BIGINT) % 8 = 0]),
+                   [CAST(len(toks) AS BIGINT)]) AS b
+        FROM t
+    ),
+    ch AS (
+        SELECT doc_id,
+               [array_to_string(toks[b[j+1]+1 : b[j+2]], ' ')
+                for j in range(len(b) - 1)] AS chunks
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(len(chunks) AS BIGINT) AS n_chunks,
+           CAST(list_min(list_transform(chunks,
+                    c -> len(string_split(c, ' ')))) AS BIGINT) AS min_len,
+           CAST(list_max(list_transform(chunks,
+                    c -> len(string_split(c, ' ')))) AS BIGINT) AS max_len,
+           CAST(list_sum(list_transform(chunks,
+                    c -> CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT)
+                         % 1000000007)) AS BIGINT) AS chunk_checksum
+    FROM ch
+    """,
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC idea at token
+    granularity): cut after token i whenever the local 2-gram hash ≡ 0
+    (mod 8) — boundaries depend ONLY on local content, so an insertion
+    re-chunks a constant-size neighborhood while every other chunk
+    hash survives (the property that makes chunk-level dedup/delta
+    storage work; asserted in tests/test_properties.py). Expected
+    chunk length = the modulus (8 tokens). Entirely map-side
+    higher-order array ops — cut-point discovery, boundary assembly,
+    chunk slicing and checksums all happen inside one projection,
+    ZERO shuffles at any corpus size. Per-doc outputs: chunk count,
+    min/max chunk length, mod-p checksum of chunk md5s."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    cut = F.filter(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: md5_long(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i.cast("int")),
+                F.element_at(F.col("toks"), (i + 1).cast("int")),
+            )
+        )
+        % 8
+        == 0,
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.concat(
+            F.array(F.lit(0).cast("bigint")),
+            cut.cast("array<bigint>"),
+            F.array(F.size("toks").cast("bigint")),
+        ).alias("b"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("b") - 1),
+        lambda j: F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                (F.element_at(F.col("b"), j.cast("int")) + 1).cast("int"),
+                (
+                    F.element_at(F.col("b"), (j + 1).cast("int"))
+                    - F.element_at(F.col("b"), j.cast("int"))
+                ).cast("int"),
+            ),
+        ),
+    )
+    ch = c.select("doc_id", chunks.alias("chunks"))
+    clen = lambda ck: F.size(F.split(ck, " "))  # noqa: E731
+    return ch.select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.array_min(F.transform(F.col("chunks"), clen)).cast("long").alias("min_len"),
+        F.array_max(F.transform(F.col("chunks"), clen)).cast("long").alias("max_len"),
+        F.aggregate(
+            F.col("chunks"),
+            F.lit(0).cast("long"),
+            lambda a, ck: a + md5_long(ck) % F.lit(1000000007),
+        ).alias("chunk_checksum"),
+    )
+
+
+@query(
+    "q240_readability_fertility",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                   AS vowel_groups,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+        FROM documents
+    )
+    SELECT doc_id, words, bpe_tokens, vowel_groups,
+           round(bpe_tokens * 1.0 / words, 6) AS fertility,
+           round(letters * 1.0 / words, 6) AS avg_word_len,
+           round(vowel_groups * 1.0 / words, 6) AS syllables_per_word
+    FROM m
+    """,
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability / tokenizer-fertility profile — the
+    two numbers a curation pipeline screens on before training: BPE
+    fertility (regex pre-tokens per whitespace word — high fertility
+    flags text the tokenizer will fragment, the multilingual-cost
+    metric) and a Flesch-style complexity proxy (vowel-group
+    'syllables' per word, mean word length). Map-only single
+    projection — regex counting, exact BIGINT counts, each double a
+    single division of two exact ints (bit-identical; round-6 display
+    convention). Spark and DuckDB both run RE2-compatible patterns, so
+    the token regex (functions/text.py:TOKEN_REGEX) counts
+    identically."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("words"),
+        T.token_count(F.col("text")).alias("bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), 0))
+        .cast("long")
+        .alias("vowel_groups"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("letters"),
+    )
+    return m.select(
+        "doc_id",
+        "words",
+        "bpe_tokens",
+        "vowel_groups",
+        F.round(F.col("bpe_tokens") * 1.0 / F.col("words"), 6).alias("fertility"),
+        F.round(F.col("letters") * 1.0 / F.col("words"), 6).alias("avg_word_len"),
+        F.round(F.col("vowel_groups") * 1.0 / F.col("words"), 6).alias(
+            "syllables_per_word"
+        ),
+    )

@@ -558,6 +558,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q236_curriculum_schedule",
         "q237_matryoshka_agreement",
         "q238_two_stage_retrieval_recall",
+        "q239_content_defined_chunking",
+        "q240_readability_fertility",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)

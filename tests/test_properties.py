@@ -601,3 +601,73 @@ def test_winnowing_shared_substring_guarantee(spark):
         r["doc_id"]: {r["h"][p - 1] for p in r["sel"]} for r in rows
     }
     assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+
+
+def test_cdc_chunking_edit_locality(spark):
+    """The property content-defined chunking exists for: inserting a
+    token at the FRONT of a document re-chunks only the prefix before
+    the first surviving cut point — every later chunk (cut decisions
+    depend only on local 2-grams, all shifted intact) is byte-identical,
+    where a fixed-stride chunker would shift every boundary."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_everywhere_hub_spark.functions import text as T
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+
+    rng_words = [
+        f"w{(i * 2654435761) % 997}" for i in range(120)
+    ]  # deterministic pseudo-random token stream
+    doc_a = " ".join(rng_words)
+    doc_b = " ".join(["INSERTED"] + rng_words)
+
+    def chunks_of(text: str) -> list[str]:
+        toks = text.split(" ")
+        cuts = [
+            i
+            for i in range(1, len(toks))
+            if int(
+                hashlib.md5(f"{toks[i-1]} {toks[i]}".encode()).hexdigest()[:15],
+                16,
+            )
+            % 8
+            == 0
+        ]
+        b = [0] + cuts + [len(toks)]
+        return [" ".join(toks[b[j] : b[j + 1]]) for j in range(len(b) - 1)]
+
+    # engine vs pure-python on the same predicate (1-based i in the
+    # engine corresponds to the boundary between toks[i-1] and toks[i])
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    t = df.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    cut = F.filter(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: md5_long(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i.cast("int")),
+                F.element_at(F.col("toks"), (i + 1).cast("int")),
+            )
+        )
+        % 8
+        == 0,
+    )
+    got = {r["doc_id"]: list(r["cuts"]) for r in t.select("doc_id", cut.alias("cuts")).collect()}
+    toks_a = doc_a.split(" ")
+    want_a = [
+        i
+        for i in range(1, len(toks_a))
+        if int(
+            hashlib.md5(f"{toks_a[i-1]} {toks_a[i]}".encode()).hexdigest()[:15], 16
+        )
+        % 8
+        == 0
+    ]
+    assert got[1] == want_a
+
+    ca, cb = chunks_of(doc_a), chunks_of(doc_b)
+    shared = set(ca) & set(cb)
+    assert len(ca) > 3, "fixture must produce several chunks"
+    # everything after the first cut survives the front insertion
+    assert len(shared) >= len(ca) - 1
