@@ -135,18 +135,13 @@ def fingerprint(text: Column) -> Column:
 
 def gram_hashes(toks: Column | str, k: int = 3) -> Column:
     """Portable md5_long hash of every k-token gram, in position order
-    (array<long>, empty when the doc has < k tokens). Pass a
-    MATERIALIZED column (see shingles_of's lambda-capture warning)."""
+    (array<long>, empty when the doc has < k tokens): md5_long mapped
+    over shingles_of, which owns the window arithmetic and the n<k
+    empty guard. Pass a MATERIALIZED column (see shingles_of's
+    lambda-capture warning)."""
     from etl_everywhere_hub_spark.functions.hashing import md5_long
 
-    toks = F.col(toks) if isinstance(toks, str) else toks
-    n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i, k))),
-        )
-    )
+    return F.transform(shingles_of(toks, k), md5_long)
 
 
 def winnow_positions(h: Column | str, w: int = 4) -> Column:

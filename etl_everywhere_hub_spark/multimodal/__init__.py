@@ -221,8 +221,10 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     diverging on a future non-ASCII fixture, the payload column
     asserts octet_length == char length and fails loudly."""
     n_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    # NULL text passes through as a NULL payload (pre-gate behavior);
+    # only a NON-NULL multi-byte char trips the assertion
     ascii_ok = F.assert_true(
-        n_bytes == F.length(F.col("text")),
+        F.col("text").isNull() | (n_bytes == F.length(F.col("text"))),
         "documents_as_media: fixture text must be pure ASCII "
         "(byte-indexed engine vs char-indexed oracle contract)",
     )

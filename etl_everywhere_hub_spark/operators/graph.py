@@ -423,7 +423,9 @@ def ancestors_doubling(
     multi = (
         parents.filter(F.col(parent_col).isNotNull())
         .groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("__n"))
+        # DISTINCT parents: duplicate (id, parent) edge rows are a
+        # legal forest (the closure's distinct() absorbs them)
+        .agg(F.countDistinct(F.col(parent_col)).alias("__n"))
         .filter(F.col("__n") > 1)
         .limit(1)
         .collect()

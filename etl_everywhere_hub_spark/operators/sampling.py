@@ -215,3 +215,23 @@ def global_rank(
         n_buckets=n_buckets,
         descending=descending,
     ).withColumn(out, F.col(out).cast("long"))
+
+
+def exact_ntile(rank_col: str, n_col: str, tiles: int):
+    """ntile(``tiles``) as pure integer arithmetic over an exact
+    1-based global rank (``global_rank``) and a total count column —
+    the distributed replacement for the single-partition global ntile
+    window. Implements ntile's documented sizing exactly: the first
+    (n mod tiles) tiles take ceil(n/tiles) rows, the rest
+    floor(n/tiles). All `div`/`%` — exact past 2^53-scale ranks
+    (no float anywhere). Returns a Column; tiles must be a literal."""
+    from pyspark.sql import functions as F
+
+    big = f"({n_col} div {tiles})"
+    rem = f"({n_col} % {tiles})"
+    cut = f"(({big} + 1) * {rem})"
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {cut} "
+        f"THEN ({rank_col} - 1) div ({big} + 1) + 1 "
+        f"ELSE {rem} + ({rank_col} - {cut} - 1) div {big} + 1 END"
+    )

@@ -8346,9 +8346,11 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> x IN ('table', 'data', 'query'))) AS tf
         FROM documents
     ), ra AS (
-        SELECT doc_id,
-               row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rank_a
-        FROM lex
+        SELECT doc_id, rank_a FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rank_a
+            FROM lex
+        ) WHERE rank_a <= 100
     ), qv AS (
         SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
     ), sem AS (
@@ -8366,9 +8368,11 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings e ON e.vec_id = d.doc_id
         CROSS JOIN qv
     ), rb AS (
-        SELECT doc_id,
-               row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_b
-        FROM sem
+        SELECT doc_id, rank_b FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_b
+            FROM sem
+        ) WHERE rank_b <= 100
     ), fused AS (
         SELECT ra.doc_id,
                CAST(ra.rank_a AS BIGINT) AS rank_a,
@@ -8389,10 +8393,14 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     then fuse with sum of 1/(60+rank). Ranks, not scores, fuse — so
     the two signals need no calibration, and every arithmetic step
     (integer ranks, two exact divisions, one two-term sum) is
-    bit-identical cross-engine. Both rankings are global windows over
-    a doc-count-sized frame (the production form per-query-partition
-    windows over the candidate pool, already bounded by the retriever
-    top-k)."""
+    bit-identical cross-engine. TRUE RRF semantics: each ranker
+    contributes a TOP-100 CANDIDATE LIST (rank<=100 — fusion joins
+    the lists, docs outside either list drop), which is also the
+    scale posture: both rank windows carry only row_number + a rank
+    filter, so they compile to per-partition top-k
+    (TakeOrderedAndProject) instead of a corpus-wide single-partition
+    sort — gated by the registry-wide unpartitioned-window CI
+    test."""
     from etl_everywhere_hub_spark.functions.vectors import dot
 
     d = load_table(spark, sf_dir, "documents")
@@ -8411,7 +8419,7 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc()))
         .alias("rank_a"),
-    )
+    ).filter(F.col("rank_a") <= 100)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     sem = (
         d.join(emb, d.doc_id == emb.vec_id)
@@ -8432,7 +8440,7 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
         .alias("rank_b"),
-    )
+    ).filter(F.col("rank_b") <= 100)
     fused = ra.join(rb, "doc_id").select(
         "doc_id",
         F.col("rank_a").cast("bigint").alias("rank_a"),
@@ -12499,28 +12507,22 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    from etl_everywhere_hub_spark.operators.sampling import global_rank
+    from etl_everywhere_hub_spark.operators.sampling import (
+        exact_ntile,
+        global_rank,
+    )
 
     def tile4(df, metric, out):
-        # exact ntile(4) from the distributed rank: first (n mod 4)
-        # tiles take ceil(n/4) rows, the rest floor(n/4) — ntile's
-        # documented sizing, in integer arithmetic
+        # exact ntile(4) from the distributed rank (the shared
+        # integer-arithmetic helper, unit-tested against Spark's own
+        # ntile in tests/test_operators.py)
         ranked = global_rank(df, metric, "o_custkey", out="__rk")
         n = ranked.crossJoin(
             F.broadcast(df.agg(F.count(F.lit(1)).cast("long").alias("__n")))
         )
-        big, rem = F.expr("__n div 4"), F.col("__n") % 4
-        cut = (big + 1) * rem  # rows living in the oversized tiles
-        # both branches pure integer `div` — exact past 2^53-scale ranks
-        tile = F.when(
-            F.col("__rk") <= cut,
-            F.expr("(__rk - 1) div (__n div 4 + 1)") + 1,
-        ).otherwise(
-            rem
-            + F.expr("(__rk - (__n div 4 + 1) * (__n % 4) - 1) div (__n div 4)")
-            + 1
-        )
-        return n.withColumn(out, tile.cast("long")).drop("__rk", "__n")
+        return n.withColumn(
+            out, exact_ntile("__rk", "__n", 4).cast("long")
+        ).drop("__rk", "__n")
 
     scored = tile4(m, "last_ms", "r")
     scored = tile4(scored, "freq", "f")
@@ -12801,6 +12803,7 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
                ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
         FROM documents
         CROSS JOIN (SELECT unnest(range(768)) AS k) k
+        WHERE length(text) > 0
     )
     SELECT doc_id AS media_id, 16 AS h, 16 AS w,
            CAST(SUM(v) AS BIGINT) AS pix_sum,
@@ -12830,7 +12833,11 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents_as_media,
     )
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    # empty docs are excluded on BOTH sides (oracle: length(text) > 0;
+    # here: zero-byte payloads have no pixels to tile)
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
     H = W = 16
 
     def render_decode(batches):
@@ -12893,8 +12900,8 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(sel_pos) AS BIGINT) AS n_fp,
-           CAST(list_sum(list_transform(sel_pos, p -> h[p + 1] % 1000000007))
-                AS BIGINT) AS fp_checksum
+           CAST(COALESCE(list_sum(list_transform(sel_pos,
+                    p -> h[p + 1] % 1000000007)), 0) AS BIGINT) AS fp_checksum
     FROM s
     """,
 )
@@ -13256,7 +13263,10 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
     q226 integer-exact ntile arithmetic — the pattern that holds at
     10⁹ documents. Output is the (stage, batch) occupancy grid:
     bounded 80 rows."""
-    from etl_everywhere_hub_spark.operators.sampling import global_rank
+    from etl_everywhere_hub_spark.operators.sampling import (
+        exact_ntile,
+        global_rank,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -13270,17 +13280,8 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     g = ranked.crossJoin(F.broadcast(n1))
-    # exact ntile(10): first (n mod 10) tiles get ceil(n/10) rows
-    cut = F.expr("(__n div 10 + 1) * (__n % 10)")
-    decile = F.when(
-        F.col("rk") <= cut,
-        F.expr("(rk - 1) div (__n div 10 + 1)") + 1,
-    ).otherwise(
-        F.expr("__n % 10 + (rk - (__n div 10 + 1) * (__n % 10) - 1) div (__n div 10)")
-        + 1
-    )
     return (
-        g.withColumn("decile", decile.cast("long"))
+        g.withColumn("decile", exact_ntile("rk", "__n", 10).cast("long"))
         .withColumn("batch", ((F.col("rk") - 1) % 8).cast("long"))
         .groupBy("decile", "batch")
         .agg(

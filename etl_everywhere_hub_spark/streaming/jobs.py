@@ -663,6 +663,9 @@ def streaming_geofence_transitions(
     pass ``dropped_acc`` (a SparkContext accumulator) and every
     cross-batch out-of-order row increments it — operators alert on
     it instead of discovering the gap via the downstream hash gate.
+    (Accumulator caveat: task RETRIES re-increment, so the count is
+    at-least-once — an alerting signal, not an exact ledger; exact
+    accounting would ride the state schema.)
     Geometry is the identical deterministic point-in-circle
     predicate, so stream == batch row-for-row under ORDERED file
     replay (monotone-replay test: test_streaming.py geofence

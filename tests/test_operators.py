@@ -572,3 +572,28 @@ def test_global_rank_matches_naive_row_number(spark):
         for r in global_rank(df, "v", "id", descending=True, n_buckets=8).collect()
     }
     assert got == want
+
+
+def test_exact_ntile_matches_spark_ntile(spark):
+    """The shared integer ntile helper (q226/q236) must replicate
+    Spark's own ntile() for every (n, tiles) shape including n < tiles
+    and n % tiles != 0 — same first-tiles-get-ceil sizing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_everywhere_hub_spark.operators.sampling import exact_ntile
+
+    for n in [1, 3, 4, 7, 10, 23]:
+        for tiles in [2, 4, 10]:
+            df = (
+                spark.range(n)
+                .withColumn("rk", F.col("id") + 1)
+                .withColumn("n", F.lit(n).cast("long"))
+            )
+            got = df.withColumn("t", exact_ntile("rk", "n", tiles))
+            want = df.withColumn(
+                "t", F.ntile(tiles).over(Window.orderBy("rk"))
+            )
+            g = {r["rk"]: r["t"] for r in got.collect()}
+            w = {r["rk"]: r["t"] for r in want.collect()}
+            assert g == w, (n, tiles, g, w)

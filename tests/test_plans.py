@@ -591,6 +591,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q197_pareto_skyline": "offset cascade over ≤n_buckets bucket minima",
     "q224_zipf_slope": "global_rank offset cascade over ≤32 bucket totals",
     "q226_rfm_segmentation": "3× global_rank offset cascades (≤32 rows each)",
+    # window over an already-rank-limited input
+    "q115_vocab_coverage": "coverage cumsum over the TakeOrdered 100-row top set",
     # windows over low-cardinality dimension tables
     "q203_budget_water_filling": "per-source table (source vocabulary, not corpus)",
     "q213_funnel_latency_quantiles": "hour-bin histogram (latency horizon)",
@@ -635,8 +637,16 @@ def test_no_unbounded_unpartitioned_windows_anywhere(spark, sf_dir):
         hits = _unpartitioned_ordered_windows(plan)
         if not hits:
             continue
-        if "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan:
-            continue  # rank-limited: the optimizer bounds the sort
+        # per-node accounting, not a plan-level skip: every
+        # unpartitioned window must be covered by its own rank-limit
+        # node (an unrelated top-k elsewhere in the plan must not
+        # launder an unbounded global window)
+        n_limits = sum(
+            line.count("TakeOrderedAndProject") + line.count("WindowGroupLimit")
+            for line in plan.splitlines()
+        )
+        if len(hits) <= n_limits:
+            continue  # each window bounded by a rank-limit node
         if name in _BOUNDED_WINDOW_WHITELIST:
             continue
         offenders[name] = hits

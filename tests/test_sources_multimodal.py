@@ -344,3 +344,13 @@ def test_resize_images_nearest_matches_reference(spark):
         assert (r["h"], r["w"], r["src_h"], r["src_w"]) == (8, 8, 32, 32)
         back = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(8, 8)
         assert (back == want).all()
+
+
+def test_documents_as_media_null_text_passes_through(spark):
+    # NULL text is not an ASCII violation: the payload row survives as NULL
+    docs = spark.createDataFrame(
+        [(1, None), (2, "plain ascii")], "doc_id long, text string"
+    )
+    rows = {r["media_id"]: r["payload"] for r in multimodal.documents_as_media(docs).collect()}
+    assert rows[1] is None
+    assert bytes(rows[2]) == b"plain ascii"

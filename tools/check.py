@@ -48,18 +48,33 @@ def canon_df(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _take_flag(argv: list[str], flag: str) -> tuple[list[str], str | None]:
+    """Pop `--flag value` or `--flag=value`; exit with usage on a
+    missing value (never a bare IndexError, never a silent no-op)."""
+    out, val = [], None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == flag:
+            if i + 1 >= len(argv):
+                sys.exit(f"usage: {flag} <value>")
+            val = argv[i + 1]
+            i += 2
+            continue
+        if a.startswith(flag + "="):
+            val = a[len(flag) + 1 :]
+            i += 1
+            continue
+        out.append(a)
+        i += 1
+    return out, val
+
+
 def main() -> int:
     argv = sys.argv[1:]
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        argv = argv[:i] + argv[i + 2 :]
-    sf_dir = "/root/testdata/sf0.001"
-    if "--sf" in argv:
-        i = argv.index("--sf")
-        sf_dir = argv[i + 1]
-        argv = argv[:i] + argv[i + 2 :]
+    argv, json_out = _take_flag(argv, "--json")
+    argv, sf_arg = _take_flag(argv, "--sf")
+    sf_dir = sf_arg or "/root/testdata/sf0.001"
     args = argv
 
     from etl_everywhere_hub_spark.queries import REGISTRY
