@@ -354,3 +354,31 @@ def test_documents_as_media_null_text_passes_through(spark):
     rows = {r["media_id"]: r["payload"] for r in multimodal.documents_as_media(docs).collect()}
     assert rows[1] is None
     assert bytes(rows[2]) == b"plain ascii"
+
+
+def test_decode_malformed_inputs_raise_cleanly():
+    """Truncated/corrupt uncompressed images must raise ValueError-family
+    errors (frombuffer/reshape/int-parse), never hang or return a
+    wrong-shaped array silently."""
+    import numpy as np
+
+    good_ppm = b"P6\n3 2\n255\n" + bytes(range(18))
+    assert multimodal.decode_image(good_ppm).shape == (2, 3, 3)
+    bad = [
+        b"P6\n3 2\n255\n" + bytes(range(10)),   # truncated raster
+        b"P6\nxx yy\n255\nAAAA",                 # non-numeric dims
+        b"P6\n3\n255\n" + bytes(18),            # missing height
+        b"P5\n5 4\n255\n" + bytes(10),          # truncated grayscale
+        _make_bmp(np.zeros((2, 2, 3), dtype=np.uint8))[:20],  # truncated BMP
+    ]
+    for payload in bad:
+        try:
+            out = multimodal.decode_image(payload)
+        except Exception:
+            continue  # raising (any error type) is the contract
+        raise AssertionError(f"malformed input decoded to {out.shape}: {payload[:20]!r}")
+
+
+def test_decode_pnm_16bit_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"P6\n2 2\n65535\n" + bytes(24))
