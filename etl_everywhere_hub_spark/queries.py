@@ -13634,3 +13634,145 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
             "syllables_per_word"
         ),
     )
+
+
+@query(
+    "q241_last_touch_attribution",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, event_id,
+               CASE CAST(json_extract(props, '$.k') AS BIGINT) % 4
+                    WHEN 0 THEN 'search' WHEN 1 THEN 'social'
+                    WHEN 2 THEN 'email' ELSE 'ads' END AS channel
+        FROM events WHERE event_type = 'click'
+    ),
+    pur AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    attr AS (
+        SELECT p.event_id, p.cents,
+               (SELECT c.channel FROM clicks c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                  AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 604800000
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS channel
+        FROM pur p
+    )
+    SELECT COALESCE(channel, 'organic') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM attr GROUP BY COALESCE(channel, 'organic')
+    """,
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase's revenue goes
+    to the channel of the user's most recent click within a 7-day
+    lookback (ties: latest ts, then highest event_id), unattributed
+    purchases to 'organic' — the report every growth team builds
+    first. The engine runs it as an AS-OF JOIN WITH TOLERANCE
+    (operators/asof.py — union + one user-keyed window pass, linear;
+    the oracle's correlated ORDER-BY-LIMIT-1 subquery is the readable
+    quadratic twin). Channels derive deterministically from the click
+    props JSON. Money folds exact cents."""
+    e = load_table(spark, sf_dir, "events")
+    channel = F.element_at(
+        F.array(F.lit("search"), F.lit("social"), F.lit("email"), F.lit("ads")),
+        (
+            F.get_json_object(F.col("props"), "$.k").cast("bigint") % 4 + 1
+        ).cast("int"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", channel.alias("channel")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    j = asof_ops.asof_join(
+        pur,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["channel", "ts", "event_id"],
+        tolerance_ms=604_800_000,
+        tiebreak="event_id",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("asof_channel"), F.lit("organic")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "q242_floored_running_balance",
+    """
+    WITH RECURSIVE m AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type
+                    WHEN 'purchase' THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(value*100 + 0.5) AS BIGINT) END AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS step
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    bal(user_id, step, balance) AS (
+        SELECT user_id, step, greatest(CAST(0 AS BIGINT), delta)
+        FROM m WHERE step = 1
+        UNION ALL
+        SELECT m.user_id, m.step,
+               greatest(CAST(0 AS BIGINT), b.balance + m.delta)
+        FROM bal b JOIN m ON m.user_id = b.user_id AND m.step = b.step + 1
+    )
+    SELECT user_id,
+           CAST(MAX(step) AS BIGINT) AS n_moves,
+           CAST(arg_max(balance, step) AS BIGINT) AS final_balance_cents,
+           CAST(MAX(balance) AS BIGINT) AS peak_balance_cents
+    FROM bal GROUP BY user_id
+    """,
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored running balance (inventory that cannot go negative /
+    queue length / reflected random walk): S_t = max(0, S_{t-1} + x_t)
+    per user. The recurrence LOOKS sequential — and the oracle proves
+    it with a genuinely sequential recursive CTE — but the engine uses
+    the Lindley/Skorokhod reflection identity
+        S_t = cum_t - min(0, min_{k<=t} cum_k)
+    which turns it into TWO prefix-frame expressions over ONE
+    user-keyed sort window: a running sum and a running min of that
+    sum. One shuffle, no recursion, no UDF — the closed form is what
+    makes per-key sequential state machines like this tractable at
+    10⁹ entities. Deltas are exact cents (purchases credit, clicks
+    debit); outputs are per-user move count, final and peak balance."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    m = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("delta").over(w)
+    b = m.withColumn("__cum", cum).withColumn(
+        "balance",
+        F.col("__cum") - F.least(F.lit(0).cast("long"), F.min("__cum").over(w)),
+    )
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.max(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("balance").alias("b"))
+        )["b"].alias("final_balance_cents"),
+        F.max("balance").cast("long").alias("peak_balance_cents"),
+    )

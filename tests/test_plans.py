@@ -560,6 +560,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q238_two_stage_retrieval_recall",
         "q239_content_defined_chunking",
         "q240_readability_fertility",
+        "q241_last_touch_attribution",
+        "q242_floored_running_balance",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
