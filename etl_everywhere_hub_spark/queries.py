@@ -13776,3 +13776,61 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         )["b"].alias("final_balance_cents"),
         F.max("balance").cast("long").alias("peak_balance_cents"),
     )
+
+
+@query(
+    "q243_fuzzy_entity_match",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_key,
+               substr(c_name, 1, 17) ||
+               CAST((CAST(substr(c_name, 18, 1) AS BIGINT) + 5) % 10
+                    AS VARCHAR) AS dirty_name
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    roster AS (SELECT c_custkey AS match_key, c_name FROM customer),
+    cand AS (
+        SELECT d.dirty_key, r.match_key,
+               levenshtein(d.dirty_name, r.c_name) AS dist
+        FROM dirty d JOIN roster r
+          ON substr(d.dirty_name, 1, 16) = substr(r.c_name, 1, 16)
+    )
+    SELECT dirty_key, match_key, CAST(dist AS BIGINT) AS dist
+    FROM cand WHERE dist <= 1
+    """,
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (data-cleaning / MDM record linkage):
+    deterministically corrupt one digit of every third customer name,
+    then link each dirty record back to the roster at Levenshtein
+    distance <= 1 — THROUGH A BLOCKING KEY (first 16 name chars), the
+    standard ER move that bounds candidate pairs per block instead of
+    the all-pairs O(n²) a naive lev join does. A single-character
+    corruption can collide exactly with a DIFFERENT customer
+    (dist 0) as well as its own source (dist 1): both links emit.
+    Levenshtein is the classic integer DP — bit-identical across
+    engines. Scale: candidates = sum of |dirty_b|×|roster_b| per
+    block (bounded by the key design), one equi shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 17),
+            (
+                (F.substring(F.col("c_name"), 18, 1).cast("bigint") + 5) % 10
+            ).cast("string"),
+        ).alias("dirty_name"),
+    )
+    roster = c.select(F.col("c_custkey").alias("match_key"), "c_name")
+    cand = dirty.join(
+        roster,
+        F.substring(F.col("dirty_name"), 1, 16)
+        == F.substring(F.col("c_name"), 1, 16),
+    ).select(
+        "dirty_key",
+        "match_key",
+        F.levenshtein(F.col("dirty_name"), F.col("c_name")).alias("dist"),
+    )
+    return cand.filter(F.col("dist") <= 1).select(
+        "dirty_key", "match_key", F.col("dist").cast("long")
+    )

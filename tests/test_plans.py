@@ -562,6 +562,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q240_readability_fertility",
         "q241_last_touch_attribution",
         "q242_floored_running_balance",
+        "q243_fuzzy_entity_match",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
