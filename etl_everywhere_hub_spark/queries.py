@@ -13834,3 +13834,167 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("dist") <= 1).select(
         "dirty_key", "match_key", F.col("dist").cast("long")
     )
+
+
+@query(
+    "q244_scd2_intervals",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority,
+               epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
+               o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderpriority, ms, o_orderkey
+        FROM seq WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           CAST(ms AS BIGINT) AS valid_from_ms,
+           CAST(lead(ms) OVER (PARTITION BY o_custkey
+                               ORDER BY ms ASC, o_orderkey ASC) AS BIGINT)
+               AS valid_to_ms,
+           CAST(CASE WHEN lead(ms) OVER (PARTITION BY o_custkey
+                                         ORDER BY ms ASC, o_orderkey ASC)
+                          IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    """,
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each customer's
+    order-priority history into validity INTERVALS — a new row only
+    when the value actually changes (lag change-detection), valid_to
+    = the next change's timestamp (lead), open-ended row flagged
+    current. This is the standard warehouse dimension-history
+    construction (and the inverse of the as-of lookup q22 serves).
+    Two entity-keyed windows over one sort — single shuffle, no
+    self-join; intervals per key are bounded by the change count,
+    not the event count."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    seq = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        ms.alias("ms"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    changes = seq.filter(
+        F.col("prev_p").isNull() | (F.col("o_orderpriority") != F.col("prev_p"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("ms").asc(), F.col("o_orderkey").asc()
+    )
+    nxt = F.lead("ms").over(w2)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("ms").cast("long").alias("valid_from_ms"),
+        nxt.cast("long").alias("valid_to_ms"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+@query(
+    "q245_cdc_merge_apply",
+    """
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        FROM customer
+    ),
+    log AS (
+        SELECT o_custkey AS k,
+               epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms, o_orderkey,
+               CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS new_bal
+        FROM orders
+        UNION ALL
+        SELECT o_custkey + 1000000 AS k,
+               epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms, o_orderkey,
+               'I' AS op,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS new_bal
+        FROM orders WHERE o_custkey % 17 = 0
+    ),
+    latest AS (
+        SELECT k, op, new_bal FROM (
+            SELECT k, op, new_bal,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                                      ORDER BY ms DESC, o_orderkey DESC) AS rn
+            FROM log
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.k, l.k) AS custkey,
+           CAST(CASE WHEN l.op IN ('U', 'I') THEN l.new_bal
+                     ELSE b.bal END AS BIGINT) AS acctbal_cents,
+           CASE WHEN l.op IS NULL THEN 'base'
+                WHEN b.k IS NULL THEN 'inserted'
+                ELSE 'updated' END AS src
+    FROM base b FULL OUTER JOIN latest l ON l.k = b.k
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-apply — the Delta/Iceberg MERGE INTO semantics in
+    plain Spark (and the batch twin of streaming/sinks.py's upsert
+    snapshot): a change log of I/U/D operations (synthesized from
+    orders; last op per key wins by (ms, orderkey)) applied onto a
+    base snapshot. Upserts overwrite, inserts add unseen keys,
+    deletes drop base rows, untouched base rows pass through. Shape:
+    per-key rank-limited window (WindowGroupLimit) to pick the final
+    op, then ONE full-outer equi join against the base — no
+    iteration, no driver state; the merge scales with log+base size
+    exactly like a lakehouse MERGE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
+    )
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    upd = o.select(
+        F.col("o_custkey").alias("k"),
+        ms.alias("ms"),
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        cents.alias("new_bal"),
+    )
+    ins = o.filter(F.col("o_custkey") % 17 == 0).select(
+        (F.col("o_custkey") + 1000000).alias("k"),
+        ms.alias("ms"),
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        cents.alias("new_bal"),
+    )
+    log = upd.unionByName(ins)
+    wl = Window.partitionBy("k").orderBy(
+        F.col("ms").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "new_bal")
+    )
+    merged = base.join(latest, "k", "full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.col("k").alias("custkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+        .otherwise(F.col("bal"))
+        .cast("long")
+        .alias("acctbal_cents"),
+        F.when(F.col("op").isNull(), "base")
+        .when(F.col("bal").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("src"),
+    )

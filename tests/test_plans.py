@@ -563,6 +563,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q241_last_touch_attribution",
         "q242_floored_running_balance",
         "q243_fuzzy_entity_match",
+        "q244_scd2_intervals",
+        "q245_cdc_merge_apply",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
