@@ -13676,11 +13676,14 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic twin). Channels derive deterministically from the click
     props JSON. Money folds exact cents."""
     e = load_table(spark, sf_dir, "events")
-    channel = F.element_at(
-        F.array(F.lit("search"), F.lit("social"), F.lit("email"), F.lit("ads")),
-        (
-            F.get_json_object(F.col("props"), "$.k").cast("bigint") % 4 + 1
-        ).cast("int"),
+    # when-chain mirrors the oracle CASE exactly: NULL or negative k
+    # (both engines' % follows the dividend sign) falls to ELSE 'ads'
+    kmod = F.get_json_object(F.col("props"), "$.k").cast("bigint") % 4
+    channel = (
+        F.when(kmod == 0, "search")
+        .when(kmod == 1, "social")
+        .when(kmod == 2, "email")
+        .otherwise("ads")
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", channel.alias("channel")
@@ -13805,9 +13808,12 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
     then link each dirty record back to the roster at Levenshtein
     distance <= 1 — THROUGH A BLOCKING KEY (first 16 name chars), the
     standard ER move that bounds candidate pairs per block instead of
-    the all-pairs O(n²) a naive lev join does. A single-character
-    corruption can collide exactly with a DIFFERENT customer
-    (dist 0) as well as its own source (dist 1): both links emit.
+    the all-pairs O(n²) a naive lev join does. Cardinality note:
+    within a block every roster name differing only in the last TWO
+    digits can sit at distance <= 1, so each dirty record emits ~19
+    links (10 sharing its penultimate digit incl. the dist-0 exact
+    collision, 9 more sharing its corrupted last digit) — the sf0.1
+    artifact's 95,000 rows are 5,000 dirty x 19, not 2 per record.
     Levenshtein is the classic integer DP — bit-identical across
     engines. Scale: candidates = sum of |dirty_b|×|roster_b| per
     block (bounded by the key design), one equi shuffle."""
@@ -13956,33 +13962,35 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.select(
         F.col("c_custkey").alias("k"),
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
+        F.lit(1).alias("__in_base"),  # presence flag: mirrors oracle b.k IS NULL
     )
     ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    upd = o.select(
+    ud_row = F.struct(
         F.col("o_custkey").alias("k"),
         ms.alias("ms"),
-        "o_orderkey",
+        F.col("o_orderkey").alias("o_orderkey"),
         F.when(F.col("o_custkey") % 13 == 0, F.lit("D"))
         .otherwise(F.lit("U"))
         .alias("op"),
         cents.alias("new_bal"),
     )
-    ins = o.filter(F.col("o_custkey") % 17 == 0).select(
+    ins_row = F.struct(
         (F.col("o_custkey") + 1000000).alias("k"),
         ms.alias("ms"),
-        "o_orderkey",
+        F.col("o_orderkey").alias("o_orderkey"),
         F.lit("I").alias("op"),
         cents.alias("new_bal"),
     )
-    log = upd.unionByName(ins)
-    wl = Window.partitionBy("k").orderBy(
-        F.col("ms").desc(), F.col("o_orderkey").desc()
-    )
-    latest = (
-        log.withColumn("rn", F.row_number().over(wl))
-        .filter(F.col("rn") == 1)
-        .select("k", "op", "new_bal")
+    # ONE orders scan: the insert branch rides a conditional explode
+    log = o.select(
+        F.explode(
+            F.when(F.col("o_custkey") % 17 == 0, F.array(ud_row, ins_row))
+            .otherwise(F.array(ud_row))
+        ).alias("r")
+    ).select("r.*")
+    latest = latest_per_key(log, ["k"], "ms", "o_orderkey").select(
+        "k", "op", "new_bal"
     )
     merged = base.join(latest, "k", "full_outer")
     return merged.filter(
@@ -13994,7 +14002,7 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acctbal_cents"),
         F.when(F.col("op").isNull(), "base")
-        .when(F.col("bal").isNull(), "inserted")
+        .when(F.col("__in_base").isNull(), "inserted")
         .otherwise("updated")
         .alias("src"),
     )

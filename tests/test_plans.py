@@ -527,7 +527,7 @@ def test_gram_covariance_is_arrow_partial(spark, sf_dir):
 
 def test_round5_ops_stay_equi_shaped(spark, sf_dir):
     """Extends the round-4 gate through the end of the registry: every
-    join-bearing q213–q231 query must be equi-shaped (no raw
+    join-bearing q213–q245 query must be equi-shaped (no raw
     CartesianProduct; the deliberate 1-row broadcast scalar cross
     joins plan as BroadcastNestedLoopJoin over a single-row side and
     are exempt by the same rule as q193/q195/q199/q203)."""
