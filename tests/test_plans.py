@@ -571,6 +571,15 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan[:2000]}"
 
 
+def test_q245_cdc_log_single_orders_scan(spark, sf_dir):
+    """The I/U/D change log must come from ONE orders scan (conditional
+    explode), not a scan per branch — at scale the log build is the
+    fact-table read and doubling it doubles the query's I/O."""
+    df = REGISTRY["q245_cdc_merge_apply"].spark(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert plan.lower().count("orders.parquet") == 1, plan[:3000]
+
+
 def test_q218_pair_build_is_mapside_lead_not_doc_join(spark, sf_dir):
     """VERDICT r4 #1's plan gate: the skip-gram pair build must be the
     map-side lead() over a (doc_id, pos) window — NO shuffled join
