@@ -14006,3 +14006,58 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("src"),
     )
+
+
+@query(
+    "q246_stream_floored_balance",
+    """
+    WITH RECURSIVE m AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type
+                    WHEN 'purchase' THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(value*100 + 0.5) AS BIGINT) END AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS step
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    bal(user_id, step, balance) AS (
+        SELECT user_id, step, greatest(CAST(0 AS BIGINT), delta)
+        FROM m WHERE step = 1
+        UNION ALL
+        SELECT m.user_id, m.step,
+               greatest(CAST(0 AS BIGINT), b.balance + m.delta)
+        FROM bal b JOIN m ON m.user_id = b.user_id AND m.step = b.step + 1
+    )
+    SELECT user_id,
+           CAST(MAX(step) AS BIGINT) AS n_moves,
+           CAST(arg_max(balance, step) AS BIGINT) AS final_balance_cents,
+           CAST(MAX(balance) AS BIGINT) AS peak_balance_cents
+    FROM bal GROUP BY user_id
+    """,
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q242's floored balance computed by the STREAMING twin — the
+    recurrence run genuinely sequentially in applyInPandasWithState
+    scalar state (streaming/jobs.py:stateful_floored_balance) under
+    file replay, held to the same recursive-CTE oracle. Completes the
+    three-way agreement: sequential stream state == Lindley closed
+    form (q242) == recursive oracle, bit-exact (integer cents, no
+    tolerance). Per-user state is three int64s + the stream position;
+    the driver hash gate enforces the stream==batch contract the same
+    way q212 does for geofence alerts."""
+    s = stream_jobs.stream_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    moves = s.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    out = stream_jobs.run_to_table(
+        stream_jobs.stateful_floored_balance(moves), output_mode="update"
+    )
+    return latest_per_key(out, ["user_id"], "n_moves").select(
+        "user_id", "n_moves", "final_balance_cents", "peak_balance_cents"
+    )

@@ -716,3 +716,72 @@ def streaming_geofence_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BALANCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_moves", LongType()),
+        StructField("final_balance_cents", LongType()),
+        StructField("peak_balance_cents", LongType()),
+    ]
+)
+
+_BALANCE_STATE_SCHEMA = StructType(
+    [
+        StructField("balance", LongType()),
+        StructField("peak", LongType()),
+        StructField("n", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("last_eid", LongType()),
+    ]
+)
+
+
+def stateful_floored_balance(moves: DataFrame) -> DataFrame:
+    """Floored running balance S_t = max(0, S_{t-1} + x_t) as STREAMING
+    per-key scalar state — the genuinely sequential execution of the
+    recurrence whose batch twin (queries.q242) computes the SAME
+    numbers from the Lindley/Skorokhod closed form in two window
+    passes. Three-way agreement contract: this stream == the identity
+    == the recursive-CTE oracle. State is three int64 scalars plus the
+    (ms, event_id) position; each micro-batch sorts its rows and folds
+    (same order contract as stateful_ewma — exact integers here, so
+    agreement is bit-exact, not tolerance). Expects columns
+    (user_id, ms, event_id, delta); emits update-style running
+    (n_moves, final, peak) per batch."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            bal, peak, n, lms, leid = state.get
+        else:
+            bal, peak, n, lms, leid = 0, 0, 0, -1, -1
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append((int(r.ms), int(r.event_id), int(r.delta)))
+        rows.sort()
+        for ms, eid, delta in rows:
+            if (ms, eid) <= (lms, leid):
+                continue  # cross-batch late arrival: order-defined drop
+            bal = max(0, bal + delta)
+            peak = max(peak, bal)
+            n += 1
+            lms, leid = ms, eid
+        state.update((bal, peak, n, lms, leid))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_moves": [n],
+                "final_balance_cents": [bal],
+                "peak_balance_cents": [peak],
+            }
+        )
+
+    return moves.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=BALANCE_SCHEMA,
+        stateStructType=_BALANCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

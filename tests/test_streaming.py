@@ -771,3 +771,48 @@ def test_streaming_geofence_out_of_order_drop_is_observable(spark, sf_dir, tmp_p
         output_mode="append",
     ).collect()
     assert acc2.value == 0
+
+
+def test_stateful_floored_balance_carries_state_across_batches(spark, sf_dir, tmp_path):
+    """The Lindley recurrence's streaming twin must carry (balance,
+    peak, position) across micro-batch boundaries: replay the moves as
+    two time-ordered batches and the final per-user numbers must equal
+    the single-pass batch identity (q242) — bit-exact integer cents."""
+    from etl_everywhere_hub_spark.operators.windows import latest_per_key
+    from etl_everywhere_hub_spark.queries import REGISTRY
+    from etl_everywhere_hub_spark.streaming import jobs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cut = e.select("ts").toPandas()["ts"].median().to_pydatetime()
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    moves = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    cut_ms = int(cut.timestamp() * 1000)
+    moves.filter(F.col("ms") <= cut_ms).coalesce(1).write.parquet(str(tmp_path / "b0"))
+    moves.filter(F.col("ms") > cut_ms).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    stream = (
+        spark.readStream.schema(moves.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    drained = jobs.run_to_table(
+        jobs.stateful_floored_balance(stream), output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_moves"], r["final_balance_cents"], r["peak_balance_cents"])
+        for r in latest_per_key(drained, ["user_id"], "n_moves").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_moves"], r["final_balance_cents"], r["peak_balance_cents"])
+        for r in REGISTRY["q242_floored_running_balance"].spark(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
