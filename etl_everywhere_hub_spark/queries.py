@@ -14061,3 +14061,95 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(out, ["user_id"], "n_moves").select(
         "user_id", "n_moves", "final_balance_cents", "peak_balance_cents"
     )
+
+
+@query(
+    "q247_table_fingerprint",
+    """
+    WITH r AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                   CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007 AS h
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS fingerprint
+    FROM r
+    """,
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the replication /
+    migration acceptance check: every row canonicalizes to a pipe-
+    joined string (money through exact cents), hashes portably
+    (md5_long mod p), and the COMMUTATIVE sum makes the digest
+    independent of partitioning, task order, and row order — two
+    copies of a table match iff (n_rows, fingerprint) match, with
+    forgery probability ~1/p per differing row. One map-side
+    projection + one agg: the cheapest possible full-table
+    comparison (q189's Merkle buckets are the drill-down when this
+    top-level digest disagrees)."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+    )
+    return o.select((md5_long(canon) % 1000000007).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("h").cast("long").alias("fingerprint"),
+    )
+
+
+@query(
+    "q248_referential_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders ord LEFT JOIN customer c ON c.c_custkey = ord.o_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer cu LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+    """,
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit down the FK chain (lineitem→orders→
+    customer→nation): per relationship, child rowcount and orphan
+    count via left-join null probes — the constraint check engines
+    without enforced FKs (Spark, every lakehouse) must run as a
+    query. Scale shape: each probe is ONE equi join whose parent side
+    broadcasts when small (nation, customer) and shuffles when not
+    (orders) — never a distinct-collect; orphan counting is a
+    conditional map-side agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def probe(child, parent, ck, pk, label):
+        j = child.select(F.col(ck)).join(
+            parent.select(F.col(pk)), child[ck] == parent[pk], "left"
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select("fk", "n_child", "n_orphans")
+
+    return (
+        probe(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(probe(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(probe(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
+    )

@@ -565,6 +565,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q243_fuzzy_entity_match",
         "q244_scd2_intervals",
         "q245_cdc_merge_apply",
+        "q247_table_fingerprint",
+        "q248_referential_integrity_audit",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
