@@ -518,3 +518,76 @@ def temporal_reachability(
             .localCheckpoint(eager=True)
         )
     return arrival
+
+
+def hits_exact(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities, Kleinberg) in exact
+    integer micro-units — the link-analysis twin of ``pagerank_exact``
+    for DIRECTED bipartite-ish graphs (who-points-at-whom): a hub is
+    good because it points at good authorities, an authority is good
+    because good hubs point at it.
+
+    Determinism contract: the usual L2 normalization is replaced by
+    integer sum-normalization — after each half-step every score is
+    ``s * scale div total`` (floor division over non-negative BIGINTs,
+    bit-identical on any engine / execution order), so a fixed-round
+    unrolled SQL oracle reproduces the result exactly. Rankings are
+    unaffected (normalization is monotone).
+
+    ``nodes`` is (id); ``edges`` is directed (src, dst). Per
+    half-step: ONE equi join edges⋈scores + one groupBy on the other
+    endpoint — the aggregateMessages shuffle shape, partitioned on
+    vertex keys throughout; the normalizing total is a single-row
+    aggregate broadcast back (never a driver collect). Lineage is
+    truncated per round. Returns (id, hub_ppm, auth_ppm).
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    n = nodes.select(F.col("id").cast("long").alias("id"))
+    hub = n.select("id", F.lit(scale).cast("bigint").alias("h"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        auth = (
+            n.join(a_raw, "id", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "id",
+                F.expr(f"coalesce(s, 0L) * {scale} div t").cast("bigint").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        hub = (
+            n.join(h_raw, "id", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "id",
+                F.expr(f"coalesce(s, 0L) * {scale} div t").cast("bigint").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hub.join(auth, "id")
+        .select(
+            "id",
+            F.col("h").cast("long").alias("hub_ppm"),
+            F.col("a").cast("long").alias("auth_ppm"),
+        )
+    )

@@ -14153,3 +14153,386 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe(o, c, "o_custkey", "c_custkey", "orders->customer"))
         .unionByName(probe(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
     )
+
+
+@query(
+    "q249_ks_two_sample",
+    """
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2 FROM c
+    ), cum AS (
+        SELECT v,
+               SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2
+        FROM c
+    )
+    SELECT CAST(cum.v AS BIGINT) AS at_cents,
+           CAST(ABS(n.n2 * cum.cum1 - n.n1 * cum.cum2) AS BIGINT) AS d_num,
+           CAST(ABS(n.n2 * cum.cum1 - n.n1 * cum.cum2) * 1000000
+                // (n.n1 * n.n2) AS BIGINT) AS d_ppm,
+           n.n1 AS n1, n.n2 AS n2
+    FROM cum CROSS JOIN n
+    ORDER BY ABS(n.n2 * cum.cum1 - n.n1 * cum.cum2) DESC, cum.v ASC
+    LIMIT 1
+    """,
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    order-value distributions of two priority classes — the
+    distribution-drift test a data-quality / training-mix monitor
+    runs between corpus slices. D = max_v |F1(v) - F2(v)| is kept
+    EXACT and engine-portable by clearing denominators: the argmax of
+    |n2*cum1(v) - n1*cum2(v)| over integer cent values equals the
+    argmax of |F1 - F2| (n1, n2 positive constants), and every
+    quantity is BIGINT (counts < ~3e9 — the documented scaled-int
+    oracle envelope; the production form normalizes in doubles).
+
+    The oracle's global cumulative window is the classic 100 TB
+    single-partition bug, so the engine computes the SAME prefix sums
+    with the two-phase range-bucketed scan
+    (operators/sampling.py:global_prefix_sum): one conditional-agg
+    scan builds per-value counts for BOTH groups (one shuffle, no
+    second corpus pass), two bucketed cumsum passes, and the final
+    argmax is a TakeOrderedAndProject top-1 with a value-asc
+    tiebreak."""
+    from etl_everywhere_hub_spark.operators.sampling import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    c = o.groupBy(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cum = global_prefix_sum(c, "c1", "v", "v", out="cum1", descending=False)
+    cum = global_prefix_sum(cum, "c2", "v", "v", out="cum2", descending=False)
+    d = cum.crossJoin(F.broadcast(n)).withColumn(
+        "d_num",
+        F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")).cast(
+            "long"
+        ),
+    )
+    return (
+        d.orderBy(F.col("d_num").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("v").cast("long").alias("at_cents"),
+            "d_num",
+            F.expr("d_num * 1000000 div (n1 * n2)").cast("long").alias("d_ppm"),
+            "n1",
+            "n2",
+        )
+    )
+
+
+@query(
+    "q250_autocorr_daily",
+    """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx FROM daily
+    ), dev AS (
+        SELECT d, nd * x - sx AS dev FROM daily CROSS JOIN st
+    ), den AS (
+        SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev
+    ), ks AS (SELECT UNNEST(generate_series(1, 7)) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(SUM(a.dev * b.dev) AS BIGINT) AS num,
+           CAST(MIN(den.den) AS BIGINT) AS den,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM dev a JOIN ks ON TRUE JOIN dev b ON b.d = a.d + ks.k CROSS JOIN den
+    GROUP BY ks.k
+    """,
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-arrival series —
+    the weekly-seasonality detector a streaming-capacity planner runs
+    over event volumes. Exact integer arithmetic throughout: per-day
+    deviations are scaled by the day count (dev = nd*x - sx, so no
+    division and no float mean), and each lag reports the raw
+    covariance numerator and shared variance denominator (r_k =
+    num/den after one final client-side division if desired);
+    products stay far inside int64 because the series length is
+    calendar-bounded (~2.4k days) regardless of row scale.
+
+    Scale shape: ONE groupBy collapses the fact table to the bounded
+    daily series; stats and the denominator are single-row broadcast
+    cross joins; the lag pairing is an EQUI join on the computed key
+    b.d = a.d + k after a broadcast 7-row lag fanout — no window, no
+    self-cross-join."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "d", (F.col("nd") * F.col("x") - F.col("sx")).cast("long").alias("dev")
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den"))
+    ks = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    a, b = dev.alias("a"), dev.alias("b")
+    pairs = a.crossJoin(F.broadcast(ks)).join(
+        b, F.col("b.d") == F.col("a.d") + F.col("k")
+    )
+    return (
+        pairs.groupBy("k")
+        .agg(
+            F.sum(F.col("a.dev") * F.col("b.dev")).cast("long").alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select("k", "num", "den", "n_pairs")
+    )
+
+
+@query(
+    "q251_hits_copurchase",
+    """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_partkey + 10000000 AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), nodes AS (
+        SELECT src AS id FROM e UNION SELECT dst FROM e
+    ),
+    a1r AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) * 1000000 AS s
+            FROM e GROUP BY dst),
+    a1t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM a1r),
+    a1 AS (SELECT n.id, CAST(COALESCE(r.s, 0) * 1000000 // a1t.t AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a1r r ON r.id = n.id CROSS JOIN a1t),
+    h1r AS (SELECT e.src AS id, CAST(SUM(a1.a) AS BIGINT) AS s
+            FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+    h1t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM h1r),
+    h1 AS (SELECT n.id, CAST(COALESCE(r.s, 0) * 1000000 // h1t.t AS BIGINT) AS h
+           FROM nodes n LEFT JOIN h1r r ON r.id = n.id CROSS JOIN h1t),
+    a2r AS (SELECT e.dst AS id, CAST(SUM(h1.h) AS BIGINT) AS s
+            FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+    a2t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM a2r),
+    a2 AS (SELECT n.id, CAST(COALESCE(r.s, 0) * 1000000 // a2t.t AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a2r r ON r.id = n.id CROSS JOIN a2t),
+    h2r AS (SELECT e.src AS id, CAST(SUM(a2.a) AS BIGINT) AS s
+            FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+    h2t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM h2r),
+    h2 AS (SELECT n.id, CAST(COALESCE(r.s, 0) * 1000000 // h2t.t AS BIGINT) AS h
+           FROM nodes n LEFT JOIN h2r r ON r.id = n.id CROSS JOIN h2t)
+    SELECT CAST(h2.id AS BIGINT) AS id, h2.h AS hub_ppm, a2.a AS auth_ppm
+    FROM h2 JOIN a2 ON a2.id = h2.id
+    """,
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py:hits_exact) over
+    the customer→part purchase graph: a hub is a customer whose
+    basket concentrates on widely-bought parts, an authority is a
+    part bought by such customers — the link-analysis scoring
+    (Kleinberg's algorithm) that complements q139's PageRank on
+    directed graphs with two distinct roles. Two fixed iterations in
+    exact integer micro-units; the usual L2 normalization becomes an
+    integer sum-normalization (floor division by the broadcast score
+    total), so the unrolled 8-CTE oracle reproduces every score
+    bit-for-bit. Part ids are offset by 1e7 into a disjoint id space.
+
+    Scale shape: edge build is one equi join + distinct; each
+    half-step is one edges⋈scores equi join + groupBy on the other
+    endpoint (the aggregateMessages shape), score totals are
+    single-row broadcast joins; lineage truncated per round."""
+    from etl_everywhere_hub_spark.operators.graph import hits_exact
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    return hits_exact(nodes, e, iters=2)
+
+
+@query(
+    "q252_mann_whitney_u",
+    """
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2 FROM c
+    ), cum AS (
+        SELECT v, c1, c2, c1 + c2 AS t,
+               SUM(c1 + c2) OVER (ORDER BY v) AS cumt
+        FROM c
+    ), r AS (
+        SELECT CAST(SUM(c1 * (2 * (cumt - t) + t + 1)) AS BIGINT) AS r1_x2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubic
+        FROM cum
+    )
+    SELECT n.n1 AS n1, n.n2 AS n2,
+           CAST(r.r1_x2 - n.n1 * (n.n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n.n1 * n.n2 - (r.r1_x2 - n.n1 * (n.n1 + 1))
+                AS BIGINT) AS u2_x2,
+           r.tie_cubic AS tie_cubic
+    FROM r CROSS JOIN n
+    """,
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum statistic between the same two
+    priority slices as q249 — the nonparametric location test
+    (does one slice stochastically dominate?) completing the drift
+    toolbox (KS = shape, MWU = location, PSI q206 = binned mass).
+    Doubling removes the half-integer average ranks of ties: for a
+    tied run of t values starting after `before` predecessors, each
+    row's 2×(average rank) is 2*before + t + 1 — an integer — so
+    R1×2, U1×2, U2×2 and the tie-correction Σ(t³−t) are all exact
+    BIGINTs with the identity U1+U2 = n1*n2 checkable in-result.
+
+    The oracle's global cumulative window again becomes the
+    two-phase bucketed prefix sum in the engine; everything after it
+    is a single map-side-combined aggregation."""
+    from etl_everywhere_hub_spark.operators.sampling import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    c = o.groupBy(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cum = global_prefix_sum(
+        c, F.col("c1") + F.col("c2"), "v", "v", out="cumt", descending=False
+    )
+    t = F.col("c1") + F.col("c2")
+    r = cum.agg(
+        F.sum(F.col("c1") * (2 * (F.col("cumt") - t) + t + 1))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(t * t * t - t).cast("long").alias("tie_cubic"),
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_x2"),
+        (
+            2 * F.col("n1") * F.col("n2")
+            - (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        )
+        .cast("long")
+        .alias("u2_x2"),
+        "tie_cubic",
+    )
+
+
+@query(
+    "q253_sorted_neighborhood",
+    """
+    WITH r AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (ORDER BY floor(c_acctbal * 100 + 0.5),
+                                  c_custkey) AS rk
+        FROM customer
+    ), ks AS (SELECT UNNEST(generate_series(1, 3)) AS k)
+    SELECT CAST(a.c_custkey AS BIGINT) AS key_a,
+           CAST(b.c_custkey AS BIGINT) AS key_b,
+           CAST(ks.k AS BIGINT) AS k,
+           CAST(b.cents - a.cents AS BIGINT) AS gap_cents
+    FROM r a JOIN ks ON TRUE JOIN r b ON b.rk = a.rk + ks.k
+    WHERE a.c_mktsegment = b.c_mktsegment AND b.cents - a.cents <= 2000
+    """,
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) for entity
+    resolution: sort all records on a fuzzy key (account balance in
+    cents, custkey tiebreak) and compare each record only against its
+    next w=3 neighbors in the sort order — the third blocking
+    strategy in the ER toolbox next to q243's exact-prefix blocks and
+    q187's grid cells, and the one that catches near-misses that
+    cross block boundaries. Candidate pairs within the window that
+    share a market segment and sit ≤$20 apart are emitted as
+    duplicate-account candidates.
+
+    The oracle's global ROW_NUMBER is the single-partition scale bug;
+    the engine computes the identical rank with the range-bucketed
+    two-phase scan (operators/sampling.py:global_rank, ascending) and
+    then pairs neighbors with an EQUI self-join on b.rk = a.rk + k
+    after a broadcast 3-row fanout — the window comparison becomes a
+    co-partitioned join, linear in records × w."""
+    from etl_everywhere_hub_spark.operators.sampling import global_rank
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    ranked = global_rank(c, "cents", "c_custkey", out="rk", descending=False)
+    ks = spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
+    a = ranked.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("rk_b") == F.col("rk_a") + F.col("k"))
+        .filter(
+            (F.col("seg_a") == F.col("seg_b"))
+            & (F.col("cents_b") - F.col("cents_a") <= 2000)
+        )
+        .select(
+            F.col("key_a").cast("long"),
+            F.col("key_b").cast("long"),
+            "k",
+            (F.col("cents_b") - F.col("cents_a")).cast("long").alias("gap_cents"),
+        )
+    )

@@ -567,6 +567,11 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q245_cdc_merge_apply",
         "q247_table_fingerprint",
         "q248_referential_integrity_audit",
+        "q249_ks_two_sample",
+        "q250_autocorr_daily",
+        "q251_hits_copurchase",
+        "q252_mann_whitney_u",
+        "q253_sorted_neighborhood",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -615,6 +620,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q223_source_concentration_gini": "per-source table (source vocabulary)",
     "q208_cross_source_contamination": "source-pair table (|sources|²)",
     "q236_curriculum_schedule": "global_rank offset cascade over ≤32 bucket totals",
+    "q249_ks_two_sample": "2× prefix-sum offset cascades (≤32 bucket totals each)",
+    "q252_mann_whitney_u": "prefix-sum offset cascade over ≤32 bucket totals",
+    "q253_sorted_neighborhood": "global_rank offset cascade over ≤32 bucket totals",
 }
 
 
