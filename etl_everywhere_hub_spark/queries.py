@@ -14536,3 +14536,216 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents_b") - F.col("cents_a")).cast("long").alias("gap_cents"),
         )
     )
+
+
+@query(
+    "q254_seasonal_backtest",
+    """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), j AS (
+        SELECT a.x AS x, s.x AS x7, n.x AS x1
+        FROM daily a
+        JOIN daily s ON a.d = s.d + 7
+        JOIN daily n ON a.d = n.d + 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(x - x7)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(ABS(x - x1)) AS BIGINT) AS sae_naive,
+           CAST(CASE WHEN SUM(ABS(x - x1)) = 0 THEN NULL
+                ELSE SUM(ABS(x - x7)) * 1000000 // SUM(ABS(x - x1))
+                END AS BIGINT) AS mase_ppm
+    FROM j
+    """,
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily arrival series:
+    score the week-ago forecast (x̂_t = x_{t-7}) against the naive
+    yesterday baseline (x̂_t = x_{t-1}) by summed absolute error —
+    the numerator/denominator of MASE (Hyndman-Koehler), the standard
+    scale-free forecast-accuracy metric. All-integer: counts are
+    BIGINT, errors are absolute differences, and the final ratio is
+    ppm-scaled floor division (NULL if the naive error is zero —
+    identical CASE guard both engines). Evaluated on days where both
+    lags exist (gap days drop out of the join in both engines alike).
+
+    Scale shape: one groupBy collapses the fact table to the
+    calendar-bounded series; the two lag lookups are equi self-joins
+    on the shifted day key; the final scoring is a single map-side
+    aggregation. No windows anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    s7 = daily.select((F.col("d") + 7).alias("d"), F.col("x").alias("x7"))
+    n1 = daily.select((F.col("d") + 1).alias("d"), F.col("x").alias("x1"))
+    j = daily.join(s7, "d").join(n1, "d")
+    sae_s = F.sum(F.abs(F.col("x") - F.col("x7"))).cast("long")
+    sae_n = F.sum(F.abs(F.col("x") - F.col("x1"))).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        sae_s.alias("sae_seasonal"),
+        sae_n.alias("sae_naive"),
+    ).select(
+        "n_days",
+        "sae_seasonal",
+        "sae_naive",
+        F.when(
+            F.col("sae_naive") == 0, F.lit(None).cast("long")
+        )
+        .otherwise(F.expr("sae_seasonal * 1000000 div sae_naive"))
+        .cast("long")
+        .alias("mase_ppm"),
+    )
+
+
+@query(
+    "q255_weekly_ks_drift",
+    """
+    WITH o AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS bin
+        FROM orders
+    ), wkt AS (
+        SELECT wk, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY wk
+    ), bins AS (
+        SELECT UNNEST(generate_series(0, (SELECT MAX(bin) FROM o))) AS bin
+    ), cnt AS (
+        SELECT wk, bin, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY wk, bin
+    ), cum AS (
+        SELECT g.wk, g.bin, g.n,
+               SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.wk ORDER BY g.bin)
+                   AS cum
+        FROM (SELECT w.wk, b.bin, w.n FROM wkt w CROSS JOIN bins b) g
+        LEFT JOIN cnt c ON c.wk = g.wk AND c.bin = g.bin
+    )
+    SELECT CAST(a.wk AS BIGINT) AS wk_prev, CAST(b.wk AS BIGINT) AS wk_next,
+           CAST(MAX(ABS(b.n * a.cum - a.n * b.cum)) AS BIGINT) AS d_num,
+           CAST(MIN(a.n) AS BIGINT) AS n_prev,
+           CAST(MIN(b.n) AS BIGINT) AS n_next
+    FROM cum a JOIN cum b ON b.wk = a.wk + 1 AND b.bin = a.bin
+    GROUP BY a.wk, b.wk
+    """,
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week distribution-drift series: the q249 KS statistic
+    evaluated between every pair of ADJACENT weeks' order-value
+    distributions, over a fixed $100 bin grid — the continuous
+    monitoring view (one drift score per week transition) where q249
+    is the one-shot test. Denominator-cleared integer form again:
+    per-pair D_num = max_bin |n_next*cum_prev - n_prev*cum_next|.
+    The bin grid is densified (every week × every bin through the
+    observed max) so cumulative CDFs are comparable at every
+    boundary even when a week has empty bins — a COALESCE'd left
+    join from the grid, identical in both engines.
+
+    Scale shape: bins are price-bounded (~600) and weeks are
+    calendar-bounded, so the grid is small; the CDF window is
+    PARTITIONED by week (never global); the adjacent-week pairing is
+    an equi join on (wk+1, bin); one final bounded groupBy. The
+    week-count and bin-max singletons ride broadcast joins."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(unix_date(to_date(o_orderdate)) AS BIGINT) div 7").alias("wk"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 10000"
+        ).alias("bin"),
+    )
+    wkt = o.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    maxb = o.agg(F.max("bin").alias("mb"))
+    bins = maxb.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mb"))).alias("bin")
+    )
+    cnt = o.groupBy("wk", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = wkt.crossJoin(F.broadcast(bins))
+    w = Window.partitionBy("wk").orderBy("bin")
+    cum = (
+        grid.join(cnt, ["wk", "bin"], "left")
+        .withColumn("cum", F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w))
+        .select("wk", "bin", "n", "cum")
+    )
+    a = cum.select(
+        (F.col("wk") + 1).alias("wk_j"),
+        F.col("wk").alias("wk_prev"),
+        F.col("bin"),
+        F.col("n").alias("n_prev"),
+        F.col("cum").alias("cum_prev"),
+    )
+    b = cum.select(
+        F.col("wk").alias("wk_j"),
+        F.col("wk").alias("wk_next"),
+        F.col("bin"),
+        F.col("n").alias("n_next"),
+        F.col("cum").alias("cum_next"),
+    )
+    return (
+        a.join(b, ["wk_j", "bin"])
+        .groupBy("wk_prev", "wk_next")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n_next") * F.col("cum_prev")
+                    - F.col("n_prev") * F.col("cum_next")
+                )
+            )
+            .cast("long")
+            .alias("d_num"),
+            F.min("n_prev").cast("long").alias("n_prev"),
+            F.min("n_next").cast("long").alias("n_next"),
+        )
+    )
+
+
+@query(
+    "q256_haar_blocks",
+    """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT MIN(d) AS d0 FROM daily
+    ), off AS (
+        SELECT (d - d0) AS t, x FROM daily CROSS JOIN m
+    )
+    SELECT CAST(t // 8 AS BIGINT) AS block,
+           CAST(SUM(x) AS BIGINT) AS approx_sum,
+           CAST(SUM(CASE WHEN (t // 4) % 2 = 0 THEN x ELSE -x END)
+                AS BIGINT) AS detail
+    FROM off GROUP BY 1
+    """,
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-3 unnormalized Haar transform of the daily arrival
+    series: per 8-day dyadic block, the approximation coefficient
+    (block sum) and the coarsest detail coefficient (first-half sum
+    minus second-half sum) — the multi-resolution burst detector
+    (a large |detail| flags a volume shift INSIDE the block that a
+    plain 8-day rollup hides). Unnormalized Haar keeps every
+    coefficient an exact BIGINT (sums and signed sums of counts — no
+    √2 factors), so the oracle matches bit-for-bit; days with no
+    orders contribute zero to both engines identically, and the
+    dyadic index is anchored at the observed minimum day (single-row
+    broadcast) so blocks are data-aligned, not epoch-aligned.
+
+    Scale shape: one groupBy to the calendar-bounded daily series,
+    one single-row broadcast for the anchor, one bounded groupBy for
+    the blocks — a pure two-aggregation pipeline, no windows, no
+    self-joins."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    d0 = daily.agg(F.min("d").alias("d0"))
+    off = daily.crossJoin(F.broadcast(d0)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "x"
+    )
+    return off.groupBy(F.expr("t div 8").cast("long").alias("block")).agg(
+        F.sum("x").cast("long").alias("approx_sum"),
+        F.sum(
+            F.when(F.expr("(t div 4) % 2") == 0, F.col("x")).otherwise(-F.col("x"))
+        )
+        .cast("long")
+        .alias("detail"),
+    )

@@ -597,3 +597,26 @@ def test_exact_ntile_matches_spark_ntile(spark):
             g = {r["rk"]: r["t"] for r in got.collect()}
             w = {r["rk"]: r["t"] for r in want.collect()}
             assert g == w, (n, tiles, g, w)
+
+
+def test_hits_exact_known_graph(spark):
+    """Directed 1→3, 2→3, 2→4: 2 is the stronger hub (points at both
+    authorities), 3 the stronger authority (both hubs point at it).
+    Scores hand-computed through both integer sum-normalized
+    iterations — exact equality, not just ranking."""
+    from etl_everywhere_hub_spark.operators.graph import hits_exact
+
+    edges = spark.createDataFrame([(1, 3), (2, 3), (2, 4)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["id"])
+    got = {
+        r["id"]: (r["hub_ppm"], r["auth_ppm"])
+        for r in hits_exact(nodes, edges, iters=2).collect()
+    }
+    # iter1: a(3)=2e12 div 3e6=666666, a(4)=333333; h(1)=400000, h(2)=600000
+    # iter2: a(3)=625000, a(4)=375000; h(1)=384615, h(2)=615384
+    assert got == {
+        1: (384615, 0),
+        2: (615384, 0),
+        3: (0, 625000),
+        4: (0, 375000),
+    }

@@ -572,6 +572,9 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q251_hits_copurchase",
         "q252_mann_whitney_u",
         "q253_sorted_neighborhood",
+        "q254_seasonal_backtest",
+        "q255_weekly_ks_drift",
+        "q256_haar_blocks",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
