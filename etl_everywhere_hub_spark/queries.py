@@ -14749,3 +14749,265 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("detail"),
     )
+
+
+@query(
+    "q257_kaplan_meier",
+    """
+    WITH od AS (
+        SELECT o_custkey AS cust,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d
+        FROM orders
+    ), g1 AS (
+        SELECT cust, MIN(d) AS d1, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM od GROUP BY cust
+    ), second AS (
+        SELECT od.cust, MIN(od.d) AS d2
+        FROM od JOIN g1 ON g1.cust = od.cust
+        WHERE od.d > g1.d1 GROUP BY od.cust
+    ), horizon AS (
+        SELECT MAX(d) AS maxd FROM od
+    ), subj AS (
+        SELECT g1.cust,
+               CASE WHEN g1.cnt >= 2
+                    THEN COALESCE(s.d2, g1.d1) - g1.d1
+                    ELSE h.maxd - g1.d1 END AS t,
+               CASE WHEN g1.cnt >= 2 THEN 1 ELSE 0 END AS ev
+        FROM g1 LEFT JOIN second s ON s.cust = g1.cust CROSS JOIN horizon h
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_subj FROM subj
+    ), ct AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS all_c,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM subj GROUP BY t
+    ), cum AS (
+        SELECT t, all_c, d,
+               SUM(all_c) OVER (ORDER BY t) AS cumt
+        FROM ct
+    ), ev AS (
+        SELECT t, d, n.n_subj - (cumt - all_c) AS n_risk,
+               CASE WHEN d < n.n_subj - (cumt - all_c)
+                    THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+                         / CAST(n.n_subj - (cumt - all_c) AS DOUBLE))
+                         * 1000000000 + 0.5) AS BIGINT)
+                    ELSE NULL END AS ln_nano
+        FROM cum CROSS JOIN n
+        WHERE d > 0
+    ), km AS (
+        SELECT t, d, n_risk, ln_nano,
+               SUM(ln_nano) OVER (ORDER BY t) AS cum_ln
+        FROM ev
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, d AS d_events,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(CASE WHEN ln_nano IS NULL THEN NULL ELSE cum_ln END
+                AS BIGINT) AS s_ln_nano
+    FROM km
+    """,
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over time-to-repeat-purchase:
+    customers with a second order are events at t = days between
+    first and second order; single-order customers are RIGHT-CENSORED
+    at the observation horizon — the product-limit estimator that
+    retention/churn analytics needs when "hasn't repurchased YET" must
+    not count as "never will". Determinism: the curve is carried in
+    log space as Σ ln(1 - d_t/n_t) with each term quantized to nano
+    units after a row-level IEEE division (the q89 BM25 convention —
+    transcendentals round to 9 decimals before any accumulation), so
+    the running product is an exact BIGINT prefix sum; the terminal
+    time where d = n (everyone remaining dies) yields NULL, not -inf.
+
+    Scale shape: two customer-keyed aggregations (first/second order
+    date — the d2 lookup is an equi join back, not a window), one
+    groupBy to the duration-level table (calendar-bounded), then the
+    at-risk suffix counts and the log-survival accumulation are TWO
+    distributed prefix sums (operators/sampling.py:global_prefix_sum);
+    the subject total and horizon are single-row broadcasts."""
+    from etl_everywhere_hub_spark.operators.sampling import global_prefix_sum
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("d"),
+    )
+    g1 = od.groupBy("cust").agg(
+        F.min("d").alias("d1"), F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    second = (
+        od.join(g1, "cust")
+        .filter(F.col("d") > F.col("d1"))
+        .groupBy("cust")
+        .agg(F.min("d").alias("d2"))
+    )
+    horizon = od.agg(F.max("d").alias("maxd"))
+    subj = (
+        g1.join(second, "cust", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "cust",
+            F.when(
+                F.col("cnt") >= 2, F.coalesce(F.col("d2"), F.col("d1")) - F.col("d1")
+            )
+            .otherwise(F.col("maxd") - F.col("d1"))
+            .alias("t"),
+            F.when(F.col("cnt") >= 2, 1).otherwise(0).alias("ev"),
+        )
+    )
+    n = subj.agg(F.count(F.lit(1)).cast("long").alias("n_subj"))
+    ct = subj.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("all_c"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    cum = global_prefix_sum(ct, "all_c", "t", "t", out="cumt", descending=False)
+    ev = (
+        cum.crossJoin(F.broadcast(n))
+        .withColumn("n_risk", F.col("n_subj") - (F.col("cumt") - F.col("all_c")))
+        .filter(F.col("d") > 0)
+        .withColumn(
+            "ln_nano",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.floor(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double") / F.col("n_risk").cast("double")
+                    )
+                    * 1000000000
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(None).cast("long")),
+        )
+    )
+    km = global_prefix_sum(ev, "ln_nano", "t", "t", out="cum_ln", descending=False)
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").alias("d_events"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.when(F.col("ln_nano").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("cum_ln").cast("long"))
+        .alias("s_ln_nano"),
+    )
+
+
+@query(
+    "q258_capture_recapture",
+    """
+    WITH s1 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+    ), s2 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m
+        FROM s1 JOIN s2 USING (o_custkey)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+           m.m AS m,
+           CAST(((SELECT COUNT(*) FROM s1) + 1)
+                * ((SELECT COUNT(*) FROM s2) + 1) // (m.m + 1) - 1
+                AS BIGINT) AS est_chapman
+    FROM m
+    """,
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat the customers active in 1995 and in 1996
+    as two independent "captures" and estimate the total active
+    population — the mark-recapture trick a crawl/corpus pipeline
+    uses to estimate how many documents exist beyond what two
+    overlapping crawls saw. est = (n1+1)(n2+1)/(m+1) - 1, all BIGINT
+    floor division (the +1s also make it total — no div-by-zero when
+    the overlap is empty).
+
+    Scale shape: two distinct-key aggregations and one equi join for
+    the overlap count — every step keyed on the entity id; the three
+    scalars meet in single-row broadcast cross joins."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y0: str, y1: str):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    s1 = year_keys("1995-01-01", "1996-01-01")
+    s2 = year_keys("1996-01-01", "1997-01-01")
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = s1.join(s2, "o_custkey").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return (
+        m.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n1",
+            "n2",
+            "m",
+            F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1")
+            .cast("long")
+            .alias("est_chapman"),
+        )
+    )
+
+
+@query(
+    "q259_bootstrap_subsample_means",
+    """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), bs AS (
+        SELECT UNNEST(generate_series(1, 200)) AS b
+    ), picked AS (
+        SELECT bs.b, daily.d, daily.x
+        FROM daily CROSS JOIN bs
+        WHERE ('0x' || substr(md5(CAST(bs.b AS VARCHAR) || '|'
+                              || CAST(daily.d AS VARCHAR)), 1, 15))::BIGINT
+              % 2 = 0
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) * 1000000 // COUNT(*) AS BIGINT) AS mean_ppm
+    FROM picked GROUP BY b
+    """,
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-subsample bootstrap of the daily-volume mean
+    (m-out-of-n bootstrap, Bickel-Götze-van Zwet): 200 resamples,
+    each keeping day d iff md5(b|d) is even — a reproducible,
+    engine-portable stand-in for RNG resampling (the md5_long
+    spelling both engines share), so the bootstrap distribution of
+    the mean is bit-identical everywhere. Output is the resample
+    distribution itself (b, subsample size, ppm-scaled mean) — CI
+    endpoints are any downstream quantile of these 200 bounded rows.
+
+    Scale shape: one fact groupBy to the calendar-bounded series,
+    then a broadcast 200-row fanout, a map-side hash filter (half the
+    fanout dies before the shuffle), and one bounded groupBy(b) —
+    resampling never re-reads the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bs = spark.range(1, 201).select(F.col("id").cast("long").alias("b"))
+    picked = daily.crossJoin(F.broadcast(bs)).filter(
+        md5_long(
+            F.concat(
+                F.col("b").cast("string"), F.lit("|"), F.col("d").cast("string")
+            )
+        )
+        % 2
+        == 0
+    )
+    return picked.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(sum(x) * 1000000 div count(1) AS BIGINT)").alias("mean_ppm"),
+    )

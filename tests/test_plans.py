@@ -575,6 +575,9 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q254_seasonal_backtest",
         "q255_weekly_ks_drift",
         "q256_haar_blocks",
+        "q257_kaplan_meier",
+        "q258_capture_recapture",
+        "q259_bootstrap_subsample_means",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -626,6 +629,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q249_ks_two_sample": "2× prefix-sum offset cascades (≤32 bucket totals each)",
     "q252_mann_whitney_u": "prefix-sum offset cascade over ≤32 bucket totals",
     "q253_sorted_neighborhood": "global_rank offset cascade over ≤32 bucket totals",
+    "q257_kaplan_meier": "2× prefix-sum offset cascades (≤32 bucket totals each)",
 }
 
 

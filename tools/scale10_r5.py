@@ -42,12 +42,41 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{X10}/embeddings.parquet")
 
+    if not os.path.exists(f"{X10}/orders.parquet"):
+        # 10x the relational facts too (distinct orderkeys, FK-consistent
+        # lineitem copies, distinct custkeys) for the q249+ stats ops.
+        # Same date range: the calendar-bounded series ops (q250/q254/
+        # q256) should scale only in their first fact groupBy.
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        c = spark.read.parquet(f"{SF}/customer.parquet")
+        ro = rl = rc = None
+        for i in range(10):
+            off = F.lit(i * 1_000_000_000)
+            r1 = o.withColumn("o_orderkey", F.col("o_orderkey") + off)
+            r2 = li.withColumn("l_orderkey", F.col("l_orderkey") + off)
+            r3 = c.withColumn("c_custkey", F.col("c_custkey") + off)
+            ro = r1 if ro is None else ro.unionAll(r1)
+            rl = r2 if rl is None else rl.unionAll(r2)
+            rc = r3 if rc is None else rc.unionAll(r3)
+        ro.write.mode("overwrite").parquet(f"{X10}/orders.parquet")
+        rl.write.mode("overwrite").parquet(f"{X10}/lineitem.parquet")
+        rc.write.mode("overwrite").parquet(f"{X10}/customer.parquet")
+
     names = [
         "q218_skipgram_pmi",         # map-side lead pair build (1 shuffle)
         "q224_zipf_slope",           # global_rank two-phase vocab rank
         "q232_winnowing_fingerprints",  # pure map-side folds
         "q234_domain_blocklist",     # suffix explode + broadcast equi
         "q239_content_defined_chunking",  # map-only
+        "q249_ks_two_sample",        # two-phase CDF prefix sums
+        "q250_autocorr_daily",       # calendar-bounded series after 1 groupBy
+        "q251_hits_copurchase",      # equi-join aggregateMessages half-steps
+        "q252_mann_whitney_u",       # one prefix-sum pass + one agg
+        "q253_sorted_neighborhood",  # global_rank + rank+k equi self-join
+        "q254_seasonal_backtest",    # shifted-day equi self-joins
+        "q255_weekly_ks_drift",      # week-partitioned CDF windows
+        "q256_haar_blocks",          # two aggregations
     ]
     out = {}
     for name in names:
