@@ -15011,3 +15011,263 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.expr("CAST(sum(x) * 1000000 div count(1) AS BIGINT)").alias("mean_ppm"),
     )
+
+
+@query(
+    "q260_kmv_distinct_sketch",
+    """
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL
+    ), hs AS (
+        SELECT DISTINCT event_type,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT >> 6)
+                   AS h
+        FROM d
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hs
+    ), sk AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS k_kept,
+               CAST(MAX(h) AS BIGINT) AS kth_min
+        FROM ranked WHERE rk <= 64 GROUP BY event_type
+    ), ex AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users
+        FROM d GROUP BY event_type
+    )
+    SELECT sk.event_type AS event_type, exact_users, k_kept, kth_min,
+           CAST(CASE WHEN k_kept < 64 THEN k_kept
+                     ELSE (64 - 1) * 18014398509481984 // kth_min END
+                AS BIGINT) AS est_kmv
+    FROM sk JOIN ex ON sk.event_type = ex.event_type
+    """,
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group, audited
+    against the exact count — the mergeable cardinality sketch a
+    100 TB pipeline uses where countDistinct's full key shuffle is too
+    expensive (Bar-Yossef et al. 2002; the Theta-sketch core). Hashes
+    are 54-bit (md5_long >> 6) so (k-1)*2^54 stays inside int64 and
+    the estimate (k-1)*2^54 div h_k is pure BIGINT floor division —
+    bit-identical across engines, no float anywhere. When a group
+    holds fewer than k distinct hashes the sketch IS the exact set, so
+    the estimate collapses to the kept count (the standard small-range
+    rule).
+
+    Scale shape: one distinct-key shuffle to (group, hash), then a
+    rank-limited per-group window — WindowGroupLimit prunes to k rows
+    per group per partition BEFORE the final shuffle, so the sketch
+    side moves O(groups * k) rows, never O(distinct keys). The exact
+    twin (the audit column) is the expensive path the sketch replaces;
+    in production only the sketch side runs, and sketches merge by
+    keeping the k smallest of each union (associative, re-aggregable).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    K = 64
+    d = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hs = d.select(
+        "event_type",
+        F.shiftright(md5_long(F.col("user_id").cast("string")), 6).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_kept"),
+            F.max("h").cast("long").alias("kth_min"),
+        )
+    )
+    ex = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_users")
+    )
+    est = F.when(F.col("k_kept") < K, F.col("k_kept")).otherwise(
+        F.expr(f"({K} - 1) * {1 << 54}L div kth_min")
+    )
+    return (
+        sk.join(F.broadcast(ex), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "k_kept",
+            "kth_min",
+            est.cast("long").alias("est_kmv"),
+        )
+    )
+
+
+@query(
+    "q261_bloom_semijoin",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o_orderpriority
+    """,
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: orders of high-balance
+    customers, with the fact side pre-filtered through an explicit
+    65536-bit / 3-hash Bloom bitmap built from the dimension keys
+    BEFORE the verifying semi join. The bitmap is 2048 bigint words
+    (16 KB) built by a bit_or aggregation and broadcast; each probe is
+    three broadcast hash joins on the word index plus a mask test —
+    all map-side, zero fact shuffle. The verifying semi join then
+    removes Bloom false positives, so the result is EXACTLY the plain
+    semi join (the oracle) — the filter only sheds rows early.
+
+    Why it matters at 100 TB: when the dimension subset is too large
+    to broadcast raw (10^9 keys = ~8 GB) its Bloom bitmap is still
+    megabytes, so the fact table drops non-matching rows at the scan
+    instead of shuffling 100 TB into a sort-merge join. Spark's AQE
+    injects runtime bloom filters for some shapes; this operator is
+    the explicit, tunable form (m, k, and build-side chosen by the
+    pipeline, reusable across queries). False-positive rate at the
+    fixture's key counts is < 1e-4; correctness never depends on it.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    M = 65536  # bits
+    W = 32  # bits per mask word index step (mask fits int64 easily)
+
+    def positions(df, key_col, out_prefix):
+        cols = []
+        for seed in range(3):
+            pos = md5_long(
+                F.concat(F.col(key_col).cast("string"), F.lit(f"|{seed}"))
+            ) % M
+            cols.append(pos.alias(f"{out_prefix}{seed}"))
+        return cols
+
+    pos_keys = keys.select(*positions(keys, "c_custkey", "p"))
+    bitmap = (
+        pos_keys.select(
+            F.explode(F.array("p0", "p1", "p2")).alias("pos")
+        )
+        .select(
+            F.expr(f"pos div {W}").cast("long").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {W} AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        *positions(o, "o_custkey", "q"),
+    )
+    for seed in range(3):
+        bm = bitmap.select(
+            F.col("word").alias(f"w{seed}"), F.col("bits").alias(f"b{seed}")
+        )
+        probe = probe.join(
+            F.broadcast(bm),
+            F.expr(f"q{seed} div {W}").cast("long") == F.col(f"w{seed}"),
+        ).filter(
+            F.expr(
+                f"b{seed} & shiftleft(CAST(1 AS BIGINT), CAST(q{seed} % {W} AS INT))"
+            )
+            != 0
+        )
+    verified = probe.join(F.broadcast(keys), probe.o_custkey == keys.c_custkey, "left_semi")
+    return verified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+@query(
+    "q262_simhash_band_pairs",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed CROSS JOIN (SELECT unnest(range(48)) AS bit) bits
+        GROUP BY doc_id, bit
+    ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM votes GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, simhash, b, (simhash >> CAST(12 * b AS INTEGER)) & 4095 AS v
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bs
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT a, b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = a
+    JOIN sig sb ON sb.doc_id = b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS via band blocking (Charikar 2002 /
+    the Google near-dup pipeline, Manku et al. 2007): 48-bit token
+    SimHash signatures, split into 4 bands of 12 bits; docs agreeing
+    on any band become candidates; candidates are verified by exact
+    Hamming distance <= 3 (F.bit_count over xor, all codegen). The
+    blocking is EXACT for this threshold by pigeonhole: flipping <= 3
+    of 48 bits can touch at most 3 of the 4 bands, so every qualifying
+    pair shares at least one untouched band — zero false negatives
+    (property-tested against the brute-force all-pairs form at
+    sf0.001). The oracle replays the identical provably-equivalent
+    band-equi plan, never an O(n^2) nested loop.
+
+    Scale shape: signatures are one explode + one groupBy(doc) with 48
+    codegen'd vote columns (operators/dedup.py:simhash); the pair
+    build is an equi self-join on (band, 12-bit value) — 4096 buckets
+    per band here; a 100 TB corpus widens to 64-bit signatures and
+    16-bit bands and caps pathological buckets exactly as the MinHash
+    LSH path does (operators/dedup.py:248), trading logged recall for
+    a hard per-bucket bound."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup_ops.simhash(d, "text", "doc_id", bits=48)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn(
+        "v",
+        F.expr("shiftright(simhash, CAST(12 * b AS INT)) & CAST(4095 AS BIGINT)"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "b", "v"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("sig_b"), "b", "v"
+    )
+    pairs = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("a") < F.col("b_id"))
+        .select("a", F.col("b_id").alias("b"), "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return pairs.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )

@@ -4,7 +4,7 @@ edge cases the fixture-driven oracle queries can't reach."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from etl_everywhere_hub_spark.operators.asof import asof_join, range_join
@@ -620,3 +620,86 @@ def test_hits_exact_known_graph(spark):
         3: (0, 625000),
         4: (0, 375000),
     }
+
+
+def test_simhash_band_blocking_equals_brute_force(spark, sf_dir):
+    """Pigeonhole exactness of q262's 4x12-bit band blocking: every
+    pair within Hamming distance 3 of the 48-bit SimHash shares at
+    least one band, so the band-join pair set must equal the O(n^2)
+    all-pairs form exactly (same pairs, same distances)."""
+    from etl_everywhere_hub_spark.operators import dedup as dedup_ops
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocked = REGISTRY["q262_simhash_band_pairs"].spark(spark, sf_dir)
+    sigs = dedup_ops.simhash(d, "text", "doc_id", bits=48)
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    got = {tuple(r) for r in blocked.collect()}
+    want = {tuple(r) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_kmv_sketch_merge_associativity(spark, sf_dir):
+    """KMV sketches merge by keeping the k smallest of the union: the
+    sketch of the whole must equal the merge of per-shard sketches —
+    the property that makes q260 re-aggregable across partitions."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+
+    hs = ev.select(
+        F.shiftright(md5_long(F.col("user_id").cast("string")), 6).alias("h"),
+        (F.col("user_id") % 4).alias("shard"),
+    ).distinct()
+    k = 16
+    whole = [r.h for r in hs.orderBy("h").limit(k).collect()]
+    shard_sketches = (
+        hs.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("shard").orderBy("h")),
+        )
+        .filter(F.col("rk") <= k)
+        .select("h")
+    )
+    merged = [r.h for r in shard_sketches.orderBy("h").limit(k).collect()]
+    assert whole == merged
+
+
+def test_bloom_semijoin_matches_plain_semijoin(spark, sf_dir):
+    """q261's Bloom pre-filter is transparent: its verified output
+    must equal the plain semi-join aggregate, and the Bloom pass-set
+    must be a superset of the true key set (no false negatives)."""
+    from etl_everywhere_hub_spark.queries import REGISTRY
+
+    got = REGISTRY["q261_bloom_semijoin"].spark(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    keys = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    want = (
+        o.join(keys, o.o_custkey == keys.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
