@@ -15271,3 +15271,226 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", ham.alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+@query(
+    "q263_calibration_brier",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                    AS BIGINT) * 1000000
+                   // CAST(len(string_split(text, ' ')) AS BIGINT) AS p_ppm,
+               CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS y
+        FROM documents
+    )
+    SELECT CAST(LEAST(p_ppm // 100000, 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(SUM((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+                AS BIGINT) AS brier_num
+    FROM scored GROUP BY 1
+    """,
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration audit (reliability diagram + Brier decomposition
+    input): a deterministic scorer — stopword density as P(doc is
+    English) — is binned into deciles; each bin reports observed
+    positive rate vs mean predicted score, plus the bin's exact Brier
+    numerator sum((p - y)^2). Every quantity is ppm-scaled BIGINT:
+    p_ppm is a ratio of two token counts, so the whole audit is
+    integer-exact across engines (the q217/q227 principle — a
+    model-EVAL decision never rides on float rounding). The global
+    Brier score is sum(brier_num)/(1e12 * sum(n)) downstream of these
+    <= 10 rows.
+
+    Scale shape: one map-side scan computes (p, y) per document (no
+    UDF — size/filter on the token array), one partial+final groupBy
+    on a 10-value key. brier_num stays in int64 up to ~9e6 documents
+    per bin at ppm scale; a 100 TB corpus widens the accumulator to
+    DECIMAL(38,0), nothing else changes."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr(
+            "CAST(size(filter(split(text, ' '), "
+            "t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) * 1000000 "
+            "div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("p_ppm"),
+        F.when(F.col("lang") == "en", F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("y"),
+    )
+    dev = F.col("p_ppm") - F.col("y") * 1000000
+    return (
+        scored.groupBy(
+            F.least(F.expr("p_ppm div 100000"), F.lit(9).cast("long"))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("sum(p_ppm) div count(1)").cast("long").alias("mean_p_ppm"),
+            F.expr("sum(y) * 1000000 div count(1)")
+            .cast("long")
+            .alias("pos_rate_ppm"),
+            F.sum(dev * dev).cast("long").alias("brier_num"),
+        )
+    )
+
+
+@query(
+    "q264_shingle_containment",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, i AS inter, sa.n AS n_a, sb.n AS n_b,
+           CAST(i * 1000000 // sa.n AS BIGINT) AS cont_a_in_b_ppm,
+           CAST(i * 1000000 // sb.n AS BIGINT) AS cont_b_in_a_ppm
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1000000 // sa.n >= 600000 OR i * 1000000 // sb.n >= 600000
+    """,
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs (Broder's other resemblance measure):
+    |A∩B| / |A| flags a document substantially contained in another
+    even when symmetric Jaccard is low — the quote/boilerplate/
+    subset-page detector a dedup pipeline runs beside near-dup (a
+    short doc embedded in a long one has tiny Jaccard but containment
+    ~1). Pairs come from the same inverted shingle index as q40
+    (operators/dedup.py:doc_shingles); both directional containments
+    are exact integer ppm (i*1e6 div |side|), threshold 0.6 either
+    direction.
+
+    Scale shape: candidates are generated per shared shingle (posting
+    lists), never all pairs; at 100 TB the posting lists of
+    boilerplate shingles are df-capped with logged loss exactly as
+    the MinHash buckets are (SCALE.md §2c), or candidates come from
+    the LSH band join and this operator only verifies — the fixture
+    path is the uncapped exact form, which is also the oracle."""
+    sh = dedup_ops.doc_shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.expr("inter * 1000000 div n_a").cast("long").alias("cont_a_in_b_ppm"),
+            F.expr("inter * 1000000 div n_b").cast("long").alias("cont_b_in_a_ppm"),
+        )
+    )
+    return out.filter(
+        (F.col("cont_a_in_b_ppm") >= 600000) | (F.col("cont_b_in_a_ppm") >= 600000)
+    )
+
+
+@query(
+    "q265_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), slopes AS (
+        SELECT CAST(floor((b.x - a.x) * 1000000.0 / (b.d - a.d)) AS BIGINT)
+                   AS slope_ppm,
+               a.d * 1000000 + b.d AS pairkey
+        FROM daily a JOIN daily b ON a.d < b.d
+    ), ranked AS (
+        SELECT slope_ppm,
+               ROW_NUMBER() OVER (ORDER BY slope_ppm, pairkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN slope_ppm END) AS BIGINT)
+               AS med_lo_ppm,
+           CAST(MAX(CASE WHEN rk = (n + 2) // 2 THEN slope_ppm END) AS BIGINT)
+               AS med_hi_ppm
+    FROM ranked
+    """,
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily order-volume series: the
+    median over all pairwise slopes — the outlier-resistant trend
+    estimator (breakdown point 29%) a monitoring pipeline prefers to
+    OLS when single days spike. Slopes are floor((dx*1e6)/dd) BIGINT
+    (the dividend is an exact small integer times 1e6, the division
+    one IEEE op — bit-identical across engines); the median is picked
+    by EXACT distributed rank (operators/sampling.py:global_rank — the
+    range-bucketed two-phase scan), with the even-n case reported as
+    the two middle order statistics (med_lo/med_hi) so no averaging
+    rounding rule is ever involved.
+
+    Scale shape: the pair build is over the DAILY aggregate — a
+    calendar-bounded table (~2.4k rows for 7 years; still ~2.4k rows
+    at 100 TB), so the O(days^2) slope set (~3M rows) is the bounded
+    by-construction case, distributed across the stream side of a
+    broadcast pair join, and the rank never runs on corpus-scale
+    data. The fact scan itself contributes one partial+final
+    groupBy(day)."""
+    from etl_everywhere_hub_spark.operators.sampling import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .select(
+            F.floor(
+                (F.col("xb") - F.col("xa")) * F.lit(1000000.0) / (F.col("db") - F.col("da"))
+            )
+            .cast("long")
+            .alias("slope_ppm"),
+            (F.col("da") * 1000000 + F.col("db")).cast("long").alias("pairkey"),
+        )
+    )
+    ranked = global_rank(
+        slopes, "slope_ppm", "pairkey", out="rk", descending=False
+    )
+    n = slopes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("rk") == F.expr("(n + 1) div 2"))
+            | (F.col("rk") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy()
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.max(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("slope_ppm"))
+            )
+            .cast("long")
+            .alias("med_lo_ppm"),
+            F.max(
+                F.when(F.col("rk") == F.expr("(n + 2) div 2"), F.col("slope_ppm"))
+            )
+            .cast("long")
+            .alias("med_hi_ppm"),
+        )
+    )
