@@ -235,3 +235,93 @@ def exact_ntile(rank_col: str, n_col: str, tiles: int):
         f"THEN ({rank_col} - 1) div ({big} + 1) + 1 "
         f"ELSE {rem} + ({rank_col} - {cut} - 1) div {big} + 1 END"
     )
+
+
+def grouped_global_prefix_sum(
+    df: DataFrame,
+    value_col: Column | str,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    out: str = "prefix_sum",
+    n_buckets: int = 32,
+    quantile_err: float = 0.01,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact inclusive prefix sum over a PER-GROUP total order on
+    (order_col ``descending``, tiebreak asc) — the grouped
+    generalization of ``global_prefix_sum`` for when each group's
+    slice is itself corpus-scale (per-language vocabulary ranks, per-
+    tenant orderings): a plain Window.partitionBy(group) would put one
+    whole group in one task.
+
+    Same two-phase shape, shared across groups: ONE global
+    approxQuantile sketch on ``order_col`` places range-bucket
+    boundaries (placement affects load balance only — the bucket id is
+    a monotone pure function of the order key, so ties never straddle
+    buckets); the local cumsum window partitions by (group, bucket) —
+    each task holds one group's slice of one order range — and the
+    offset cascade is a window PARTITIONED BY GROUP over that group's
+    ≤ n_buckets bucket totals (bounded per partition, so the registry
+    window gate passes structurally, not by whitelist). The totals
+    join back on (group, bucket): a groups×n_buckets table that AQE
+    typically broadcasts."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(order_col, probs, quantile_err)))
+        if probs
+        else []
+    )
+    key = F.col(order_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(
+            key < F.lit(b) if descending else key > F.lit(b), 1
+        ).otherwise(0)
+    tagged = df.withColumn("__bucket", bucket.cast("int")).withColumn("__v", v)
+    order = [key.desc() if descending else key.asc(), F.col(tiebreak_col).asc()]
+    local_w = (
+        Window.partitionBy(group_col, "__bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn("__local_cum", F.sum("__v").over(local_w))
+    totals = tagged.groupBy(group_col, "__bucket").agg(F.sum("__v").alias("__total"))
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ n_buckets rows PER GROUP: bounded per partition
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__total").over(off_w), F.lit(0))
+    )
+    return (
+        local.join(offsets.select(group_col, "__bucket", "__offset"), [group_col, "__bucket"])
+        .withColumn(out, F.col("__offset") + F.col("__local_cum"))
+        .drop("__bucket", "__v", "__local_cum", "__offset")
+    )
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    out: str = "rank",
+    descending: bool = True,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact 1-based per-group row_number over (order_col, tiebreak)
+    without a per-group corpus-scale window — ``grouped_global_prefix_sum``
+    of the constant 1."""
+    return grouped_global_prefix_sum(
+        df,
+        F.lit(1),
+        group_col=group_col,
+        order_col=order_col,
+        tiebreak_col=tiebreak_col,
+        out=out,
+        n_buckets=n_buckets,
+        descending=descending,
+    ).withColumn(out, F.col(out).cast("long"))

@@ -81,9 +81,19 @@ def heavy_hitters_exact(
         raise ValueError(
             "coverage guarantee needs threshold_den < k_counters + 1"
         )
-    cands = misra_gries_candidates(df, col, k_counters).withColumn(
-        "is_cand", F.lit(True)
-    )
+    cands = misra_gries_candidates(df, col, k_counters)
+    return heavy_hitters_verify(df, col, cands, threshold_den)
+
+
+def heavy_hitters_verify(
+    df: DataFrame, col: str, cands: DataFrame, threshold_den: int
+) -> DataFrame:
+    """Phase 2, shared by the batch and streaming MG paths: count ONLY
+    the candidate values exactly (everything else folds into one
+    overflow bucket so N comes from the same pass) and keep those with
+    share > 1/threshold_den. Correct whenever ``cands`` is a superset
+    of the true heavy hitters — the MG coverage guarantee."""
+    cands = cands.select(col).withColumn("is_cand", F.lit(True))
     keyed = df.select(col).join(F.broadcast(cands), col, "left").select(
         F.when(F.col("is_cand"), F.col(col)).alias("k")
     )

@@ -15494,3 +15494,329 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("med_hi_ppm"),
         )
     )
+
+
+@query(
+    "q266_top_p_vocab",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, tok
+    ), tot AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total FROM vocab GROUP BY lang
+    ), cum AS (
+        SELECT v.lang, v.cnt, t.total,
+               SUM(v.cnt) OVER (PARTITION BY v.lang
+                                ORDER BY v.cnt DESC, v.tok) AS c
+        FROM vocab v JOIN tot t ON v.lang = t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN 10 * (c - cnt) < 9 * total THEN 1 ELSE 0 END)
+                AS BIGINT) AS top_p_size,
+           CAST(SUM(CASE WHEN 10 * (c - cnt) < 9 * total THEN cnt ELSE 0 END)
+                * 1000000 // MAX(total) AS BIGINT) AS mass_ppm,
+           CAST(MAX(total) AS BIGINT) AS total_tokens
+    FROM cum GROUP BY lang
+    """,
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary truncation per language: the smallest
+    head of the frequency-sorted vocabulary covering >= 90% of token
+    mass — how a tokenizer-training / vocab-pruning pipeline sizes its
+    keep-list per language. A token is kept iff the mass strictly
+    before it (exclusive prefix sum in (count desc, token) order) has
+    not yet reached 0.9*total — integer-exact as 10*(cum-cnt) <
+    9*total, no float thresholds.
+
+    Scale shape: this is the debut of operators/sampling.py:
+    grouped_global_prefix_sum — the per-group two-phase scan. A plain
+    Window.partitionBy(lang) puts an entire language's vocabulary
+    (10^8+ tokens at 100 TB) into ONE task; here the cumsum window
+    partitions by (lang, range-bucket) and the per-lang offset cascade
+    is a window over <= 32 bucket totals per language — bounded per
+    partition BY CONSTRUCTION, so the registry-wide unpartitioned-
+    window gate passes structurally, not via whitelist."""
+    from etl_everywhere_hub_spark.operators.sampling import (
+        grouped_global_prefix_sum,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = vocab.groupBy("lang").agg(F.sum("cnt").cast("long").alias("total"))
+    cum = grouped_global_prefix_sum(
+        vocab.join(tot, "lang"),
+        "cnt",
+        group_col="lang",
+        order_col="cnt",
+        tiebreak_col="tok",
+        out="c",
+        descending=True,
+    )
+    keep = 10 * (F.col("c") - F.col("cnt")) < 9 * F.col("total")
+    return cum.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("top_p_size"),
+        F.expr(
+            "CAST(sum(CASE WHEN 10 * (c - cnt) < 9 * total THEN cnt ELSE 0 END)"
+            " * 1000000 div max(total) AS BIGINT)"
+        ).alias("mass_ppm"),
+        F.max("total").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "q267_join_key_skew_report",
+    """
+    WITH per_key AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey
+    ), top1 AS (
+        SELECT o_custkey AS max_key, cnt AS max_cnt
+        FROM per_key ORDER BY cnt DESC, o_custkey LIMIT 1
+    )
+    SELECT CAST((SELECT SUM(cnt) FROM per_key) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM per_key) AS BIGINT) AS n_keys,
+           max_key, max_cnt,
+           CAST(max_cnt * 1000000 * (SELECT COUNT(*) FROM per_key)
+                // (SELECT SUM(cnt) FROM per_key) AS BIGINT) AS skew_x_ppm,
+           CAST((max_cnt * 32 + (SELECT SUM(cnt) FROM per_key) - 1)
+                // (SELECT SUM(cnt) FROM per_key) AS BIGINT) AS salt_factor
+    FROM top1
+    """,
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the pre-flight a pipeline runs before a
+    big shuffle join to decide whether to salt (operators/skew.py) and
+    by how much: per-key counts, the heaviest key, its skew multiple
+    vs the mean key (ppm), and the recommended salt factor
+    ceil(max_cnt / (n_rows / 32)) — the shard count that brings the
+    heaviest key's partition back to an average-sized task at 32-way
+    shuffle parallelism (substitute cluster parallelism at scale).
+    All integer arithmetic; ceil spelled (a*b + n - 1) div n.
+
+    Scale shape: one partial+final groupBy(key) on the fact table,
+    then a rank-limited global top-1 (TakeOrderedAndProject) and two
+    1-row aggregates broadcast into the result row. Nothing after the
+    per-key agg touches more than n_keys rows."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top1 = per_key.orderBy(F.col("cnt").desc(), F.col("o_custkey")).limit(1).select(
+        F.col("o_custkey").alias("max_key"), F.col("cnt").alias("max_cnt")
+    )
+    stats = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return top1.crossJoin(F.broadcast(stats)).select(
+        "n_rows",
+        "n_keys",
+        "max_key",
+        "max_cnt",
+        F.expr("max_cnt * 1000000 * n_keys div n_rows")
+        .cast("long")
+        .alias("skew_x_ppm"),
+        F.expr("(max_cnt * 32 + n_rows - 1) div n_rows")
+        .cast("long")
+        .alias("salt_factor"),
+    )
+
+
+@query(
+    "q268_dp_count_release",
+    """
+    WITH counts AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g1'), 1, 15))::BIGINT))
+                AS BIGINT) -
+           CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g2'), 1, 15))::BIGINT))
+                AS BIGINT) AS noise,
+           n + CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g1'), 1, 15))::BIGINT))
+                AS BIGINT) -
+               CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g2'), 1, 15))::BIGINT))
+                AS BIGINT) AS released
+    FROM counts
+    """,
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release via the two-sided geometric
+    mechanism (Ghosh-Roughgarden-Sundararajan 2009): released = n +
+    (G1 - G2) with G ~ Geometric(1/2), giving eps = ln 2 per count.
+    The geometric draws are DERANDOMIZED for the oracle contract: G =
+    number of leading zero bits of a 60-bit md5 hash of (key|seed) —
+    P(G=k) = 2^-(k+1) exactly, computed portably as 60 -
+    length(bin(h)) (both engines print binary without leading zeros).
+    Production swaps the hash for a CSPRNG per release; the mechanism,
+    sensitivity-1 count shape, and integer noise arithmetic are
+    engine-real.
+
+    Scale shape: one partial+final groupBy; noise is a pure map-side
+    function of the group key — no extra pass, no driver involvement,
+    trivially mergeable across releases."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g1 = (
+        F.lit(60)
+        - F.length(
+            F.expr(
+                "bin(CAST(conv(substring(md5(concat(c_mktsegment, '|g1')), 1, 15), 16, 10) AS BIGINT))"
+            )
+        )
+    ).cast("long")
+    g2 = (
+        F.lit(60)
+        - F.length(
+            F.expr(
+                "bin(CAST(conv(substring(md5(concat(c_mktsegment, '|g2')), 1, 15), 16, 10) AS BIGINT))"
+            )
+        )
+    ).cast("long")
+    noise = (g1 - g2).alias("noise")
+    return counts.select(
+        "c_mktsegment", "n", noise, (F.col("n") + g1 - g2).cast("long").alias("released")
+    )
+
+
+@query(
+    "q269_stream_heavy_hitters",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_ppm
+    FROM tok GROUP BY tok
+    HAVING COUNT(*) * 100 > (SELECT n FROM tot)
+    """,
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q186's exact heavy hitters with the candidate pass run as a
+    STREAMING stateful operator: documents replay as a file stream,
+    tokens route to 32 hash shards, and each shard maintains a bounded
+    Misra-Gries counter map in applyInPandasWithState
+    (streaming/jobs.py:stateful_misra_gries — state is <= 256 counters
+    per shard, serialized; memory never grows with the token domain).
+    The latest per-shard candidate emission is then verified by the
+    shared exact phase-2 count (operators/sketches.py:
+    heavy_hitters_verify), so the final answer equals the batch twin
+    and the GROUP BY ... HAVING oracle EXACTLY — the same
+    stream==batch contract as q212/q246, here carried by the MG
+    superset guarantee (which holds per shard under any shard-size
+    skew: C > N/100 >= N_shard/100 > N_shard/257).
+
+    Scale: candidate state is O(shards * k); only candidate tokens
+    (plus one overflow bucket) ever shuffle in phase 2."""
+    from etl_everywhere_hub_spark.operators.sketches import heavy_hitters_verify
+
+    s = stream_jobs.stream_table(spark, sf_dir, "documents")
+    toks_s = s.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).select(
+        F.pmod(md5_long(F.col("tok")), F.lit(32)).cast("long").alias("shard"),
+        "tok",
+    )
+    out = stream_jobs.run_to_table(
+        stream_jobs.stateful_misra_gries(toks_s), output_mode="update"
+    )
+    latest = latest_per_key(out, ["shard"], "seq")
+    cands = (
+        latest.filter(F.col("cands") != "")
+        .select(F.explode(F.split(F.col("cands"), "\x1f")).alias("tok"))
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return heavy_hitters_verify(toks, "tok", cands, threshold_den=100)
+
+
+@query(
+    "q270_grouped_exact_percentiles",
+    """
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT o_orderpriority, cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents, o_orderkey) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM cents
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rk = (50 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN rk = (90 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p90_cents,
+           CAST(MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p99_cents
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles (P50/P90/P99) of order value PER
+    GROUP, computed with grouped_global_rank — the per-group two-phase
+    distributed rank — instead of a Window.partitionBy(priority) that
+    would sort each priority's entire fact slice (fact-scale, ~1/5 of
+    the table here; at 100 TB one task per group = the q197-class
+    bug). The nearest-rank definition (value at rank ceil(p*n/100))
+    keeps everything integer: the percentile IS a data value, no
+    interpolation, bit-identical cross-engine with a (cents, orderkey)
+    total order.
+
+    Scale shape: one sketch pass for range buckets, one shuffle on
+    (group, bucket) for the local ranks, a per-group <= 32-row offset
+    cascade, and a bounded groupBy(priority) — the same contract as
+    q226's ungrouped ranks, now per group."""
+    from etl_everywhere_hub_spark.operators.sampling import grouped_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = grouped_global_rank(
+        cents,
+        group_col="o_orderpriority",
+        order_col="cents",
+        tiebreak_col="o_orderkey",
+        out="rk",
+        descending=False,
+    )
+    n = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = ranked.join(F.broadcast(n), "o_orderpriority")
+
+    def at(p: int):
+        return F.max(
+            F.when(
+                F.col("rk") == F.expr(f"({p} * n + 99) div 100"), F.col("cents")
+            )
+        ).cast("long")
+
+    return (
+        j.filter(
+            (F.col("rk") == F.expr("(50 * n + 99) div 100"))
+            | (F.col("rk") == F.expr("(90 * n + 99) div 100"))
+            | (F.col("rk") == F.expr("(99 * n + 99) div 100"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            at(50).alias("p50_cents"),
+            at(90).alias("p90_cents"),
+            at(99).alias("p99_cents"),
+        )
+    )

@@ -785,3 +785,90 @@ def stateful_floored_balance(moves: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("cands", StringType()),
+    ]
+)
+
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("toks", StringType()),
+        StructField("cnts", StringType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+_MG_SEP = "\x1f"
+
+
+def stateful_misra_gries(toks: DataFrame, k_counters: int = 256) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter CANDIDATE maintenance — the
+    stateful twin of operators/sketches.py:misra_gries_candidates.
+    Input: (shard, tok) rows, shard = pmod(md5(tok), n_shards), so
+    every occurrence of a token lands in ONE shard's state and the
+    classic MG bound applies per shard: total decrement over a shard's
+    stream of N_s items is <= N_s/(k+1), hence any token with GLOBAL
+    count C > N/threshold_den (threshold_den <= 100 < k+1, and
+    C > N/100 >= N_s/100 > N_s/(k+1)) holds a positive counter at
+    every point after its last arrival — the candidate superset
+    guarantee survives streaming, regardless of how skewed the shard
+    sizes are.
+
+    State per shard is the bounded counter map serialized as two
+    \\x1f-joined strings (<= k entries) plus a batch sequence number;
+    each micro-batch folds its pandas value_counts in and trims with
+    the mergeable-summaries step. Emits the current candidate list per
+    batch (update mode); the consumer keeps the latest per shard and
+    runs the exact phase-2 count — stream == batch result equality is
+    then EXACT (sketches.heavy_hitters_verify), not approximate."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            toks_s, cnts_s, seq = state.get
+            counters = (
+                dict(
+                    zip(
+                        toks_s.split(_MG_SEP),
+                        (int(c) for c in cnts_s.split(_MG_SEP)),
+                    )
+                )
+                if toks_s
+                else {}
+            )
+        else:
+            counters, seq = {}, 0
+        for pdf in pdfs:
+            vc = pdf["tok"].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k_counters:
+                cut = sorted(counters.values(), reverse=True)[k_counters]
+                counters = {v: c - cut for v, c in counters.items() if c - cut > 0}
+        seq += 1
+        state.update(
+            (
+                _MG_SEP.join(counters.keys()),
+                _MG_SEP.join(str(c) for c in counters.values()),
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "seq": [seq],
+                "cands": [_MG_SEP.join(counters.keys())],
+            }
+        )
+
+    return toks.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=MG_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

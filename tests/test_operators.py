@@ -703,3 +703,47 @@ def test_bloom_semijoin_matches_plain_semijoin(spark, sf_dir):
         )
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_grouped_global_prefix_sum_matches_naive_window(spark):
+    """The grouped two-phase scan must equal the naive
+    Window.partitionBy(group) cumsum for every row, including ties in
+    the order column, across bucket-count settings."""
+    import random
+
+    from etl_everywhere_hub_spark.operators.sampling import (
+        grouped_global_prefix_sum,
+        grouped_global_rank,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        Row(g=f"g{rnd.randrange(3)}", k=rnd.randrange(20), uid=i, v=rnd.randrange(5))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    for nb in (1, 4, 32):
+        got = grouped_global_prefix_sum(
+            df, "v", group_col="g", order_col="k", tiebreak_col="uid",
+            out="cum", n_buckets=nb, descending=True,
+        ).select("uid", "cum")
+        w = (
+            Window.partitionBy("g")
+            .orderBy(F.col("k").desc(), F.col("uid").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = df.withColumn("cum", F.sum("v").over(w)).select("uid", "cum")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"n_buckets={nb}"
+    got_rk = grouped_global_rank(
+        df, group_col="g", order_col="k", tiebreak_col="uid", out="rk",
+        descending=False,
+    ).select("uid", "rk")
+    w2 = Window.partitionBy("g").orderBy(F.col("k").asc(), F.col("uid").asc())
+    want_rk = df.withColumn("rk", F.row_number().over(w2).cast("long")).select(
+        "uid", "rk"
+    )
+    assert sorted(map(tuple, got_rk.collect())) == sorted(
+        map(tuple, want_rk.collect())
+    )

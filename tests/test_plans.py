@@ -578,6 +578,20 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q257_kaplan_meier",
         "q258_capture_recapture",
         "q259_bootstrap_subsample_means",
+        "q260_kmv_distinct_sketch",
+        "q261_bloom_semijoin",
+        "q262_simhash_band_pairs",
+        "q263_calibration_brier",
+        "q264_shingle_containment",
+        # q265 is exempt from the Cartesian check: its pair build is a
+        # deliberate bounded-broadcast NLJ over the ~2.4k-row daily
+        # aggregate (calendar-bounded at any corpus scale).
+        "q266_top_p_vocab",
+        "q267_join_key_skew_report",
+        "q268_dp_count_release",
+        # q269 is a streaming query (drains a stream when invoked) —
+        # covered by its oracle + the streaming tests, like q246/q212.
+        "q270_grouped_exact_percentiles",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -630,6 +644,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q252_mann_whitney_u": "prefix-sum offset cascade over ≤32 bucket totals",
     "q253_sorted_neighborhood": "global_rank offset cascade over ≤32 bucket totals",
     "q257_kaplan_meier": "2× prefix-sum offset cascades (≤32 bucket totals each)",
+    "q265_theil_sen_trend": "global_rank offset cascade over ≤32 bucket totals",
 }
 
 

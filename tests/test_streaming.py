@@ -816,3 +816,45 @@ def test_stateful_floored_balance_carries_state_across_batches(spark, sf_dir, tm
         for r in REGISTRY["q242_floored_running_balance"].spark(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_misra_gries_survives_aggressive_trimming(spark, sf_dir):
+    """With k_counters forced far below the candidate-rich regime the
+    MG state trims constantly; the phase-2-verified result must STILL
+    equal the plain exact groupBy/HAVING — the superset guarantee is
+    what streaming correctness rides on (k=64 > threshold_den=50)."""
+    from pyspark.sql import functions as F
+
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+    from etl_everywhere_hub_spark.operators.sketches import heavy_hitters_verify
+    from etl_everywhere_hub_spark.streaming import jobs as stream_jobs
+
+    s = stream_jobs.stream_table(spark, sf_dir, "documents")
+    toks_s = s.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).select(
+        F.pmod(md5_long(F.col("tok")), F.lit(8)).cast("long").alias("shard"),
+        "tok",
+    )
+    out = stream_jobs.run_to_table(
+        stream_jobs.stateful_misra_gries(toks_s, k_counters=64),
+        output_mode="update",
+    )
+    from etl_everywhere_hub_spark.operators.windows import latest_per_key
+
+    latest = latest_per_key(out, ["shard"], "seq")
+    cands = (
+        latest.filter(F.col("cands") != "")
+        .select(F.explode(F.split(F.col("cands"), "\x1f")).alias("tok"))
+        .distinct()
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    got = heavy_hitters_verify(toks, "tok", cands, threshold_den=50)
+    n = toks.count()
+    want = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 50 > F.lit(n))
+    )
+    got_rows = {(r.tok, r.cnt) for r in got.collect()}
+    want_rows = {(r.tok, r.cnt) for r in want.collect()}
+    assert got_rows == want_rows and len(want_rows) > 0
