@@ -15820,3 +15820,890 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
             at(99).alias("p99_cents"),
         )
     )
+
+
+@query(
+    "q271_stream_stream_join",
+    """
+    WITH c AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           epoch_ms(p.ts) AS p_ms,
+           c.event_id AS click_id,
+           epoch_ms(c.ts) AS c_ms
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STREAM interval join surface under the driver's
+    oracle: purchases joined to the same user's clicks in the
+    preceding hour, both sides replayed as real streams with
+    watermarks (streaming/jobs.py:stream_stream_click_purchase_join).
+    The time-interval bound is what gives Structured Streaming a state
+    eviction horizon on BOTH buffers — without it the planner rejects
+    the append-mode join (unbounded state); with it, buffered state is
+    O(events inside watermark + interval), not O(stream). The drained
+    result must equal the batch interval join the oracle runs —
+    stream==batch, enforced by hash like q212/q246/q269.
+
+    Scale: equi on user_id (state co-partitioned by key) with a range
+    residual; eviction keyed to the watermark clock. Timestamps leave
+    as epoch-ms BIGINT (the cross-engine convention)."""
+    s = stream_jobs.stream_stream_click_purchase_join(
+        stream_jobs.stream_events(spark, sf_dir)
+    )
+    out = stream_jobs.run_to_table(s)
+    return out.select(
+        F.col("p_user").cast("long").alias("p_user"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.unix_millis(F.col("p_ts")).alias("p_ms"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.unix_millis(F.col("c_ts")).alias("c_ms"),
+    )
+
+
+@query(
+    "q272_count_min_sketch",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    cells AS (
+        SELECT s, ('0x' || substr(md5(tok || '|' || CAST(s AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok CROSS JOIN (SELECT unnest(range(4)) AS s) seeds
+        GROUP BY 1, 2
+    ), heavy AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY tok
+        HAVING COUNT(*) * 100 > (SELECT n FROM tot)
+    ), probes AS (
+        SELECT h.tok, h.cnt, s.s,
+               ('0x' || substr(md5(h.tok || '|' || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos
+        FROM heavy h CROSS JOIN (SELECT unnest(range(4)) AS s) s
+    )
+    SELECT p.tok AS tok, p.cnt AS cnt,
+           CAST(MIN(c.c) AS BIGINT) AS est_cms,
+           CAST(MIN(c.c) - p.cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.s = p.s AND c.pos = p.pos
+    GROUP BY p.tok, p.cnt
+    """,
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan 2005) built in-engine —
+    d=4 hash rows x w=1024 counters via ONE groupBy(row, position)
+    over the token stream — then audited: every exact heavy hitter
+    (q186's >1% tokens) is point-queried (est = min over rows of its 4
+    cells) and reported against its true count. The CMS one-sided
+    guarantee est >= true holds by construction (overcount >= 0 —
+    asserted by the oracle match); expected overcount <= N/w per row.
+    Hashes are the portable md5(tok|row) family, so the sketch is
+    bit-identical cross-engine and MERGEABLE: cell-wise addition
+    composes sketches across corpus shards or stream windows.
+
+    Scale shape: the sketch build is a partial+final aggregation to a
+    FIXED 4096-cell table (broadcastable forever after); probes join
+    the bounded heavy-hitter set against it — nothing domain-sized
+    ever shuffles except the one counting pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    seeds = F.array(*[F.lit(s) for s in range(4)])
+    cells = (
+        toks.select("tok", F.explode(seeds).alias("s"))
+        .select(
+            "s",
+            F.pmod(
+                md5_long(F.concat(F.col("tok"), F.lit("|"), F.col("s").cast("string"))),
+                F.lit(1024),
+            ).alias("pos"),
+        )
+        .groupBy("s", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    heavy = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * 100 > F.col("n_total"))
+        .select("tok", "cnt")
+    )
+    probes = heavy.select("tok", "cnt", F.explode(seeds).alias("s")).withColumn(
+        "pos",
+        F.pmod(
+            md5_long(F.concat(F.col("tok"), F.lit("|"), F.col("s").cast("string"))),
+            F.lit(1024),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["s", "pos"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").cast("long").alias("est_cms"))
+        .select(
+            "tok",
+            "cnt",
+            "est_cms",
+            (F.col("est_cms") - F.col("cnt")).cast("long").alias("overcount"),
+        )
+    )
+
+
+@query(
+    "q273_fixed_size_stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sample: exactly 20 documents per language,
+    chosen as the 20 smallest md5(doc_id) hashes within each stratum —
+    the deterministic eval-set builder (q92's stratified sampler keeps
+    a FRACTION; an eval harness wants an exact count per stratum). The
+    hash order makes the pick a pure function of membership: a
+    document's selection never depends on corpus growth elsewhere in
+    its stratum until 20 better hashes exist, and re-runs/engines
+    agree bit-for-bit.
+
+    Scale shape: the per-stratum rank is a rank-LIMITED window —
+    Spark 4 compiles rk <= 20 to WindowGroupLimit, so every partition
+    pre-prunes to 20 rows per stratum before the shuffle (plan-gated
+    class, tests/test_plans.py:113); the full strata never sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_long(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "q274_zone_map_pruning_audit",
+    """
+    WITH zones AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS zone_month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS min_cents,
+               CAST(MAX(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(zone_month AS VARCHAR) AS zone_month, n_rows, min_cents, max_cents,
+           CASE WHEN max_cents <= 45000000 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS prunable,
+           CASE WHEN max_cents <= 45000000 THEN n_rows
+                ELSE CAST(0 AS BIGINT) END AS rows_skipped
+    FROM zones
+    """,
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) audit — the layout diagnostic
+    behind parquet row-group pruning and lakehouse file skipping: per
+    month zone, the value bounds of o_totalprice and whether the probe
+    predicate `totalprice > 450000.00` could skip the zone entirely
+    (max <= threshold -> every row fails -> the scan never opens it).
+    The audit quantifies what PushedFilters actually buys on THIS
+    layout: sum(rows_skipped)/sum(n_rows) is the skip rate, and a ~0
+    rate on a high-selectivity predicate is the signal to re-cluster
+    (z-order / sort by the predicate column) — the q188 path.
+
+    Scale shape: one partial+final groupBy over the calendar-bounded
+    zone key (~84 months); all-integer cents bounds."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    zones = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("zone_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(cents).cast("long").alias("min_cents"),
+        F.max(cents).cast("long").alias("max_cents"),
+    )
+    prunable = F.when(F.col("max_cents") <= 45000000, F.lit(1)).otherwise(F.lit(0))
+    return zones.select(
+        "zone_month",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        prunable.cast("long").alias("prunable"),
+        F.when(F.col("max_cents") <= 45000000, F.col("n_rows"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rows_skipped"),
+    )
+
+
+@query(
+    "q275_rolling_median_7d",
+    """
+    WITH daily AS (
+        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), win AS (
+        SELECT a.d AS d, list_sort(list(b.x)) AS xs, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily a JOIN daily b ON b.d BETWEEN a.d - 6 AND a.d
+        GROUP BY a.d
+    )
+    SELECT d, n,
+           CAST(xs[CAST((n + 1) // 2 AS INTEGER)] AS BIGINT) AS med_lo,
+           CAST(xs[CAST((n + 2) // 2 AS INTEGER)] AS BIGINT) AS med_hi
+    FROM win
+    """,
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily order volume — the
+    robust smoother a monitoring dashboard uses where a rolling mean
+    chases single-day spikes (medians don't distribute over windows,
+    so no incremental trick exists: each window must rank its
+    members). Exact order statistics: the window's values sort in an
+    array and the two middle elements report (med_lo/med_hi, no
+    averaging rounding rule), matching the q265 convention.
+
+    Scale shape: the range join is rewritten as an EQUI join — each
+    daily row replicates to the 7 anchor days it serves via one
+    explode (sequence 0..6), so Catalyst plans a hash join on the
+    anchor key, never a theta BNLJ (the q220 serving-window trick);
+    per-anchor arrays hold <= 7 integers. The daily table itself is
+    calendar-bounded, the fact scan one partial+final groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    served = daily.select(
+        "d", "x", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select((F.col("d") + F.col("k")).alias("anchor"), "x")
+    anchors = daily.select(F.col("d").alias("anchor"))
+    win = (
+        served.join(anchors, "anchor")
+        .groupBy("anchor")
+        .agg(
+            F.sort_array(F.collect_list("x")).alias("xs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return win.select(
+        F.col("anchor").alias("d"),
+        "n",
+        F.element_at(F.col("xs"), F.expr("CAST((n + 1) div 2 AS INT)"))
+        .cast("long")
+        .alias("med_lo"),
+        F.element_at(F.col("xs"), F.expr("CAST((n + 2) div 2 AS INT)"))
+        .cast("long")
+        .alias("med_hi"),
+    )
+
+
+@query(
+    "q276_position_based_attribution",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, event_id,
+               CASE CAST(json_extract(props, '$.k') AS BIGINT) % 4
+                    WHEN 0 THEN 'search' WHEN 1 THEN 'social'
+                    WHEN 2 THEN 'email' ELSE 'ads' END AS channel
+        FROM events WHERE event_type = 'click'
+    ), pur AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT p.event_id AS pid, p.cents, c.channel,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts, c.event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n
+        FROM pur p JOIN clicks c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+         AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 604800000
+    ), credited AS (
+        SELECT pid, cents, channel,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN pos = 1 THEN 400000
+                    WHEN pos = n THEN 400000
+                    ELSE 200000 // (n - 2)
+                         + CASE WHEN pos = 2 THEN 200000 % (n - 2) ELSE 0 END
+               END AS credit_ppm
+        FROM touches
+    ), organic AS (
+        SELECT p.event_id AS pid, p.cents, 'organic' AS channel,
+               1000000 AS credit_ppm
+        FROM pur p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM clicks c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 604800000)
+    ), unioned AS (
+        SELECT * FROM credited UNION ALL SELECT * FROM organic
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(cents * credit_ppm) AS BIGINT) AS attributed_micro
+    FROM unioned GROUP BY channel
+    """,
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    q241's last-touch counterpart: every click inside the 7-day
+    lookback shares a purchase's revenue, first and last touch taking
+    400000 ppm each and middles splitting 200000 ppm. Credit is pure
+    integer arithmetic that SUMS TO EXACTLY 1e6 per purchase (the
+    integer remainder of the middle split goes to the earliest middle
+    touch), so sum(attributed_micro) == 1e6 * total revenue — a
+    conservation invariant the oracle match enforces; touchless
+    purchases credit 'organic'.
+
+    Scale shape: one equi join on user_id with a time-range residual
+    (state-bounded the same way as q271's stream join), per-purchase
+    position via a window over that purchase's own touch list
+    (bounded by the 7-day lookback), anti-join for organic, bounded
+    5-channel aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.element_at(
+            F.array(F.lit("search"), F.lit("social"), F.lit("email"), F.lit("ads")),
+            (F.get_json_object("props", "$.k").cast("long") % 4 + 1).cast("int"),
+        ).alias("channel"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("pid"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cond = (
+        (clicks.user_id == pur.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_millis(F.col("p_ts").cast("timestamp"))
+            - F.unix_millis(F.col("c_ts").cast("timestamp"))
+            <= 604800000
+        )
+    )
+    touches = pur.join(clicks, cond).select("pid", "cents", "channel", "c_ts", "c_id")
+    w = Window.partitionBy("pid").orderBy("c_ts", "c_id")
+    wn = Window.partitionBy("pid")
+    credited = (
+        touches.withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn(
+            "credit_ppm",
+            F.when(F.col("n") == 1, F.lit(1000000))
+            .when(F.col("n") == 2, F.lit(500000))
+            .when(F.col("pos") == 1, F.lit(400000))
+            .when(F.col("pos") == F.col("n"), F.lit(400000))
+            .otherwise(
+                F.expr(
+                    "200000 div (n - 2)"
+                    " + CASE WHEN pos = 2 THEN 200000 % (n - 2) ELSE 0 END"
+                )
+            )
+            .cast("long"),
+        )
+        .select("pid", "cents", "channel", "credit_ppm")
+    )
+    organic = (
+        pur.join(
+            touches.select("pid").distinct(), "pid", "left_anti"
+        ).select(
+            "pid",
+            "cents",
+            F.lit("organic").alias("channel"),
+            F.lit(1000000).cast("long").alias("credit_ppm"),
+        )
+    )
+    return (
+        credited.unionByName(organic)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            F.sum(F.col("cents") * F.col("credit_ppm")).cast("long").alias(
+                "attributed_micro"
+            ),
+        )
+    )
+
+
+@query(
+    "q277_varint_delta_size_audit",
+    """
+    WITH seq AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ms
+        FROM events
+    ), deltas AS (
+        SELECT user_id, ms - prev_ms AS delta
+        FROM seq WHERE prev_ms IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas,
+           CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(SUM((length(bin(delta)) + 6) // 7) AS BIGINT) AS varint_bytes,
+           CAST(SUM((length(bin(delta)) + 6) // 7) * 1000000
+                // (COUNT(*) * 8) AS BIGINT) AS ratio_ppm
+    FROM deltas GROUP BY user_id
+    """,
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta + varint encoding size audit for per-user event-time
+    sequences — the storage-planning probe behind timestamp columns in
+    any log store (parquet DELTA_BINARY_PACKED, Gorilla, varint
+    protobuf): per user, consecutive-event gaps replace absolute ms
+    values and each gap costs ceil(bitlength/7) LEB128 bytes vs 8 raw.
+    bitlength is computed portably as length(bin(x)) (both engines
+    print binary without leading zeros; gaps are >= 0 because the lag
+    runs over the (ts, event_id) total order). ratio_ppm ~ 250000
+    means 4x compression before general-purpose codecs even run.
+
+    Scale shape: one window per user (keyed shuffle, the natural
+    event-log partitioning) and one partial+final groupBy — the audit
+    costs exactly one pass over the log."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    ).withColumn(
+        "prev_ms",
+        F.lag("ms").over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    deltas = seq.filter(F.col("prev_ms").isNotNull()).select(
+        "user_id", (F.col("ms") - F.col("prev_ms")).alias("delta")
+    )
+    vbytes = F.expr("(length(bin(delta)) + 6) div 7")
+    return deltas.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deltas"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("raw_bytes"),
+        F.sum(vbytes).cast("long").alias("varint_bytes"),
+        F.expr(
+            "CAST(sum((length(bin(delta)) + 6) div 7) * 1000000"
+            " div (count(1) * 8) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+
+
+@query(
+    "q278_local_clustering_coefficient",
+    """
+    WITH edges AS (
+        SELECT DISTINCT
+               least(user_id, (user_id * 7 + event_id * 13) % 150) AS a,
+               greatest(user_id, (user_id * 7 + event_id * 13) % 150) AS b
+        FROM events
+        WHERE user_id != (user_id * 7 + event_id * 13) % 150
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS node, d.deg AS deg,
+           CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+           CAST(COALESCE(t.tri, 0) * 2 * 1000000
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN per_node t ON t.node = d.node
+    WHERE d.deg >= 2
+    """,
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2*triangles(v) /
+    (deg(v)*(deg(v)-1)), the are-my-friends-friends metric behind
+    community cohesion and link-spam screens — on q166's deterministic
+    150-node interaction graph. Triangles enumerate once in the
+    degree-oriented a<b<c order (each triangle exactly once: e1=(x,y),
+    e2=(y,z), e3=(x,z)) and credit all three corners via a 3-way
+    union; the ratio is exact ppm BIGINT.
+
+    Scale shape: triangle listing is two equi self-joins on node keys
+    (the standard distributed formulation; at 100 TB the orientation
+    is by DEGREE, not id, bounding join fan-out by arboricity — the
+    id-order here is the fixture-sized spelling of the same plan),
+    degree one groupBy, and the corner credit a map-side explode."""
+    ev = load_table(spark, sf_dir, "events")
+    syn = (F.col("user_id") * 7 + F.col("event_id") * 13) % 150
+    edges = (
+        ev.filter(F.col("user_id") != syn)
+        .select(
+            F.least(F.col("user_id"), syn).cast("long").alias("a"),
+            F.greatest(F.col("user_id"), syn).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            F.expr(
+                "CAST(coalesce(tri, 0) * 2 * 1000000"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+    )
+
+
+@query(
+    "q279_join_blowup_profiler",
+    """
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS na
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), k AS (
+        SELECT c.user_id, c.na, p.nb, c.na * p.nb AS pairs
+        FROM c JOIN p ON c.user_id = p.user_id
+    ), top1 AS (
+        SELECT user_id AS max_key, pairs AS max_key_pairs
+        FROM k ORDER BY pairs DESC, user_id LIMIT 1
+    )
+    SELECT CAST((SELECT SUM(na) FROM c) AS BIGINT) AS n_left,
+           CAST((SELECT SUM(nb) FROM p) AS BIGINT) AS n_right,
+           CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_join_keys,
+           CAST((SELECT SUM(pairs) FROM k) AS BIGINT) AS out_pairs,
+           max_key, max_key_pairs,
+           CAST(max_key_pairs * 1000000 // (SELECT SUM(pairs) FROM k)
+                AS BIGINT) AS max_share_ppm
+    FROM top1
+    """,
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join blow-up profiler — the pre-flight for a many-to-many equi
+    join (here q271/q276's clicks x purchases on user_id): exact
+    output cardinality sum(na*nb) from the two per-key count tables
+    BEFORE running the join, plus the heaviest key's contribution —
+    the number that decides between a plain shuffle join, salting
+    (q267's report), or a per-key cap. The per-key count join costs
+    O(distinct keys), not O(output pairs): profiling a 10^12-pair
+    blow-up costs two aggregations and a keys-sized join.
+
+    Scale shape: two partial+final groupBys, an equi join on the key,
+    a rank-limited top-1, and three 1-row broadcast aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("na"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    k = c.join(p, "user_id").select(
+        "user_id", "na", "nb", (F.col("na") * F.col("nb")).alias("pairs")
+    )
+    top1 = k.orderBy(F.col("pairs").desc(), F.col("user_id")).limit(1).select(
+        F.col("user_id").alias("max_key"), F.col("pairs").alias("max_key_pairs")
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_join_keys"),
+        F.sum("pairs").cast("long").alias("out_pairs"),
+    )
+    nl = c.agg(F.sum("na").cast("long").alias("n_left"))
+    nr = p.agg(F.sum("nb").cast("long").alias("n_right"))
+    return (
+        top1.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "n_left",
+            "n_right",
+            "n_join_keys",
+            "out_pairs",
+            "max_key",
+            "max_key_pairs",
+            F.expr("max_key_pairs * 1000000 div out_pairs")
+            .cast("long")
+            .alias("max_share_ppm"),
+        )
+    )
+
+
+@query(
+    "q280_point_in_time_join",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority,
+               epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
+               o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ),
+    versions AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority, ms,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY ms ASC, o_orderkey ASC) AS vn
+        FROM seq WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    ),
+    probes AS (
+        SELECT event_id, (user_id * 7) % 1500 + 1 AS custkey,
+               epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT p.event_id,
+               (SELECT v.priority FROM versions v
+                WHERE v.custkey = p.custkey AND v.ms <= p.p_ms
+                ORDER BY v.ms DESC, v.vn DESC LIMIT 1) AS priority
+        FROM probes p
+    )
+    SELECT COALESCE(priority, 'NONE') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_probes
+    FROM matched GROUP BY COALESCE(priority, 'NONE')
+    """,
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) feature join — the feature-store primitive
+    that prevents training-serving leakage: each probe (entity,
+    event-time) must see the LATEST dimension version whose
+    valid_from <= probe time, never a later one. The versioned
+    dimension is q244's SCD2 change log (priority changes per
+    customer); probes are purchase events mapped onto the entity
+    space. Implemented with the repo's as-of join
+    (operators/asof.py:asof_join — bucketed backward match), so the
+    PIT semantics ride an already property-tested operator; probes
+    before an entity's first version report NONE (no leakage from the
+    future).
+
+    Scale shape: the as-of join buckets on the entity key + time
+    range (equi-shaped, no per-probe scan of the version history);
+    version build is one keyed window over each entity's own orders;
+    bounded 6-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    wv = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    seq = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ms"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(wv).alias("prev_p"),
+    )
+    versions = seq.filter(
+        F.col("prev_p").isNull() | (F.col("o_orderpriority") != F.col("prev_p"))
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "ms",
+        "o_orderkey",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        ((F.col("user_id") * 7) % 1500 + 1).cast("long").alias("custkey"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("p_ms"),
+    )
+    matched = asof_ops.asof_join(
+        probes,
+        versions.select("custkey", "ms", "priority", "o_orderkey"),
+        on="custkey",
+        left_time="p_ms",
+        right_time="ms",
+        right_payload=["priority", "o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return matched.groupBy(
+        F.coalesce(F.col("asof_priority"), F.lit("NONE")).alias("priority")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+
+
+@query(
+    "q281_watermark_tradeoff_audit",
+    """
+    WITH seq AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               MAX(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY event_id ASC
+                                       ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events
+    ), lateness AS (
+        SELECT high_water - ms AS late_ms FROM seq
+    ), delays AS (
+        SELECT unnest([0, 300000, 900000, 1800000, 3600000]) AS delay_ms
+    )
+    SELECT CAST(delay_ms AS BIGINT) AS delay_ms,
+           CAST(SUM(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped,
+           CAST(SUM(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dropped_ppm
+    FROM lateness CROSS JOIN delays
+    GROUP BY delay_ms
+    """,
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay tradeoff audit: replay each user's event stream
+    in ARRIVAL order (event_id), track the event-time high-water mark,
+    and measure what fraction of events a streaming job would drop as
+    late for candidate watermark delays (0/5/15/30/60 min) — the
+    empirical curve that prices q47-q50's withWatermark setting
+    against state size. lateness = running max(event time) - event
+    time, the exact quantity Structured Streaming compares to the
+    watermark.
+
+    Scale shape: one keyed window per user stream (the log's natural
+    partitioning), a 5-row broadcast delay fanout, bounded groupBy.
+    All epoch-ms integers."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    seq = ev.select("user_id", ms.alias("ms"), "event_id").withColumn(
+        "high_water",
+        F.max("ms").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    lateness = seq.select((F.col("high_water") - F.col("ms")).alias("late_ms"))
+    delays = spark.createDataFrame(
+        [(0,), (300000,), (900000,), (1800000,), (3600000,)], "delay_ms long"
+    )
+    return (
+        lateness.crossJoin(F.broadcast(delays))
+        .groupBy("delay_ms")
+        .agg(
+            F.sum(F.when(F.col("late_ms") > F.col("delay_ms"), 1).otherwise(0))
+            .cast("long")
+            .alias("dropped"),
+            F.expr(
+                "CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("dropped_ppm"),
+        )
+    )
+
+
+@query(
+    "q282_image_luminance_histogram",
+    """
+    WITH px AS (
+        SELECT doc_id, p.p AS p,
+               ascii(substr(text, ((3 * p.p) % length(text)) + 1, 1)) AS r,
+               ascii(substr(text, ((3 * p.p + 1) % length(text)) + 1, 1)) AS g,
+               ascii(substr(text, ((3 * p.p + 2) % length(text)) + 1, 1)) AS b
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(256)) AS p) p
+        WHERE length(text) > 0
+    ), lum AS (
+        SELECT doc_id,
+               (299 * r + 587 * g + 114 * b) // 1000 // 32 AS bin
+        FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+           CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+           CAST(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+           CAST(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+           CAST(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+           CAST(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+    FROM lum GROUP BY doc_id
+    """,
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image FEATURE extraction under oracle: the q231
+    synthesized 16x16 PPM payloads run through the real netpbm parser
+    (multimodal.decode_image) and each image reports its 8-bin
+    LUMINANCE histogram — Rec.601 integer luma (299r+587g+114b) div
+    1000, bins of 32 — the standard first feature of an image-quality
+    / dedup screen (all-dark, all-blown, low-contrast filters compare
+    exactly these histograms). The oracle recomputes every pixel with
+    character arithmetic (pixel p reads text bytes 3p,3p+1,3p+2 mod
+    len — the documents_as_media ASCII contract), so the REAL decoder
+    output is hash-checked bin by bin.
+
+    Scale shape: identical to q231/q210 — one embarrassingly-parallel
+    mapInPandas (Arrow batches, zero shuffles), histogram computed in
+    numpy per image, 8 scalar columns out."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+    H = W = 16
+
+    def render_hist(batches):
+        n = H * W * 3
+        header = b"P6\n%d %d\n255\n" % (W, H)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                reps = -(-n // len(buf))
+                img = decode_image(header + (buf * reps)[:n])
+                rgb = img.astype(np.int64)
+                lum = (
+                    299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+                ) // 1000
+                hist = np.bincount((lum // 32).ravel(), minlength=8)
+                rows.append((int(mid), *[int(x) for x in hist[:8]]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id"] + [f"b{i}" for i in range(8)],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        render_hist,
+        "media_id long, b0 long, b1 long, b2 long, b3 long, "
+        "b4 long, b5 long, b6 long, b7 long",
+    )

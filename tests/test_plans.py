@@ -589,9 +589,20 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q266_top_p_vocab",
         "q267_join_key_skew_report",
         "q268_dp_count_release",
-        # q269 is a streaming query (drains a stream when invoked) —
-        # covered by its oracle + the streaming tests, like q246/q212.
+        # q269/q271 are streaming queries (drain a stream when invoked)
+        # — covered by their oracles + the streaming tests, like q246.
         "q270_grouped_exact_percentiles",
+        "q272_count_min_sketch",
+        "q273_fixed_size_stratified_sample",
+        "q274_zone_map_pruning_audit",
+        "q275_rolling_median_7d",
+        "q276_position_based_attribution",
+        "q277_varint_delta_size_audit",
+        "q278_local_clustering_coefficient",
+        "q279_join_blowup_profiler",
+        "q280_point_in_time_join",
+        "q281_watermark_tradeoff_audit",
+        "q282_image_luminance_histogram",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
