@@ -16707,3 +16707,236 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, b0 long, b1 long, b2 long, b3 long, "
         "b4 long, b5 long, b6 long, b7 long",
     )
+
+
+@query(
+    "q283_minhash_estimate_audit",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+        FROM sh
+    ),
+    seeds(seed, a, b) AS (
+        VALUES (0, 1103515245, 12345),       (1, 1299709, 217645199),
+               (2, 15485863, 413158511),     (3, 32452843, 613651349),
+               (4, 49979687, 817504243),     (5, 67867967, 1025610421),
+               (6, 86028121, 1236794689),    (7, 104395301, 1451730233)
+    ),
+    seeded AS (
+        SELECT doc_id, seed, MIN((h0 * a + b) % 2147483647) AS minhash
+        FROM hashed CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
+        FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+        SELECT c.a, c.b,
+               CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                    AS BIGINT) AS est_matches
+        FROM cands c
+        JOIN seeded sa ON sa.doc_id = c.a
+        JOIN seeded sb ON sb.doc_id = c.b AND sb.seed = sa.seed
+        GROUP BY c.a, c.b
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN cands c ON c.a = a.doc_id AND c.b = b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT g.a AS a, g.b AS b, g.est_matches,
+           CAST(g.est_matches * 125000 AS BIGINT) AS est_ppm,
+           CAST(COALESCE(i.i, 0) * 1000000
+                // (sa.n + sb.n - COALESCE(i.i, 0)) AS BIGINT) AS jac_ppm,
+           CAST(g.est_matches * 125000
+                - COALESCE(i.i, 0) * 1000000
+                  // (sa.n + sb.n - COALESCE(i.i, 0)) AS BIGINT) AS err_ppm
+    FROM agree g
+    LEFT JOIN inter i ON i.a = g.a AND i.b = g.b
+    JOIN sizes sa ON sa.doc_id = g.a
+    JOIN sizes sb ON sb.doc_id = g.b
+    """,
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit — the third member of the sketch-audit
+    suite (q260 KMV, q272 CMS): for every LSH candidate pair, the
+    signature's Jaccard ESTIMATE (agreeing components / 8, exact ppm
+    since 1e6/8 = 125000) against the TRUE shingle Jaccard, with the
+    signed error. E[est] = J per component (the collision probability
+    that makes MinHash work); with 8 components the audit makes the
+    variance visible — the empirical curve that justifies num_hashes
+    and the band/row split before a production corpus commits to them.
+
+    Scale shape: signatures are the one-groupBy wide form
+    (operators/dedup.py:minhash_signatures), candidates the banded
+    equi self-join (lsh_candidate_pairs), agreement a map-side
+    comparison of 8 column pairs after one candidates->signatures
+    equi join per side, and the exact-Jaccard verify runs ONLY on
+    candidate pairs (the q41 contract), never all pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.doc_shingles(d)
+    sigs = dedup_ops.minhash_signatures(sh)
+    cands = dedup_ops.lsh_candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"), *[F.col(f"m{s}").alias(f"b{s}") for s in range(8)]
+    )
+    est = (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            sum(
+                [
+                    F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+                    for s in range(8)
+                ],
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("est_matches"),
+        )
+    )
+    # candidate-first exact intersection (the exact_jaccard shape, kept
+    # as integer counts for the ppm arithmetic)
+    a2 = sh.select(F.col("doc_id").alias("a"), "shingle").join(
+        cands.select("a").distinct(), "a", "left_semi"
+    )
+    b2 = sh.select(F.col("doc_id").alias("b"), "shingle").join(
+        cands.select("b").distinct(), "b", "left_semi"
+    )
+    inter = (
+        a2.join(b2, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .join(cands, ["a", "b"], "left_semi")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    joined = (
+        est.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")), "b")
+    )
+    jac = F.expr(
+        "CAST(coalesce(inter, 0) * 1000000"
+        " div (n_a + n_b - coalesce(inter, 0)) AS BIGINT)"
+    )
+    return joined.select(
+        "a",
+        "b",
+        "est_matches",
+        (F.col("est_matches") * 125000).cast("long").alias("est_ppm"),
+        jac.alias("jac_ppm"),
+        (F.col("est_matches") * 125000 - jac).cast("long").alias("err_ppm"),
+    )
+
+
+@query(
+    "q284_bloom_fp_audit",
+    """
+    WITH keys AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ), pos AS (
+        SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
+                               CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 65536 AS p
+        FROM keys CROSS JOIN (SELECT unnest(range(3)) AS s) s
+    ), bits AS (
+        SELECT DISTINCT p FROM pos
+    ), nonmembers AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal <= 9000
+    ), probes AS (
+        SELECT n.c_custkey,
+               SUM(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        FROM nonmembers n
+        CROSS JOIN (SELECT unnest(range(3)) AS s) s
+        LEFT JOIN bits b
+          ON b.p = ('0x' || substr(md5(CAST(n.c_custkey AS VARCHAR) || '|' ||
+                                   CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 65536
+        GROUP BY n.c_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_members,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_nonmembers,
+           CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS false_positives,
+           CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS fp_ppm
+    FROM probes
+    """,
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive AUDIT — the empirical check of
+    q261's (m=65536, k=3) sizing: every NON-member key probes the same
+    bitmap and the measured FP rate (all 3 bits set) is reported with
+    the bit-occupancy that drives it (expected FP ~ (bits_set/m)^3;
+    at the fixture's fill the measured ppm should sit near that cube —
+    the audit a pipeline runs before trusting a bloom semi-join's
+    pruning factor at 100 TB, where an FP rate of 1e-3 vs 1e-4 is a
+    terabyte of wasted shuffle). Fourth member of the sketch-audit
+    suite (q260 KMV, q272 CMS, q283 MinHash).
+
+    Scale shape: bit-position build is the q261 aggregation (bounded
+    65536-bit bitmap as a distinct-position table, broadcast); probes
+    are map-side hash computations + a broadcast join per seed; two
+    bounded scalar aggregates meet in the result row."""
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    non = c.filter(F.col("c_acctbal") <= 9000).select("c_custkey")
+    M = 65536
+
+    def pos(col, seed):
+        return md5_long(
+            F.concat(F.col(col).cast("string"), F.lit(f"|{seed}"))
+        ) % M
+
+    bits = (
+        keys.select(
+            F.explode(F.array(*[pos("c_custkey", s) for s in range(3)])).alias("p")
+        )
+        .distinct()
+    )
+    probe = non
+    for s in range(3):
+        bm = bits.select(F.col("p").alias(f"p{s}"), F.lit(1).alias(f"hit{s}"))
+        probe = probe.join(
+            F.broadcast(bm), pos("c_custkey", s) == F.col(f"p{s}"), "left"
+        ).drop(f"p{s}")
+    fp = (
+        F.coalesce(F.col("hit0"), F.lit(0))
+        + F.coalesce(F.col("hit1"), F.lit(0))
+        + F.coalesce(F.col("hit2"), F.lit(0))
+        == 3
+    )
+    stats = probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonmembers"),
+        F.sum(F.when(fp, 1).otherwise(0)).cast("long").alias("false_positives"),
+    )
+    nm = keys.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    return (
+        stats.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_members",
+            "bits_set",
+            "n_nonmembers",
+            "false_positives",
+            F.expr("false_positives * 1000000 div n_nonmembers")
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+    )

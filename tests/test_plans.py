@@ -603,6 +603,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q280_point_in_time_join",
         "q281_watermark_tradeoff_audit",
         "q282_image_luminance_histogram",
+        "q283_minhash_estimate_audit",
+        "q284_bloom_fp_audit",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
