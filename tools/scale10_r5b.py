@@ -29,9 +29,37 @@ def main() -> None:
     spark = get_spark("scale10-r5b")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # documents/orders/lineitem/customer come from scale10_r5.py's
-    # builder; add events (distinct event_ids, distinct users so the
-    # keyed windows and per-user state grow with the data).
+    # Build every replicated table this run needs (10x, distinct keys —
+    # same construction as tools/scale10_r5.py, self-contained because
+    # /tmp does not survive across sessions).
+    if not os.path.exists(f"{X10}/documents.parquet"):
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        reps = None
+        for i in range(10):
+            r = d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
+            reps = r if reps is None else reps.unionAll(r)
+        reps.write.mode("overwrite").parquet(f"{X10}/documents.parquet")
+
+    if not os.path.exists(f"{X10}/orders.parquet"):
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        ro = None
+        for i in range(10):
+            r = o.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 1_000_000_000)
+            ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 1_000_000))
+            ro = r if ro is None else ro.unionAll(r)
+        ro.write.mode("overwrite").parquet(f"{X10}/orders.parquet")
+
+    if not os.path.exists(f"{X10}/customer.parquet"):
+        c = spark.read.parquet(f"{SF}/customer.parquet")
+        rc = None
+        for i in range(10):
+            r = c.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 1_000_000))
+            rc = r if rc is None else rc.unionAll(r)
+        rc.write.mode("overwrite").parquet(f"{X10}/customer.parquet")
+
+    # events: distinct event_ids, distinct users so the keyed windows
+    # and per-user state grow with the data.
     if not os.path.exists(f"{X10}/events.parquet"):
         e = load_table(spark, SF, "events")
         reps = None
