@@ -111,3 +111,80 @@ def heavy_hitters_verify(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- HLL
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+# rho reads the 54 bits above the register index (md5_long is 60-bit)
+HLL_RHO_BITS = 60 - HLL_P
+# alpha_64 = 0.709 as a ratio; estimate arithmetic is all-integer:
+# est = (709 * m^2 * 2^39) div denom div 1000 with
+# denom = sum_j 2^(39 - rho_j)  (scaled 2^-rho, truncated below 2^-39
+# identically on both engines). 709 * 4096 * 2^39 = 1.596e18 < 2^63.
+_HLL_SCALE = 1 << 39
+_HLL_NUM = 709 * HLL_M * HLL_M * _HLL_SCALE
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col) -> DataFrame:
+    """HyperLogLog register build (Flajolet et al. 2007), portable and
+    integer-exact: one md5 per key, register index = low p bits,
+    rho = 1 + leading zeros of the remaining 54 bits (computed via
+    lpad(bin(h), 54, '0') string scan — identical in DuckDB, so the
+    oracle reproduces the registers bit-for-bit).
+
+    Returns (group_col, reg, rho) with one row per NON-EMPTY register:
+    ``groupBy(group, reg).max(rho)`` — the standard mergeable HLL
+    union (max per register is associative/commutative, so partial
+    aggregation does the map-side combine and re-aggregating sketches
+    from different shards is the same operation). At 100 TB the
+    shuffle moves O(groups * m) rows, never O(distinct keys) — the
+    whole point vs countDistinct's full key shuffle.
+    """
+    from etl_everywhere_hub_spark.functions.hashing import md5_long
+
+    h = md5_long(key_col.cast("string"))
+    hb = F.shiftright(h, HLL_P)
+    rho = F.when(hb == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.instr(F.lpad(F.bin(hb), HLL_RHO_BITS, "0"), "1")
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            F.pmod(h, F.lit(HLL_M)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
+    """Fold per-group registers into the raw HLL estimate — pure
+    integer arithmetic so Spark and the DuckDB oracle agree to the
+    last digit. Empty registers contribute 2^-0 = 1 (scaled 2^39) via
+    the (m - n_regs) correction term. Returns
+    (group_col, n_regs, sum_rho, est_hll); callers join the exact
+    count alongside for the audit (q-series contract: sketches are
+    audited against exact, never emitted as floats)."""
+    term = F.expr(f"shiftright({_HLL_SCALE}L, rho)")
+    return (
+        registers.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_regs"),
+            F.sum("rho").cast("long").alias("sum_rho"),
+            F.sum(term).cast("long").alias("denom_part"),
+        )
+        .select(
+            group_col,
+            "n_regs",
+            "sum_rho",
+            F.expr(
+                f"{_HLL_NUM}L div "
+                f"(denom_part + ({HLL_M} - n_regs) * {_HLL_SCALE}L) div 1000"
+            )
+            .cast("long")
+            .alias("est_hll"),
+        )
+    )

@@ -17166,3 +17166,700 @@ def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").cast("long").alias("n_sources"),
         )
     )
+
+
+@query(
+    "q287_window_distribution_funcs",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, value FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    c AS (
+        SELECT user_id, event_id, value,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_u
+        FROM e
+    ),
+    x AS (
+        SELECT ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               value
+        FROM c WHERE n_u >= 4
+        WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+    )
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(floor(pr * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_pr_ppm,
+           CAST(SUM(CAST(floor(cd * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cd_ppm
+    FROM x GROUP BY quartile ORDER BY quartile
+    """,
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window *distribution* functions — ntile / percent_rank /
+    cume_dist — the §2.B rank-family rows q25/q58 don't cover. Per-user
+    windows (high-cardinality partition key, never a global sort), a
+    (value, event_id) total order so ntile's tie placement is
+    deterministic, and per-row ppm scaling (floor(x*1e6+0.5) of an
+    IEEE-exact rational) so the grouped sums stay integer-exact
+    cross-engine regardless of float summation order. Users with <4
+    events are excluded so every quartile is populated and
+    percent_rank's n-1 denominator is never 0/0.
+
+    Scale: both windows hash-partition on user_id — per-task memory is
+    the largest single user's history, the agg is partial+final."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    wc = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    x = (
+        ev.withColumn("n_u", F.count(F.lit(1)).over(wc))
+        .filter(F.col("n_u") >= 4)
+        .select(
+            F.ntile(4).over(wo).cast("long").alias("quartile"),
+            F.percent_rank().over(wo).alias("pr"),
+            F.cume_dist().over(wo).alias("cd"),
+            "value",
+        )
+    )
+    ppm = lambda c: F.floor(F.col(c) * 1000000 + 0.5).cast("long")  # noqa: E731
+    return (
+        x.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.sum(ppm("pr")).cast("long").alias("sum_pr_ppm"),
+            F.sum(ppm("cd")).cast("long").alias("sum_cd_ppm"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@query(
+    "q288_adamic_adar",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    deg AS (
+        SELECT o, CAST(COUNT(*) AS BIGINT) AS dg,
+               1000000000000 // CAST(floor(ln(COUNT(*)) * 1000000) AS BIGINT)
+                   AS w_scaled
+        FROM li GROUP BY o HAVING COUNT(*) >= 2
+    )
+    SELECT a.p AS pa, b.p AS pb,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(w_scaled) AS BIGINT) AS aa_scaled
+    FROM li a
+    JOIN li b ON a.o = b.o AND a.p < b.p
+    JOIN deg ON deg.o = a.o
+    GROUP BY a.p, b.p
+    HAVING COUNT(*) >= 2
+    ORDER BY aa_scaled DESC, pa ASC, pb ASC
+    LIMIT 100
+    """,
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the bipartite co-purchase
+    graph (Adamic & Adar 2003): for part pairs sharing an order, score
+    = sum over common orders z of 1/ln(deg(z)) — rarer baskets count
+    more. The float term is made integer-exact cross-engine by scaling:
+    w = 10^12 div floor(ln(deg)*10^6) (one IEEE ln of a small int,
+    floored identically), so the grouped SUM is pure int64.
+
+    Scale shape: pair fan-out is generated per order and bounded by
+    basket size (TPC-H ≤ 7 lineitems ⇒ ≤ 21 pairs/order), never a
+    part×part cross; all three joins are equi on the order key, so at
+    100 TB this is lineitem-shaped shuffles, and the HAVING ≥2 +
+    top-100 keeps the result bounded."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = (
+        li.groupBy("o")
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+        .filter(F.col("dg") >= 2)
+        .withColumn(
+            "w_scaled",
+            F.expr("1000000000000 div CAST(floor(ln(dg) * 1000000) AS BIGINT)"),
+        )
+    )
+    a = li.select(F.col("o"), F.col("p").alias("pa"))
+    b = li.select(F.col("o"), F.col("p").alias("pb"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(deg, "o")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_scaled").cast("long").alias("aa_scaled"),
+        )
+        .filter(F.col("n_common") >= 2)
+        .orderBy(F.col("aa_scaled").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q289_query_likelihood_dirichlet",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lens AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d FROM tok GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c_total,
+               CAST(SUM(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS cf1,
+               CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS cf2,
+               CAST(SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS cf3
+        FROM tok
+    ),
+    tf AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+               CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+               CAST(SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+        FROM tok GROUP BY doc_id
+    )
+    SELECT lens.doc_id AS doc_id,
+           round(
+             (ln((tf1 + 2000.0 * cf1 / c_total) / (len_d + 2000.0))
+              + ln((tf2 + 2000.0 * cf2 / c_total) / (len_d + 2000.0)))
+              + ln((tf3 + 2000.0 * cf3 / c_total) / (len_d + 2000.0)),
+             6) AS score_ql
+    FROM lens JOIN tf ON lens.doc_id = tf.doc_id CROSS JOIN corpus
+    ORDER BY score_ql DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001), mu=2000 — the language-modeling ranking twin of q89's BM25:
+    score(q,d) = sum_t ln((tf_td + mu*cf_t/|C|)/(len_d + mu)). Docs
+    missing a query term still score via the collection prior, so the
+    per-term tf columns come from one conditional aggregation (no
+    per-term join fan-out) and the three log terms are summed in fixed
+    expression order — bit-identical across engines, round-6 at the end.
+
+    Scale: one tokenize pass feeds lens/tf/corpus; the corpus stats are
+    a 1-row broadcast; scoring is a doc_id equi-join; top-20 is
+    TakeOrdered. Query terms are a constant list — generalizing to a
+    query TABLE is the same shape with a terms broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    lens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len_d")
+    )
+    terms = ["spark", "merge", "window"]
+    cf_aggs = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"cf{i+1}")
+        for i, t in enumerate(terms)
+    ]
+    corpus = tok.agg(F.count(F.lit(1)).cast("long").alias("c_total"), *cf_aggs)
+    tf_aggs = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"tf{i+1}")
+        for i, t in enumerate(terms)
+    ]
+    tf = tok.groupBy("doc_id").agg(*tf_aggs)
+    term_score = lambda i: F.log(  # noqa: E731
+        (F.col(f"tf{i}") + 2000.0 * F.col(f"cf{i}") / F.col("c_total"))
+        / (F.col("len_d") + 2000.0)
+    )
+    score = (term_score(1) + term_score(2)) + term_score(3)
+    return (
+        lens.join(tf, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.round(score, 6).alias("score_ql"))
+        .orderBy(F.col("score_ql").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q290_hll_sketch_audit",
+    """
+    WITH hs AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rr AS (
+        SELECT event_type, h % 64 AS reg,
+               CASE WHEN (h >> 6) = 0 THEN 55
+                    ELSE instr(lpad(bin(h >> 6), 54, '0'), '1') END AS rho
+        FROM hs
+    ),
+    regs AS (
+        SELECT event_type, reg, MAX(rho) AS rho
+        FROM rr GROUP BY event_type, reg
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_regs,
+               CAST(SUM(rho) AS BIGINT) AS sum_rho,
+               CAST(1596526067902840832
+                    // (SUM(549755813888 >> rho)
+                        + (64 - COUNT(*)) * 549755813888)
+                    // 1000 AS BIGINT) AS est_hll
+        FROM regs GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT est.event_type AS event_type, exact_users, n_regs, sum_rho, est_hll
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """,
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group, audited against the
+    exact count (Flajolet et al. 2007) — completes the cardinality-
+    sketch family next to q260's KMV: 64 registers from a portable md5
+    split (low 6 bits → register, leading-zero rank of the top 54 bits
+    → rho via an lpad/bin/instr string scan both engines share), raw
+    estimate 0.709*m²/Σ2^-rho computed entirely in int64 (Σ2^-rho
+    scaled by 2^39, truncated identically) so the audit is
+    bit-reproducible — no float anywhere.
+
+    Scale shape: register build is groupBy(group, reg).max(rho) —
+    partial-aggregated map-side, the shuffle carries O(groups × 64)
+    rows regardless of key cardinality, and the same max-merge
+    re-aggregates shard sketches (mergeable summaries, PODS'12). The
+    exact twin is the audit column only."""
+    from etl_everywhere_hub_spark.operators import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    regs = sk.hll_registers(ev, "event_type", F.col("user_id"))
+    est = sk.hll_estimate(regs, "event_type")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(F.broadcast(ex), "event_type").select(
+        "event_type", "exact_users", "n_regs", "sum_rho", "est_hll"
+    )
+
+
+@query(
+    "q291_kfold_target_encoding",
+    """
+    WITH o AS (
+        SELECT o_orderpriority AS priority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 5 AS fold,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    f AS (
+        SELECT priority, fold,
+               CAST(COUNT(*) AS BIGINT) AS n_f,
+               CAST(SUM(cents) AS BIGINT) AS sum_f
+        FROM o GROUP BY priority, fold
+    ),
+    c AS (
+        SELECT priority,
+               CAST(SUM(n_f) AS BIGINT) AS n_c,
+               CAST(SUM(sum_f) AS BIGINT) AS sum_c
+        FROM f GROUP BY priority
+    )
+    SELECT f.priority AS priority, fold, n_f,
+           CAST((sum_c - sum_f) // (n_c - n_f) AS BIGINT) AS enc_oof_cents
+    FROM f JOIN c ON f.priority = c.priority
+    """,
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold (leave-fold-out) target encoding — the leakage-safe
+    categorical encoder for training-data prep (Micci-Barreca 2001):
+    each fold's encoding of a category is the target mean computed
+    from the OTHER folds only, so a row never sees its own label.
+    Folds are a deterministic md5(o_orderkey) mod 5 (the q69
+    hash-split convention — reproducible across runs and engines);
+    target is integer cents; the out-of-fold mean is one int64
+    subtraction + floor division, bit-exact cross-engine.
+
+    Scale shape: ONE scan → groupBy(category, fold) partial+final agg
+    (25 cells here; bounded by |cats|×K at any corpus size), the
+    per-category totals derive from those cells (no second scan), and
+    the cell⋈total join is broadcast-sized. Encoding rows at train
+    time is then a broadcast map-side join on (category, fold)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.pmod(md5_long(F.col("o_orderkey").cast("string")), F.lit(5)).alias(
+            "fold"
+        ),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    f = o.groupBy("priority", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_f"),
+        F.sum("cents").cast("long").alias("sum_f"),
+    )
+    c = f.groupBy("priority").agg(
+        F.sum("n_f").cast("long").alias("n_c"),
+        F.sum("sum_f").cast("long").alias("sum_c"),
+    )
+    return f.join(F.broadcast(c), "priority").select(
+        "priority",
+        "fold",
+        "n_f",
+        F.expr("(sum_c - sum_f) div (n_c - n_f)").cast("long").alias(
+            "enc_oof_cents"
+        ),
+    )
+
+
+@query(
+    "q292_wav_pcm_roundtrip",
+    """
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL AND user_id <= 40
+    ),
+    h AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 65536 AS h
+        FROM u
+    ),
+    s AS (
+        SELECT user_id, ((h * (i + 1) + 31 * i * i) % 65536) - 32768 AS smp
+        FROM h, generate_series(0, 63) AS t(i)
+    )
+    SELECT user_id AS track_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(172 AS BIGINT) AS byte_len,
+           CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+           CAST(MAX(smp) AS INTEGER) AS max_s,
+           CAST(MIN(smp) AS INTEGER) AS min_s
+    FROM s GROUP BY user_id
+    """,
+)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio multimodal contract on REAL bytes: synthesize a
+    deterministic 16-bit PCM waveform per probe track (md5-seeded
+    integer recurrence — both engines state it in closed form), encode
+    it into a genuine RIFF/WAVE container (44-byte header + LE frames,
+    multimodal/audio.py), ship the payload as an opaque binary column,
+    then DECODE the container back — magic validation, chunk walk,
+    fmt parse, int16 frame read — and emit integer stats. The oracle
+    computes the same stats from the waveform formula directly, so a
+    single header-layout or endianness bug breaks the hash: the codec
+    is under differential test, not just the plumbing (q210/q231
+    pattern, extended from images to audio).
+
+    Scale: bounded probe set here, but the operators are map-only
+    mapInPandas over Arrow binary batches — per-task memory is one
+    batch of payloads, zero shuffles before the per-track stats."""
+    from etl_everywhere_hub_spark.multimodal import audio
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("user_id").isNotNull() & (F.col("user_id") <= 40))
+        .select("user_id")
+        .distinct()
+    )
+    h = F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(65536))
+    tracks = u.select(
+        F.col("user_id").alias("track_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.pmod(h * (i + 1) + 31 * i * i, F.lit(65536)) - 32768
+            ).cast("int"),
+        ).alias("samples"),
+    )
+    media = audio.encode_wav_tracks(tracks, sample_rate=8000)
+    return audio.wav_stats(media)
+
+
+@query(
+    "q293_mutual_information",
+    """
+    WITH cells AS (
+        SELECT event_type AS x, hour(ts) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY event_type, hour(ts)
+    ),
+    mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(floor(1000000000.0 * n_xy / n
+                    * ln((CAST(n_xy AS DOUBLE) * n)
+                         / (CAST(n_x AS DOUBLE) * n_y)) + 0.5) AS BIGINT)
+                   AS mi_term
+        FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    hx AS (
+        SELECT CAST(SUM(CAST(floor(1000000000.0 * n_x / n
+                    * ln(CAST(n AS DOUBLE) / n_x) + 0.5) AS BIGINT)) AS BIGINT)
+                   AS hx_nano
+        FROM mx CROSS JOIN tot
+    ),
+    hy AS (
+        SELECT CAST(SUM(CAST(floor(1000000000.0 * n_y / n
+                    * ln(CAST(n AS DOUBLE) / n_y) + 0.5) AS BIGINT)) AS BIGINT)
+                   AS hy_nano
+        FROM my CROSS JOIN tot
+    )
+    SELECT n AS n_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+           (SELECT CAST(SUM(mi_term) AS BIGINT) FROM terms) AS mi_nano,
+           hx_nano, hy_nano
+    FROM tot CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (event_type
+    × hour-of-day) plus both marginal entropies — the feature-
+    redundancy / association screen a feature-selection pass runs
+    (complements q201's chi-square: MI is the information-theoretic
+    effect size). Each cell's p*ln(p_xy/(p_x p_y)) term is one
+    deterministic double expression nano-scaled and floored to int64
+    BEFORE summation, so the aggregate is exact regardless of float
+    summation order — the same order-independence rule as q218's PMI.
+
+    Scale shape: ONE scan → groupBy(x, y) partial+final agg; the
+    contingency table (|event_types| × 24 cells) and its marginals are
+    bounded at any corpus size, so every join after the first agg is
+    broadcast-sized. MI of high-cardinality pairs would swap the
+    broadcast for an equi-join on the marginal keys — same plan
+    skeleton."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(F.col("event_type").alias("x"), F.hour("ts").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    mi_term = F.floor(
+        F.lit(1000000000.0)
+        * F.col("n_xy")
+        / F.col("n")
+        * F.log(
+            (F.col("n_xy").cast("double") * F.col("n"))
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        )
+        + 0.5
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_term.alias("mi_term"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("mi_term").cast("long").alias("mi_nano"),
+        )
+    )
+    ent = lambda nc, out: F.sum(  # noqa: E731
+        F.floor(
+            F.lit(1000000000.0)
+            * F.col(nc)
+            / F.col("n")
+            * F.log(F.col("n").cast("double") / F.col(nc))
+            + 0.5
+        ).cast("long")
+    ).cast("long").alias(out)
+    hx = mx.crossJoin(F.broadcast(tot)).agg(ent("n_x", "hx_nano"))
+    hy = my.crossJoin(F.broadcast(tot)).agg(ent("n_y", "hy_nano"))
+    return (
+        tot.select(F.col("n").alias("n_total"))
+        .crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select("n_total", "n_cells", "mi_nano", "hx_nano", "hy_nano")
+    )
+
+
+@query(
+    "q294_roc_auc",
+    """
+    WITH nz AS (
+        SELECT vec_id,
+               CAST(label % 2 AS INTEGER) AS pos,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    r AS (
+        SELECT pos, CAST(row_number() OVER (ORDER BY n2 ASC, vec_id ASC)
+                         AS BIGINT) AS rk
+        FROM nz
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+           CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN pos = 1 THEN rk ELSE 0 END)
+                - SUM(pos) * (SUM(pos) + 1) // 2 AS BIGINT) AS auc_num,
+           CAST((SUM(CASE WHEN pos = 1 THEN rk ELSE 0 END)
+                 - SUM(pos) * (SUM(pos) + 1) // 2) * 1000000
+                // (SUM(pos) * (COUNT(*) - SUM(pos))) AS BIGINT) AS auc_ppm
+    FROM r
+    """,
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a scorer against binary labels via the rank (Mann-
+    Whitney) identity AUC = (Σ ranks(pos) - n1(n1+1)/2) / (n1·n0) —
+    the eval-suite capstone next to q263 (calibration), q207
+    (confusion), q285 (kNN accuracy). Scorer under test: the milli-
+    quantized squared embedding norm (q227's integer-exact fold), so
+    the score, the total order (score, vec_id), and the ppm AUC are
+    all int64 — zero float anywhere.
+
+    Scale shape: the global rank is NOT a single-partition window —
+    it's the two-phase global_rank (bucket counts + bounded offset
+    cascade, operators/sampling.py), so ranking 10^9 scored rows
+    shuffles by range bucket and the only serial pass is over 32
+    bucket totals. The AUC fold is then one partial+final aggregate."""
+    from etl_everywhere_hub_spark.operators.sampling import global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    nz = emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("int").alias("pos"),
+        F.aggregate(m, F.lit(0).cast("long"), lambda acc, v: acc + v * v).alias(
+            "n2"
+        ),
+    )
+    r = global_rank(nz, "n2", "vec_id", out="rk", descending=False)
+    agg = r.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n0"),
+        F.sum(F.when(F.col("pos") == 1, F.col("rk")).otherwise(0))
+        .cast("long")
+        .alias("sum_rk_pos"),
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        F.expr("sum_rk_pos - n1 * (n1 + 1) div 2").cast("long").alias(
+            "auc_num"
+        ),
+        F.expr(
+            "(sum_rk_pos - n1 * (n1 + 1) div 2) * 1000000 div (n1 * n0)"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+@query(
+    "q295_stream_hll_window",
+    """
+    WITH hs AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rr AS (
+        SELECT day, h % 64 AS reg,
+               CASE WHEN (h >> 6) = 0 THEN 55
+                    ELSE instr(lpad(bin(h >> 6), 54, '0'), '1') END AS rho
+        FROM hs
+    ),
+    regs AS (SELECT day, reg, MAX(rho) AS rho FROM rr GROUP BY day, reg),
+    est AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_regs,
+               CAST(SUM(rho) AS BIGINT) AS sum_rho,
+               CAST(1596526067902840832
+                    // (SUM(549755813888 >> rho)
+                        + (64 - COUNT(*)) * 549755813888)
+                    // 1000 AS BIGINT) AS est_hll
+        FROM regs GROUP BY day
+    ),
+    ex AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events WHERE user_id IS NOT NULL GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(est.day AS VARCHAR) AS day, exact_users, n_regs, sum_rho,
+           est_hll
+    FROM est JOIN ex ON est.day = ex.day
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q290's HyperLogLog as a STREAMING windowed aggregation — the
+    per-day distinct-users board a 100 TB event stream actually needs
+    (exact streaming distinct state grows with the key domain; HLL
+    state is 64 registers/day, full stop). Events replay as a file
+    stream; the register build is a plain streaming
+    groupBy(day, reg).max(rho) in update mode — max is the mergeable
+    HLL union, so re-aggregating the update log's emissions (max
+    again) yields the same final registers as one batch pass: the
+    stream==batch contract holds ALGEBRAICALLY here (monotone merge),
+    and the oracle pins it to the batch formula, exact to the last
+    integer digit.
+
+    Scale: streaming state is O(days × 64) ints regardless of user
+    cardinality; the finalize + exact audit join are bounded by the
+    day horizon."""
+    from etl_everywhere_hub_spark.operators import sketches as sk
+
+    s = stream_jobs.stream_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    h = md5_long(F.col("user_id").cast("string"))
+    hb = F.shiftright(h, 6)
+    rho = F.when(hb == 0, F.lit(55)).otherwise(
+        F.instr(F.lpad(F.bin(hb), 54, "0"), "1")
+    )
+    regs_s = (
+        s.select(
+            F.to_date("ts").alias("day"),
+            F.pmod(h, F.lit(64)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+    drained = stream_jobs.run_to_table(regs_s, output_mode="update")
+    regs = drained.groupBy("day", "reg").agg(
+        F.max("rho").cast("int").alias("rho")
+    )
+    est = sk.hll_estimate(regs, "day")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    ex = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(F.broadcast(ex), "day").select(
+        F.col("day").cast("string").alias("day"),
+        "exact_users",
+        "n_regs",
+        "sum_rho",
+        "est_hll",
+    )

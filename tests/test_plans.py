@@ -609,6 +609,16 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         # q285's probe scoring is a deliberate bounded-broadcast cross
         # join (50 probes × corpus — the exact brute-force baseline);
         # exempt from the Cartesian check like q265.
+        "q287_window_distribution_funcs",
+        "q288_adamic_adar",
+        "q289_query_likelihood_dirichlet",
+        "q290_hll_sketch_audit",
+        "q291_kfold_target_encoding",
+        "q292_wav_pcm_roundtrip",
+        "q293_mutual_information",
+        "q294_roc_auc",
+        # q295 is a streaming query (drains a stream when invoked) —
+        # covered by its oracle + streaming tests, like q269/q271.
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -662,6 +672,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q253_sorted_neighborhood": "global_rank offset cascade over ≤32 bucket totals",
     "q257_kaplan_meier": "2× prefix-sum offset cascades (≤32 bucket totals each)",
     "q265_theil_sen_trend": "global_rank offset cascade over ≤32 bucket totals",
+    "q294_roc_auc": "global_rank offset cascade over ≤32 bucket totals",
 }
 
 
