@@ -17863,3 +17863,391 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_rho",
         "est_hll",
     )
+
+
+@query(
+    "q296_time_to_next_purchase",
+    """
+    WITH c AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+    ),
+    p AS (
+        SELECT user_id, epoch_ms(ts) AS pms FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    )
+    SELECT c.user_id AS user_id, c.event_id AS event_id, c.ms AS ms,
+           MIN(p.pms) AS next_p_ms,
+           MIN(p.pms) - c.ms AS wait_ms
+    FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.pms >= c.ms
+    GROUP BY c.user_id, c.event_id, c.ms
+    """,
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the label-generation twin of q22's backward
+    as-of: every click gets the timestamp of the same user's NEXT
+    purchase at-or-after it (time-to-conversion labels; forward-only
+    so the label never leaks backward past the feature time, the q280
+    PIT discipline in the other direction). Implemented with the
+    sorted-merge trick, not a join: union both tagged streams, one
+    window per user ordered (ms, kind, event_id) with purchases
+    sorting AFTER clicks at equal ms (so >= holds), and
+    min(purchase_ms) over [current, unbounded following]. Clicks with
+    no future purchase keep NULL — the honest censoring marker.
+
+    Scale shape: ONE user_id shuffle, linear scan per user — the
+    oracle's inequality LEFT JOIN is the O(clicks × purchases)
+    per-user blow-up this replaces; no join node appears at all."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.lit(0).alias("kind"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ms").asc(), F.col("kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = c.unionByName(p).withColumn(
+        "next_p_ms",
+        F.min(F.when(F.col("kind") == 1, F.col("ms"))).over(w),
+    )
+    return merged.filter(F.col("kind") == 0).select(
+        "user_id",
+        "event_id",
+        "ms",
+        "next_p_ms",
+        (F.col("next_p_ms") - F.col("ms")).alias("wait_ms"),
+    )
+
+
+@query(
+    "q297_event_sequence_regex",
+    """
+    WITH x AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id,
+               substr(event_type, 1, 1) AS ini,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+        SELECT user_id, ms, event_id, ini,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x
+    ),
+    seqs AS (
+        SELECT user_id, sess,
+               string_agg(ini, '' ORDER BY ms ASC, event_id ASC) AS seq
+        FROM s GROUP BY user_id, sess
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_start_signup,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_funnel_vcp,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'e$') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_end_error,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '(vc)|(cv)') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_adjacent_vc
+    FROM seqs
+    """,
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over sessionized event strings — the
+    MATCH_RECOGNIZE workload expressed Spark-first: 30-min-gap
+    sessionization (the q29 operator), each session rendered as its
+    type-initial string in exact event order (array_sort over
+    (ms, event_id, initial) structs — collect_list alone is NOT
+    order-stable), then regex predicates count behavioral patterns
+    (starts-with-signup, view→…→click→…→purchase funnel, error-
+    terminated, adjacent view/click). One output row of exact counts.
+
+    Scale shape: two user_id-partitioned windows + one (user, session)
+    agg — session strings are gap-bounded, the regex pass is map-side
+    over one row per session, and the final count is a partial+final
+    fold. The funnel regex generalizes q196's fixed 3-step funnel to
+    arbitrary patterns."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    x = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(wo))
+                >= 1800000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ms").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = x.withColumn("sess", F.sum("brk").over(ws))
+    seqs = (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ms", "event_id", "ini"))
+                    ),
+                    lambda r: r["ini"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    flag = lambda pat: F.sum(  # noqa: E731
+        F.when(F.col("seq").rlike(pat), 1).otherwise(0)
+    ).cast("long")
+    return seqs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        flag("^s").alias("n_start_signup"),
+        flag("v.*c.*p").alias("n_funnel_vcp"),
+        flag("e$").alias("n_end_error"),
+        flag("(vc)|(cv)").alias("n_adjacent_vc"),
+    )
+
+
+@query(
+    "q298_activity_streaks",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d_int
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    g AS (
+        SELECT user_id, d_int,
+               d_int - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY d_int ASC) AS grp
+        FROM d
+    ),
+    runs AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(run_len) AS BIGINT) AS max_streak
+    FROM runs GROUP BY user_id
+    ORDER BY max_streak DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user daily-activity streaks via the
+    classic day − row_number() island key (consecutive days share a
+    constant difference), then run lengths, longest streak and streak
+    count per user — the engagement metric DAU boards (q220) can't
+    answer. Pure integer date arithmetic (days since a fixed epoch),
+    deterministic cross-engine.
+
+    Scale shape: distinct (user, day) collapses the raw stream first
+    (the cheap cardinality), the island window partitions by user_id
+    (high-cardinality key, never global), and both aggs are
+    partial+final. Top-20 is TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    d = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d_int"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("d_int").asc())
+    g = d.withColumn("grp", F.col("d_int") - F.row_number().over(w))
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("run_len").cast("long").alias("max_streak"),
+        )
+        .orderBy(F.col("max_streak").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q299_stream_left_outer_join",
+    """
+    WITH c AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS cms FROM events
+        WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id AS pid, epoch_ms(ts) AS pms FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id AS c_user, c.event_id AS click_id, c.cms AS c_ms,
+           p.pid AS purchase_id, p.pms AS p_ms
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.pms >= c.cms AND p.pms <= c.cms + 3600000
+    """,
+)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join under the oracle — the
+    outer half of q271's inner join, and the semantically hard part:
+    an unmatched click may only be emitted once the global watermark
+    PROVES no qualifying purchase can still arrive (Spark buffers it
+    in state until watermark > click_ts + interval + delay, then
+    emits the null-padded row exactly once). Bounded file replays end
+    with the watermark stuck ~delay behind max event time, which would
+    withhold the trailing unmatched clicks forever — so the replay
+    carries a far-future 'flush' sentinel through BOTH watermark nodes
+    (streaming/jobs.py:stream_events_with_flush), dropped before the
+    join: the bounded-replay stand-in for a production stream's next
+    arriving event. The drained result must equal the batch LEFT JOIN
+    the oracle runs — stream==batch including the NULL rows.
+
+    Scale: state on both sides is O(watermark delay + interval) per
+    key, equi on user_id; eviction keyed to the watermark clock."""
+    s = stream_jobs.stream_events_with_flush(spark, sf_dir)
+    out = stream_jobs.run_to_table(
+        stream_jobs.stream_stream_click_purchase_left_outer(s)
+    )
+    # the flush sentinel (click_id = -1) is dropped HERE, batch-side:
+    # a filter inside the streaming plan would be pushed below the
+    # watermark node and defeat the flush (see jobs.py docstring)
+    return out.filter(F.col("click_id") != -1).select(
+        F.col("c_user").cast("long").alias("c_user"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.unix_millis("c_ts").alias("c_ms"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.unix_millis("p_ts").alias("p_ms"),
+    )
+
+
+@query(
+    "q300_holt_linear_smoothing",
+    """
+    WITH RECURSIVE ds AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL GROUP BY di
+    ),
+    ds2 AS (
+        SELECT di, cents, row_number() OVER (ORDER BY di ASC) AS rn FROM ds
+    ),
+    rec AS (
+        SELECT rn, di, cents, CAST(cents AS DOUBLE) / 100.0 AS l,
+               CAST(0.0 AS DOUBLE) AS b
+        FROM ds2 WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.di, s.cents,
+               0.5 * (CAST(s.cents AS DOUBLE) / 100.0) + 0.5 * (r.l + r.b),
+               0.3 * ((0.5 * (CAST(s.cents AS DOUBLE) / 100.0)
+                       + 0.5 * (r.l + r.b)) - r.l)
+                   + 0.7 * r.b
+        FROM rec r JOIN ds2 s ON s.rn = r.rn + 1
+    )
+    SELECT CAST(di AS BIGINT) AS di, cents,
+           CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_micro,
+           CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_micro,
+           CAST(floor((l + b) * 1000000 + 0.5) AS BIGINT) AS next_fc_micro
+    FROM rec
+    """,
+)
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of the daily
+    revenue series, alpha=0.5 / beta=0.3 — the forecasting layer next
+    to q254's seasonal-naive backtest: level and trend update
+    recursively (l_t = a·y_t + (1-a)(l+b); b_t = β(l_t - l_prev) +
+    (1-β)b), one-step-ahead forecast = l + b. The recursion is
+    inherently sequential, so it runs ONCE over the DAILY series (a
+    calendar-bounded input — 30 rows here, ~36k rows for a century),
+    never over raw events: the heavy lifting is the distributed daily
+    partial+final aggregate into exact cents; the applyInPandas group
+    is the bounded tail. Same IEEE double ops in the same order as the
+    oracle's recursive CTE — outputs micro-scaled ints, bit-exact.
+
+    Scale shape: one shuffle (day agg), one single-group pandas pass
+    over |days| rows. Grouped per-series forecasting (per part, per
+    region) would partition by series key instead of a constant — the
+    exact q51 grouped-map shape."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ds = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("g", F.lit(1))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("di").reset_index(drop=True)
+        out = []
+        l = b = None
+        for di, cents in zip(pdf["di"], pdf["cents"]):
+            y = cents / 100.0
+            if l is None:
+                l, b = y, 0.0
+            else:
+                l_new = 0.5 * y + 0.5 * (l + b)
+                b = 0.3 * (l_new - l) + 0.7 * b
+                l = l_new
+            out.append(
+                (
+                    int(di),
+                    int(cents),
+                    math.floor(l * 1000000 + 0.5),
+                    math.floor(b * 1000000 + 0.5),
+                    math.floor((l + b) * 1000000 + 0.5),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["di", "cents", "level_micro", "trend_micro", "next_fc_micro"],
+        )
+
+    return ds.groupBy("g").applyInPandas(
+        holt,
+        schema=(
+            "di long, cents long, level_micro long, trend_micro long, "
+            "next_fc_micro long"
+        ),
+    )

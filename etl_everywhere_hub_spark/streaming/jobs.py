@@ -374,6 +374,123 @@ def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_events_with_flush(
+    spark: SparkSession, sf_dir: str, flush_ts: str = "2024-06-01 00:00:00"
+) -> DataFrame:
+    """events stream plus ONE far-future 'flush' sentinel row in its
+    own replay dir (never the shared stream_events dir — the sentinel
+    must not leak into other streaming queries' results).
+
+    Why: outer stream-stream joins emit unmatched rows only once the
+    GLOBAL watermark (min over both sides' watermark nodes) passes
+    their join horizon. A bounded file replay ends with the watermark
+    ~delay behind max event time, so the trailing window of unmatched
+    rows would be withheld forever and stream==batch would silently
+    fail. The sentinel advances both sides' event-time clocks past all
+    real data; callers route it through their watermark nodes and then
+    filter it out (event_type = 'flush') before joining. This is the
+    bounded-replay analogue of a production stream's continuing flow —
+    it forces the flush the next real event would cause.
+    """
+    import hashlib
+    import os
+
+    configure_session(spark)
+    key = hashlib.md5(f"{sf_dir}:flush:{flush_ts}".encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ee_stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    marker = f"{d}/sentinel.parquet"
+    if not os.path.exists(marker):
+        if dict(batch.dtypes).get("ts") == "bigint":
+            ts_val = F.unix_micros(
+                F.lit(flush_ts).cast("timestamp")
+            ) * 1000  # epoch nanos, matching the nanosAsLong physical type
+        else:
+            ts_val = F.lit(flush_ts).cast(dict(batch.dtypes)["ts"])
+        # user_id = -1, NOT NULL: InferFiltersFromConstraints adds
+        # isnotnull(user) below the outer join's inner side and pushes
+        # it under the watermark node — a NULL-user sentinel would be
+        # dropped there and never advance the purchase-side clock
+        sent = batch.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            ts_val.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        # the file stream source lists the dir non-recursively, so the
+        # sentinel must be a sibling FILE of events.parquet: write to a
+        # scratch dir and move the single part file into place
+        import glob
+        import shutil
+
+        scratch = tempfile.mkdtemp(prefix="ee_flush_")
+        sent.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = glob.glob(f"{scratch}/part-*.parquet")
+        shutil.move(part, marker)
+        shutil.rmtree(scratch, ignore_errors=True)
+    s = spark.readStream.schema(batch.schema).parquet(d)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s
+
+
+def stream_stream_click_purchase_left_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, matched to
+    the same user's purchases in the FOLLOWING hour, or emitted with
+    nulls once the watermark proves no such purchase can still arrive.
+    The other half of the q271 surface — outer emission is the part
+    with real streaming semantics (Spark buffers the left row until
+    global watermark > its horizon, then emits the null-padded row
+    exactly once).
+
+    The 'flush' sentinel rides through BOTH withWatermark nodes so both
+    event-time clocks pass all real data. It is NOT filtered inside the
+    streaming plan — Catalyst pushes deterministic predicates BELOW
+    EventTimeWatermark, which would drop the sentinel before it ever
+    advances the clock (found empirically: the watermark froze at
+    last-click − delay). Instead it is made un-joinable (user_id NULL
+    never satisfies the equi condition) and callers drop its
+    click_id = -1 emission AFTER the drain, batch-side, where no
+    streaming pushdown applies. Its own unmatched-left emission horizon
+    (sentinel_ts + interval + delay) is beyond the final watermark, so
+    it parks in state — by design.
+    State: both buffers bounded by watermark delay + interval."""
+    clicks = (
+        events.filter(F.col("event_type").isin("click", "flush"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type").isin("purchase", "flush"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        "c_user", "click_id", "c_ts", "purchase_id", "p_ts"
+    )
+
+
 # --- transformWithStateInPandas: Spark-4 StatefulProcessor device cache ---
 #
 # Same R10-R12 semantics as stateful_device_cache, on the successor

@@ -617,8 +617,12 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q292_wav_pcm_roundtrip",
         "q293_mutual_information",
         "q294_roc_auc",
-        # q295 is a streaming query (drains a stream when invoked) —
-        # covered by its oracle + streaming tests, like q269/q271.
+        # q295/q299 are streaming queries (drain a stream when
+        # invoked) — covered by their oracles + streaming tests.
+        "q296_time_to_next_purchase",
+        "q297_event_sequence_regex",
+        "q298_activity_streaks",
+        "q300_holt_linear_smoothing",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -744,3 +748,18 @@ def test_skyline_prefix_min_windows_are_bucket_partitioned(spark, sf_dir):
     # name __bucket; the offset window partitions by nothing but reads
     # the totals aggregate (bounded by n_buckets)
     assert any("__bucket" in w for w in wins), plan[:3000]
+
+
+def test_q296_forward_asof_is_merge_not_join(spark, sf_dir):
+    """q296's forward as-of labeling must be the sorted-merge window
+    (one user_id shuffle), NOT the inequality join its oracle runs —
+    no join node of any kind in the plan, and the min-over-following
+    window is partitioned by user_id."""
+    df = REGISTRY["q296_time_to_next_purchase"].spark(spark, sf_dir)
+    plan = X.physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} in q296 plan:\n{plan[:2000]}"
+    import re
+
+    assert re.search(r"Window \[.*min\(.*\], \[user_id#\d+L?\]", plan), plan[:3000]

@@ -858,3 +858,34 @@ def test_stream_misra_gries_survives_aggressive_trimming(spark, sf_dir):
     got_rows = {(r.tok, r.cnt) for r in got.collect()}
     want_rows = {(r.tok, r.cnt) for r in want.collect()}
     assert got_rows == want_rows and len(want_rows) > 0
+
+
+def test_stream_left_outer_emits_unmatched_after_flush(spark, sf_dir):
+    """The left-outer stream-stream join must emit BOTH matched rows
+    and null-padded unmatched clicks — the latter only exist if the
+    flush sentinel advanced both watermark nodes past the data (the
+    q299 mechanism). Also: the sentinel itself must never surface."""
+    from etl_everywhere_hub_spark.streaming import jobs
+
+    s = jobs.stream_events_with_flush(spark, sf_dir)
+    out = jobs.run_to_table(jobs.stream_stream_click_purchase_left_outer(s))
+    matched = out.filter(
+        (F.col("click_id") != -1) & F.col("purchase_id").isNotNull()
+    ).count()
+    unmatched = out.filter(
+        (F.col("click_id") != -1) & F.col("purchase_id").isNull()
+    ).count()
+    assert matched > 0 and unmatched > 0
+    # the very last click in event time must be present (the row a
+    # missing flush would withhold)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from etl_everywhere_hub_spark.catalog import load_table
+
+    evt = load_table(spark, sf_dir, "events")
+    last_click = (
+        evt.filter(F.col("event_type") == "click")
+        .orderBy(F.col("ts").desc())
+        .select("event_id")
+        .first()[0]
+    )
+    assert out.filter(F.col("click_id") == last_click).count() >= 1
