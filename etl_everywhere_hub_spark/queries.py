@@ -18251,3 +18251,350 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_fc_micro long"
         ),
     )
+
+
+@query(
+    "q301_c4_filter_report",
+    """
+    WITH stats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               (SELECT MAX(len(t)) FROM unnest(string_split(text, ' '))
+                    AS u(t)) AS max_tok_len,
+               (SELECT MAX(c) FROM (
+                    SELECT COUNT(*) AS c FROM unnest(string_split(text, ' '))
+                        AS u(t) GROUP BY t)) AS max_tok_cnt,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a'))) AS n_stop
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id,
+               CASE WHEN n_tok < 50 THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN max_tok_len > 12 THEN 1 ELSE 0 END AS f_long_word,
+               CASE WHEN max_tok_cnt * 5 > n_tok THEN 1 ELSE 0 END AS f_repeat,
+               CASE WHEN n_stop * 50 < n_tok THEN 1 ELSE 0 END AS f_low_stop
+        FROM stats
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f_short) AS BIGINT) AS n_short,
+               CAST(SUM(f_long_word) AS BIGINT) AS n_long_word,
+               CAST(SUM(f_repeat) AS BIGINT) AS n_repeat,
+               CAST(SUM(f_low_stop) AS BIGINT) AS n_low_stop,
+               CAST(SUM(CASE WHEN f_short + f_long_word + f_repeat
+                                  + f_low_stop = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM flags
+    )
+    SELECT rule, n_failing, n_failing * 1000000 // n_docs AS fail_ppm
+    FROM (
+        SELECT 'short' AS rule, n_short AS n_failing, n_docs FROM agg
+        UNION ALL
+        SELECT 'long_word', n_long_word, n_docs FROM agg
+        UNION ALL
+        SELECT 'repeat', n_repeat, n_docs FROM agg
+        UNION ALL
+        SELECT 'low_stopword', n_low_stop, n_docs FROM agg
+        UNION ALL
+        SELECT 'SURVIVORS', n_survivors, n_docs FROM agg
+    )
+    """,
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning report (Raffel et al. 2020 §2.2, rules adapted
+    to the fixture's vocabulary): per-rule failure counts and ppm for
+    too-short docs, absurd token lengths, single-token domination
+    (>20% repetition), and low stopword ratio — plus the surviving-doc
+    count after ALL gates. The report a curation run publishes before
+    anyone trains on the output. Integer thresholds via cross-
+    multiplication (n_stop*50 < n_tok, never a float ratio).
+
+    Scale shape: ONE tokenize pass computes every per-doc stat
+    map-side (higher-order array functions, no explode→shuffle), one
+    partial+final agg folds the corpus to a single row, and the
+    rule×count unpivot is constant-sized. Adding a rule = adding a
+    column, not a scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    stats = d.select(
+        F.size(toks).alias("n_tok"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias(
+            "max_tok_len"
+        ),
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).alias("max_tok_cnt"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+    )
+    f = stats.select(
+        F.when(F.col("n_tok") < 50, 1).otherwise(0).alias("f_short"),
+        F.when(F.col("max_tok_len") > 12, 1).otherwise(0).alias("f_long_word"),
+        F.when(F.col("max_tok_cnt") * 5 > F.col("n_tok"), 1)
+        .otherwise(0)
+        .alias("f_repeat"),
+        F.when(F.col("n_stop") * 50 < F.col("n_tok"), 1)
+        .otherwise(0)
+        .alias("f_low_stop"),
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_short").cast("long").alias("n_short"),
+        F.sum("f_long_word").cast("long").alias("n_long_word"),
+        F.sum("f_repeat").cast("long").alias("n_repeat"),
+        F.sum("f_low_stop").cast("long").alias("n_low_stop"),
+        F.sum(
+            F.when(
+                F.col("f_short")
+                + F.col("f_long_word")
+                + F.col("f_repeat")
+                + F.col("f_low_stop")
+                == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_survivors"),
+    )
+    rules = agg.selectExpr(
+        """stack(5,
+            'short', n_short,
+            'long_word', n_long_word,
+            'repeat', n_repeat,
+            'low_stopword', n_low_stop,
+            'SURVIVORS', n_survivors) AS (rule, n_failing)""",
+        "n_docs",
+    )
+    return rules.select(
+        "rule",
+        "n_failing",
+        F.expr("n_failing * 1000000 div n_docs").cast("long").alias("fail_ppm"),
+    )
+
+
+@query(
+    "q302_ndcg_at_10",
+    """
+    WITH m AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                   AS mv
+        FROM embeddings
+    ),
+    probes AS (SELECT * FROM m WHERE vec_id <= 20),
+    corpus AS (SELECT * FROM m WHERE vec_id > 20),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+               list_sum(list_transform(range(1, len(p.mv) + 1),
+                        i -> p.mv[i] * c.mv[i])) AS dot
+        FROM probes p, corpus c
+    ),
+    ranked AS (
+        SELECT probe_id, rel,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY dot DESC, cand_id ASC) AS pos
+        FROM scored
+    ),
+    dcg AS (
+        SELECT probe_id,
+               CAST(SUM(CASE WHEN rel = 1 THEN
+                    CAST(floor(1000000000.0 / log2(pos + 1) + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS dcg_nano,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_in_topk
+        FROM ranked WHERE pos <= 10 GROUP BY probe_id
+    ),
+    nrel AS (
+        SELECT probe_id,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_total
+        FROM scored GROUP BY probe_id
+    ),
+    ideal AS (
+        SELECT n.probe_id,
+               CAST(SUM(CAST(floor(1000000000.0 / log2(i + 1) + 0.5)
+                             AS BIGINT)) AS BIGINT) AS idcg_nano
+        FROM nrel n, generate_series(1, 10) AS g(i)
+        WHERE i <= n.n_rel_total
+        GROUP BY n.probe_id
+    )
+    SELECT d.probe_id AS probe_id, n_rel_in_topk, n_rel_total,
+           dcg_nano, idcg_nano,
+           dcg_nano * 1000000 // idcg_nano AS ndcg_ppm
+    FROM dcg d JOIN nrel USING (probe_id) JOIN ideal USING (probe_id)
+    """,
+)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 retrieval-quality eval (Järvelin & Kekäläinen 2002) —
+    the rank-quality capstone of the eval suite (q238 measures recall,
+    this measures ORDER): binary relevance = label match, DCG terms
+    nano-scaled-then-summed (floor(1e9/log2(pos+1)+0.5): one
+    deterministic double per position, integer sum — the q293 rule),
+    ideal DCG from the true relevant count, NDCG as ppm integer
+    division. Scores are milli-quantized integer dot products — no
+    float compare anywhere in the ranking.
+
+    Scale shape: the probe set is a bounded broadcast (the q285
+    exemption pattern — the deliberate brute-force baseline); ranking
+    is a per-probe window that compiles to WindowGroupLimit top-10
+    pruning; everything after is probe-count-sized. Swapping brute
+    force for the IVF/LSH candidate path (q129/q143) keeps the eval
+    identical — that's the point: NDCG of approximate vs exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("mv"),
+    )
+    probes = m.filter(F.col("vec_id") <= 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("mv").alias("pv"),
+    )
+    corpus = m.filter(F.col("vec_id") > 20)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        F.col("vec_id").alias("cand_id"),
+        F.when(F.col("label") == F.col("p_label"), 1).otherwise(0).alias("rel"),
+        F.aggregate(
+            F.zip_with(F.col("pv"), F.col("mv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id").asc()
+    )
+    ranked = scored.withColumn("pos", F.row_number().over(w))
+    gain = F.floor(
+        F.lit(1000000000.0) / F.log2(F.col("pos") + 1) + 0.5
+    ).cast("long")
+    dcg = (
+        ranked.filter(F.col("pos") <= 10)
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.when(F.col("rel") == 1, gain).otherwise(0))
+            .cast("long")
+            .alias("dcg_nano"),
+            F.sum("rel").cast("long").alias("n_rel_in_topk"),
+        )
+    )
+    nrel = scored.groupBy("probe_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_total")
+    )
+    ideal = (
+        nrel.select(
+            "probe_id",
+            F.explode(F.sequence(F.lit(1), F.least(F.lit(10), F.col("n_rel_total")))).alias(
+                "i"
+            ),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(1000000000.0) / F.log2(F.col("i") + 1) + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("idcg_nano")
+        )
+    )
+    return (
+        dcg.join(nrel, "probe_id")
+        .join(ideal, "probe_id")
+        .select(
+            "probe_id",
+            "n_rel_in_topk",
+            "n_rel_total",
+            "dcg_nano",
+            "idcg_nano",
+            F.expr("dcg_nano * 1000000 div idcg_nano")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )
+
+
+@query(
+    "q303_grouped_weighted_median",
+    """
+    WITH o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 9 + 1 AS w
+        FROM orders
+    ),
+    c AS (
+        SELECT priority, cents, o_orderkey, w,
+               SUM(w) OVER (PARTITION BY priority
+                            ORDER BY cents ASC, o_orderkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY priority) AS totw
+        FROM o
+    )
+    SELECT priority,
+           CAST(totw AS BIGINT) AS total_weight,
+           CAST(MIN(cents) AS BIGINT) AS weighted_median_cents
+    FROM c
+    WHERE cumw * 2 >= totw
+    GROUP BY priority, totw
+    """,
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped WEIGHTED median (lower weighted median: first value
+    where cumulative weight reaches half the total) — the robust
+    location estimate when rows carry importance weights (dedup
+    multiplicities, sampling weights). Weights are a deterministic
+    md5-derived 1..9 so both engines agree on every gram of weight.
+
+    Scale shape: the per-group cumulative weight is the grouped
+    two-phase prefix sum (operators/sampling.py:
+    grouped_global_prefix_sum) — range-bucketed cumsum + per-group
+    offset cascade over ≤32 bucket totals, so a single giant group
+    never lands in one task (the q270 discipline, generalized to
+    weighted order statistics). The oracle's single-partition window
+    is exactly the shape this avoids."""
+    from etl_everywhere_hub_spark.operators.sampling import (
+        grouped_global_prefix_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+        (F.pmod(md5_long(F.col("o_orderkey").cast("string")), F.lit(9)) + 1)
+        .cast("long")
+        .alias("w"),
+    )
+    c = grouped_global_prefix_sum(
+        o,
+        "w",
+        group_col="priority",
+        order_col="cents",
+        tiebreak_col="o_orderkey",
+        out="cumw",
+        descending=False,
+    )
+    tot = o.groupBy("priority").agg(F.sum("w").cast("long").alias("totw"))
+    return (
+        c.join(F.broadcast(tot), "priority")
+        .filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("priority", "totw")
+        .agg(F.min("cents").cast("long").alias("weighted_median_cents"))
+        .select(
+            "priority",
+            F.col("totw").alias("total_weight"),
+            "weighted_median_cents",
+        )
+    )

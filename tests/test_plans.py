@@ -623,6 +623,12 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q297_event_sequence_regex",
         "q298_activity_streaks",
         "q300_holt_linear_smoothing",
+        "q301_c4_filter_report",
+        # q302's probe scoring is a deliberate bounded-broadcast cross
+        # join (20 probes × corpus — the brute-force eval baseline);
+        # still no CartesianProduct (broadcast side), so it's gated.
+        "q302_ndcg_at_10",
+        "q303_grouped_weighted_median",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
