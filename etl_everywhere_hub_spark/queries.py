@@ -18598,3 +18598,124 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_cents",
         )
     )
+
+
+@query(
+    "q304_bitmap_index_audit",
+    """
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+    ),
+    bm AS (
+        SELECT event_type, user_id // 32 AS word_idx,
+               CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER))
+                    AS BIGINT) AS bits
+        FROM d GROUP BY event_type, user_id // 32
+    ),
+    singles AS (
+        SELECT event_type,
+               CAST(SUM(bit_count(bits)) AS BIGINT) AS bitmap_card,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM bm GROUP BY event_type
+    ),
+    inter AS (
+        SELECT CAST(SUM(bit_count(COALESCE(a.bits, 0) & COALESCE(b.bits, 0)))
+                    AS BIGINT) AS both_card,
+               CAST(SUM(bit_count(COALESCE(a.bits, 0) | COALESCE(b.bits, 0)))
+                    AS BIGINT) AS either_card
+        FROM (SELECT word_idx, bits FROM bm WHERE event_type = 'click') a
+        FULL JOIN (SELECT word_idx, bits FROM bm
+                   WHERE event_type = 'purchase') b
+          ON a.word_idx = b.word_idx
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_both FROM (
+            SELECT user_id FROM d WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM d WHERE event_type = 'purchase')
+    )
+    SELECT s.event_type AS event_type, bitmap_card, n_words,
+           both_card, either_card, exact_both
+    FROM singles s CROSS JOIN inter CROSS JOIN exact
+    """,
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index audit: per-predicate user bitmaps packed into
+    int64 words holding 32 id-bits each
+    (word = id div 32, bit = 1 << id mod 32 — shifts capped at 31 so
+    the word stays positive in both engines' checked arithmetic), OR-
+    aggregated per word; multi-predicate counts are then word-aligned
+    AND/OR + popcount — the roaring-bitmap/OLAP acceleration structure
+    expressed as plain aggregates. Audited: bitmap intersection
+    cardinality == exact INTERSECT distinct count, and per-predicate
+    popcount == countDistinct.
+
+    Scale shape: bitmaps shrink the id universe 32× before any join;
+    the AND/OR pass is an equi-join on word_idx (dense, balanced);
+    bit_or/bit_count are partial-aggregable JVM intrinsics. Segmented
+    word ranges shard further at 100 TB — same plan per segment."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    bm = (
+        d.select(
+            "event_type",
+            (F.col("user_id") / F.lit(32)).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(bit)").cast("long").alias("bits"))
+    )
+    singles = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("bitmap_card"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    a = bm.filter(F.col("event_type") == "click").select(
+        "word_idx", F.col("bits").alias("a_bits")
+    )
+    b = bm.filter(F.col("event_type") == "purchase").select(
+        "word_idx", F.col("bits").alias("b_bits")
+    )
+    inter = (
+        a.join(b, "word_idx", "full_outer")
+        .select(
+            F.coalesce(F.col("a_bits"), F.lit(0)).alias("a_bits"),
+            F.coalesce(F.col("b_bits"), F.lit(0)).alias("b_bits"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.expr("a_bits & b_bits")))
+            .cast("long")
+            .alias("both_card"),
+            F.sum(F.bit_count(F.expr("a_bits | b_bits")))
+            .cast("long")
+            .alias("either_card"),
+        )
+    )
+    exact = (
+        d.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            d.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_both"))
+    )
+    return (
+        singles.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "event_type",
+            "bitmap_card",
+            "n_words",
+            "both_card",
+            "either_card",
+            "exact_both",
+        )
+    )

@@ -629,6 +629,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         # still no CartesianProduct (broadcast side), so it's gated.
         "q302_ndcg_at_10",
         "q303_grouped_weighted_median",
+        "q304_bitmap_index_audit",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
