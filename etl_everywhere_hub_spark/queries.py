@@ -18719,3 +18719,286 @@ def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_both",
         )
     )
+
+
+@query(
+    "q305_stream_scd2_enrichment",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority,
+               epoch_ms(o_orderdate) AS ms, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderpriority, ms, o_orderkey
+        FROM seq WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    ),
+    dim AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS tier,
+               ms AS valid_from_ms,
+               lead(ms) OVER (PARTITION BY o_custkey
+                              ORDER BY ms ASC, o_orderkey ASC) AS valid_to_ms
+        FROM changes
+    ),
+    p AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    )
+    SELECT p.user_id AS user_id, p.event_id AS event_id, p.ms AS ms,
+           dim.tier AS tier,
+           CASE WHEN dim.tier IS NULL THEN 0 ELSE 1 END AS matched
+    FROM p LEFT JOIN dim
+      ON dim.custkey = p.user_id
+     AND p.ms >= dim.valid_from_ms
+     AND (dim.valid_to_ms IS NULL OR p.ms < dim.valid_to_ms)
+    """,
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dimension enrichment against an SCD Type-2 history —
+    the production join every event pipeline runs: purchases replay as
+    a real stream and left-join the q244-built validity intervals
+    (stream-static, so the dim is broadcast/rescanned per micro-batch
+    and no watermark is needed), picking the tier VALID AT EVENT TIME
+    — the temporal-validity upgrade of q65's plain stream-static join
+    and the streaming face of q280's point-in-time discipline.
+    Pre-history purchases keep NULL tier (matched=0), never a later
+    tier — leakage-safe by construction.
+
+    Scale shape: per micro-batch this is an equi join on the entity
+    key with a residual interval predicate; the dim side is bounded by
+    change count (SCD2's whole point), so it broadcasts. Intervals are
+    half-open [from, to) — exactly one match per event, so the join
+    can't fan out."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    seq = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        ms.alias("ms"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    changes = seq.filter(
+        F.col("prev_p").isNull()
+        | (F.col("o_orderpriority") != F.col("prev_p"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("ms").asc(), F.col("o_orderkey").asc()
+    )
+    dim = changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("tier"),
+        F.col("ms").alias("valid_from_ms"),
+        F.lead("ms").over(w2).alias("valid_to_ms"),
+    )
+    s = stream_jobs.stream_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    p = s.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    cond = (
+        (F.col("custkey") == F.col("user_id"))
+        & (F.col("ms") >= F.col("valid_from_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("ms") < F.col("valid_to_ms")))
+    )
+    joined = p.join(F.broadcast(dim), cond, "left").select(
+        "user_id",
+        "event_id",
+        "ms",
+        "tier",
+        F.when(F.col("tier").isNull(), 0).otherwise(1).cast("long").alias(
+            "matched"
+        ),
+    )
+    out = stream_jobs.run_to_table(joined)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ms").cast("long").alias("ms"),
+        "tier",
+        "matched",
+    )
+
+
+@query(
+    "q306_decile_lift_table",
+    """
+    WITH nz AS (
+        SELECT vec_id,
+               CAST(label % 2 AS BIGINT) AS pos,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY n2 DESC, vec_id ASC) AS rk,
+               COUNT(*) OVER () AS n
+        FROM nz
+    ),
+    d AS (
+        SELECT pos, n,
+               CASE WHEN rk <= ((n // 10) + 1) * (n % 10)
+                    THEN (rk - 1) // ((n // 10) + 1) + 1
+                    ELSE (n % 10) + (rk - ((n // 10) + 1) * (n % 10) - 1)
+                             // (n // 10) + 1 END AS decile
+        FROM r
+    ),
+    g AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM d GROUP BY decile
+    ),
+    t AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS nt,
+               CAST(SUM(n_pos) AS BIGINT) AS pt
+        FROM g
+    )
+    SELECT decile, n_rows, n_pos,
+           n_pos * 1000000 // n_rows AS rate_ppm,
+           (n_pos * nt * 1000) // (n_rows * pt) AS lift_milli,
+           CAST(SUM(n_pos) OVER (ORDER BY decile ASC
+                                 ROWS UNBOUNDED PRECEDING) * 1000000 // pt
+                AS BIGINT) AS cum_gain_ppm
+    FROM g CROSS JOIN t
+    ORDER BY decile
+    """,
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the marketing-score eval
+    that complements q294's AUC with the deployable view: rank by
+    score (integer squared-norm again), cut into exact ntile(10)
+    deciles, per-decile positive rate, lift vs base rate (milli), and
+    cumulative gains ppm. All integer arithmetic; the ntile sizing is
+    the documented first-(n mod k)-tiles-get-ceil rule, computed from
+    the exact rank (operators/sampling.py:exact_ntile).
+
+    Scale shape: the global rank is the two-phase bucket cascade
+    (global_rank), the decile assignment is pure arithmetic on it, and
+    everything after the groupBy is a 10-row table. The oracle's
+    single-partition row_number window is what this avoids."""
+    from etl_everywhere_hub_spark.operators.sampling import (
+        exact_ntile,
+        global_rank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    nz = emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("pos"),
+        F.aggregate(m, F.lit(0).cast("long"), lambda acc, v: acc + v * v).alias(
+            "n2"
+        ),
+    )
+    r = global_rank(nz, "n2", "vec_id", out="rk", descending=True)
+    n_df = nz.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = r.crossJoin(F.broadcast(n_df)).withColumn(
+        "decile", exact_ntile("rk", "n", 10).cast("long")
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    t = g.agg(
+        F.sum("n_rows").cast("long").alias("nt"),
+        F.sum("n_pos").cast("long").alias("pt"),
+    )
+    wd = Window.orderBy(F.col("decile").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cum_gain_ppm",
+            F.expr(
+                "CAST(sum(n_pos) OVER (ORDER BY decile ASC "
+                "ROWS UNBOUNDED PRECEDING) * 1000000 div pt AS BIGINT)"
+            ),
+        )
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n_rows").cast("long").alias("rate_ppm"),
+            F.expr("(n_pos * nt * 1000) div (n_rows * pt)")
+            .cast("long")
+            .alias("lift_milli"),
+            "cum_gain_ppm",
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q307_time_decay_engagement",
+    """
+    WITH e AS (
+        SELECT user_id, value,
+               date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age_d
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IN ('click', 'view', 'purchase')
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(floor(value * exp(-0.1 * age_d) * 1000000 + 0.5) AS BIGINT)
+                   AS w_micro
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w_micro) AS BIGINT) AS decayed_score_micro
+    FROM s GROUP BY user_id
+    ORDER BY decayed_score_micro DESC, user_id ASC
+    LIMIT 25
+    """,
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement scoring (half-life ≈ 6.9 days
+    at λ=0.1/day, anchored to a fixed as-of date so the feature is
+    reproducible): score(u) = Σ value·e^(−λ·age). The recency-weighted
+    feature every ranking/churn model starts with. Each row's decayed
+    weight is ONE deterministic double (exp of an integer-scaled arg)
+    micro-floored to int64 BEFORE the sum — order-independent exact
+    aggregation, the q293 rule.
+
+    Scale shape: map-side expression + one partial+final groupBy on
+    the entity key; top-25 is TakeOrdered. At 100 TB the same plan
+    incrementalizes: yesterday's scores multiply by e^(−λ) and add
+    today's partial (the q182 maintenance pattern), which is why the
+    decay anchor is explicit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view", "purchase")
+    )
+    age = F.datediff(
+        F.lit("2024-01-31").cast("date"), F.to_date("ts")
+    )
+    w = F.floor(
+        F.col("value") * F.exp(F.lit(-0.1) * age) * 1000000 + 0.5
+    ).cast("long")
+    return (
+        ev.select("user_id", w.alias("w_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w_micro").cast("long").alias("decayed_score_micro"),
+        )
+        .orderBy(F.col("decayed_score_micro").desc(), F.col("user_id").asc())
+        .limit(25)
+    )

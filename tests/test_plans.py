@@ -630,6 +630,9 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q302_ndcg_at_10",
         "q303_grouped_weighted_median",
         "q304_bitmap_index_audit",
+        # q305 is streaming (drains when invoked) — oracle-covered.
+        "q306_decile_lift_table",
+        "q307_time_decay_engagement",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -684,6 +687,10 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q257_kaplan_meier": "2× prefix-sum offset cascades (≤32 bucket totals each)",
     "q265_theil_sen_trend": "global_rank offset cascade over ≤32 bucket totals",
     "q294_roc_auc": "global_rank offset cascade over ≤32 bucket totals",
+    "q306_decile_lift_table": (
+        "global_rank offset cascade (≤32 bucket totals) + cumulative "
+        "gains over the 10-row decile table"
+    ),
 }
 
 
