@@ -19002,3 +19002,101 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_score_micro").desc(), F.col("user_id").asc())
         .limit(25)
     )
+
+
+@query(
+    "q308_lsh_recall_eval",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+        FROM sh
+    ),
+    seeds(seed, a, b) AS (
+        VALUES (0, 1103515245, 12345),       (1, 1299709, 217645199),
+               (2, 15485863, 413158511),     (3, 32452843, 613651349),
+               (4, 49979687, 817504243),     (5, 67867967, 1025610421),
+               (6, 86028121, 1236794689),    (7, 104395301, 1451730233)
+    ),
+    seeded AS (
+        SELECT doc_id, seed, MIN((h0 * a + b) % 2147483647) AS minhash
+        FROM hashed CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                   AS band_key
+        FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        HAVING 100 * COUNT(*) >= 80 * (sa.n + sb.n - COUNT(*))
+    ),
+    hits AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM cands c JOIN truth t ON c.a = t.a AND c.b = t.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           n_hits,
+           n_hits * 1000000 // (SELECT COUNT(*) FROM cands) AS precision_ppm,
+           n_hits * 1000000 // (SELECT COUNT(*) FROM truth) AS recall_ppm
+    FROM hits
+    """,
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval OF THE DEDUP PIPELINE itself: the LSH
+    candidate set (q41's banded signatures, uncapped = exact oracle
+    semantics) scored against the exact >=0.8-Jaccard truth set
+    (operators/dedup.py:prefix_filter_jaccard_pairs — PPJoin, zero
+    false negatives). Reports candidate/truth/hit counts, precision
+    (what fraction of candidates are real near-dups — the verify-pass
+    cost) and recall (what fraction of real near-dups LSH surfaces —
+    the silent-loss risk). THE number a team reads before committing a
+    band/row split to a 100 TB dedup run; q283 audits the estimator
+    per pair, this audits the candidate SET end to end.
+
+    Scale shape: both sides are the production operators (banded
+    equi self-join; prefix-filtered candidates + exact verify) — no
+    all-pairs anywhere in the engine; the oracle's all-pairs truth
+    join is the O(n²) shape the PPJoin side replaces."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.doc_shingles(d)
+    sigs = dedup_ops.minhash_signatures(sh)
+    cands = dedup_ops.lsh_candidate_pairs(sigs)
+    truth = dedup_ops.prefix_filter_jaccard_pairs(
+        sh, id_col="doc_id", item_col="shingle", threshold=0.8
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    n_cands = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    hits = cands.join(truth, ["a", "b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        hits.crossJoin(F.broadcast(n_cands))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_cands",
+            "n_truth",
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_cands")
+            .cast("long")
+            .alias("precision_ppm"),
+            F.expr("n_hits * 1000000 div n_truth")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

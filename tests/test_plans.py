@@ -633,6 +633,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         # q305 is streaming (drains when invoked) — oracle-covered.
         "q306_decile_lift_table",
         "q307_time_decay_engagement",
+        "q308_lsh_recall_eval",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
