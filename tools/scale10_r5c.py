@@ -60,6 +60,15 @@ def main() -> None:
             ).withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
             reps = r if reps is None else reps.unionAll(r)
         reps.write.mode("overwrite").parquet(f"{X10}/events.parquet")
+    # embeddings for q294/q306 (distinct vec_ids; vectors repeat, which
+    # is fine — the rank/ntile work grows with rows, not vector values)
+    if not os.path.exists(f"{X10}/embeddings.parquet"):
+        em = spark.read.parquet(f"{SF}/embeddings.parquet")
+        re_ = None
+        for i in range(10):
+            r = em.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+            re_ = r if re_ is None else re_.unionAll(r)
+        re_.write.mode("overwrite").parquet(f"{X10}/embeddings.parquet")
     # lineitem for q288 (distinct orders, same parts so co-purchase
     # pairs keep colliding — the realistic growth mode: more baskets
     # over a fixed catalog).
