@@ -19100,3 +19100,144 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+_Q309_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    reach AS (
+        SELECT CAST(MIN(s_nationkey) AS INT) AS nation, 0 AS hops
+        FROM supplier
+        UNION ALL
+        SELECT CAST(e.dst AS INT) AS nation, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.src = r.nation
+        WHERE r.hops < 3
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(MIN(hops) AS BIGINT) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths_le3
+    FROM reach GROUP BY nation
+    ORDER BY nation
+"""
+
+
+@query("q309_recursive_cte_reachability", _Q309_RECURSIVE_SQL)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native `WITH RECURSIVE` (SPARK-24497, new in 4.0) on
+    the trade-flow digraph (supplier nation → customer nation): BFS
+    reachability from the lowest supplier nation with min-hops AND the ≤3-hop path count
+    — the recursive-SQL surface itself is the operator under test, so
+    engine and oracle run the IDENTICAL statement (the only query in
+    the registry where that's the point: dialect-portable recursion).
+    Complements q191's driver-loop BFS — same semantics, two
+    execution strategies.
+
+    Scale shape: the edge build is equi joins collapsing to a bounded
+    nation×nation digraph (≤25²); recursion depth is capped (hops<3)
+    so the fixpoint is finite on a cyclic graph. For corpus-scale
+    graphs the driver-loop BFS (operators/graph.py:bfs_hops) with its
+    per-round checkpoints remains the scale path — recursive CTEs
+    re-derive the working set per step and keep no frontier dedup, so
+    path counts (not the frontier) dominate; that tradeoff is why both
+    exist."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q309_RECURSIVE_SQL)
+
+
+@query(
+    "q310_negative_sampling",
+    """
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+    neg AS (
+        SELECT u, p, i,
+               ('0x' || substr(md5(CAST(u AS VARCHAR) || '|'
+                    || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+                    1, 15))::BIGINT % n_parts + 1 AS n_part
+        FROM pos CROSS JOIN np, generate_series(0, 1) AS g(i)
+    ),
+    coll AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_collisions
+        FROM neg JOIN pos ON pos.u = neg.u AND pos.p = neg.n_part
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS n_positives,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM neg) AS n_negatives,
+           (SELECT CAST(COUNT(DISTINCT n_part) AS BIGINT) FROM neg)
+               AS distinct_neg_parts,
+           n_collisions,
+           n_collisions * 1000000
+               // (SELECT COUNT(*) FROM neg) AS collision_ppm
+    FROM coll
+    """,
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for two-tower / embedding
+    training pairs (the word2vec/recsys data-prep step): every
+    observed (user, part) positive gets k=2 hash-drawn negatives,
+    md5(u|p|i) mod |catalog| — reproducible across runs, engines, and
+    shards (no RNG state). Reports the collision rate (negatives that
+    are secretly positives — the false-negative noise floor the
+    training loss inherits; standard practice keeps them and this
+    query MEASURES what that costs) and the catalog coverage of the
+    draws.
+
+    Scale shape: positives are one distinct over the fact join;
+    negatives are a map-side explode (k rows per positive, linear);
+    the collision check is an equi join back on (u, n_part). Nothing
+    quadratic, nothing random."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    np_df = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    key = F.concat(
+        F.col("u").cast("string"),
+        F.lit("|"),
+        F.col("p").cast("string"),
+        F.lit("|"),
+        F.col("i").cast("string"),
+    )
+    neg = (
+        pos.crossJoin(F.broadcast(np_df))
+        .select("u", "p", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("i"), "n_parts")
+        .select(
+            "u",
+            "p",
+            (F.pmod(md5_long(key), F.col("n_parts")) + 1).alias("n_part"),
+        )
+    )
+    coll = neg.join(
+        pos.select(F.col("u"), F.col("p").alias("n_part")), ["u", "n_part"]
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
+    n_pos = pos.agg(F.count(F.lit(1)).cast("long").alias("n_positives"))
+    n_neg = neg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_negatives"),
+        F.countDistinct("n_part").cast("long").alias("distinct_neg_parts"),
+    )
+    return (
+        coll.crossJoin(F.broadcast(n_pos))
+        .crossJoin(F.broadcast(n_neg))
+        .select(
+            "n_positives",
+            "n_negatives",
+            "distinct_neg_parts",
+            "n_collisions",
+            F.expr("n_collisions * 1000000 div n_negatives")
+            .cast("long")
+            .alias("collision_ppm"),
+        )
+    )

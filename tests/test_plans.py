@@ -634,6 +634,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q306_decile_lift_table",
         "q307_time_decay_engagement",
         "q308_lsh_recall_eval",
+        "q309_recursive_cte_reachability",
+        "q310_negative_sampling",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
