@@ -19241,3 +19241,133 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("collision_ppm"),
         )
     )
+
+
+@query(
+    "q311_fifo_allocation",
+    """
+    WITH s0 AS (
+        SELECT l_partkey AS p, l_orderkey * 8 + l_linenumber AS sid,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               epoch_ms(l_shipdate) AS ms, l_orderkey AS ok,
+               l_linenumber AS ln
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    s AS (
+        SELECT p, sid, qty,
+               SUM(qty) OVER (PARTITION BY p ORDER BY ms ASC, ok ASC, ln ASC
+                              ROWS UNBOUNDED PRECEDING) AS s_end
+        FROM s0
+    ),
+    d0 AS (
+        SELECT l_partkey AS p, l_orderkey * 8 + l_linenumber AS did,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               epoch_ms(l_shipdate) AS ms, l_orderkey AS ok,
+               l_linenumber AS ln
+        FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    d AS (
+        SELECT p, did, qty,
+               SUM(qty) OVER (PARTITION BY p ORDER BY ms ASC, ok ASC, ln ASC
+                              ROWS UNBOUNDED PRECEDING) AS d_end
+        FROM d0
+    )
+    SELECT s.p AS p, sid, did,
+           CAST(SUM(LEAST(s.s_end, d.d_end)
+                - GREATEST(s.s_end - s.qty, d.d_end - d.qty)) AS BIGINT)
+               AS qty_alloc
+    FROM s JOIN d ON s.p = d.p
+    WHERE s.s_end - s.qty < d.d_end AND d.d_end - d.qty < s.s_end
+    GROUP BY s.p, sid, did
+    """,
+)
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation (supply↔demand matching in arrival order — cost
+    basis accounting, stock allocation, payment application): per
+    part, 'R'-flagged lineitems supply and 'A'-flagged ones demand;
+    both sides become cumulative-quantity intervals and FIFO matching
+    is exactly the overlap of those intervals. The ENGINE never joins:
+    it merges both breakpoint streams per part, carries the covering
+    supply/demand interval forward with last(ignorenulls) windows, and
+    each inter-breakpoint segment IS one allocation — O(n) work, two
+    user-key windows, output rows = allocations (≤ n_s + n_d − 1 per
+    part). The oracle runs the naive per-part interval-overlap join —
+    the O(n_s × n_d) shape the merge replaces (q296's discipline,
+    upgraded from point lookups to interval matching).
+
+    Scale shape: windows partition on l_partkey (high cardinality);
+    no shuffle beyond the two window sorts; integer quantities
+    throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    BIG = 1 << 62
+
+    def side(flag: str, idc: str):
+        base = li.filter(F.col("l_returnflag") == flag).select(
+            F.col("l_partkey").alias("p"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(idc),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+            F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("ms"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+        )
+        w = (
+            Window.partitionBy("p")
+            .orderBy(F.col("ms").asc(), F.col("ok").asc(), F.col("ln").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return base.select(
+            "p",
+            idc,
+            (F.sum("qty").over(w) - F.col("qty")).alias(f"{idc}_start"),
+            F.sum("qty").over(w).alias(f"{idc}_end"),
+        )
+
+    s = side("R", "sid")
+    d = side("A", "did")
+    pts = s.select(
+        "p",
+        F.col("sid_start").alias("pt"),
+        "sid",
+        "sid_end",
+        F.lit(None).cast("long").alias("did"),
+        F.lit(None).cast("long").alias("did_end"),
+    ).unionByName(
+        d.select(
+            "p",
+            F.col("did_start").alias("pt"),
+            F.lit(None).cast("long").alias("sid"),
+            F.lit(None).cast("long").alias("sid_end"),
+            "did",
+            "did_end",
+        )
+    )
+    wo = Window.partitionBy("p").orderBy(
+        F.col("pt").asc(),
+        F.col("sid").asc_nulls_last(),
+        F.col("did").asc_nulls_last(),
+    )
+    wcarry = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = pts.select(
+        "p",
+        "pt",
+        F.last("sid", ignorenulls=True).over(wcarry).alias("cur_sid"),
+        F.last("sid_end", ignorenulls=True).over(wcarry).alias("cur_s_end"),
+        F.last("did", ignorenulls=True).over(wcarry).alias("cur_did"),
+        F.last("did_end", ignorenulls=True).over(wcarry).alias("cur_d_end"),
+        F.coalesce(F.lead("pt").over(wo), F.lit(BIG)).alias("next_pt"),
+    )
+    alloc = seg.filter(
+        F.col("cur_sid").isNotNull() & F.col("cur_did").isNotNull()
+    ).select(
+        "p",
+        F.col("cur_sid").alias("sid"),
+        F.col("cur_did").alias("did"),
+        (
+            F.least("next_pt", "cur_s_end", "cur_d_end") - F.col("pt")
+        ).alias("qty_alloc"),
+    )
+    return (
+        alloc.filter(F.col("qty_alloc") > 0)
+        .groupBy("p", "sid", "did")
+        .agg(F.sum("qty_alloc").cast("long").alias("qty_alloc"))
+    )

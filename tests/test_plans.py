@@ -636,6 +636,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q308_lsh_recall_eval",
         "q309_recursive_cte_reachability",
         "q310_negative_sampling",
+        "q311_fifo_allocation",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -780,3 +781,14 @@ def test_q296_forward_asof_is_merge_not_join(spark, sf_dir):
     import re
 
     assert re.search(r"Window \[.*min\(.*\], \[user_id#\d+L?\]", plan), plan[:3000]
+
+
+def test_q311_fifo_allocation_is_merge_not_join(spark, sf_dir):
+    """q311's FIFO matching must be the breakpoint-merge (two keyed
+    windows, zero join nodes) — the per-part interval-overlap join
+    exists only as oracle SQL."""
+    df = REGISTRY["q311_fifo_allocation"].spark(spark, sf_dir)
+    plan = X.physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} in q311 plan:\n{plan[:2000]}"
