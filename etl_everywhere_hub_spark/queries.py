@@ -19371,3 +19371,114 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p", "sid", "did")
         .agg(F.sum("qty_alloc").cast("long").alias("qty_alloc"))
     )
+
+
+@query(
+    "q312_stream_chained_dedup_window",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query (Spark ≥3.5
+    multiple-stateful support): the event stream unioned with itself
+    (every event arrives twice — the at-least-once delivery a real bus
+    gives you) → watermarked dropDuplicates(event_id) → tumbling
+    per-day per-type count, all inside a single append-mode query: the
+    dedup state feeds the window state with no intermediate sink. The
+    flush sentinel (q299's mechanism) closes the final day windows so
+    append mode emits them on a bounded replay; the oracle is the
+    plain per-day count — each event EXACTLY once, so the dedup stage
+    is load-bearing (without it every count would be doubled).
+
+    Scale shape: dedup state is keyed by event_id and evicted at the
+    watermark; window state is O(days × types); both co-partition on
+    their keys. The two-stage state pipeline is the production shape
+    for exactly-once dashboards over at-least-once transports."""
+    s = stream_jobs.stream_events_with_flush(spark, sf_dir)
+    u = s.unionByName(s)
+    dd = u.withWatermark("ts", "30 minutes").dropDuplicates(["event_id"])
+    agg = dd.groupBy(
+        F.window("ts", "1 day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = stream_jobs.run_to_table(agg, output_mode="append")
+    return (
+        out.filter(F.col("event_type") != "flush")
+        .select(
+            F.to_date(F.col("window.start")).cast("string").alias("day"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "q313_stream_dynamic_session_gap",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+               CASE WHEN event_type = 'purchase' THEN 3600000
+                    ELSE 1800000 END AS gap_ms
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, event_id, ms, gap_ms,
+               MAX(ms + gap_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ms ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_end
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, event_id, ms, gap_ms,
+               SUM(CASE WHEN prev_end IS NULL OR ms >= prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS sess
+        FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(ms) AS BIGINT) AS start_ms,
+           CAST(MAX(ms + gap_ms) AS BIGINT) AS end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (purchases hold the
+    session open 60 min, everything else 30 — the engagement-dependent
+    timeout real sessionization uses), run as a STREAMING
+    session_window aggregation: Spark merges each event's
+    [ts, ts+gap) range into the session, so the window end is
+    max(ts+gap) and an event landing exactly AT the current end starts
+    a new session (half-open ranges). The flush sentinel closes the
+    trailing sessions for append mode on a bounded replay. The oracle
+    is the classic interval-merge (running max of prior ends, break on
+    ms >= prev_end) — bit-identical session membership, bounds, and
+    counts, which pins Spark's documented dynamic-gap semantics
+    (q48's fixed-gap twin can't).
+
+    Scale shape: session state is per-user merged ranges, evicted as
+    the watermark passes session end; the oracle's per-user window is
+    the batch equivalent (user-partitioned, never global)."""
+    s = stream_jobs.stream_events_with_flush(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    out = stream_jobs.run_to_table(agg, output_mode="append")
+    return out.filter(F.col("user_id") != -1).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+        F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
