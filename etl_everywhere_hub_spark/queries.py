@@ -19482,3 +19482,112 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("session_window.end")).alias("end_ms"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "q314_grouped_holt_forecast",
+    """
+    WITH RECURSIVE ds AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+    ),
+    ds2 AS (
+        SELECT event_type, di, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY di ASC)
+                   AS rn
+        FROM ds
+    ),
+    rec AS (
+        SELECT event_type, rn, di, cents,
+               CAST(cents AS DOUBLE) / 100.0 AS l,
+               CAST(0.0 AS DOUBLE) AS b
+        FROM ds2 WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.di, s.cents,
+               0.5 * (CAST(s.cents AS DOUBLE) / 100.0) + 0.5 * (r.l + r.b),
+               0.3 * ((0.5 * (CAST(s.cents AS DOUBLE) / 100.0)
+                       + 0.5 * (r.l + r.b)) - r.l)
+                   + 0.7 * r.b
+        FROM rec r JOIN ds2 s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    last AS (
+        SELECT event_type, MAX(rn) AS mrn FROM rec GROUP BY event_type
+    ),
+    nd AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM ds GROUP BY event_type
+    )
+    SELECT r.event_type AS event_type,
+           CAST(r.di AS BIGINT) AS last_di,
+           nd.n_days AS n_days,
+           CAST(floor(r.l * 1000000 + 0.5) AS BIGINT) AS level_micro,
+           CAST(floor(r.b * 1000000 + 0.5) AS BIGINT) AS trend_micro,
+           CAST(floor((r.l + 7 * r.b) * 1000000 + 0.5) AS BIGINT)
+               AS fc7_micro
+    FROM rec r JOIN last ON last.event_type = r.event_type AND r.rn = last.mrn
+    JOIN nd ON nd.event_type = r.event_type
+    """,
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Holt forecasting — q300's recursion partitioned by
+    series key (per event_type here; per part/tenant/region at scale),
+    exactly the grouped-map shape q300's docstring promised: the
+    distributed work is the (series, day) exact-cents aggregate, then
+    ONE applyInPandas per series runs the sequential level/trend
+    recursion over its own calendar-bounded slice and emits the final
+    state + a 7-day-ahead forecast. Thousands of series parallelize
+    across tasks; each task's memory is one series' day count.
+
+    Same IEEE ops in the same order as the per-group recursive-CTE
+    oracle — micro-int outputs, bit-exact. n_days rides along so the
+    audit can see series length."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ds = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("di").reset_index(drop=True)
+        l = b = None
+        for cents in pdf["cents"]:
+            y = cents / 100.0
+            if l is None:
+                l, b = y, 0.0
+            else:
+                l_new = 0.5 * y + 0.5 * (l + b)
+                b = 0.3 * (l_new - l) + 0.7 * b
+                l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "last_di": [int(pdf["di"].iloc[-1])],
+                "n_days": [len(pdf)],
+                "level_micro": [math.floor(l * 1000000 + 0.5)],
+                "trend_micro": [math.floor(b * 1000000 + 0.5)],
+                "fc7_micro": [math.floor((l + 7 * b) * 1000000 + 0.5)],
+            }
+        )
+
+    return ds.groupBy("event_type").applyInPandas(
+        holt,
+        schema=(
+            "event_type string, last_di long, n_days long, "
+            "level_micro long, trend_micro long, fc7_micro long"
+        ),
+    )

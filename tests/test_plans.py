@@ -637,6 +637,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q309_recursive_cte_reachability",
         "q310_negative_sampling",
         "q311_fifo_allocation",
+        # q312/q313 are streaming (drain when invoked) — oracle-covered.
+        "q314_grouped_holt_forecast",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
