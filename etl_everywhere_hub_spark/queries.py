@@ -19591,3 +19591,145 @@ def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
             "level_micro long, trend_micro long, fc7_micro long"
         ),
     )
+
+
+@query(
+    "q315_isotonic_calibration",
+    """
+    WITH nz AS (
+        SELECT vec_id,
+               CAST(label % 2 AS BIGINT) AS pos,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY n2 ASC, vec_id ASC) AS rk,
+               COUNT(*) OVER () AS n
+        FROM nz
+    ),
+    d AS (
+        SELECT pos,
+               CASE WHEN rk <= ((n // 20) + 1) * (n % 20)
+                    THEN (rk - 1) // ((n // 20) + 1) + 1
+                    ELSE (n % 20) + (rk - ((n // 20) + 1) * (n % 20) - 1)
+                             // (n // 20) + 1 END AS bin
+        FROM r
+    ),
+    g AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(pos) AS BIGINT) AS sp
+        FROM d GROUP BY bin
+    ),
+    p AS (
+        SELECT bin,
+               SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ccnt,
+               SUM(sp) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS csp
+        FROM g
+    ),
+    pairs AS (
+        SELECT j.bin AS j, k.bin AS k,
+               (k.csp - COALESCE(jp.csp, 0)) * 1000000
+                   // (k.ccnt - COALESCE(jp.ccnt, 0)) AS m
+        FROM p j
+        JOIN p k ON k.bin >= j.bin
+        LEFT JOIN p jp ON jp.bin = j.bin - 1
+    ),
+    mins AS (
+        SELECT j, i.bin AS i, MIN(m) AS min_m
+        FROM pairs JOIN g i ON i.bin BETWEEN j AND k
+        GROUP BY j, i.bin
+    ),
+    iso AS (
+        SELECT i, CAST(MAX(min_m) AS BIGINT) AS iso_ppm
+        FROM mins WHERE j <= i GROUP BY i
+    )
+    SELECT g.bin AS bin, cnt, sp AS n_pos,
+           sp * 1000000 // cnt AS rate_ppm,
+           iso_ppm
+    FROM g JOIN iso ON iso.i = g.bin
+    ORDER BY bin
+    """,
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) calibration over 20 exact-ntile score
+    bins — the monotone probability calibrator (Zadrozny & Elkan 2002)
+    next to q263's binned Brier: pool adjacent violators until the
+    bin-wise positive rate is nondecreasing in score. Integer-exact by
+    construction: the engine's PAVA pools with cross-multiplied
+    int comparisons and emits floor(pool_sum*1e6 / pool_cnt); the
+    oracle evaluates the minimax identity iso(i) = max_{j<=i}
+    min_{k>=i} mean(y_j..k) over PRE-FLOORED ppm means — floor is
+    monotone, so it commutes with min/max and both sides land on the
+    identical integer.
+
+    Scale shape: the corpus-sized work is the two-phase global rank +
+    exact ntile binning and one partial+final bin aggregate; PAVA
+    itself runs on the 20-row bin table in one bounded applyInPandas
+    group. The oracle's O(bins²) pair table is bounded too — but only
+    the oracle materializes it."""
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.operators.sampling import (
+        exact_ntile,
+        global_rank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    nz = emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("pos"),
+        F.aggregate(m, F.lit(0).cast("long"), lambda acc, v: acc + v * v).alias(
+            "n2"
+        ),
+    )
+    r = global_rank(nz, "n2", "vec_id", out="rk", descending=False)
+    n_df = nz.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = r.crossJoin(F.broadcast(n_df)).withColumn(
+        "bin", exact_ntile("rk", "n", 20).cast("long")
+    )
+    g = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("sp"),
+    ).withColumn("g", F.lit(1))
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        # pools: list of [sum, cnt, [bins]]
+        pools: list = []
+        for _, row in pdf.iterrows():
+            pools.append([int(row["sp"]), int(row["cnt"]), [int(row["bin"])]])
+            # merge while previous pool's rate exceeds the new one's
+            while (
+                len(pools) >= 2
+                and pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+            ):
+                s2, c2, b2 = pools.pop()
+                pools[-1][0] += s2
+                pools[-1][1] += c2
+                pools[-1][2].extend(b2)
+        rows = []
+        for s, c, bins in pools:
+            iso = s * 1000000 // c
+            for b in bins:
+                rows.append((b, iso))
+        out = pd.DataFrame(rows, columns=["bin", "iso_ppm"])
+        return pdf.merge(out, on="bin")[["bin", "cnt", "sp", "iso_ppm"]]
+
+    iso = g.groupBy("g").applyInPandas(
+        pava, schema="bin long, cnt long, sp long, iso_ppm long"
+    )
+    return iso.select(
+        "bin",
+        "cnt",
+        F.col("sp").alias("n_pos"),
+        F.expr("sp * 1000000 div cnt").cast("long").alias("rate_ppm"),
+        "iso_ppm",
+    ).orderBy("bin")

@@ -639,6 +639,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q311_fifo_allocation",
         # q312/q313 are streaming (drain when invoked) — oracle-covered.
         "q314_grouped_holt_forecast",
+        "q315_isotonic_calibration",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -693,6 +694,10 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q257_kaplan_meier": "2× prefix-sum offset cascades (≤32 bucket totals each)",
     "q265_theil_sen_trend": "global_rank offset cascade over ≤32 bucket totals",
     "q294_roc_auc": "global_rank offset cascade over ≤32 bucket totals",
+    "q315_isotonic_calibration": (
+        "global_rank offset cascade (≤32 bucket totals); PAVA runs on "
+        "the 20-row bin table"
+    ),
     "q306_decile_lift_table": (
         "global_rank offset cascade (≤32 bucket totals) + cumulative "
         "gains over the 10-row decile table"
