@@ -19733,3 +19733,241 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sp * 1000000 div cnt").cast("long").alias("rate_ppm"),
         "iso_ppm",
     ).orderBy("bin")
+
+
+_Q316_STATES = ["click", "view", "signup", "error"]
+
+
+@query(
+    "q316_markov_attribution",
+    """
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    fc AS (
+        SELECT user_id, MIN(rn) AS conv_rn FROM e
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    kept AS (
+        SELECT e.user_id, e.event_type, e.rn
+        FROM e LEFT JOIN fc ON fc.user_id = e.user_id
+        WHERE fc.conv_rn IS NULL OR e.rn <= fc.conv_rn
+    ),
+    seq AS (
+        SELECT user_id, rn,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS src,
+               COALESCE(CASE WHEN lead(event_type) OVER w = 'purchase'
+                             THEN 'conv'
+                             ELSE lead(event_type) OVER w END,
+                        'null') AS dst
+        FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY rn ASC)
+    ),
+    trans AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE src <> 'conv' GROUP BY src, dst
+        UNION ALL
+        SELECT 'start' AS src, src AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE rn = 1 GROUP BY src
+    ),
+    tr AS (
+        SELECT src, dst,
+               CAST(SUM(cnt) AS DOUBLE)
+                   / SUM(SUM(cnt)) OVER (PARTITION BY src) AS p
+        FROM trans GROUP BY src, dst
+    ),
+    w AS (
+        SELECT
+          COALESCE(MAX(CASE WHEN src='click' AND dst='click' THEN p END),0.0) AS t_c_c,
+          COALESCE(MAX(CASE WHEN src='click' AND dst='view' THEN p END),0.0) AS t_c_v,
+          COALESCE(MAX(CASE WHEN src='click' AND dst='signup' THEN p END),0.0) AS t_c_s,
+          COALESCE(MAX(CASE WHEN src='click' AND dst='error' THEN p END),0.0) AS t_c_e,
+          COALESCE(MAX(CASE WHEN src='click' AND dst='conv' THEN p END),0.0) AS t_c_conv,
+          COALESCE(MAX(CASE WHEN src='view' AND dst='click' THEN p END),0.0) AS t_v_c,
+          COALESCE(MAX(CASE WHEN src='view' AND dst='view' THEN p END),0.0) AS t_v_v,
+          COALESCE(MAX(CASE WHEN src='view' AND dst='signup' THEN p END),0.0) AS t_v_s,
+          COALESCE(MAX(CASE WHEN src='view' AND dst='error' THEN p END),0.0) AS t_v_e,
+          COALESCE(MAX(CASE WHEN src='view' AND dst='conv' THEN p END),0.0) AS t_v_conv,
+          COALESCE(MAX(CASE WHEN src='signup' AND dst='click' THEN p END),0.0) AS t_s_c,
+          COALESCE(MAX(CASE WHEN src='signup' AND dst='view' THEN p END),0.0) AS t_s_v,
+          COALESCE(MAX(CASE WHEN src='signup' AND dst='signup' THEN p END),0.0) AS t_s_s,
+          COALESCE(MAX(CASE WHEN src='signup' AND dst='error' THEN p END),0.0) AS t_s_e,
+          COALESCE(MAX(CASE WHEN src='signup' AND dst='conv' THEN p END),0.0) AS t_s_conv,
+          COALESCE(MAX(CASE WHEN src='error' AND dst='click' THEN p END),0.0) AS t_e_c,
+          COALESCE(MAX(CASE WHEN src='error' AND dst='view' THEN p END),0.0) AS t_e_v,
+          COALESCE(MAX(CASE WHEN src='error' AND dst='signup' THEN p END),0.0) AS t_e_s,
+          COALESCE(MAX(CASE WHEN src='error' AND dst='error' THEN p END),0.0) AS t_e_e,
+          COALESCE(MAX(CASE WHEN src='error' AND dst='conv' THEN p END),0.0) AS t_e_conv,
+          COALESCE(MAX(CASE WHEN src='start' AND dst='click' THEN p END),0.0) AS t_st_c,
+          COALESCE(MAX(CASE WHEN src='start' AND dst='view' THEN p END),0.0) AS t_st_v,
+          COALESCE(MAX(CASE WHEN src='start' AND dst='signup' THEN p END),0.0) AS t_st_s,
+          COALESCE(MAX(CASE WHEN src='start' AND dst='error' THEN p END),0.0) AS t_st_e,
+          COALESCE(MAX(CASE WHEN src='start' AND dst='conv' THEN p END),0.0) AS t_st_conv
+        FROM tr
+    ),
+    scen AS (
+        SELECT s AS scen,
+               CASE WHEN s = 'click' THEN 0.0 ELSE 1.0 END AS kc,
+               CASE WHEN s = 'view' THEN 0.0 ELSE 1.0 END AS kv,
+               CASE WHEN s = 'signup' THEN 0.0 ELSE 1.0 END AS ks,
+               CASE WHEN s = 'error' THEN 0.0 ELSE 1.0 END AS ke
+        FROM (SELECT unnest(['base','click','view','signup','error']) AS s)
+    ),
+    rec AS (
+        SELECT scen, kc, kv, ks, ke, 0 AS it,
+               CAST(0.0 AS DOUBLE) AS pc, CAST(0.0 AS DOUBLE) AS pv,
+               CAST(0.0 AS DOUBLE) AS ps, CAST(0.0 AS DOUBLE) AS pe
+        FROM scen
+        UNION ALL
+        SELECT r.scen, r.kc, r.kv, r.ks, r.ke, r.it + 1,
+               t_c_conv + ((t_c_c * r.kc) * r.pc) + ((t_c_v * r.kv) * r.pv)
+                   + ((t_c_s * r.ks) * r.ps) + ((t_c_e * r.ke) * r.pe),
+               t_v_conv + ((t_v_c * r.kc) * r.pc) + ((t_v_v * r.kv) * r.pv)
+                   + ((t_v_s * r.ks) * r.ps) + ((t_v_e * r.ke) * r.pe),
+               t_s_conv + ((t_s_c * r.kc) * r.pc) + ((t_s_v * r.kv) * r.pv)
+                   + ((t_s_s * r.ks) * r.ps) + ((t_s_e * r.ke) * r.pe),
+               t_e_conv + ((t_e_c * r.kc) * r.pc) + ((t_e_v * r.kv) * r.pv)
+                   + ((t_e_s * r.ks) * r.ps) + ((t_e_e * r.ke) * r.pe)
+        FROM rec r CROSS JOIN w WHERE r.it < 30
+    ),
+    pconv AS (
+        SELECT scen,
+               CAST(floor((t_st_conv + ((t_st_c * kc) * pc)
+                    + ((t_st_v * kv) * pv) + ((t_st_s * ks) * ps)
+                    + ((t_st_e * ke) * pe)) * 1000000 + 0.5) AS BIGINT)
+                   AS p_ppm
+        FROM rec CROSS JOIN w WHERE it = 30
+    ),
+    eff AS (
+        SELECT x.scen AS channel,
+               b.p_ppm AS base_ppm,
+               b.p_ppm - x.p_ppm AS removal_ppm
+        FROM pconv x CROSS JOIN (SELECT p_ppm FROM pconv WHERE scen='base') b
+        WHERE x.scen <> 'base'
+    )
+    SELECT channel, base_ppm, CAST(removal_ppm AS BIGINT) AS removal_ppm,
+           CAST(removal_ppm * 1000000
+                // (SELECT SUM(removal_ppm) FROM eff) AS BIGINT) AS share_ppm
+    FROM eff
+    """,
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution (Anderl et al. 2014)
+    — the data-driven alternative to the rule-based models q241/q276
+    implement: user journeys (touches up to first purchase) become a
+    first-order transition matrix; channel credit = how much the
+    absorption (conversion) probability DROPS when journeys can no
+    longer enter that channel. The solve is a fixed 30-iteration
+    Jacobi recursion over the 4 transient states — bounded state
+    space, so engine and oracle run the SAME fixed-order double
+    expressions (engine: one bounded applyInPandas over the pivoted
+    1-row matrix × 5 scenarios; oracle: recursive CTE) and land on the
+    identical ppm integers.
+
+    Scale shape: the corpus-sized work is the journey windows (one
+    user_id shuffle) and the (src,dst) count agg; the matrix pivot is
+    5×6 doubles and every solve after that is O(states²·iters) on one
+    row. More channels = wider pivot, same plan."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    e = ev.select(
+        "user_id", "event_type", "event_id", F.row_number().over(wo).alias("rn")
+    )
+    fc = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    kept = e.join(fc, "user_id", "left").filter(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    )
+    wk = Window.partitionBy("user_id").orderBy(F.col("rn").asc())
+    to_state = lambda c: F.when(c == "purchase", "conv").otherwise(c)  # noqa: E731
+    seq = kept.select(
+        "user_id",
+        "rn",
+        to_state(F.col("event_type")).alias("src"),
+        F.coalesce(
+            to_state(F.lead("event_type").over(wk)), F.lit("null")
+        ).alias("dst"),
+    )
+    trans = (
+        seq.filter(F.col("src") != "conv")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .unionByName(
+            seq.filter(F.col("rn") == 1)
+            .groupBy(F.lit("start").alias("src"), F.col("src").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+    )
+    out_tot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("out"))
+    tr = trans.join(out_tot, "src").select(
+        "src", "dst", (F.col("cnt").cast("double") / F.col("out")).alias("p")
+    )
+    srcs = {"click": "c", "view": "v", "signup": "s", "error": "e", "start": "st"}
+    dsts = {"click": "c", "view": "v", "signup": "s", "error": "e", "conv": "conv"}
+    aggs = [
+        F.coalesce(
+            F.max(F.when((F.col("src") == s) & (F.col("dst") == d), F.col("p"))),
+            F.lit(0.0),
+        ).alias(f"t_{sa}_{da}")
+        for s, sa in srcs.items()
+        for d, da in dsts.items()
+    ]
+    wmat = tr.agg(*aggs).withColumn("g", F.lit(1))
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf.iloc[0]
+        rows = []
+        for scen in ["base", "click", "view", "signup", "error"]:
+            kc = 0.0 if scen == "click" else 1.0
+            kv = 0.0 if scen == "view" else 1.0
+            ks = 0.0 if scen == "signup" else 1.0
+            ke = 0.0 if scen == "error" else 1.0
+            pc = pv = ps = pe = 0.0
+            for _ in range(30):
+                npc = t["t_c_conv"] + ((t["t_c_c"] * kc) * pc) + ((t["t_c_v"] * kv) * pv) + ((t["t_c_s"] * ks) * ps) + ((t["t_c_e"] * ke) * pe)
+                npv = t["t_v_conv"] + ((t["t_v_c"] * kc) * pc) + ((t["t_v_v"] * kv) * pv) + ((t["t_v_s"] * ks) * ps) + ((t["t_v_e"] * ke) * pe)
+                nps = t["t_s_conv"] + ((t["t_s_c"] * kc) * pc) + ((t["t_s_v"] * kv) * pv) + ((t["t_s_s"] * ks) * ps) + ((t["t_s_e"] * ke) * pe)
+                npe = t["t_e_conv"] + ((t["t_e_c"] * kc) * pc) + ((t["t_e_v"] * kv) * pv) + ((t["t_e_s"] * ks) * ps) + ((t["t_e_e"] * ke) * pe)
+                pc, pv, ps, pe = npc, npv, nps, npe
+            p = t["t_st_conv"] + ((t["t_st_c"] * kc) * pc) + ((t["t_st_v"] * kv) * pv) + ((t["t_st_s"] * ks) * ps) + ((t["t_st_e"] * ke) * pe)
+            rows.append((scen, math.floor(p * 1000000 + 0.5)))
+        return pd.DataFrame(rows, columns=["scen", "p_ppm"])
+
+    pconv = wmat.groupBy("g").applyInPandas(solve, schema="scen string, p_ppm long")
+    base = pconv.filter(F.col("scen") == "base").select(
+        F.col("p_ppm").alias("base_ppm")
+    )
+    eff = (
+        pconv.filter(F.col("scen") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scen").alias("channel"),
+            "base_ppm",
+            (F.col("base_ppm") - F.col("p_ppm")).cast("long").alias(
+                "removal_ppm"
+            ),
+        )
+    )
+    tot = eff.agg(F.sum("removal_ppm").cast("long").alias("tot_rem"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "base_ppm",
+        "removal_ppm",
+        F.expr("removal_ppm * 1000000 div tot_rem").cast("long").alias(
+            "share_ppm"
+        ),
+    )

@@ -640,6 +640,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         # q312/q313 are streaming (drain when invoked) — oracle-covered.
         "q314_grouped_holt_forecast",
         "q315_isotonic_calibration",
+        "q316_markov_attribution",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
