@@ -591,3 +591,89 @@ def hits_exact(
             F.col("a").cast("long").alias("auth_ppm"),
         )
     )
+
+
+def scc_pivot_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_peels: int = 64,
+) -> DataFrame:
+    """Strongly connected components on a DIRECTED graph by pivot
+    peeling (the sequential skeleton of the FW-BW decomposition,
+    Fleischer et al. 2000): pick the minimum remaining vertex id as
+    pivot, compute its forward-reachable and backward-reachable sets
+    (two distributed BFS loops — each hop ONE equi-join, distinct,
+    anti-join, localCheckpointed frontier delta, the bfs_hops
+    discipline), intersect them = the pivot's SCC, peel it off,
+    repeat. Deterministic: the min-id pivot makes component labels
+    (the pivot id) reproducible.
+
+    Scale posture, honestly: each peel removes one SCC, so the OUTER
+    loop is O(#SCCs touched) — right for graphs whose condensation is
+    small (a dense trade/link graph collapses to a few big SCCs plus
+    singletons; ``max_peels`` guards the pathological chain). The
+    fully parallel variant recurses FW-BW on the three remainder
+    partitions simultaneously; the per-peel inner work here is already
+    the distributed part. Returns (id, component) with component =
+    pivot id of the SCC.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+    def reach(seed: DataFrame, graph: DataFrame, within: DataFrame) -> DataFrame:
+        """All vertices of `within` reachable from seed via graph edges
+        restricted to `within` (seed included)."""
+        g = graph.join(within.withColumnRenamed("id", "src"), "src").join(
+            within.withColumnRenamed("id", "dst"), "dst"
+        )
+        visited = seed.localCheckpoint(eager=True)
+        frontier = visited
+        while True:
+            nxt = (
+                g.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                return visited
+            visited = visited.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+
+    remaining = nodes
+    comps: list[DataFrame] = []
+    for _ in range(max_peels):
+        head = remaining.agg(F.min("id").alias("id"))
+        if head.first()["id"] is None:
+            break
+        pivot = head.localCheckpoint(eager=True).select("id")
+        fwd = reach(pivot, e, remaining)
+        bwd = reach(pivot, rev, remaining)
+        scc = fwd.join(bwd, "id").localCheckpoint(eager=True)
+        pid = pivot.first()["id"]
+        comps.append(scc.select("id", F.lit(pid).cast("long").alias("component")))
+        remaining = remaining.join(scc, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if remaining.isEmpty():
+            break
+    out = comps[0]
+    for c in comps[1:]:
+        out = out.union(c)
+    return out

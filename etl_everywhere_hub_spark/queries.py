@@ -19971,3 +19971,79 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+@query(
+    "q317_strongly_connected_components",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+          AND l.l_quantity >= 40
+    ),
+    nodes AS (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    mutual AS (
+        SELECT n.id AS a, n.id AS b FROM nodes n
+        UNION
+        SELECT r1.src AS a, r1.dst AS b
+        FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+    )
+    SELECT CAST(a AS BIGINT) AS id,
+           CAST(MIN(b) AS BIGINT) AS component,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS scc_size
+    FROM mutual GROUP BY a
+    """,
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed trade graph
+    (supplier nation → customer nation, thinned to bulk flows
+    l_quantity ≥ 40 so the condensation has real structure) — the
+    directed-graph primitive the undirected CC (q72) can't express:
+    mutual reachability partitions. Engine: pivot peeling
+    (operators/graph.py:scc_pivot_peel — FW∩BW reachability per
+    min-id pivot, distributed BFS inside, O(#SCCs) peels). Oracle:
+    full transitive closure by recursive CTE, SCC = min mutually-
+    reachable id — the O(V·E) closure the peeling avoids. Component
+    label = min member id in both (pivot IS the min of its SCC:
+    peeling in ascending id order guarantees it).
+
+    Scale: each peel's BFS hops are equi-joins on the frontier only;
+    closure never materializes engine-side."""
+    from etl_everywhere_hub_spark.operators.graph import scc_pivot_peel
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 40
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    edges = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    comp = scc_pivot_peel(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size")
+    )
+    return comp.join(F.broadcast(sizes), "component").select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+        "scc_size",
+    )

@@ -641,6 +641,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q314_grouped_holt_forecast",
         "q315_isotonic_calibration",
         "q316_markov_attribution",
+        "q317_strongly_connected_components",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
