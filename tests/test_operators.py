@@ -747,3 +747,25 @@ def test_grouped_global_prefix_sum_matches_naive_window(spark):
     assert sorted(map(tuple, got_rk.collect())) == sorted(
         map(tuple, want_rk.collect())
     )
+
+
+def test_scc_pivot_peel_known_digraph(spark):
+    """SCC on a hand-built digraph: two directed cycles (1→2→3→1 and
+    10→11→10) joined by one-way bridges 3→10 and 11→20 (20 is a
+    sink). Expected SCCs: {1,2,3} (label 1), {10,11} (label 10),
+    {20} (label 20). Also pins the deterministic min-id labeling."""
+    from etl_everywhere_hub_spark.operators.graph import scc_pivot_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10), (11, 20)],
+        "src long, dst long",
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in scc_pivot_peel(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20),
+    }
