@@ -20047,3 +20047,253 @@ def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         "scc_size",
     )
+
+
+@query(
+    "q318_sequence_gap_audit",
+    """
+    WITH e AS (
+        SELECT user_id, event_id,
+               lead(event_id) OVER (PARTITION BY user_id
+                                    ORDER BY event_id ASC) AS nxt,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt_u,
+               MAX(event_id) OVER (PARTITION BY user_id)
+                   - MIN(event_id) OVER (PARTITION BY user_id) + 1 AS span_u
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(event_id + 1 AS BIGINT) AS gap_start,
+           CAST(nxt - 1 AS BIGINT) AS gap_end,
+           CAST(nxt - event_id - 1 AS BIGINT) AS gap_len
+    FROM e
+    WHERE nxt IS NOT NULL AND (nxt - event_id - 1) * cnt_u > 5 * span_u
+    """,
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: missing id ranges in each user's event-id
+    sequence — the dropped-message detector a webhook/bus consumer
+    runs against producer-assigned monotone ids (reference context:
+    the delivery stream's inboundMessageId; a gap = deliveries that
+    never arrived). Emits one row per gap (start, end, length) that
+    exceeds 5x the user's OWN average id spacing (cross-multiplied
+    integers — scale-free, so the audit fires on anomalies at any
+    corpus size, not on a hardcoded absolute), via keyed windows — the inverse of
+    q298's islands.
+
+    Scale shape: one user_id-partitioned window, map-side filter;
+    output is proportional to the number of gaps, never the id
+    domain (no sequence materialization, no anti-join against a
+    generated range — the naive formulation that explodes at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    wu = Window.partitionBy("user_id")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.lead("event_id").over(w).alias("nxt"),
+        F.count(F.lit(1)).over(wu).alias("cnt_u"),
+        (
+            F.max("event_id").over(wu) - F.min("event_id").over(wu) + 1
+        ).alias("span_u"),
+    )
+    return e.filter(
+        F.col("nxt").isNotNull()
+        & (
+            (F.col("nxt") - F.col("event_id") - 1) * F.col("cnt_u")
+            > 5 * F.col("span_u")
+        )
+    ).select(
+        "user_id",
+        (F.col("event_id") + 1).cast("long").alias("gap_start"),
+        (F.col("nxt") - 1).cast("long").alias("gap_end"),
+        (F.col("nxt") - F.col("event_id") - 1).cast("long").alias("gap_len"),
+    )
+
+
+@query(
+    "q319_ab_test_two_proportion",
+    """
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 AS arm,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2
+                   AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM u
+    )
+    SELECT na, ca, nb, cb,
+           ca * 1000000 // na AS rate_a_ppm,
+           cb * 1000000 // nb AS rate_b_ppm,
+           CAST(floor(
+               ((CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb))
+               / sqrt(((CAST(ca + cb AS DOUBLE) / (na + nb))
+                       * (1.0 - (CAST(ca + cb AS DOUBLE) / (na + nb))))
+                      * ((1.0 / na) + (1.0 / nb)))
+               * 1000000 + 0.5) AS BIGINT) AS z_micro
+    FROM g
+    """,
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment — the online-
+    experimentation primitive next to the drift tests (q249 KS, q252
+    MWU): users hash-split into arms (md5 parity — the q69
+    reproducible-assignment convention, so the same user always lands
+    in the same arm), per-user binary outcome (odd purchase count — a synthetic
+    predicate that stays INTERIOR at every fixture scale; production
+    swaps in the real conversion), pooled-variance z statistic. The z value is ONE fixed-order double
+    expression micro-floored at the end — identical in both engines;
+    counts and rates are pure integers.
+
+    Scale shape: one groupBy(user) conversion fold (partial+final),
+    one 4-number aggregate; the z arithmetic is a 1-row expression.
+    Sequential/peeking-safe variants (mSPRT) ride the same counts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            % 2
+        ).alias("converted")
+    ).select(
+        F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)).alias(
+            "arm"
+        ),
+        "converted",
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (pa - pb) / F.sqrt(
+        (pp * (F.lit(1.0) - pp))
+        * ((F.lit(1.0) / F.col("na")) + (F.lit(1.0) / F.col("nb")))
+    )
+    return g.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.expr("ca * 1000000 div na").cast("long").alias("rate_a_ppm"),
+        F.expr("cb * 1000000 div nb").cast("long").alias("rate_b_ppm"),
+        F.floor(z * 1000000 + 0.5).cast("long").alias("z_micro"),
+    )
+
+
+@query(
+    "q320_license_propagation",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3]))) AS shingle
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM dup
+        UNION SELECT doc_b, doc_a FROM dup
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS root FROM documents
+        UNION
+        SELECT s.b AS id, r.root FROM reach r JOIN sym s ON s.a = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id),
+    lic AS (
+        SELECT d.doc_id, c.component,
+               CASE WHEN d.source IN ('web', 'forum') THEN 3
+                    WHEN d.source = 'news' THEN 2
+                    ELSE 1 END AS lic_rank
+        FROM documents d JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(lic_rank) AS BIGINT) AS effective_license_rank,
+           CAST(COUNT(DISTINCT lic_rank) AS BIGINT) AS n_license_kinds
+    FROM lic GROUP BY component
+    HAVING COUNT(*) > 1
+    """,
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/compliance propagation through near-dup clusters — the
+    governance rule a training-data pipeline must enforce: if ANY
+    member of a duplicate cluster carries a more restrictive license,
+    the whole cluster (and its survivor) inherits it
+    (most-restrictive-wins = MAX over an ordinal license rank, here
+    derived from source: web/forum=3 > news=2 > rest=1). Emits every
+    multi-member cluster with its effective rank and how many license
+    kinds were merged — the audit trail for why a permissively-
+    licensed-looking document got excluded.
+
+    Scale shape: clusters come from the production near-dup path
+    (PPJoin exact ≥0.8 pairs → large-star/small-star CC); the license
+    fold is one partial+final agg per component. The oracle replays
+    clustering as a recursive closure — bounded here, oracle-only."""
+    from etl_everywhere_hub_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.doc_shingles(d)
+    jac = dedup_ops.exact_jaccard(sh)
+    edges = jac.filter(F.col("jaccard") >= 0.8).select("a", "b")
+    comp = connected_components(edges, src="a", dst="b")
+    all_docs = d.select(F.col("doc_id").alias("id"), "source")
+    lic_rank = (
+        F.when(F.col("source").isin("web", "forum"), 3)
+        .when(F.col("source") == "news", 2)
+        .otherwise(1)
+    )
+    lic = all_docs.join(comp, "id", "left").select(
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        lic_rank.alias("lic_rank"),
+    )
+    return (
+        lic.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("lic_rank").cast("long").alias("effective_license_rank"),
+            F.countDistinct("lic_rank").cast("long").alias("n_license_kinds"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

@@ -642,6 +642,9 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q315_isotonic_calibration",
         "q316_markov_attribution",
         "q317_strongly_connected_components",
+        "q318_sequence_gap_audit",
+        "q319_ab_test_two_proportion",
+        "q320_license_propagation",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
