@@ -20297,3 +20297,283 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@query(
+    "q321_slo_burn_rate",
+    """
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    w AS (
+        SELECT hr, n, errs,
+               SUM(n) OVER (ORDER BY hr ASC ROWS 5 PRECEDING) AS n6,
+               SUM(errs) OVER (ORDER BY hr ASC ROWS 5 PRECEDING) AS e6,
+               SUM(n) OVER (ORDER BY hr ASC ROWS 23 PRECEDING) AS n24,
+               SUM(errs) OVER (ORDER BY hr ASC ROWS 23 PRECEDING) AS e24
+        FROM h
+    )
+    SELECT CAST(epoch_ms(hr) AS BIGINT) AS hr_ms, n, errs,
+           e6 * 1000000 // n6 AS err6_ppm,
+           e24 * 1000000 // n24 AS err24_ppm,
+           (e6 * 1000000 // n6) * 100 // 250000 AS burn6_centi,
+           (e24 * 1000000 // n24) * 100 // 250000 AS burn24_centi,
+           CASE WHEN (e6 * 1000000 // n6) * 100 // 250000 >= 110
+                 AND (e24 * 1000000 // n24) * 100 // 250000 >= 110
+                THEN 1 ELSE 0 END AS page
+    FROM w
+    """,
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    hourly error rates rolled into 6 h and 24 h trailing windows, each
+    expressed as a burn rate against the error budget (SLO here: 25%
+    error budget — the fixture's error share is ~20%, so the alert
+    threshold 1.1× budget actually discriminates), and a page fires
+    only when BOTH windows burn hot — the short window for speed, the
+    long one to suppress flapping. All integer arithmetic (ppm rates,
+    centi-burn via floor division).
+
+    Scale shape: one partial+final hourly agg collapses the corpus;
+    the trailing windows run over the HOURLY table (calendar-bounded,
+    720 rows/month) — never over raw events. Streaming twin = the
+    same agg under a watermark (q47's shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    w6 = Window.orderBy(F.col("hr").asc()).rowsBetween(-5, 0)
+    w24 = Window.orderBy(F.col("hr").asc()).rowsBetween(-23, 0)
+    w = h.select(
+        "hr",
+        "n",
+        "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("e6"),
+        F.sum("n").over(w24).alias("n24"),
+        F.sum("errs").over(w24).alias("e24"),
+    )
+    return w.select(
+        F.unix_millis(F.col("hr").cast("timestamp")).alias("hr_ms"),
+        "n",
+        "errs",
+        F.expr("e6 * 1000000 div n6").cast("long").alias("err6_ppm"),
+        F.expr("e24 * 1000000 div n24").cast("long").alias("err24_ppm"),
+        F.expr("(e6 * 1000000 div n6) * 100 div 250000")
+        .cast("long")
+        .alias("burn6_centi"),
+        F.expr("(e24 * 1000000 div n24) * 100 div 250000")
+        .cast("long")
+        .alias("burn24_centi"),
+        F.expr(
+            "CASE WHEN (e6 * 1000000 div n6) * 100 div 250000 >= 110 "
+            "AND (e24 * 1000000 div n24) * 100 div 250000 >= 110 "
+            "THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("page"),
+    )
+
+
+@query(
+    "q322_scd2_invariant_audit",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority,
+               epoch_ms(o_orderdate) AS ms, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ),
+    dim AS (
+        SELECT o_custkey AS custkey, ms AS valid_from_ms,
+               lead(ms) OVER (PARTITION BY o_custkey
+                              ORDER BY ms ASC, o_orderkey ASC) AS valid_to_ms
+        FROM seq WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    ),
+    chk AS (
+        SELECT custkey, valid_from_ms, valid_to_ms,
+               lead(valid_from_ms) OVER (PARTITION BY custkey
+                                         ORDER BY valid_from_ms ASC)
+                   AS next_from,
+               row_number() OVER (PARTITION BY custkey
+                                  ORDER BY valid_from_ms ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY custkey) AS n_rows
+        FROM dim
+    )
+    SELECT CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN valid_to_ms IS NOT NULL
+                          AND valid_to_ms <> next_from
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_or_overlap,
+           CAST(SUM(CASE WHEN valid_to_ms IS NULL AND rn <> n_rows
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_open_not_last,
+           CAST(SUM(CASE WHEN rn = n_rows AND valid_to_ms IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_current
+    FROM chk
+    """,
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 invariant audit — the consistency contract every dimension
+    consumer assumes, checked as aggregates over the q244 build:
+    (1) each row's valid_to must equal the NEXT row's valid_from per
+    key (no gaps, no overlaps — half-open tiling), (2) only the last
+    row may be open-ended, (3) every key must end open (exactly one
+    current row). Violation counts must be ZERO on a correct build —
+    this is the CI gate a warehouse runs after every dimension load,
+    and it would catch the classic off-by-one (closing with
+    valid_to = next_from − 1 under a half-open reader).
+
+    Scale shape: two keyed windows over the dimension (already
+    change-count-sized), one partial+final fold to a 1-row report."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    seq = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        ms.alias("ms"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    changes = seq.filter(
+        F.col("prev_p").isNull()
+        | (F.col("o_orderpriority") != F.col("prev_p"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("ms").asc(), F.col("o_orderkey").asc()
+    )
+    dim = changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("ms").alias("valid_from_ms"),
+        F.lead("ms").over(w2).alias("valid_to_ms"),
+    )
+    wc = Window.partitionBy("custkey").orderBy(F.col("valid_from_ms").asc())
+    wk = Window.partitionBy("custkey")
+    chk = dim.select(
+        "custkey",
+        "valid_from_ms",
+        "valid_to_ms",
+        F.lead("valid_from_ms").over(wc).alias("next_from"),
+        F.row_number().over(wc).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n_rows"),
+    )
+    return chk.agg(
+        F.countDistinct("custkey").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(
+            F.when(
+                F.col("valid_to_ms").isNotNull()
+                & (F.col("valid_to_ms") != F.col("next_from")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gap_or_overlap"),
+        F.sum(
+            F.when(
+                F.col("valid_to_ms").isNull() & (F.col("rn") != F.col("n_rows")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_open_not_last"),
+        F.sum(
+            F.when(
+                (F.col("rn") == F.col("n_rows"))
+                & F.col("valid_to_ms").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_no_current"),
+    )
+
+
+@query(
+    "q323_rollup_consistency_audit",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    monthly AS (
+        SELECT date_trunc('month', d) AS m,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM daily GROUP BY date_trunc('month', d)
+    ),
+    direct AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(CASE WHEN monthly.cents <> direct.cents
+                          OR monthly.n <> direct.n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(SUM(monthly.cents) AS BIGINT) AS total_cents_rollup,
+           CAST(SUM(direct.cents) AS BIGINT) AS total_cents_direct
+    FROM monthly JOIN direct ON monthly.m = direct.m
+    """,
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-consistency audit: the month-level aggregate computed by
+    RE-AGGREGATING the daily rollup must equal the month-level
+    aggregate computed directly from the facts — the invariant that
+    makes pre-aggregated serving tables trustworthy (it holds exactly
+    BECAUSE the money column is integer cents end-to-end; a
+    double-summed pipeline re-orders additions between the two paths
+    and drifts). Mismatch count must be zero, plus both grand totals
+    for the eyeball check.
+
+    Scale shape: the daily rollup is the only fact-sized pass the
+    serving path ever pays; the audit's direct path is the one-off
+    verification scan. Both are partial+final integer aggs; the month
+    join is calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(cents).cast("long").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    monthly = daily.groupBy(F.date_trunc("month", F.col("d")).alias("m")).agg(
+        F.sum("cents").cast("long").alias("m_cents"),
+        F.sum("n").cast("long").alias("m_n"),
+    )
+    direct = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(
+        F.sum(cents).cast("long").alias("d_cents"),
+        F.count(F.lit(1)).cast("long").alias("d_n"),
+    )
+    j = monthly.join(direct, "m")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum(
+            F.when(
+                (F.col("m_cents") != F.col("d_cents"))
+                | (F.col("m_n") != F.col("d_n")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        F.sum("m_cents").cast("long").alias("total_cents_rollup"),
+        F.sum("d_cents").cast("long").alias("total_cents_direct"),
+    )

@@ -645,6 +645,9 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q318_sequence_gap_audit",
         "q319_ab_test_two_proportion",
         "q320_license_propagation",
+        "q321_slo_burn_rate",
+        "q322_scd2_invariant_audit",
+        "q323_rollup_consistency_audit",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -699,6 +702,10 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q257_kaplan_meier": "2× prefix-sum offset cascades (≤32 bucket totals each)",
     "q265_theil_sen_trend": "global_rank offset cascade over ≤32 bucket totals",
     "q294_roc_auc": "global_rank offset cascade over ≤32 bucket totals",
+    "q321_slo_burn_rate": (
+        "trailing 6h/24h windows over the HOURLY table "
+        "(calendar-bounded, 720 rows/month)"
+    ),
     "q315_isotonic_calibration": (
         "global_rank offset cascade (≤32 bucket totals); PAVA runs on "
         "the 20-row bin table"
