@@ -20577,3 +20577,227 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m_cents").cast("long").alias("total_cents_rollup"),
         F.sum("d_cents").cast("long").alias("total_cents_direct"),
     )
+
+
+@query(
+    "q324_lsh_parameter_sweep",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+        FROM sh
+    ),
+    seeds(seed, a, b) AS (
+        VALUES (0, 1103515245, 12345),       (1, 1299709, 217645199),
+               (2, 15485863, 413158511),     (3, 32452843, 613651349),
+               (4, 49979687, 817504243),     (5, 67867967, 1025610421),
+               (6, 86028121, 1236794689),    (7, 104395301, 1451730233)
+    ),
+    seeded AS (
+        SELECT doc_id, seed, MIN((h0 * a + b) % 2147483647) AS minhash
+        FROM hashed CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    cfg(bands, rws) AS (VALUES (8, 1), (4, 2), (2, 4)),
+    bands AS (
+        SELECT cfg.bands, cfg.rws, doc_id,
+               CAST(seed // cfg.rws AS INTEGER) AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                   AS band_key
+        FROM seeded CROSS JOIN cfg
+        GROUP BY cfg.bands, cfg.rws, doc_id, CAST(seed // cfg.rws AS INTEGER)
+    ),
+    cands AS (
+        SELECT DISTINCT a.bands, a.rws, a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b
+          ON a.bands = b.bands AND a.band = b.band
+         AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        HAVING 100 * COUNT(*) >= 80 * (sa.n + sb.n - COUNT(*))
+    ),
+    m AS (
+        SELECT c.bands, c.rws,
+               CAST(COUNT(*) AS BIGINT) AS n_cands,
+               CAST(SUM(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM cands c LEFT JOIN truth t ON t.a = c.a AND t.b = c.b
+        GROUP BY c.bands, c.rws
+    )
+    SELECT CAST(bands AS BIGINT) AS bands, CAST(rws AS BIGINT) AS rws,
+           n_cands, n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           n_hits * 1000000 // (SELECT COUNT(*) FROM truth) AS recall_ppm,
+           n_hits * 1000000 // n_cands AS precision_ppm,
+           CAST(floor((1.0 - pow(1.0 - pow(0.8, CAST(rws AS DOUBLE)),
+                                 CAST(bands AS DOUBLE))) * 1000000 + 0.5)
+                AS BIGINT) AS theory_at_t_ppm
+    FROM m
+    """,
+)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band/row parameter sweep — the S-curve tuning run a team
+    does BEFORE committing a (bands, rows) split to a 100 TB dedup:
+    for (8,1), (4,2), (2,4) over the same 8 minhashes, measured
+    candidate count, precision, and recall against the exact PPJoin
+    truth, side by side with the textbook collision probability at
+    the threshold, 1−(1−t^r)^b at t=0.8 (one fixed-order double,
+    micro-floored). (8,1) catches everything and drowns in
+    candidates; (2,4) is precise but leaky; the sweep MEASURES where
+    the fixture corpus actually sits on that tradeoff (q308 audits
+    one config; this compares the design space).
+
+    Scale shape: signatures are computed ONCE (one groupBy); each
+    config is one extra banded equi self-join over the same wide
+    signature relation — the sweep costs bands-joins, never
+    re-shingling."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.doc_shingles(d)
+    sigs = dedup_ops.minhash_signatures(sh).localCheckpoint(eager=True)
+    truth = (
+        dedup_ops.prefix_filter_jaccard_pairs(
+            sh, id_col="doc_id", item_col="shingle", threshold=0.8
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    parts = []
+    for bands in (8, 4, 2):
+        rws = 8 // bands
+        cands = dedup_ops.lsh_candidate_pairs(sigs, bands=bands)
+        m = (
+            cands.join(
+                truth.withColumn("hit", F.lit(1)), ["a", "b"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_cands"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rws).cast("long").alias("rws"),
+                "n_cands",
+                "n_hits",
+            )
+        )
+        parts.append(m)
+    allm = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    theory = F.floor(
+        (
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow(F.lit(0.8), F.col("rws").cast("double")),
+                F.col("bands").cast("double"),
+            )
+        )
+        * 1000000
+        + 0.5
+    ).cast("long")
+    return allm.crossJoin(F.broadcast(n_truth)).select(
+        "bands",
+        "rws",
+        "n_cands",
+        "n_hits",
+        "n_truth",
+        F.expr("n_hits * 1000000 div n_truth").cast("long").alias(
+            "recall_ppm"
+        ),
+        F.expr("n_hits * 1000000 div n_cands").cast("long").alias(
+            "precision_ppm"
+        ),
+        theory.alias("theory_at_t_ppm"),
+    )
+
+
+@query(
+    "q325_effective_dimensionality",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS m
+        FROM embeddings
+    ),
+    s AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS sx,
+               CAST(SUM(m * m) AS BIGINT) AS sxx
+        FROM x GROUP BY dim
+    ),
+    v AS (
+        SELECT dim, n * sxx - sx * sx AS var_scaled FROM s
+    ),
+    r AS (
+        SELECT dim, var_scaled,
+               row_number() OVER (ORDER BY var_scaled DESC, dim ASC) AS rk,
+               SUM(var_scaled) OVER () AS tot
+        FROM v
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, CAST(dim AS BIGINT) AS dim,
+           CAST(var_scaled AS BIGINT) AS var_scaled,
+           CAST(SUM(var_scaled) OVER (ORDER BY rk ASC
+                                      ROWS UNBOUNDED PRECEDING)
+                * 1000000 // tot AS BIGINT) AS cum_share_ppm
+    FROM r
+    """,
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality of the embedding space (PCA-lite): per
+    DIMENSION variance (integer-exact: n·Σx² − (Σx)² over milli-
+    quantized values), ranked, with the cumulative variance share —
+    how many coordinates actually carry signal, the screen that sizes
+    q143's random projection and q237's matryoshka truncation. The
+    rank and cumulative-share windows run over the DIMENSION table
+    (array width — bounded by the model, not the corpus).
+
+    Scale shape: posexplode is the one corpus-sized pass
+    (rows × dims), folded immediately by a partial+final groupBy(dim);
+    everything after is dim-table-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1000 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim0", "m")
+    ).select((F.col("dim0") + 1).alias("dim"), "m")
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").cast("long").alias("sx"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sxx"),
+    )
+    v = s.select(
+        "dim", (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_scaled")
+    )
+    wr = Window.orderBy(F.col("var_scaled").desc(), F.col("dim").asc())
+    tot = v.agg(F.sum("var_scaled").alias("tot"))
+    r = v.withColumn("rk", F.row_number().over(wr)).crossJoin(
+        F.broadcast(tot)
+    )
+    wc = Window.orderBy(F.col("rk").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return r.select(
+        F.col("rk").cast("long").alias("rk"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("var_scaled").cast("long").alias("var_scaled"),
+        F.expr(
+            "CAST(sum(var_scaled) OVER (ORDER BY rk ASC "
+            "ROWS UNBOUNDED PRECEDING) * 1000000 div tot AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    )

@@ -648,6 +648,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q321_slo_burn_rate",
         "q322_scd2_invariant_audit",
         "q323_rollup_consistency_audit",
+        "q324_lsh_parameter_sweep",
+        "q325_effective_dimensionality",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
@@ -702,6 +704,10 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q257_kaplan_meier": "2× prefix-sum offset cascades (≤32 bucket totals each)",
     "q265_theil_sen_trend": "global_rank offset cascade over ≤32 bucket totals",
     "q294_roc_auc": "global_rank offset cascade over ≤32 bucket totals",
+    "q325_effective_dimensionality": (
+        "rank + cumulative share over the DIMENSION table "
+        "(array width, model-bounded)"
+    ),
     "q321_slo_burn_rate": (
         "trailing 6h/24h windows over the HOURLY table "
         "(calendar-bounded, 720 rows/month)"
