@@ -20801,3 +20801,133 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROWS UNBOUNDED PRECEDING) * 1000000 div tot AS BIGINT)"
         ).alias("cum_share_ppm"),
     )
+
+
+@query(
+    "q326_drill_across_conformed",
+    """
+    WITH rev AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    eng AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(COALESCE(rev.d, eng.d) AS VARCHAR) AS d,
+           COALESCE(rev_cents, 0) AS rev_cents,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_users, 0) AS n_users,
+           CASE WHEN rev.d IS NULL THEN 'engagement_only'
+                WHEN eng.d IS NULL THEN 'revenue_only'
+                ELSE 'both' END AS coverage
+    FROM rev FULL JOIN eng ON rev.d = eng.d
+    """,
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across over CONFORMED dimensions (Kimball): two separately
+    grained fact processes — order revenue and event engagement —
+    each aggregated to the shared conformed grain (calendar day)
+    FIRST, then FULL-outer merged with zero-coalesced metrics and an
+    explicit coverage flag. The flag is the honest part: the fixture's
+    fact tables live in different date ranges, so most days are
+    single-sided and a naive inner drill-across would silently report
+    the empty intersection.
+
+    Scale shape: each fact collapses to its conformed grain with its
+    own partial+final agg BEFORE the merge (never fact×fact), and the
+    merge joins two day-grained relations — calendar-bounded at any
+    corpus size."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    eng = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    j = rev.withColumnRenamed("d", "rd").join(
+        eng.withColumnRenamed("d", "ed"),
+        F.col("rd") == F.col("ed"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("rd"), F.col("ed")).cast("string").alias("d"),
+        F.coalesce(F.col("rev_cents"), F.lit(0)).cast("long").alias(
+            "rev_cents"
+        ),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+        F.when(F.col("rd").isNull(), "engagement_only")
+        .when(F.col("ed").isNull(), "revenue_only")
+        .otherwise("both")
+        .alias("coverage"),
+    )
+
+
+@query(
+    "q327_stream_slo_hourly",
+    """
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hr_ms,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS errs,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS err_ppm
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING feed for q321's burn-rate board: per-hour totals
+    and error counts as a watermarked tumbling aggregation in append
+    mode — the flush sentinel closes the final hour, so the drained
+    hourly table equals the batch hourly rollup EXACTLY (stream==batch
+    on the serving table; the multi-window burn arithmetic then runs
+    downstream on this bounded table, batch q321 or a dashboard). The
+    sentinel's own 'flush' hour is dropped post-drain.
+
+    Scale: streaming state is one (count, errsum) pair per open hour
+    window — O(watermark horizon), independent of event volume."""
+    s = stream_jobs.stream_events_with_flush(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type") == "flush")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("errs"),
+        )
+        .withColumnRenamed("(event_type = flush)", "is_flush")
+    )
+    out = stream_jobs.run_to_table(agg, output_mode="append")
+    flush_col = [c for c in out.columns if "flush" in c][0]
+    return (
+        out.filter(~F.col(f"`{flush_col}`"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("hr_ms"),
+            F.col("n").cast("long").alias("n"),
+            F.col("errs").cast("long").alias("errs"),
+            F.expr("errs * 1000000 div n").cast("long").alias("err_ppm"),
+        )
+    )

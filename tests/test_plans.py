@@ -650,6 +650,8 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q323_rollup_consistency_audit",
         "q324_lsh_parameter_sweep",
         "q325_effective_dimensionality",
+        "q326_drill_across_conformed",
+        # q327 is streaming (drains when invoked) — oracle-covered.
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
