@@ -133,3 +133,43 @@ def wav_stats(media: DataFrame) -> DataFrame:
     return media.select("track_id", "payload").mapInPandas(
         st, schema=WAV_STATS_SCHEMA
     )
+
+
+FRAME_SCHEMA = (
+    "track_id long, frame_idx int, n_samples int, sum_sq long, peak int"
+)
+
+
+def wav_frame_energy(media: DataFrame, frame_len: int = 16) -> DataFrame:
+    """(track_id, payload) → per-frame energy contour decoded from the
+    real WAV bytes: non-overlapping ``frame_len``-sample frames, each
+    emitting the exact int64 sum of squares and the peak |sample| —
+    the VAD / silence-detection / loudness-normalization primitive.
+    Map-only fan-out of n_samples/frame_len rows per track; int64
+    numpy accumulation so the contour is engine-comparable exactly."""
+
+    def fr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tid, payload in zip(pdf["track_id"], pdf["payload"]):
+                _, s = wav_decode(bytes(payload))
+                s64 = s.astype(np.int64)
+                for i in range(0, len(s64), frame_len):
+                    w = s64[i : i + frame_len]
+                    rows.append(
+                        (
+                            tid,
+                            i // frame_len,
+                            len(w),
+                            int((w * w).sum()),
+                            int(np.abs(w).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["track_id", "frame_idx", "n_samples", "sum_sq", "peak"],
+            )
+
+    return media.select("track_id", "payload").mapInPandas(
+        fr, schema=FRAME_SCHEMA
+    )

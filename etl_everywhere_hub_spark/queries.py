@@ -20931,3 +20931,66 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("errs * 1000000 div n").cast("long").alias("err_ppm"),
         )
     )
+
+
+@query(
+    "q328_wav_frame_energy",
+    """
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL AND user_id <= 40
+    ),
+    h AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 65536 AS h
+        FROM u
+    ),
+    s AS (
+        SELECT user_id, i,
+               ((h * (i + 1) + 31 * i * i) % 65536) - 32768 AS smp
+        FROM h, generate_series(0, 63) AS t(i)
+    )
+    SELECT user_id AS track_id,
+           CAST(i // 16 AS INTEGER) AS frame_idx,
+           CAST(16 AS INTEGER) AS n_samples,
+           CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(smp)) AS INTEGER) AS peak
+    FROM s GROUP BY user_id, i // 16
+    """,
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame energy contour through the REAL audio codec — q292's
+    roundtrip deepened into signal processing: the deterministic
+    waveform is encoded into genuine RIFF/WAVE bytes, decoded back,
+    and cut into 16-sample frames, each emitting its exact int64
+    energy (Σs²) and peak — the voice-activity / silence-trim /
+    loudness-normalization primitive a speech-data pipeline runs
+    before anything else. The oracle computes the same contour from
+    the waveform's closed form, so frame boundaries, the int16
+    two's-complement edge (-32768), and the codec all sit under the
+    hash.
+
+    Scale: map-only mapInPandas; fan-out is n_samples/frame_len rows
+    per track, Arrow-batched; per-frame aggregation happens inside
+    the task (numpy), never as a shuffle."""
+    from etl_everywhere_hub_spark.multimodal import audio
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("user_id").isNotNull() & (F.col("user_id") <= 40))
+        .select("user_id")
+        .distinct()
+    )
+    h = F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(65536))
+    tracks = u.select(
+        F.col("user_id").alias("track_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.pmod(h * (i + 1) + 31 * i * i, F.lit(65536)) - 32768
+            ).cast("int"),
+        ).alias("samples"),
+    )
+    media = audio.encode_wav_tracks(tracks, sample_rate=8000)
+    return audio.wav_frame_energy(media, frame_len=16)

@@ -652,6 +652,7 @@ def test_round5_ops_stay_equi_shaped(spark, sf_dir):
         "q325_effective_dimensionality",
         "q326_drill_across_conformed",
         # q327 is streaming (drains when invoked) — oracle-covered.
+        "q328_wav_frame_energy",
     ]:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = X.physical_plan(df)
