@@ -64,21 +64,24 @@ FEATURES_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real, dependency-free image decode for uncompressed formats —
-    PPM (P6), PGM (P5), and uncompressed 24/32-bit BMP — returning a
-    uint8 ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB.
-    Compressed formats (PNG/JPEG/WebP/...) need an imaging library
-    that is not in this container; they raise NotImplementedError at
-    this narrowed swap point (wire PIL/opencv here when available).
-    Exercised on real pixel bytes under oracle by q231."""
+    """Real, dependency-free image decode — PPM (P6), PGM (P5),
+    uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG (stdlib
+    zlib inflate + all 5 scanline filters) — returning a uint8
+    ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB.
+    JPEG/WebP (DCT/VP8 entropy codecs) need an imaging library that
+    is not in this container; they raise NotImplementedError at this
+    narrowed swap point (wire PIL/opencv here when available).
+    Exercised on real pixel bytes under oracle by q231 (PPM) and
+    q329 (PNG through every filter type)."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image formats (PNG/JPEG/...) require an imaging "
-        "library not installed in this environment; PPM/PGM/BMP decode "
-        "natively"
+        "JPEG/WebP decode requires an imaging library not installed in "
+        "this environment; PPM/PGM/BMP/PNG decode natively"
     )
 
 
@@ -130,6 +133,195 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
     if not top_down:
         px = px[::-1]
     return px[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# PNG color types (spec §11.2.2) → channel count at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(img: "np.ndarray", row_filters=None) -> bytes:
+    """Deterministic, dependency-free PNG writer for 8-bit grayscale
+    (h, w) or RGB (h, w, 3) arrays: signature + IHDR + one IDAT
+    (stdlib zlib level 6, fixed — byte-reproducible) + IEND, CRC32 per
+    chunk. `row_filters` selects the per-scanline filter type
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth), default all-0; passing
+    e.g. ``[y % 5 for y in range(h)]`` produces a file that exercises
+    every filter in the decoder. Forward filtering uses the ORIGINAL
+    neighbor bytes (spec §9), so it vectorizes row-at-a-time."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        color, ch = 0, 1
+        flat = a.reshape(h, w)
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w, _ = a.shape
+        color, ch = 2, 3
+        flat = a.reshape(h, w * 3)
+    else:
+        raise ValueError(f"encode_png: unsupported array shape {a.shape}")
+    stride = w * ch
+    filters = list(row_filters) if row_filters is not None else [0] * h
+    if len(filters) != h:
+        raise ValueError("row_filters length must equal image height")
+
+    lines = flat.astype(np.int16)
+    prev = np.zeros(stride, np.int16)
+    raw = bytearray()
+    for y in range(h):
+        cur = lines[y]
+        left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        ft = filters[y]
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            out = cur - (left + prev) // 2
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        raw.append(ft)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 6)
+    return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """8-bit non-interlaced PNG decode with nothing but stdlib zlib:
+    chunk walk (CRC-verified), IHDR validation, IDAT concatenation +
+    inflate, then scanline unfiltering for all 5 filter types (spec
+    §9: None/Sub/Up/Average/Paeth). Color types: 0 gray, 2 RGB,
+    3 palette (PLTE expanded), 4 gray+alpha, 6 RGBA — alpha dropped,
+    palette expanded, so the return shape matches the other decoders:
+    (h, w) gray or (h, w, 3) RGB. Interlaced (Adam7) and 1/2/4/16-bit
+    depths raise NotImplementedError (narrow, documented).
+
+    Per-image cost: Sub/Up vectorize whole-row in numpy; Average and
+    Paeth are sequential by definition (each pixel needs its decoded
+    left neighbor) → an O(w) python loop per filtered row with
+    numpy ops across channels. Decode runs worker-side inside
+    mapInPandas batches (q329), never on the driver."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"PNG chunk {tag!r} overruns payload")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG bad compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG bad color type {color}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size {len(raw)} != expected {h * (stride + 1)}"
+        )
+
+    recon = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = recon[y - 1] if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            recon[y] = line
+        elif ft == 1:
+            # Sub is a per-channel-lane prefix sum mod 256
+            recon[y] = (
+                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) % 256
+            ).reshape(stride)
+        elif ft == 2:
+            recon[y] = (line + prev) % 256
+        elif ft == 3:
+            row = recon[y]
+            left = np.zeros(ch, np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (line[s] + (left + prev[s]) // 2) % 256
+                row[s] = left
+        elif ft == 4:
+            row = recon[y]
+            left = np.zeros(ch, np.int32)
+            upleft = np.zeros(ch, np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                up = prev[s]
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (line[s] + pred) % 256
+                row[s] = left
+                upleft = up
+        else:
+            raise ValueError(f"PNG unknown filter type {ft} on row {y}")
+    px = recon.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        return plte[px.reshape(h, w)]
+    if color == 0:
+        return px.reshape(h, w)
+    if color == 4:
+        return px[:, :, 0].copy()  # gray, alpha dropped
+    return px[:, :, :3].copy() if ch == 4 else px  # RGB(A) → RGB
 
 
 def _fake_feature_vector(payload: bytes) -> np.ndarray:

@@ -58,12 +58,23 @@ def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + sz > len(payload):
+            # a corrupt oversized size field would otherwise silently
+            # truncate the slice (fewer samples, or an odd frombuffer
+            # length) — fail loudly per the R22 contract
+            raise ValueError(
+                f"chunk {cid!r} size {sz} overruns payload ({len(payload)} bytes)"
+            )
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError(f"fmt chunk too short ({sz} < 16 bytes)")
             tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1 or ch != 1 or bits != 16:
                 raise ValueError(f"unsupported wav format {tag}/{ch}/{bits}")
         elif cid == b"data":
+            if sz & 1:
+                raise ValueError(f"odd data chunk size {sz} for 16-bit PCM")
             data = np.frombuffer(body, dtype="<i2")
         pos += 8 + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
     if rate is None or data is None:

@@ -673,6 +673,22 @@ def scc_pivot_peel(
         )
         if remaining.isEmpty():
             break
+    else:
+        # One SCC is peeled per iteration, so >max_peels components
+        # would silently drop vertices — surface the truncation (the
+        # lsh_candidate_pairs logged-cap convention) by labelling every
+        # leftover vertex as its own singleton component instead.
+        if not remaining.isEmpty():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scc_pivot_peel: max_peels=%d exhausted with vertices "
+                "remaining; labelling leftovers as singleton components",
+                max_peels,
+            )
+            comps.append(remaining.select("id", F.col("id").alias("component")))
+    if not comps:
+        return nodes.select("id", F.col("id").cast("long").alias("component"))
     out = comps[0]
     for c in comps[1:]:
         out = out.union(c)

@@ -456,10 +456,16 @@ def stream_stream_click_purchase_left_outer(events: DataFrame) -> DataFrame:
     streaming plan — Catalyst pushes deterministic predicates BELOW
     EventTimeWatermark, which would drop the sentinel before it ever
     advances the clock (found empirically: the watermark froze at
-    last-click − delay). Instead it is made un-joinable (user_id NULL
-    never satisfies the equi condition) and callers drop its
-    click_id = -1 emission AFTER the drain, batch-side, where no
-    streaming pushdown applies. Its own unmatched-left emission horizon
+    last-click − delay). Instead the sentinel carries the reserved id
+    user_id = -1 (deliberately NOT NULL — InferFiltersFromConstraints
+    would add an IsNotNull below the watermark and drop it; see
+    stream_events_with_flush). The sentinel CAN therefore join its own
+    purchase-side twin; callers drop every click_id = -1 emission AFTER
+    the drain, batch-side, where no streaming pushdown applies. This
+    requires the event fixture's user_id domain to exclude -1 (the
+    generator emits non-negative ids; asserted by the equivalence
+    test) — a real -1 user would be silently conflated with the
+    sentinel. Its own unmatched-left emission horizon
     (sentinel_ts + interval + delay) is beyond the final watermark, so
     it parks in state — by design.
     State: both buffers bounded by watermark delay + interval."""

@@ -769,3 +769,29 @@ def test_scc_pivot_peel_known_digraph(spark):
         (10, 10), (11, 10),
         (20, 20),
     }
+
+
+def test_scc_pivot_peel_empty_and_peel_cap(spark):
+    """Degenerate inputs (ADVICE r5): an empty edge set must return an
+    empty (id, component) frame, not IndexError; and a graph with more
+    SCCs than max_peels must still return EVERY vertex (leftovers
+    labelled as singletons with a logged warning), never a silently
+    incomplete partition."""
+    from etl_everywhere_hub_spark.operators.graph import scc_pivot_peel
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = scc_pivot_peel(empty)
+    assert out.columns == ["id", "component"] and out.count() == 0
+
+    # chain 0→1→…→5: six singleton SCCs, cap at 3 peels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in scc_pivot_peel(chain, max_peels=3).collect()
+    }
+    # every vertex present exactly once; the 3 peeled ones carry the
+    # min-id pivot label, leftovers label themselves
+    assert {i for i, _ in got} == set(range(6))
+    assert got == {(i, i) for i in range(6)}

@@ -76,6 +76,51 @@ def test_registry_contract():
         assert name == q.name
 
 
+# The cross-round bench comparison (BENCH_r{N}.json / BENCH_DETAIL.json)
+# is only meaningful if the denominator is stable: this is the exact
+# headline set of round 5. Deliberate additions/removals must edit this
+# list WITH a CHANGELOG note in BASELINE.md (VERDICT r5 #8 — gates the
+# bench headline set against silent shrinkage).
+HEADLINE_SET_R5 = {
+    "q01_pricing_summary",
+    "q105_local_supplier_volume",
+    "q116_bigram_lm_score",
+    "q127_spatial_proximity_join",
+    "q136_hashed_ngram_classifier",
+    "q156_trajectory_radius_join",
+    "q17_revenue_by_nation",
+    "q18_order_count_distribution",
+    "q22_asof_join",
+    "q28_latest_per_key",
+    "q29_sessionization",
+    "q34_device_cache",
+    "q35_exact_dedup",
+    "q37_text_quality",
+    "q39_tf_idf",
+    "q41_minhash_lsh",
+    "q43_cosine_topk",
+}
+
+
+def test_bench_headline_set_is_pinned():
+    """The headline=True registry entries must match the pinned r5
+    bench set exactly, and every pinned name must appear in the
+    committed BENCH_DETAIL.json sidecar (when one exists) — so the
+    round-over-round ratio never quietly changes denominator."""
+    import json
+    import os
+
+    from etl_everywhere_hub_spark.queries import headline_queries
+
+    assert set(headline_queries()) == HEADLINE_SET_R5
+
+    sidecar = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
+    if os.path.exists(sidecar):
+        detail = json.load(open(sidecar)).get("queries_detail", {})
+        missing = HEADLINE_SET_R5 - set(detail)
+        assert missing == set(), f"headline queries absent from bench: {missing}"
+
+
 def test_no_query_is_vacuous_at_driver_scale(oracle):
     """Every oracle query must return rows at sf0.01 (the driver's
     gate scale) — a 0-row result matches any 0-row bug trivially, so

@@ -422,6 +422,19 @@ def test_wav_codec_roundtrip_and_error_channel():
     # int16 wraparound guard: encode is exact two's-complement LE
     assert np.frombuffer(payload[44:48], dtype="<i2").tolist() == [0, 1]
 
+    # malformed chunk sizes must raise ValueError, never struct.error
+    # or a silent truncation (ADVICE r5): short fmt body, data size
+    # overrunning the payload, odd data size for 16-bit PCM
+    short_fmt = payload[:16] + struct.pack("<I", 8) + payload[20:28] + payload[36:]
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        audio.wav_decode(short_fmt)
+    overrun = payload[:40] + struct.pack("<I", 10_000) + payload[44:]
+    with pytest.raises(ValueError, match="overruns"):
+        audio.wav_decode(overrun)
+    odd = payload[:40] + struct.pack("<I", 2 * len(samples) - 1) + payload[44:-1]
+    with pytest.raises(ValueError, match="odd data chunk"):
+        audio.wav_decode(odd)
+
 
 def test_hll_sketch_is_mergeable_and_tracks_exact(spark):
     """HLL registers merge associatively: sketching two disjoint
@@ -449,3 +462,70 @@ def test_hll_sketch_is_mergeable_and_tracks_exact(spark):
     rw, rm = whole.collect()[0], merged.collect()[0]
     assert rw.asDict() == rm.asDict()
     assert abs(rw["est_hll"] - n) < 0.40 * n  # raw HLL w/o small-range corr
+
+
+def test_png_codec_roundtrip_all_filters_and_errors():
+    """Dependency-free PNG codec (VERDICT r5 #3): lossless roundtrip
+    for gray + RGB through EVERY scanline filter type (the encoder
+    cycles 0..4 per row, so one file exercises None/Sub/Up/Average/
+    Paeth), palette/RGBA/gray-alpha color types decoded from
+    hand-built files, CRC verification, and narrowed
+    NotImplementedError for interlaced / non-8-bit."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_everywhere_hub_spark import multimodal as mm
+
+    rng = np.random.RandomState(42)
+    for shape in [(16, 16, 3), (16, 16), (7, 3, 3), (1, 1)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for filters in (None, [y % 5 for y in range(shape[0])],
+                        [4] * shape[0], [3] * shape[0]):
+            payload = mm.encode_png(img, row_filters=filters)
+            assert payload[:8] == mm.PNG_MAGIC
+            out = mm.decode_image(payload)
+            assert out.shape == img.shape and (out == img).all()
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # palette expansion: 2x2 indices into a 3-entry PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 0])
+    p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+         + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+         + chunk(b"IEND", b""))
+    out = mm.decode_image(p)
+    assert out.shape == (2, 2, 3) and out[0, 1].tolist() == [0, 255, 0]
+
+    # RGBA → RGB (alpha dropped), gray+alpha → gray
+    raw = bytes([0, 1, 2, 3, 255, 4, 5, 6, 128])
+    p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert mm.decode_image(p)[0, 1].tolist() == [4, 5, 6]
+    raw = bytes([0, 9, 255, 7, 0])
+    p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert mm.decode_image(p).tolist() == [[9, 7]]
+
+    # corrupt CRC fails loudly (R22)
+    bad = bytearray(mm.encode_png(np.zeros((2, 2), np.uint8)))
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_image(bytes(bad))
+
+    # narrowed NotImplementedError: interlace and 16-bit depth
+    p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
+         + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        mm.decode_image(p)
+    p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(bytes(5))) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth"):
+        mm.decode_image(p)
+    # JPEG magic still raises the (narrowed) library-needed error
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(32))

@@ -867,6 +867,15 @@ def test_stream_left_outer_emits_unmatched_after_flush(spark, sf_dir):
     q299 mechanism). Also: the sentinel itself must never surface."""
     from etl_everywhere_hub_spark.streaming import jobs
 
+    # the flush sentinel rides as user_id = -1; the mechanism silently
+    # conflates a real -1 user with the sentinel, so pin the fixture's
+    # domain here (generator emits non-negative ids only)
+    from etl_everywhere_hub_spark.catalog import load_table as _lt
+
+    assert (
+        _lt(spark, sf_dir, "events").filter(F.col("user_id") < 0).count() == 0
+    ), "events fixture must not contain negative user_id (sentinel reserve)"
+
     s = jobs.stream_events_with_flush(spark, sf_dir)
     out = jobs.run_to_table(jobs.stream_stream_click_purchase_left_outer(s))
     matched = out.filter(
