@@ -68,6 +68,92 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s
 
 
+def populate_events_broker(sf_dir: str, num_partitions: int = 4) -> str:
+    """Materialize events.parquet into the file-backed Kafka broker
+    emulation (sources/kafka_shim.py) once per sf_dir — the producer
+    side a real deployment replaces with actual Kafka producers. Key =
+    user_id (keyed routing: one user's events stay in-order within one
+    partition, Kafka's per-key ordering guarantee), value = the event
+    as a JSON document, broker timestamp = event time. Idempotent:
+    keyed temp dir, skipped if the topic logs already exist."""
+    import hashlib
+    import json as _json
+    import os
+
+    import duckdb
+
+    from etl_everywhere_hub_spark.sources.kafka_shim import write_broker_log
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ee_kafka_broker_{key}")
+    if os.path.exists(os.path.join(d, "events-0.jsonl")):
+        return d
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,"
+        " value, props"
+        f" FROM '{sf_dir}/events.parquet'"
+        " ORDER BY ts_ms, event_id"
+    ).fetchall()
+
+    def records():
+        for event_id, ts_ms, user_id, event_type, value, props in rows:
+            doc = _json.dumps(
+                {
+                    "event_id": event_id,
+                    "user_id": user_id,
+                    "event_type": event_type,
+                    "value": value,
+                    "props": props,
+                    "ts_ms": ts_ms,
+                }
+            )
+            k = str(user_id) if user_id is not None else None
+            yield k, doc, ts_ms
+
+    write_broker_log(records(), d, "events", num_partitions)
+    return d
+
+
+EVENT_VALUE_SCHEMA = (
+    "event_id long, user_id long, event_type string, value double, "
+    "props string, ts_ms long"
+)
+
+
+def stream_events_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q47-q50 event stream through the Kafka wire contract: read
+    format('everywhere_kafka') (binary key/value + topic/partition/
+    offset/timestamp), deserialize the value JSON, rebuild event-time
+    from the payload — EXACTLY the consumer code a production job runs
+    against format('kafka'); only the format name and bootstrap
+    servers differ. Returns the same schema as stream_events, so every
+    downstream job (tumbling window, dedup, stateful cache) runs
+    unchanged on either transport."""
+    from etl_everywhere_hub_spark.sources.kafka_shim import (
+        register_everywhere_kafka,
+    )
+
+    configure_session(spark)
+    register_everywhere_kafka(spark)
+    d = populate_events_broker(sf_dir)
+    raw = (
+        spark.readStream.format("everywhere_kafka")
+        .option("path", d)
+        .option("subscribe", "events")
+        .load()
+    )
+    ev = F.from_json(F.col("value").cast("string"), EVENT_VALUE_SCHEMA).alias("e")
+    return raw.select(ev).select(
+        F.col("e.event_id").alias("event_id"),
+        F.expr("timestamp_millis(e.ts_ms)").alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
 def run_to_table(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream into a memory sink and return the result.
 
