@@ -238,9 +238,9 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + ln]
-        if len(body) != ln:
+        if pos + 12 + ln > len(payload):
             raise ValueError(f"PNG chunk {tag!r} overruns payload")
+        body = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")

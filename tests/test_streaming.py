@@ -1009,3 +1009,47 @@ def test_kafka_shim_stream_equals_batch_q47_q49(spark, sf_dir):
         .collect()
     }
     assert got49 == want49 and len(got49) > 0
+
+
+def test_kafka_shim_offsets_resume_without_spark(tmp_path):
+    """The stream reader's offset contract, unit-tested directly:
+    initialOffset covers every TopicPartition, read() returns only
+    records past the given offsets and advances them, new records
+    appended between micro-batches are picked up exactly once, and
+    readBetweenOffsets (checkpoint replay) is deterministic."""
+    from etl_everywhere_hub_spark.sources.kafka_shim import (
+        EverywhereKafkaStreamReader,
+        write_broker_log,
+    )
+
+    d = str(tmp_path / "broker")
+    write_broker_log(
+        iter([("a", "v1", 1000), ("b", "v2", 2000), ("a", "v3", 3000)]),
+        d, "t", num_partitions=2,
+    )
+    r = EverywhereKafkaStreamReader({"path": d, "subscribe": "t"})
+    start = r.initialOffset()
+    assert set(start) == {"t-0", "t-1"} and all(v == 0 for v in start.values())
+
+    rows1, off1 = r.read(start)
+    vals1 = sorted(bytes(t[1]).decode() for t in rows1)
+    assert vals1 == ["v1", "v2", "v3"]
+    assert sum(off1.values()) == 3
+
+    # nothing new → empty batch, offsets unchanged
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == [] and off2 == off1
+
+    # append between micro-batches → exactly the new record
+    write_broker_log(iter([("a", "v4", 4000)]), d, "t", num_partitions=2)
+    rows3, off3 = r.read(off1)
+    assert [bytes(t[1]).decode() for t in rows3] == ["v4"]
+    assert sum(off3.values()) == 4
+
+    # checkpoint replay between committed offsets is deterministic
+    replay = [bytes(t[1]).decode() for t in r.readBetweenOffsets(off1, off3)]
+    assert replay == ["v4"]
+    replay_all = sorted(
+        bytes(t[1]).decode() for t in r.readBetweenOffsets(start, off3)
+    )
+    assert replay_all == ["v1", "v2", "v3", "v4"]

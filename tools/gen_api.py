@@ -29,6 +29,7 @@ SECTIONS = [
     ("Sources", "etl_everywhere_hub_spark.sources.readers"),
     ("Physical layout", "etl_everywhere_hub_spark.sources.layout"),
     ("Python DataSource", "etl_everywhere_hub_spark.sources.python_datasource"),
+    ("Kafka-shaped source shim", "etl_everywhere_hub_spark.sources.kafka_shim"),
     ("Reference tracks pipeline", "etl_everywhere_hub_spark.pipeline.tracks"),
     ("CoT XML codec", "etl_everywhere_hub_spark.pipeline.cot"),
     ("TAK protobuf codec", "etl_everywhere_hub_spark.pipeline.takproto"),
