@@ -65,8 +65,9 @@ FEATURES_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real, dependency-free image decode — PPM (P6), PGM (P5),
-    uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG (stdlib
-    zlib inflate + all 5 scanline filters) — returning a uint8
+    uncompressed 24/32-bit BMP, and 8-bit PNG, sequential or Adam7
+    interlaced (stdlib zlib inflate + all 5 scanline filters) —
+    returning a uint8
     ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB.
     JPEG/WebP (DCT/VP8 entropy codecs) need an imaging library that
     is not in this container; they raise NotImplementedError at this
@@ -140,39 +141,29 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # PNG color types (spec §11.2.2) → channel count at bit depth 8
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass origins/strides (x0, y0, dx, dy), spec §8.2
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def encode_png(img: "np.ndarray", row_filters=None) -> bytes:
-    """Deterministic, dependency-free PNG writer for 8-bit grayscale
-    (h, w) or RGB (h, w, 3) arrays: signature + IHDR + one IDAT
-    (stdlib zlib level 6, fixed — byte-reproducible) + IEND, CRC32 per
-    chunk. `row_filters` selects the per-scanline filter type
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth), default all-0; passing
-    e.g. ``[y % 5 for y in range(h)]`` produces a file that exercises
-    every filter in the decoder. Forward filtering uses the ORIGINAL
-    neighbor bytes (spec §9), so it vectorizes row-at-a-time."""
-    import struct
-    import zlib
 
-    a = np.ascontiguousarray(img, dtype=np.uint8)
-    if a.ndim == 2:
-        h, w = a.shape
-        color, ch = 0, 1
-        flat = a.reshape(h, w)
-    elif a.ndim == 3 and a.shape[2] == 3:
-        h, w, _ = a.shape
-        color, ch = 2, 3
-        flat = a.reshape(h, w * 3)
-    else:
-        raise ValueError(f"encode_png: unsupported array shape {a.shape}")
-    stride = w * ch
-    filters = list(row_filters) if row_filters is not None else [0] * h
-    if len(filters) != h:
-        raise ValueError("row_filters length must equal image height")
-
-    lines = flat.astype(np.int16)
+def _png_filter_rows(lines: "np.ndarray", ch: int, filters: list) -> bytearray:
+    """Forward-filter a (rows, stride) int16 raster into PNG scanline
+    bytes (filter-type byte + filtered row, spec §9). Each call starts
+    from a zero 'prior' row — callers pass one whole (sub)image at a
+    time, because interlace passes filter independently (spec §8.2).
+    Forward filtering uses the ORIGINAL neighbor bytes, so every
+    filter vectorizes row-at-a-time."""
+    stride = lines.shape[1]
     prev = np.zeros(stride, np.int16)
     raw = bytearray()
-    for y in range(h):
+    for y in range(lines.shape[0]):
         cur = lines[y]
         left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
         upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
@@ -197,6 +188,52 @@ def encode_png(img: "np.ndarray", row_filters=None) -> bytes:
         raw.append(ft)
         raw.extend((out % 256).astype(np.uint8).tobytes())
         prev = cur
+    return raw
+
+
+def encode_png(img: "np.ndarray", row_filters=None, interlace: bool = False) -> bytes:
+    """Deterministic, dependency-free PNG writer for 8-bit grayscale
+    (h, w) or RGB (h, w, 3) arrays: signature + IHDR + one IDAT
+    (stdlib zlib level 6, fixed — byte-reproducible) + IEND, CRC32 per
+    chunk. `row_filters` selects the per-scanline filter type
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth), default all-0; passing
+    e.g. ``[y % 5 for y in range(h)]`` produces a file that exercises
+    every filter in the decoder. With ``interlace=True`` the raster is
+    written as the seven Adam7 reduced images (empty passes omitted,
+    spec §8.2); `row_filters` then indexes pass scanlines in order and
+    must match their total count."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        color, ch = 0, 1
+        px = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w, _ = a.shape
+        color, ch = 2, 3
+        px = a
+    else:
+        raise ValueError(f"encode_png: unsupported array shape {a.shape}")
+
+    if interlace:
+        subs = [px[y0::dy, x0::dx] for x0, y0, dx, dy in _PNG_ADAM7]
+        subs = [s for s in subs if s.size]
+        n_rows = sum(s.shape[0] for s in subs)
+    else:
+        subs = [px]
+        n_rows = h
+    filters = list(row_filters) if row_filters is not None else [0] * n_rows
+    if len(filters) != n_rows:
+        raise ValueError("row_filters length must equal scanline count")
+
+    raw = bytearray()
+    at = 0
+    for s in subs:
+        lines = s.reshape(s.shape[0], -1).astype(np.int16)
+        raw.extend(_png_filter_rows(lines, ch, filters[at : at + s.shape[0]]))
+        at += s.shape[0]
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -206,77 +243,25 @@ def encode_png(img: "np.ndarray", row_filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     idat = zlib.compress(bytes(raw), 6)
     return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-def _decode_png(payload: bytes) -> "np.ndarray":
-    """8-bit non-interlaced PNG decode with nothing but stdlib zlib:
-    chunk walk (CRC-verified), IHDR validation, IDAT concatenation +
-    inflate, then scanline unfiltering for all 5 filter types (spec
-    §9: None/Sub/Up/Average/Paeth). Color types: 0 gray, 2 RGB,
-    3 palette (PLTE expanded), 4 gray+alpha, 6 RGBA — alpha dropped,
-    palette expanded, so the return shape matches the other decoders:
-    (h, w) gray or (h, w, 3) RGB. Interlaced (Adam7) and 1/2/4/16-bit
-    depths raise NotImplementedError (narrow, documented).
-
-    Per-image cost: Sub/Up vectorize whole-row in numpy; Average and
-    Paeth are sequential by definition (each pixel needs its decoded
-    left neighbor) → an O(w) python loop per filtered row with
-    numpy ops across channels. Decode runs worker-side inside
-    mapInPandas batches (q329), never on the driver."""
-    import struct
-    import zlib
-
-    if payload[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos = 8
-    ihdr = None
-    plte = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        if pos + 12 + ln > len(payload):
-            raise ValueError(f"PNG chunk {tag!r} overruns payload")
-        body = payload[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0:
-        raise ValueError(f"PNG bad compression/filter method {comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
-    if color not in _PNG_CHANNELS:
-        raise ValueError(f"PNG bad color type {color}")
-    ch = _PNG_CHANNELS[color]
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int, off: int = 0) -> "np.ndarray":
+    """Reverse the scanline filters over one (sub)image: h rows of
+    (1 filter-type byte + w*ch filtered bytes) starting at `off` in
+    `raw` (spec §9: None/Sub/Up/Average/Paeth). Returns the
+    reconstructed (h, w*ch) int32 raster. Sub/Up vectorize whole-row
+    in numpy; Average and Paeth are sequential by definition (each
+    pixel needs its decoded left neighbor) → an O(w) python loop per
+    filtered row with numpy ops across channels."""
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG raster size {len(raw)} != expected {h * (stride + 1)}"
-        )
-
     recon = np.zeros((h, stride), np.int32)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
+        ft = raw[off + y * (stride + 1)]
         line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
+            raw, np.uint8, stride, off + y * (stride + 1) + 1
         ).astype(np.int32)
         prev = recon[y - 1] if y else np.zeros(stride, np.int32)
         if ft == 0:
@@ -312,7 +297,86 @@ def _decode_png(payload: bytes) -> "np.ndarray":
                 upleft = up
         else:
             raise ValueError(f"PNG unknown filter type {ft} on row {y}")
-    px = recon.astype(np.uint8).reshape(h, w, ch)
+    return recon
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """8-bit PNG decode with nothing but stdlib zlib: chunk walk
+    (CRC-verified), IHDR validation, IDAT concatenation + inflate,
+    then scanline unfiltering for all 5 filter types — both interlace
+    methods (0 = sequential, 1 = Adam7: seven independently-filtered
+    reduced images scattered back onto the full grid, spec §8.2).
+    Color types: 0 gray, 2 RGB, 3 palette (PLTE expanded),
+    4 gray+alpha, 6 RGBA — alpha dropped, palette expanded, so the
+    return shape matches the other decoders: (h, w) gray or (h, w, 3)
+    RGB. 1/2/4/16-bit depths raise NotImplementedError (narrow,
+    documented).
+
+    Per-image cost: see _png_unfilter. Decode runs worker-side inside
+    mapInPandas batches (q329), never on the driver."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(payload):
+            raise ValueError(f"PNG chunk {tag!r} overruns payload")
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG bad compression/filter method {comp}/{filt}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG bad interlace method {interlace}")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG bad color type {color}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG raster size {len(raw)} != expected {h * (stride + 1)}"
+            )
+        px = _png_unfilter(raw, w, h, ch).astype(np.uint8).reshape(h, w, ch)
+    else:
+        px = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * ch + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG interlaced raster truncated")
+            sub = _png_unfilter(raw, pw, ph, ch, off).astype(np.uint8)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            off += need
+        if off != len(raw):
+            raise ValueError(f"PNG raster size {len(raw)} != expected {off}")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

@@ -517,11 +517,13 @@ def test_png_codec_roundtrip_all_filters_and_errors():
     with pytest.raises(ValueError, match="CRC"):
         mm.decode_image(bytes(bad))
 
-    # narrowed NotImplementedError: interlace and 16-bit depth
+    # truncated interlaced raster fails loudly (w=2,h=1 gray Adam7
+    # needs 4 raster bytes: pass 1 and pass 6, one pixel each)
     p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
          + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="truncated"):
         mm.decode_image(p)
+    # narrowed NotImplementedError: 16-bit depth
     p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
          + chunk(b"IDAT", zlib.compress(bytes(5))) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="depth"):
@@ -529,3 +531,44 @@ def test_png_codec_roundtrip_all_filters_and_errors():
     # JPEG magic still raises the (narrowed) library-needed error
     with pytest.raises(NotImplementedError, match="JPEG"):
         mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(32))
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 interlaced PNG decode (round 6, closes the 'interlaced'
+    NotImplementedError): lossless roundtrip for gray + RGB across
+    shapes that exercise empty passes (any dim < 5 skips passes),
+    single-row/column rasters, filter-exercising interlaced files
+    (cycling 0-4 over every pass scanline — each pass filters
+    independently per spec §8.2), and byte-identity of the default
+    encoder output with the pre-interlace encoder (regression: the
+    refactor must not change committed fixture bytes)."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (1, 9), (9, 1), (2, 3), (7, 5), (8, 8), (13, 17)]:
+        for rgb in (False, True):
+            img = rng.randint(0, 256, shape + ((3,) if rgb else ())).astype(
+                np.uint8
+            )
+            payload = mm.encode_png(img, interlace=True)
+            out = mm.decode_image(payload)
+            assert out.shape == img.shape and (out == img).all(), (shape, rgb)
+            # every filter type, restarting per pass
+            n_rows = sum(
+                s.shape[0]
+                for s in (
+                    img[y0::dy, x0::dx] for x0, y0, dx, dy in mm._PNG_ADAM7
+                )
+                if s.size
+            )
+            payload = mm.encode_png(
+                img, row_filters=[y % 5 for y in range(n_rows)], interlace=True
+            )
+            out = mm.decode_image(payload)
+            assert (out == img).all(), (shape, rgb, "filters")
+
+    # interlace=False must keep producing the exact bytes r5 committed
+    img = rng.randint(0, 256, (6, 4, 3)).astype(np.uint8)
+    assert mm.encode_png(img) == mm.encode_png(img, interlace=False)
