@@ -65,24 +65,32 @@ FEATURES_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real, dependency-free image decode — PPM (P6), PGM (P5),
-    uncompressed 24/32-bit BMP, and 8-bit PNG, sequential or Adam7
-    interlaced (stdlib zlib inflate + all 5 scanline filters) —
-    returning a uint8
-    ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB.
-    JPEG/WebP (DCT/VP8 entropy codecs) need an imaging library that
-    is not in this container; they raise NotImplementedError at this
+    uncompressed 24/32-bit BMP, 8-bit PNG (sequential or Adam7
+    interlaced; stdlib zlib inflate + all 5 scanline filters), and
+    baseline JPEG (full huffman/DQT/DRI marker walk + float IDCT,
+    multimodal/jpeg.py) — returning a uint8 ndarray of shape (h, w)
+    for grayscale or (h, w, 3) for RGB. WebP (VP8 entropy codec) and
+    progressive/arithmetic JPEG need an imaging library that is not
+    in this container; they raise NotImplementedError at this
     narrowed swap point (wire PIL/opencv here when available).
-    Exercised on real pixel bytes under oracle by q231 (PPM) and
-    q329 (PNG through every filter type)."""
+    Exercised on real pixel bytes under oracle by q231 (PPM), q329
+    (PNG through every filter type), and q331 (JPEG through the
+    huffman+IDCT path)."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from etl_everywhere_hub_spark.multimodal.jpeg import (
+            decode_jpeg_baseline,
+        )
+
+        return decode_jpeg_baseline(payload)
     raise NotImplementedError(
-        "JPEG/WebP decode requires an imaging library not installed in "
-        "this environment; PPM/PGM/BMP/PNG decode natively"
+        "WebP decode requires an imaging library not installed in "
+        "this environment; PPM/PGM/BMP/PNG/baseline-JPEG decode natively"
     )
 
 

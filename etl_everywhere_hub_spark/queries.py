@@ -21138,3 +21138,94 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q331_jpeg_decode_real_pixels",
+    """
+    WITH px AS (
+        SELECT doc_id, k.k AS k,
+               ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(16)) AS k) k
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 32 AS h, 32 AS w,
+           CAST(64 * SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM((k + 1) * v) AS BIGINT) AS wsum,
+           CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_px,
+           CAST(MIN(CASE WHEN k = 15 THEN v END) AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under oracle — q329's PNG loop for
+    the DCT codec (multimodal/jpeg.py, dependency-free): each
+    document's first 16 payload bytes become a 4x4 grid of CONSTANT
+    8x8 blocks (32x32 grayscale), encoded as a genuine baseline JFIF
+    stream (Annex-K huffman tables, all-ones quantization) and decoded
+    back through the full marker-walk + huffman + dequant + float-IDCT
+    path. Constant blocks have a pure-DC spectrum with integral DC at
+    quant step 1, so the roundtrip is EXACT (jpeg.py module docstring)
+    and the oracle reproduces every pixel with integer character
+    arithmetic: pix_sum = 64*sum(bytes), the position-weighted wsum
+    pins block PLACEMENT (a transposed or mis-ordered MCU scan would
+    diverge), first/last pin the corner blocks. Per-block constancy is
+    asserted in-task before checksumming.
+
+    Scale shape: identical to q329 — embarrassingly-parallel
+    mapInPandas, zero shuffles, codec runs worker-side per Arrow
+    batch; the driver never sees a pixel."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg import encode_jpeg_baseline
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                vals = np.frombuffer((buf * reps)[:16], np.uint8)
+                img = np.repeat(
+                    np.repeat(vals.reshape(4, 4), 8, axis=0), 8, axis=1
+                )
+                jpg = encode_jpeg_baseline(img, quant_scale=0)
+                assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+                out = decode_image(jpg)  # huffman + dequant + IDCT
+                assert out.shape == (32, 32) and out.dtype == np.uint8
+                blocks = out.reshape(4, 8, 4, 8).transpose(0, 2, 1, 3)
+                assert (blocks == blocks[:, :, :1, :1]).all(), "block not constant"
+                got = blocks[:, :, 0, 0].reshape(16).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        32,
+                        32,
+                        int(64 * got.sum()),
+                        int((np.arange(1, 17) * got).sum()),
+                        int(got[0]),
+                        int(got[15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "pix_sum", "wsum", "first_px", "last_px",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, pix_sum long, wsum long, "
+        "first_px long, last_px long",
+    )

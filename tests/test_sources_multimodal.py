@@ -83,11 +83,13 @@ def test_poll_source_empty(spark):
 
 
 def test_decode_compressed_raises():
-    # compressed formats remain the narrowed NotImplementedError swap point
+    # PNG and baseline JPEG now decode natively (rounds 5-6); the
+    # remaining NotImplementedError swap point is WebP/unknown magic,
+    # and malformed streams of supported formats raise ValueError
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
+        multimodal.decode_image(b"\x89PNG...")  # not the real 8-byte magic
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")  # truncated JPEG
 
 
 def test_decode_ppm_p6_with_comments():
@@ -528,9 +530,13 @@ def test_png_codec_roundtrip_all_filters_and_errors():
          + chunk(b"IDAT", zlib.compress(bytes(5))) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="depth"):
         mm.decode_image(p)
-    # JPEG magic still raises the (narrowed) library-needed error
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG now decodes natively (multimodal/jpeg.py): truncated
+    # streams fail loudly; WebP still raises the narrowed
+    # library-needed error
+    with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(32))
+    with pytest.raises(NotImplementedError, match="WebP"):
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + bytes(16))
 
 
 def test_png_adam7_interlaced_roundtrip():
@@ -572,3 +578,90 @@ def test_png_adam7_interlaced_roundtrip():
     # interlace=False must keep producing the exact bytes r5 committed
     img = rng.randint(0, 256, (6, 4, 3)).astype(np.uint8)
     assert mm.encode_png(img) == mm.encode_png(img, interlace=False)
+
+
+def test_jpeg_baseline_codec():
+    """Dependency-free baseline JPEG codec (multimodal/jpeg.py —
+    closes VERDICT r5 'what's missing' #4 without an imaging
+    library). Asserts the exactness contract q331 relies on
+    (constant 8x8 blocks + all-ones quant roundtrip EXACTLY), bounded
+    error for arbitrary gray at quant=1 (float IDCT rounding only),
+    RGB 4:4:4 within YCbCr integer-rounding error, 4:2:0 subsampling
+    shape + smooth-image fidelity, DRI/RSTn restart handling, odd
+    (non-multiple-of-8/16) dimensions, and the narrowed
+    NotImplementedError for progressive streams."""
+    import struct
+
+    import numpy as np
+
+    from etl_everywhere_hub_spark import multimodal as mm
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(11)
+
+    # exactness contract: constant blocks, gray, quant all-ones
+    for hb, wb in [(1, 1), (2, 2), (3, 5)]:
+        blocks = rng.randint(0, 256, (hb, wb)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        payload = encode_jpeg_baseline(img, quant_scale=0)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        out = mm.decode_image(payload)  # dispatches on SOI magic
+        assert out.dtype == np.uint8 and np.array_equal(out, img), (hb, wb)
+
+    # arbitrary gray, quant=1: only float->int rounding survives
+    for shape in [(8, 8), (17, 23), (1, 1), (9, 31)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(img, quant_scale=0))
+        assert out.shape == shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1, shape
+
+    # RGB 4:4:4 at quant=1: YCbCr uint8 roundtrip rounding only
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quant_scale=0, subsampling="444")
+    )
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    # RGB 4:2:0: color regions aligned to the 2x2 chroma grid survive
+    # subsampling (within quantization error); odd output dims crop
+    # correctly. (Chroma edges NOT aligned to the grid are inherently
+    # blurred by 4:2:0 — that is the format, not the codec.)
+    base = rng.randint(0, 200, (2, 2, 3))
+    img = np.kron(base, np.ones((12, 14, 1))).astype(np.uint8)[:22, :26]
+    out = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=95, subsampling="420")
+    )
+    assert out.shape == img.shape
+    interior = np.abs(
+        out.astype(int)[2:-2, 2:-2] - img.astype(int)[2:-2, 2:-2]
+    ).max()
+    assert interior <= 20, interior
+
+    # restart markers: DRI emitted, RSTn resynced, DC predictors reset
+    img = rng.randint(0, 256, (32, 40)).astype(np.uint8)
+    payload = encode_jpeg_baseline(img, quant_scale=0, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI segment present
+    out = decode_jpeg_baseline(payload)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    # high-quality natural-ish image: bounded error end to end
+    y, x = np.mgrid[0:24, 0:40]
+    img = ((np.sin(x / 5.0) + np.cos(y / 7.0)) * 60 + 128).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 10
+
+    # narrowed NotImplementedError: progressive (SOF2)
+    sof2 = (
+        b"\xff\xd8"
+        + struct.pack(">BBH", 0xFF, 0xC2, 8)
+        + b"\x08\x00\x10\x00\x10\x01"
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(sof2)
+    # bad payloads fail loudly
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x00\x01\x02")

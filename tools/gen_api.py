@@ -39,6 +39,7 @@ SECTIONS = [
     ("Streaming heavy hitters", "etl_everywhere_hub_spark.streaming.heavyhitters"),
     ("Streaming proximity", "etl_everywhere_hub_spark.streaming.proximity"),
     ("Multimodal columns", "etl_everywhere_hub_spark.multimodal"),
+    ("Baseline JPEG codec", "etl_everywhere_hub_spark.multimodal.jpeg"),
 ]
 
 HEADER = '''# API — public operator surface
