@@ -671,3 +671,125 @@ def test_cdc_chunking_edit_locality(spark):
     assert len(ca) > 3, "fixture must produce several chunks"
     # everything after the first cut survives the front insertion
     assert len(shared) >= len(ca) - 1
+
+
+# ---------------------------------------------------------------- codecs
+# The media codecs (multimodal/) are pure functions of bytes — ideal
+# property-test targets: hypothesis drives shapes, filter choices, and
+# sample values through the full encode->decode pipelines and asserts
+# the algebraic contracts the oracle queries (q231/q292/q329/q331)
+# rely on.
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(h, w, rgb, interlace, seed, data):
+    """encode_png ∘ decode_image == identity for every shape, color
+    mode, per-scanline filter assignment, and both interlace methods
+    (PNG filtering is lossless by construction)."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark import multimodal as mm
+
+    rng = np.random.RandomState(seed % 2**32)
+    img = rng.randint(0, 256, (h, w, 3) if rgb else (h, w)).astype(np.uint8)
+    if interlace:
+        n_rows = sum(
+            s.shape[0]
+            for s in (img[y0::dy, x0::dx] for x0, y0, dx, dy in mm._PNG_ADAM7)
+            if s.size
+        )
+    else:
+        n_rows = h
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=n_rows, max_size=n_rows)
+    )
+    payload = mm.encode_png(img, row_filters=filters, interlace=interlace)
+    out = mm.decode_image(payload)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    hb=st.integers(1, 4),
+    wb=st.integers(1, 4),
+    restart=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_constant_block_exactness_property(hb, wb, restart, seed):
+    """The q331 exactness contract as a property: ANY grid of constant
+    8x8 blocks roundtrips bit-exactly through baseline JPEG at quant
+    step 1 (pure-DC spectra are integral), with or without restart
+    markers."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    blocks = rng.randint(0, 256, (hb, wb)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = encode_jpeg_baseline(
+        img, quant_scale=0, restart_interval=restart
+    )
+    out = decode_jpeg_baseline(payload)
+    assert out.dtype == np.uint8 and np.array_equal(out, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_quant1_gray_bounded_error_property(h, w, seed):
+    """Arbitrary gray content at quantization step 1: the ONLY loss is
+    float-IDCT rounding, so every pixel is within ±1 — at any shape,
+    including non-multiple-of-8 dims (edge-replicated padding)."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quant_scale=0))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_pcm_roundtrip_property(n, rate, seed):
+    """wav_encode ∘ wav_decode == identity for any int16 sample vector
+    and sample rate (PCM is a container, not a codec — bit-exact),
+    including the two's-complement extremes."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.audio import (
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    pcm = rng.randint(-32768, 32768, n).astype(np.int16)
+    pcm[0] = -32768  # pin the edge value into every example
+    got_rate, got = wav_decode(wav_encode_pcm16(pcm, sample_rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(got, pcm)
