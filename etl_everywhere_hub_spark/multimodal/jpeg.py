@@ -14,11 +14,12 @@ canonical huffman table build from BITS/HUFFVAL *as embedded in the
 file* (so arbitrary baseline JPEGs decode — the encoder's constants
 are not load-bearing for decode), entropy-coded segment with 0xFF00
 byte unstuffing and RSTn restart handling, DC prediction, zigzag,
-dequantization, float IDCT, interleaved MCU placement for any
-(h_i, v_i) sampling factors incl. 4:2:0/4:2:2, box chroma upsampling,
-JFIF YCbCr->RGB. Progressive (SOF2) and arithmetic-coded (SOF9+)
-streams raise NotImplementedError (narrow, documented); 12-bit
-precision raises ValueError.
+dequantization, float IDCT, both scan layouts — one interleaved MCU
+scan or per-component non-interleaved scans — for any (h_i, v_i)
+sampling factors incl. 4:2:0/4:2:2, box chroma upsampling, JFIF
+YCbCr->RGB. Progressive (SOF2) and arithmetic-coded (SOF9+) streams
+raise NotImplementedError (narrow, documented); 12-bit precision
+raises ValueError.
 
 Encoder (``encode_jpeg_baseline``): JFIF APP0, Annex-K quantization
 tables scaled by libjpeg's quality curve (or caller-supplied tables —
@@ -283,13 +284,17 @@ def encode_jpeg_baseline(
     subsampling: str = "444",
     restart_interval: int = 0,
     quant_scale: int | None = None,
+    interleaved: bool = True,
 ) -> bytes:
     """Baseline sequential JFIF encoder for 8-bit grayscale (h, w) or
     RGB (h, w, 3). ``subsampling`` is '444' or '420' (RGB only).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (exercises the decoder's restart path). ``quant_scale=0``
     bypasses the quality curve with ALL-ONES quantization tables — the
-    exactness mode q331 relies on (see module docstring)."""
+    exactness mode q331 relies on (see module docstring).
+    ``interleaved=False`` writes one SOS per component (the
+    non-interleaved baseline layout, spec A.2.2) — exercises the
+    decoder's multi-scan path."""
     a = np.ascontiguousarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and not (a.ndim == 3 and a.shape[2] == 3):
@@ -364,7 +369,6 @@ def encode_jpeg_baseline(
     ]
 
     # ------------------------------------------------ entropy segment
-    wtr = _BitWriter()
     mcu_w = 8 * hmax
     mcu_h = 8 * vmax
     mcux = (w + mcu_w - 1) // mcu_w
@@ -404,22 +408,55 @@ def encode_jpeg_baseline(
             code, ln = ac_lut[table][0x00]  # EOB
             wtr.put(code, ln)
 
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                wtr.pad_to_byte()
-                wtr.out.extend((0xFF, 0xD0 + rst))
-                rst = (rst + 1) % 8
-                pred = [0] * len(comps)
-            for ci, (cid, hs, vs, tq, plane) in enumerate(comps):
-                for by in range(vs):
-                    for bx in range(hs):
-                        bi = (my * vs + by) * blocks_per_row[ci] + (mx * hs + bx)
-                        emit_block(ci, coefs[ci][bi], 0 if ci == 0 else 1)
-            mcu_count += 1
-    wtr.pad_to_byte()
+    # each entry: (sos_component_list, entropy_bytes)
+    scan_chunks: list[tuple[list[int], bytes]] = []
+    if interleaved or len(comps) == 1:
+        wtr = _BitWriter()
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    wtr.pad_to_byte()
+                    wtr.out.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    pred = [0] * len(comps)
+                for ci, (cid, hs, vs, tq, plane) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * blocks_per_row[ci] + (
+                                mx * hs + bx
+                            )
+                            emit_block(ci, coefs[ci][bi], 0 if ci == 0 else 1)
+                mcu_count += 1
+        wtr.pad_to_byte()
+        scan_chunks.append((list(range(len(comps))), bytes(wtr.out)))
+    else:
+        # non-interleaved: one scan per component, MCU = one block
+        # (spec A.2.2); restart counter and DC predictor reset per scan
+        for ci, (cid, hs, vs, tq, plane) in enumerate(comps):
+            wtr = _BitWriter()
+            pred[ci] = 0
+            bw = (-(-w * hs // hmax) + 7) // 8
+            bh = (-(-h * vs // vmax) + 7) // 8
+            rst = 0
+            blk = 0
+            for my in range(bh):
+                for mx in range(bw):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        wtr.pad_to_byte()
+                        wtr.out.extend((0xFF, 0xD0 + rst))
+                        rst = (rst + 1) % 8
+                        pred[ci] = 0
+                    bi = my * blocks_per_row[ci] + mx
+                    emit_block(ci, coefs[ci][bi], 0 if ci == 0 else 1)
+                    blk += 1
+            wtr.pad_to_byte()
+            scan_chunks.append(([ci], bytes(wtr.out)))
 
     # --------------------------------------------------------- markers
     def seg(marker: int, body: bytes) -> bytes:
@@ -444,12 +481,13 @@ def encode_jpeg_baseline(
         ]
     for tc_th, bits, vals in hts:
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-    sos = bytes([len(comps)])
-    for ci, (cid, *_rest) in enumerate(comps):
-        sos += bytes([cid, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += wtr.out
+    for cis, entropy in scan_chunks:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([comps[ci][0], 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -576,8 +614,11 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     """Decode a baseline sequential JPEG/JFIF payload to a uint8
     ndarray — (h, w) for single-component streams, (h, w, 3) RGB for
-    three-component YCbCr. See module docstring for the supported
-    surface; progressive/arithmetic raise NotImplementedError."""
+    three-component YCbCr. Both scan layouts decode: one interleaved
+    MCU scan (ns > 1) and per-component non-interleaved scans (ns = 1,
+    one SOS per component — common in scan-optimized baseline files).
+    See module docstring for the supported surface;
+    progressive/arithmetic raise NotImplementedError."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -586,13 +627,19 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     huff: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    planes: dict[int, np.ndarray] = {}  # cid -> decoded pixel plane
 
-    while pos + 4 <= len(d):
+    while pos + 2 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = d[pos + 1]
+        while marker == 0xFF and pos + 2 < len(d):  # fill bytes (B.1.1.2)
+            pos += 1
+            marker = d[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(d):
+            raise ValueError("truncated JPEG header")
         (ln,) = struct.unpack(">H", d[pos + 2 : pos + 4])
         body = d[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
@@ -649,81 +696,29 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            pos = pos + 2 + ln
-            return _decode_scan(
-                d, pos, frame, scan, qt, huff, restart_interval
+            pos = _decode_scan(
+                d, pos + 2 + ln, frame, scan, qt, huff,
+                restart_interval, planes,
             )
+            continue
         # APPn/COM/unknown: skip
         pos += 2 + ln
-    raise ValueError("no SOS segment found")
 
-
-def _decode_scan(d, pos, frame, scan, qt, huff, restart_interval):
+    if frame is None:
+        raise ValueError("no SOF segment found")
     fh, fw, comps = frame
+    if not planes:
+        raise ValueError("no SOS segment found")
+    missing = [c[0] for c in comps if c[0] not in planes]
+    if missing:
+        raise ValueError(f"components {missing} never scanned")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c[0]: c for c in comps}
-    order = []  # (comp_index, hs, vs, qtab, dc_table, ac_table)
-    planes = []
-    for ci, (cs, td, ta) in enumerate(scan):
-        cid, hs, vs, tq = by_id[cs]
-        if tq not in qt:
-            raise ValueError(f"missing quant table {tq}")
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("missing huffman table for scan")
-        order.append((ci, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)]))
-        planes.append(
-            np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64)
-        )
-
-    rd = _BitReader(d, pos)
-    pred = [0] * len(order)
-    mcu_count = 0
-    idct_t = DCT.T
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                rd.sync_restart()
-                pred = [0] * len(order)
-            for oi, (ci, hs, vs, qtab, dct_tbl, act_tbl) in enumerate(order):
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, np.int64)
-                        s = dct_tbl.decode(rd)
-                        diff = _extend(rd.get(s), s) if s else 0
-                        pred[oi] += diff
-                        zz[0] = pred[oi]
-                        k = 1
-                        while k < 64:
-                            rs = act_tbl.decode(rd)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            zz[k] = _extend(rd.get(s), s)
-                            k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[ZIGZAG] = zz * qtab.reshape(64)[ZIGZAG]
-                        sp = blk.reshape(8, 8)
-                        pxb = idct_t @ sp @ DCT + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[oi][y0 : y0 + 8, x0 : x0 + 8] = pxb
-            mcu_count += 1
-
     out = []
-    for oi, (ci, hs, vs, *_rest) in enumerate(order):
-        p = np.clip(np.round(planes[oi]), 0, 255).astype(np.uint8)
-        # upsample to full frame resolution (box replicate)
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
         ry, rx = vmax // vs, hmax // hs
-        if ry > 1 or rx > 1:
+        if ry > 1 or rx > 1:  # box-replicate chroma upsample
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out.append(p[:fh, :fw])
     if len(out) == 1:
@@ -731,3 +726,118 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart_interval):
     if len(out) == 3:
         return _ycbcr_to_rgb(out[0], out[1], out[2])
     raise ValueError(f"unsupported component count {len(out)}")
+
+
+def _decode_block(rd, dct_tbl, act_tbl, qtab, pred, oi, idct_t):
+    """One entropy-coded 8x8 block: huffman DC diff + AC run-lengths,
+    dequant, un-zigzag, float IDCT, +128 level shift. Returns the 8x8
+    float pixel block; updates pred[oi] in place."""
+    zz = np.zeros(64, np.int64)
+    s = dct_tbl.decode(rd)
+    diff = _extend(rd.get(s), s) if s else 0
+    pred[oi] += diff
+    zz[0] = pred[oi]
+    k = 1
+    while k < 64:
+        rs = act_tbl.decode(rd)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(rd.get(s), s)
+        k += 1
+    blk = np.zeros(64, np.float64)
+    blk[ZIGZAG] = zz * qtab.reshape(64)[ZIGZAG]
+    return idct_t @ blk.reshape(8, 8) @ DCT + 128.0
+
+
+def _next_marker_pos(d: bytes, p: int) -> int:
+    """Position of the next real marker (not stuffing, not RSTn) at or
+    after p — where the outer marker walk resumes after a scan."""
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 and not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(d)
+
+
+def _decode_scan(d, pos, frame, scan, qt, huff, restart_interval, planes):
+    """Decode one scan's entropy data into per-component pixel planes
+    (allocated here at interleaved-padded size, which covers both scan
+    layouts). Returns the payload position of the next marker."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    by_id = {c[0]: c for c in comps}
+    order = []  # (cid, hs, vs, qtab, dc_table, ac_table)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        cid, hs, vs, tq = by_id[cs]
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing huffman table for scan")
+        order.append((cid, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)]))
+        if cid not in planes:
+            rows = ((fh + 8 * vmax - 1) // (8 * vmax)) * vs * 8
+            cols = ((fw + 8 * hmax - 1) // (8 * hmax)) * hs * 8
+            planes[cid] = np.zeros((rows, cols), np.uint8)
+
+    rd = _BitReader(d, pos)
+    pred = [0] * len(order)
+    idct_t = DCT.T
+    mcu_count = 0
+
+    def put(cid, y0, x0, pxb):
+        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+            np.round(pxb), 0, 255
+        ).astype(np.uint8)
+
+    if len(order) > 1:  # interleaved MCU scan
+        mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    rd.sync_restart()
+                    pred = [0] * len(order)
+                for oi, (cid, hs, vs, qtab, dct_tbl, act_tbl) in enumerate(
+                    order
+                ):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            pxb = _decode_block(
+                                rd, dct_tbl, act_tbl, qtab, pred, oi, idct_t
+                            )
+                            put(cid, (my * vs + by) * 8, (mx * hs + bx) * 8, pxb)
+                mcu_count += 1
+    else:  # non-interleaved: MCU = one block of this component (A.2.2)
+        cid, hs, vs, qtab, dct_tbl, act_tbl = order[0]
+        bw = (-(-fw * hs // hmax) + 7) // 8
+        bh = (-(-fh * vs // vmax) + 7) // 8
+        for my in range(bh):
+            for mx in range(bw):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    rd.sync_restart()
+                    pred = [0]
+                pxb = _decode_block(
+                    rd, dct_tbl, act_tbl, qtab, pred, 0, idct_t
+                )
+                put(cid, my * 8, mx * 8, pxb)
+                mcu_count += 1
+
+    return _next_marker_pos(d, rd.pos)

@@ -654,6 +654,29 @@ def test_jpeg_baseline_codec():
     out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=95))
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 10
 
+    # non-interleaved layout (one SOS per component, spec A.2.2): the
+    # decoder's multi-scan path, with restarts, 4:2:0, and odd dims
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload = encode_jpeg_baseline(
+        img, quant_scale=0, subsampling="444", interleaved=False
+    )
+    assert payload.count(b"\xff\xda") == 3  # three scans
+    out = decode_jpeg_baseline(payload)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+    base = rng.randint(0, 200, (2, 2, 3))
+    img = np.kron(base, np.ones((12, 14, 1))).astype(np.uint8)[:22, :26]
+    out = decode_jpeg_baseline(
+        encode_jpeg_baseline(
+            img, quality=95, subsampling="420",
+            interleaved=False, restart_interval=2,
+        )
+    )
+    assert out.shape == img.shape
+    assert (
+        np.abs(out.astype(int)[2:-2, 2:-2] - img.astype(int)[2:-2, 2:-2]).max()
+        <= 20
+    )
+
     # narrowed NotImplementedError: progressive (SOF2)
     sof2 = (
         b"\xff\xd8"
