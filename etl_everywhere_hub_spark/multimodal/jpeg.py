@@ -24,8 +24,8 @@ raises ValueError.
 Encoder (``encode_jpeg_baseline``): JFIF APP0, Annex-K quantization
 tables scaled by libjpeg's quality curve (or caller-supplied tables —
 ``quant_scale=0`` emits all-ones tables for the exactness harness),
-Annex-K huffman tables, 4:4:4 or 4:2:0, optional restart intervals,
-grayscale or RGB. Deterministic: same array -> same bytes.
+Annex-K huffman tables, 4:4:4 / 4:2:2 / 4:2:0, optional restart
+intervals, grayscale or RGB. Deterministic: same array -> same bytes.
 
 Exactness contract used by q331: a grayscale image whose 8x8 blocks
 are each CONSTANT is reproduced EXACTLY through encode(quant=1) ->
@@ -287,7 +287,8 @@ def encode_jpeg_baseline(
     interleaved: bool = True,
 ) -> bytes:
     """Baseline sequential JFIF encoder for 8-bit grayscale (h, w) or
-    RGB (h, w, 3). ``subsampling`` is '444' or '420' (RGB only).
+    RGB (h, w, 3). ``subsampling`` is '444', '422' or '420' (RGB
+    only).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (exercises the decoder's restart path). ``quant_scale=0``
     bypasses the quality curve with ALL-ONES quantization tables — the
@@ -299,8 +300,8 @@ def encode_jpeg_baseline(
     gray = a.ndim == 2
     if not gray and not (a.ndim == 3 and a.shape[2] == 3):
         raise ValueError(f"encode_jpeg_baseline: unsupported shape {a.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -323,26 +324,30 @@ def encode_jpeg_baseline(
             planes = [ycc[:, :, i] for i in range(3)]
             samp = [(1, 1), (1, 1), (1, 1)]
         else:
-            hmax = vmax = 2
-            ypad = _pad_replicate(ycc[:, :, 0], 16, 16)
-            # box-average 2x2 for chroma over the padded even grid
+            # chroma box-average: 2x2 for 4:2:0, 2x1 (horizontal
+            # only) for 4:2:2, over the padded even grid
+            cv = 2 if subsampling == "420" else 1
+            hmax, vmax = 2, cv
+            ypad = _pad_replicate(ycc[:, :, 0], 8 * vmax, 16)
             cpad = [
-                _pad_replicate(ycc[:, :, i], 2, 2).astype(np.float64)
+                _pad_replicate(ycc[:, :, i], cv, 2).astype(np.float64)
                 for i in (1, 2)
             ]
+            if subsampling == "420":
+                sub = [
+                    (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+                    / 4.0
+                    for c in cpad
+                ]
+            else:
+                sub = [(c[:, 0::2] + c[:, 1::2]) / 2.0 for c in cpad]
             planes = [ypad] + [
-                np.clip(
-                    np.round(
-                        (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
-                        / 4.0
-                    ),
-                    0,
-                    255,
-                ).astype(np.uint8)
-                for c in cpad
+                _pad_replicate(
+                    np.clip(np.round(s), 0, 255).astype(np.uint8), 8, 8
+                )
+                for s in sub
             ]
-            planes = [planes[0]] + [_pad_replicate(p, 8, 8) for p in planes[1:]]
-            samp = [(2, 2), (1, 1), (1, 1)]
+            samp = [(2, cv), (1, 1), (1, 1)]
         comps = [
             (i + 1, samp[i][0], samp[i][1], 0 if i == 0 else 1, planes[i])
             for i in range(3)

@@ -677,6 +677,42 @@ def test_jpeg_baseline_codec():
         <= 20
     )
 
+    # 4:2:2 (horizontal-only chroma subsampling), both scan layouts
+    img = np.kron(base, np.ones((12, 14, 1))).astype(np.uint8)[:22, :26]
+    for kw in (
+        dict(),
+        dict(interleaved=False, restart_interval=2),
+    ):
+        out = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, quality=95, subsampling="422", **kw)
+        )
+        assert out.shape == img.shape
+        assert (
+            np.abs(
+                out.astype(int)[2:-2, 2:-2] - img.astype(int)[2:-2, 2:-2]
+            ).max()
+            <= 20
+        )
+
+    # 16-bit-precision DQT (pq=1): same table widened to two bytes per
+    # entry must decode identically to the 8-bit original
+    g = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    p8 = encode_jpeg_baseline(g, quality=90)
+    i = p8.index(b"\xff\xdb")
+    (ln,) = struct.unpack(">H", p8[i + 2 : i + 4])
+    body = p8[i + 4 : i + 2 + ln]
+    wide = bytes([0x10 | (body[0] & 0x0F)]) + b"".join(
+        struct.pack(">H", v) for v in body[1:65]
+    )
+    p16 = (
+        p8[:i]
+        + b"\xff\xdb"
+        + struct.pack(">H", len(wide) + 2)
+        + wide
+        + p8[i + 2 + ln :]
+    )
+    assert np.array_equal(decode_jpeg_baseline(p8), decode_jpeg_baseline(p16))
+
     # narrowed NotImplementedError: progressive (SOF2)
     sof2 = (
         b"\xff\xd8"
