@@ -98,15 +98,18 @@ def main() -> None:
     ]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    # Two passes per query per engine, report the min: this VM is
+    # Three passes per query per engine, report the min: this VM is
     # shared and single runs see 2-3x spikes from external load; the
     # min is the engine's actual cost (the quantity that transfers to
-    # a cluster).
+    # a cluster). (Raised from 2 in round 6 after a late-round window
+    # where BOTH engines measured ~25-40% slow for tens of minutes —
+    # min-of-3 tightens the floor estimate inside such windows.)
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    RUNS = 3
     for name, q in sorted(headline_queries().items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(RUNS):
             t0 = time.time()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
@@ -119,7 +122,7 @@ def main() -> None:
         d_best = None
         if q.oracle is not None:
             d_best = float("inf")
-            for _ in range(2):
+            for _ in range(RUNS):
                 t0 = time.time()
                 con.sql(q.oracle).df()
                 d_best = min(d_best, time.time() - t0)
@@ -151,7 +154,7 @@ def main() -> None:
                     "duckdb_total_paired": duck_total,
                     "spark_total_paired": paired_spark,
                     "ratio_paired": ratio,
-                    "runs_per_query": 2,
+                    "runs_per_query": RUNS,
                     "aggregation": "min",
                 },
                 fh,
