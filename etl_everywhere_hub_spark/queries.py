@@ -4671,17 +4671,17 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram pairs are built MAP-SIDE from each doc's token
     array (an indexed transform — the shingle trick), so there is NO
     per-doc window and NO doc_id shuffle anywhere: the only exchanges
-    are the vocab-bounded c12 groupBy (map-side partials) and the
-    final per-doc agg. Two corpus passes, not four (round 6): c1 is
-    DERIVED from c12 (n1 = Σ_w2 n12 — an agg over the already-
-    collapsed count table, not a second corpus shuffle), and vocab is
-    counted from c12's word columns plus the single-token docs bigrams
-    can't see — so the token stream is exploded only for the c12 build
-    and the scoring probe (equal wall-clock at sf0.1 where the floor
-    dominates; at 100 TB it halves the scan volume and removes two
-    corpus-wide shuffles). The count tables
+    are the two vocab-bounded count groupBys (map-side partials), the
+    vocab distinct, and the final per-doc agg. The count tables
     broadcast back onto the bigram stream (size-gated with a
-    shuffle-join fallback). Determinism: ln is quantized per-bigram
+    shuffle-join fallback). Round-6 note: a "derive c1/vocab from c12"
+    rewrite (fewer logical corpus passes, persist on c12) was measured
+    30-50% SLOWER at sf0.1 in a same-session A/B (0.93 s vs 1.19-1.45
+    s min-of-4) — the persist barrier serializes what are otherwise
+    independent parallel map-side aggs over a cheap scan — and was
+    reverted; at true 100 TB scale the scan-sharing variant becomes
+    attractive again, which is a documented cluster-side tuning choice
+    rather than a fixed plan. Determinism: ln is quantized per-bigram
     (round 9dp → scaled int, the repo's transcendental rule), so the
     per-doc sum is an exact integer sum — no cross-row double
     accumulation."""
@@ -4707,19 +4707,9 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    # vocab = every distinct token. Tokens of docs with >= 2 tokens all
-    # appear as some bigram's w1 or w2; only single-token docs escape,
-    # and those are a trivial side stream.
-    v = (
-        c12.select(F.col("w1").alias("tok"))
-        .union(c12.select(F.col("w2").alias("tok")))
-        .union(
-            toks_df.filter(F.size(tk) == 1).select(
-                F.element_at(tk, 1).alias("tok")
-            )
-        )
-        .agg(F.count_distinct("tok").alias("vsize"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks_df.select(F.explode(tk).alias("tok")).agg(
+        F.count_distinct("tok").alias("vsize")
     )
     logp = F.round(
         F.log(
