@@ -67,12 +67,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
     """Real, dependency-free image decode — PPM (P6), PGM (P5),
     uncompressed 24/32-bit BMP, 8-bit PNG (sequential or Adam7
     interlaced; stdlib zlib inflate + all 5 scanline filters), and
-    baseline JPEG (full huffman/DQT/DRI marker walk + float IDCT,
-    multimodal/jpeg.py) — returning a uint8 ndarray of shape (h, w)
-    for grayscale or (h, w, 3) for RGB. WebP (VP8 entropy codec) and
-    progressive/arithmetic JPEG need an imaging library that is not
-    in this container; they raise NotImplementedError at this
-    narrowed swap point (wire PIL/opencv here when available).
+    huffman JPEG — baseline in either scan layout, or progressive
+    with spectral selection + successive approximation (full marker
+    walk + float IDCT, multimodal/jpeg.py) — returning a uint8
+    ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB. WebP
+    (VP8 entropy codec) and arithmetic-coded JPEG need an imaging
+    library that is not in this container; they raise
+    NotImplementedError at this narrowed swap point (wire PIL/opencv
+    here when available).
     Exercised on real pixel bytes under oracle by q231 (PPM), q329
     (PNG through every filter type), and q331 (JPEG through the
     huffman+IDCT path)."""
@@ -90,7 +92,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_jpeg_baseline(payload)
     raise NotImplementedError(
         "WebP decode requires an imaging library not installed in "
-        "this environment; PPM/PGM/BMP/PNG/baseline-JPEG decode natively"
+        "this environment; PPM/PGM/BMP/PNG/huffman-JPEG decode natively"
     )
 
 

@@ -9,17 +9,20 @@ directions are implemented here from the public spec, like the PNG
 (stdlib zlib) and WAV (struct) codecs beside it.
 
 Decoder (``decode_jpeg_baseline``): full marker walk (SOI/APPn/COM
-skipped, DQT 8- and 16-bit precision, SOF0/SOF1, DHT, DRI, SOS, EOI),
-canonical huffman table build from BITS/HUFFVAL *as embedded in the
-file* (so arbitrary baseline JPEGs decode — the encoder's constants
-are not load-bearing for decode), entropy-coded segment with 0xFF00
-byte unstuffing and RSTn restart handling, DC prediction, zigzag,
-dequantization, float IDCT, both scan layouts — one interleaved MCU
-scan or per-component non-interleaved scans — for any (h_i, v_i)
-sampling factors incl. 4:2:0/4:2:2, box chroma upsampling, JFIF
-YCbCr->RGB. Progressive (SOF2) and arithmetic-coded (SOF9+) streams
-raise NotImplementedError (narrow, documented); 12-bit precision
-raises ValueError.
+skipped, DQT 8- and 16-bit precision, SOF0/SOF1/SOF2, DHT, DRI, SOS,
+EOI), canonical huffman table build from BITS/HUFFVAL *as embedded in
+the file* (so arbitrary huffman JPEGs decode — the encoder's
+constants are not load-bearing for decode), entropy-coded segments
+with 0xFF00 byte unstuffing and RSTn restart handling, DC prediction,
+zigzag, dequantization, float IDCT (vectorized once over all blocks
+at EOI), every huffman scan layout — one interleaved baseline MCU
+scan, per-component non-interleaved baseline scans, and PROGRESSIVE
+(SOF2) scans with spectral selection, successive approximation, and
+EOBRUN (DC/AC x first/refinement, spec G.1.2/G.2) — for any
+(h_i, v_i) sampling factors incl. 4:2:0/4:2:2, box chroma upsampling,
+JFIF YCbCr->RGB. Arithmetic-coded (SOF9+) and lossless/differential
+frames raise NotImplementedError (narrow, documented); 12-bit
+precision raises ValueError.
 
 Encoder (``encode_jpeg_baseline``): JFIF APP0, Annex-K quantization
 tables scaled by libjpeg's quality curve (or caller-supplied tables —
@@ -321,7 +324,7 @@ def encode_jpeg_baseline(
         ycc = _rgb_to_ycbcr(a)
         if subsampling == "444":
             hmax = vmax = 1
-            planes = [ycc[:, :, i] for i in range(3)]
+            planes = [_pad_replicate(ycc[:, :, i], 8, 8) for i in range(3)]
             samp = [(1, 1), (1, 1), (1, 1)]
         else:
             # chroma box-average: 2x2 for 4:2:0, 2x1 (horizontal
@@ -616,14 +619,66 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
+def _decode_block_coefs(rd, dct_tbl, act_tbl, pred, oi):
+    """One baseline entropy-coded 8x8 block: huffman DC diff + AC
+    run-lengths. Returns the 64 quantized coefficients in ZIGZAG
+    order; updates pred[oi] in place. (IDCT happens once per image,
+    vectorized, after all scans — see decode_jpeg_baseline.)"""
+    zz = np.zeros(64, np.int64)
+    s = dct_tbl.decode(rd)
+    diff = _extend(rd.get(s), s) if s else 0
+    pred[oi] += diff
+    zz[0] = pred[oi]
+    k = 1
+    while k < 64:
+        rs = act_tbl.decode(rd)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(rd.get(s), s)
+        k += 1
+    return zz
+
+
+def _next_marker_pos(d: bytes, p: int) -> int:
+    """Position of the next real marker (not stuffing, not RSTn) at or
+    after p — where the outer marker walk resumes after a scan."""
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 and not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(d)
+
+
+def _comp_blocks(fh, fw, hs, vs, hmax, vmax):
+    """(true_block_rows, true_block_cols, padded_rows, padded_cols)
+    for one component: true counts per A.1.1 (component dims are
+    ceil(f*samp/max)), padded counts sized for the interleaved MCU
+    grid, which covers every scan layout."""
+    bh = (-(-fh * vs // vmax) + 7) // 8
+    bw = (-(-fw * hs // hmax) + 7) // 8
+    ph = ((fh + 8 * vmax - 1) // (8 * vmax)) * vs
+    pw = ((fw + 8 * hmax - 1) // (8 * hmax)) * hs
+    return bh, bw, ph, pw
+
+
 def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
-    """Decode a baseline sequential JPEG/JFIF payload to a uint8
-    ndarray — (h, w) for single-component streams, (h, w, 3) RGB for
-    three-component YCbCr. Both scan layouts decode: one interleaved
-    MCU scan (ns > 1) and per-component non-interleaved scans (ns = 1,
-    one SOS per component — common in scan-optimized baseline files).
-    See module docstring for the supported surface;
-    progressive/arithmetic raise NotImplementedError."""
+    """Decode a baseline OR progressive (huffman) JPEG/JFIF payload to
+    a uint8 ndarray — (h, w) for single-component streams, (h, w, 3)
+    RGB for three-component YCbCr. Baseline covers both scan layouts
+    (one interleaved MCU scan, or per-component non-interleaved
+    scans); progressive (SOF2) covers spectral selection and
+    successive approximation, DC and AC, first and refinement scans
+    (spec G.1.2 / G.2). Scans accumulate QUANTIZED COEFFICIENTS per
+    component; dequantization + IDCT run once at EOI, vectorized over
+    every block. Arithmetic-coded streams raise NotImplementedError;
+    12-bit precision raises ValueError."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -631,8 +686,8 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
-    frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
-    planes: dict[int, np.ndarray] = {}  # cid -> decoded pixel plane
+    frame = None  # (h, w, comps, progressive)
+    coefs: dict[int, np.ndarray] = {}  # cid -> (pad_bh, pad_bw, 64) zigzag
 
     while pos + 2 <= len(d):
         if d[pos] != 0xFF:
@@ -667,7 +722,7 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 nat = np.zeros(64, np.int32)
                 nat[ZIGZAG] = tab
                 qt[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -675,13 +730,11 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            frame = (fh, fw, comps, marker == 0xC2)
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("arithmetic-coded JPEG not supported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("non-baseline JPEG frame type")
+            raise NotImplementedError("lossless/differential JPEG frame type")
         elif marker == 0xC4:  # DHT — possibly several tables
             at = 0
             while at < len(body):
@@ -701,9 +754,12 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             pos = _decode_scan(
                 d, pos + 2 + ln, frame, scan, qt, huff,
-                restart_interval, planes,
+                restart_interval, coefs, (ss, se, ah, al),
             )
             continue
         # APPn/COM/unknown: skip
@@ -711,21 +767,36 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
 
     if frame is None:
         raise ValueError("no SOF segment found")
-    fh, fw, comps = frame
-    if not planes:
+    fh, fw, comps, _prog = frame
+    if not coefs:
         raise ValueError("no SOS segment found")
-    missing = [c[0] for c in comps if c[0] not in planes]
+    missing = [c[0] for c in comps if c[0] not in coefs]
     if missing:
         raise ValueError(f"components {missing} never scanned")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    qt_zig = {tq: t.reshape(64)[ZIGZAG] for tq, t in qt.items()}
     out = []
-    for cid, hs, vs, _tq in comps:
-        p = planes[cid]
+    for cid, hs, vs, tq in comps:
+        zz = coefs[cid]  # (ph, pw, 64) zigzag-order quantized
+        ph, pw = zz.shape[:2]
+        if tq not in qt_zig:
+            raise ValueError(f"missing quant table {tq}")
+        spec = np.zeros((ph * pw, 64), np.float64)
+        spec[:, ZIGZAG] = zz.reshape(-1, 64) * qt_zig[tq]
+        spec = spec.reshape(-1, 8, 8)
+        # batch IDCT: D.T @ S @ D per block
+        px = np.einsum("ux,nuv,vy->nxy", DCT, spec, DCT) + 128.0
+        px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+        plane = (
+            px.reshape(ph, pw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph * 8, pw * 8)
+        )
         ry, rx = vmax // vs, hmax // hs
         if ry > 1 or rx > 1:  # box-replicate chroma upsample
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out.append(p[:fh, :fw])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:fh, :fw])
     if len(out) == 1:
         return out[0]
     if len(out) == 3:
@@ -733,78 +804,127 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     raise ValueError(f"unsupported component count {len(out)}")
 
 
-def _decode_block(rd, dct_tbl, act_tbl, qtab, pred, oi, idct_t):
-    """One entropy-coded 8x8 block: huffman DC diff + AC run-lengths,
-    dequant, un-zigzag, float IDCT, +128 level shift. Returns the 8x8
-    float pixel block; updates pred[oi] in place."""
-    zz = np.zeros(64, np.int64)
-    s = dct_tbl.decode(rd)
-    diff = _extend(rd.get(s), s) if s else 0
-    pred[oi] += diff
-    zz[0] = pred[oi]
-    k = 1
-    while k < 64:
-        rs = act_tbl.decode(rd)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run overflows block")
-        zz[k] = _extend(rd.get(s), s)
-        k += 1
-    blk = np.zeros(64, np.float64)
-    blk[ZIGZAG] = zz * qtab.reshape(64)[ZIGZAG]
-    return idct_t @ blk.reshape(8, 8) @ DCT + 128.0
-
-
-def _next_marker_pos(d: bytes, p: int) -> int:
-    """Position of the next real marker (not stuffing, not RSTn) at or
-    after p — where the outer marker walk resumes after a scan."""
-    while p + 1 < len(d):
-        if d[p] == 0xFF and d[p + 1] != 0x00 and not (0xD0 <= d[p + 1] <= 0xD7):
-            return p
-        p += 1
-    return len(d)
-
-
-def _decode_scan(d, pos, frame, scan, qt, huff, restart_interval, planes):
-    """Decode one scan's entropy data into per-component pixel planes
-    (allocated here at interleaved-padded size, which covers both scan
-    layouts). Returns the payload position of the next marker."""
-    fh, fw, comps = frame
+def _decode_scan(d, pos, frame, scan, qt, huff, restart_interval, coefs, band):
+    """Decode one scan's entropy data into the per-component quantized
+    coefficient stores. Handles every huffman scan kind: baseline
+    full-band (interleaved or single-component), progressive DC
+    first/refinement (interleaved allowed), progressive AC
+    first/refinement (single-component by spec). Returns the payload
+    position of the next marker."""
+    fh, fw, comps, progressive = frame
+    ss, se, ah, al = band
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     by_id = {c[0]: c for c in comps}
-    order = []  # (cid, hs, vs, qtab, dc_table, ac_table)
+    is_dc = ss == 0
+    if progressive and not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if progressive and is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+
+    order = []  # (cid, hs, vs, dc_table|None, ac_table|None)
     for cs, td, ta in scan:
         if cs not in by_id:
             raise ValueError(f"scan references unknown component {cs}")
         cid, hs, vs, tq = by_id[cs]
-        if tq not in qt:
-            raise ValueError(f"missing quant table {tq}")
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("missing huffman table for scan")
-        order.append((cid, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)]))
-        if cid not in planes:
-            rows = ((fh + 8 * vmax - 1) // (8 * vmax)) * vs * 8
-            cols = ((fw + 8 * hmax - 1) // (8 * hmax)) * hs * 8
-            planes[cid] = np.zeros((rows, cols), np.uint8)
+        need_dc = (not progressive) or (is_dc and ah == 0)
+        need_ac = (not progressive) or (not is_dc and True)
+        if need_dc and (0, td) not in huff:
+            raise ValueError("missing DC huffman table for scan")
+        if need_ac and (1, ta) not in huff:
+            raise ValueError("missing AC huffman table for scan")
+        order.append(
+            (cid, hs, vs, huff.get((0, td)), huff.get((1, ta)))
+        )
+        if cid not in coefs:
+            _bh, _bw, ph, pw = _comp_blocks(fh, fw, hs, vs, hmax, vmax)
+            coefs[cid] = np.zeros((ph, pw, 64), np.int64)
 
     rd = _BitReader(d, pos)
     pred = [0] * len(order)
-    idct_t = DCT.T
+    state = {"eobrun": 0}
     mcu_count = 0
 
-    def put(cid, y0, x0, pxb):
-        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
-            np.round(pxb), 0, 255
-        ).astype(np.uint8)
+    def decode_block(oi, by_idx, bx_idx):
+        cid, hs, vs, dct_tbl, act_tbl = order[oi]
+        zz = coefs[cid][by_idx, bx_idx]
+        if not progressive:
+            coefs[cid][by_idx, bx_idx] = _decode_block_coefs(
+                rd, dct_tbl, act_tbl, pred, oi
+            )
+        elif is_dc and ah == 0:  # DC first (G.2, F.2.2.1 + point transform)
+            s = dct_tbl.decode(rd)
+            diff = _extend(rd.get(s), s) if s else 0
+            pred[oi] += diff
+            zz[0] = pred[oi] << al
+        elif is_dc:  # DC refinement: one raw bit per block
+            if rd.get(1):
+                zz[0] |= 1 << al
+        elif ah == 0:  # AC first scan over band ss..se (G.2.2)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = act_tbl.decode(rd)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += rd.get(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                zz[k] = _extend(rd.get(s), s) << al
+                k += 1
+        else:  # AC refinement (G.1.2.3 / spec figure G.7)
+            p1, m1 = 1 << al, -1 << al
 
-    if len(order) > 1:  # interleaved MCU scan
+            def correct(k):
+                if rd.get(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = act_tbl.decode(rd)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += rd.get(r)
+                            break
+                        # ZRL: pass over 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refinement size must be 1")
+                        val = p1 if rd.get(1) else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            correct(k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(k)
+                    k += 1
+                state["eobrun"] -= 1
+
+    interleaved = len(order) > 1
+    if interleaved:
         mcux = (fw + 8 * hmax - 1) // (8 * hmax)
         mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
         for my in range(mcuy):
@@ -816,20 +936,15 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart_interval, planes):
                 ):
                     rd.sync_restart()
                     pred = [0] * len(order)
-                for oi, (cid, hs, vs, qtab, dct_tbl, act_tbl) in enumerate(
-                    order
-                ):
+                    state["eobrun"] = 0
+                for oi, (cid, hs, vs, _dt, _at) in enumerate(order):
                     for by in range(vs):
                         for bx in range(hs):
-                            pxb = _decode_block(
-                                rd, dct_tbl, act_tbl, qtab, pred, oi, idct_t
-                            )
-                            put(cid, (my * vs + by) * 8, (mx * hs + bx) * 8, pxb)
+                            decode_block(oi, my * vs + by, mx * hs + bx)
                 mcu_count += 1
-    else:  # non-interleaved: MCU = one block of this component (A.2.2)
-        cid, hs, vs, qtab, dct_tbl, act_tbl = order[0]
-        bw = (-(-fw * hs // hmax) + 7) // 8
-        bh = (-(-fh * vs // vmax) + 7) // 8
+    else:  # single-component scan: MCU = one block (A.2.2)
+        cid, hs, vs, _dt, _at = order[0]
+        bh, bw, _ph, _pw = _comp_blocks(fh, fw, hs, vs, hmax, vmax)
         for my in range(bh):
             for mx in range(bw):
                 if (
@@ -839,10 +954,301 @@ def _decode_scan(d, pos, frame, scan, qt, huff, restart_interval, planes):
                 ):
                     rd.sync_restart()
                     pred = [0]
-                pxb = _decode_block(
-                    rd, dct_tbl, act_tbl, qtab, pred, 0, idct_t
-                )
-                put(cid, my * 8, mx * 8, pxb)
+                    state["eobrun"] = 0
+                decode_block(0, my, mx)
                 mcu_count += 1
 
     return _next_marker_pos(d, rd.pos)
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _refine_flush(wtr, bits):
+    for b in bits:
+        wtr.put(b, 1)
+    bits.clear()
+
+
+def encode_jpeg_progressive(
+    img: "np.ndarray",
+    quality: int = 90,
+    subsampling: str = "444",
+    quant_scale: int | None = None,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder — libjpeg's default scan script
+    (DC first at Al=1 interleaved; luma AC in two spectral bands at
+    Al=2 with two refinement passes; chroma AC at Al=1 with one
+    refinement; DC refinement to Al=0) — emitted with the same Annex-K
+    tables and point-transform semantics the decoder reverses
+    (spec G.1.2). Exists to generate test vectors: for any image,
+    decode(progressive bytes) must be BIT-IDENTICAL to decode(baseline
+    bytes) at the same quantization, because both streams carry the
+    same quantized coefficients. Gray images use the luma script rows
+    only."""
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and not (a.ndim == 3 and a.shape[2] == 3):
+        raise ValueError(f"encode_jpeg_progressive: unsupported shape {a.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    if quant_scale == 0:
+        qt_l = np.ones((8, 8), np.int32)
+        qt_c = np.ones((8, 8), np.int32)
+    else:
+        qt_l = _scale_quant(QUANT_LUMA, quality)
+        qt_c = _scale_quant(QUANT_CHROMA, quality)
+
+    if gray:
+        comps = [(1, 1, 1, 0, _pad_replicate(a, 8, 8))]
+        hmax = vmax = 1
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        if subsampling == "444":
+            hmax = vmax = 1
+            planes = [_pad_replicate(ycc[:, :, i], 8, 8) for i in range(3)]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            hmax = vmax = 2
+            ypad = _pad_replicate(ycc[:, :, 0], 16, 16)
+            cpad = [
+                _pad_replicate(ycc[:, :, i], 2, 2).astype(np.float64)
+                for i in (1, 2)
+            ]
+            sub = [
+                (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+                / 4.0
+                for c in cpad
+            ]
+            planes = [ypad] + [
+                _pad_replicate(
+                    np.clip(np.round(s), 0, 255).astype(np.uint8), 8, 8
+                )
+                for s in sub
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        comps = [
+            (i + 1, samp[i][0], samp[i][1], 0 if i == 0 else 1, planes[i])
+            for i in range(3)
+        ]
+
+    coef = []  # per comp: (pad_bh, pad_bw, 64) zigzag quantized
+    for cid, hs, vs, tq, plane in comps:
+        qtab = qt_l if tq == 0 else qt_c
+        zz = _fdct_quant(plane, qtab)
+        coef.append(zz.reshape(plane.shape[0] // 8, plane.shape[1] // 8, 64))
+
+    dc_lut = [
+        {v: c for v, c in zip(vals, _canonical_codes(bits))}
+        for bits, vals in [
+            (DC_LUMA_BITS, DC_LUMA_VALS),
+            (DC_CHROMA_BITS, DC_CHROMA_VALS),
+        ]
+    ]
+    ac_lut = [
+        {v: c for v, c in zip(vals, _canonical_codes(bits))}
+        for bits, vals in [
+            (AC_LUMA_BITS, AC_LUMA_VALS),
+            (AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    ]
+
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def dc_first_scan(al):
+        wtr = _BitWriter()
+        pred = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hs, vs, tq, _p) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(coef[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s, bits = _encode_coef_bits(diff)
+                            code, ln = dc_lut[0 if ci == 0 else 1][s]
+                            wtr.put(code, ln)
+                            if s:
+                                wtr.put(bits, s)
+        wtr.pad_to_byte()
+        return [(ci, 0, 0) for ci in range(len(comps))], 0, 0, 0, al, bytes(wtr.out)
+
+    def dc_refine_scan(al):
+        wtr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hs, vs, tq, _p) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            wtr.put(
+                                (int(coef[ci][my * vs + by, mx * hs + bx, 0]) >> al)
+                                & 1,
+                                1,
+                            )
+        wtr.pad_to_byte()
+        return (
+            [(ci, 0, 0) for ci in range(len(comps))],
+            0, 0, al + 1, al, bytes(wtr.out),
+        )
+
+    def pt(v, al):
+        return v >> al if v >= 0 else -((-v) >> al)
+
+    def ac_first_scan(ci, ss_, se_, al):
+        cid, hs, vs, tq, plane = comps[ci]
+        table = ac_lut[0 if ci == 0 else 1]
+        bh, bw = -(-plane.shape[0] // 8), -(-plane.shape[1] // 8)
+        # true block counts (non-interleaved geometry)
+        bh = (-(-h * vs // vmax) + 7) // 8
+        bw = (-(-w * hs // hmax) + 7) // 8
+        wtr = _BitWriter()
+        # NOTE: EOBn runs (n>0) need huffman symbols 0x10..0xE0, which
+        # the Annex-K baseline AC tables do not define — libjpeg ships
+        # custom tables for progressive scans. We keep the Annex-K
+        # tables and emit one EOB0 per ended block: bigger stream,
+        # identical decode semantics (EOBRUN covers one block).
+        for my in range(bh):
+            for mx in range(bw):
+                zz = coef[ci][my, mx]
+                band = [pt(int(zz[k]), al) for k in range(ss_, se_ + 1)]
+                last_nz = -1
+                for i, v in enumerate(band):
+                    if v:
+                        last_nz = i
+                run = 0
+                for i in range(last_nz + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = table[0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                    s, bits = _encode_coef_bits(v)
+                    code, ln = table[(run << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(bits, s)
+                    run = 0
+                if last_nz < se_ - ss_:
+                    code, ln = table[0x00]  # EOB0: this block only
+                    wtr.put(code, ln)
+        wtr.pad_to_byte()
+        return [(ci, 0, 0)], ss_, se_, 0, al, bytes(wtr.out)
+
+    def ac_refine_scan(ci, ss_, se_, al):
+        """Spec G.1.2.3: newly-significant coefficients are coded as
+        (run-of-zero-history, size 1) + sign bit; correction bits of
+        already-significant coefficients passed over are appended
+        after each symbol's bits; EOB carries the trailing correction
+        bits."""
+        cid, hs, vs, tq, plane = comps[ci]
+        table = ac_lut[0 if ci == 0 else 1]
+        bh = (-(-h * vs // vmax) + 7) // 8
+        bw = (-(-w * hs // hmax) + 7) // 8
+        wtr = _BitWriter()
+        # Per-block EOB0 (see ac_first_scan note on Annex-K tables):
+        # the decoder's EOBRUN=1 correction pass consumes exactly this
+        # block's trailing correction bits.
+        for my in range(bh):
+            for mx in range(bw):
+                zz = coef[ci][my, mx]
+                absb = [abs(int(zz[k])) for k in range(ss_, se_ + 1)]
+                signs = [1 if int(zz[k]) >= 0 else 0 for k in range(ss_, se_ + 1)]
+                # newly significant at this level: (abs>>al)==1; history
+                # nonzero: (abs>>(al+1)) != 0
+                last_new = -1
+                for i, v in enumerate(absb):
+                    if (v >> al) == 1:
+                        last_new = i
+                run = 0
+                pending: list[int] = []
+                for i in range(last_new + 1):
+                    v = absb[i]
+                    if (v >> (al + 1)) != 0:  # already significant
+                        pending.append((v >> al) & 1)
+                        continue
+                    if (v >> al) == 0:  # still zero
+                        run += 1
+                        continue
+                    # newly significant
+                    while run > 15:
+                        code, ln = table[0xF0]
+                        wtr.put(code, ln)
+                        _refine_flush(wtr, pending)
+                        run -= 16
+                    code, ln = table[(run << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(signs[i], 1)
+                    _refine_flush(wtr, pending)
+                    run = 0
+                # trailing positions: correction bits ride the EOB
+                trailing = [
+                    (absb[i] >> al) & 1
+                    for i in range(last_new + 1, len(absb))
+                    if (absb[i] >> (al + 1)) != 0
+                ]
+                if last_new < se_ - ss_:
+                    # any position remains after the last new
+                    # coefficient — the decoder reads a symbol there,
+                    # so an EOB0 is required (its correction pass then
+                    # consumes the trailing bits)
+                    code, ln = table[0x00]
+                    wtr.put(code, ln)
+                    for b in trailing:
+                        wtr.put(b, 1)
+                # else: band completed exactly at last_new, no EOB
+        wtr.pad_to_byte()
+        return [(ci, 0, 0)], ss_, se_, al + 1, al, bytes(wtr.out)
+
+    # libjpeg's default progressive script (gray keeps comp-0 rows)
+    scans = [dc_first_scan(1)]
+    scans.append(ac_first_scan(0, 1, 5, 2))
+    if not gray:
+        scans.append(ac_first_scan(1, 1, 63, 1))
+        scans.append(ac_first_scan(2, 1, 63, 1))
+    scans.append(ac_first_scan(0, 6, 63, 2))
+    scans.append(ac_refine_scan(0, 1, 63, 1))
+    scans.append(dc_refine_scan(0))
+    scans.append(ac_refine_scan(0, 1, 63, 0))
+    if not gray:
+        scans.append(ac_refine_scan(1, 1, 63, 0))
+        scans.append(ac_refine_scan(2, 1, 63, 0))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qts = [(0, qt_l)] + ([(1, qt_c)] if not gray else [])
+    for tq, qtab in qts:
+        out += seg(
+            0xDB, bytes([tq]) + bytes(qtab.reshape(64)[ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq, _p in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        hts += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in hts:
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    for cis, ss_, se_, ah_, al_, entropy in scans:
+        sos = bytes([len(cis)])
+        for ci, _td, _ta in cis:
+            sos += bytes([comps[ci][0], 0x00 if ci == 0 else 0x11])
+        sos += bytes([ss_, se_, (ah_ << 4) | al_])
+        out += seg(0xDA, sos)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -713,14 +713,77 @@ def test_jpeg_baseline_codec():
     )
     assert np.array_equal(decode_jpeg_baseline(p8), decode_jpeg_baseline(p16))
 
-    # narrowed NotImplementedError: progressive (SOF2)
-    sof2 = (
+    # narrowed NotImplementedError: arithmetic-coded (SOF9)
+    sof9 = (
         b"\xff\xd8"
-        + struct.pack(">BBH", 0xFF, 0xC2, 8)
+        + struct.pack(">BBH", 0xFF, 0xC9, 8)
         + b"\x08\x00\x10\x00\x10\x01"
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_baseline(sof2)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_baseline(sof9)
     # bad payloads fail loudly
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"\x00\x01\x02")
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Progressive (SOF2) huffman decode — spectral selection,
+    successive approximation, DC/AC first + refinement scans, EOBRUN.
+    The oracle is algebraic: a progressive stream carries the SAME
+    quantized coefficients as the baseline stream of the same image at
+    the same tables, so decode(progressive) must be BIT-IDENTICAL to
+    decode(baseline) — any desync anywhere in the scan script breaks
+    equality loudly. The encoder emits libjpeg's default scan script
+    (DC first at Al=1, luma AC in two bands at Al=2 with two
+    refinement passes, chroma at Al=1, DC refinement to Al=0)."""
+    import struct
+
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(8, 8), (17, 23), (1, 1), (32, 40)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for kw in ({"quant_scale": 0}, {"quality": 85}, {"quality": 10}):
+            pp = encode_jpeg_progressive(img, **kw)
+            assert b"\xff\xc2" in pp  # SOF2
+            ob = decode_jpeg_baseline(encode_jpeg_baseline(img, **kw))
+            op = decode_jpeg_baseline(pp)
+            assert np.array_equal(ob, op), (shape, kw)
+    for ss in ("444", "420"):
+        for shape in [(24, 28, 3), (22, 26, 3), (1, 1, 3)]:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            ob = decode_jpeg_baseline(
+                encode_jpeg_baseline(img, quality=85, subsampling=ss)
+            )
+            op = decode_jpeg_baseline(
+                encode_jpeg_progressive(img, quality=85, subsampling=ss)
+            )
+            assert np.array_equal(ob, op), (ss, shape)
+
+    # EOBRUN > 1 (EOBn, n>0): our encoder only emits EOB0 (Annex-K
+    # tables lack EOBn symbols), so pin the decoder path with a
+    # hand-built stream: gray 8x16 (2 blocks), custom 1-symbol DHTs,
+    # one EOB1 covering both blocks' AC bands.
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    p = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0]))
+        + seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes([0b00111111])  # DC: two size-0 symbols, 1-padded
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + bytes([0b01111111])  # AC: EOB1 + 1 appended bit -> EOBRUN=2
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg_baseline(p)
+    assert out.shape == (8, 16) and (out == 128).all()
