@@ -793,3 +793,32 @@ def test_wav_pcm_roundtrip_property(n, rate, seed):
     got_rate, got = wav_decode(wav_encode_pcm16(pcm, sample_rate=rate))
     assert got_rate == rate
     assert np.array_equal(got, pcm)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+    quality=st.sampled_from([10, 50, 85]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, rgb, quality, seed):
+    """For ANY image, decoding the progressive stream must be
+    bit-identical to decoding the baseline stream at the same
+    quantization — both carry the same quantized coefficients, so the
+    whole spectral-selection/successive-approximation machinery must
+    be exactly invertible."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed % 2**32)
+    img = rng.randint(0, 256, (h, w, 3) if rgb else (h, w)).astype(np.uint8)
+    ob = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=quality))
+    op = decode_jpeg_baseline(encode_jpeg_progressive(img, quality=quality))
+    assert np.array_equal(ob, op)
