@@ -182,29 +182,48 @@ class _TopicPartition(InputPartition):
         self.end = end
 
 
-def _parse_offsets(raw: str | None, default: int | None) -> dict | int | None:
+def _parse_offsets(raw: str | None, default: str) -> dict | str:
     """Kafka option grammar: 'earliest' | 'latest' | json like
-    {"topic": {"0": 42}}."""
-    if raw is None or raw in ("earliest", "latest"):
+    {"topic": {"0": 42}}. Keeps the keyword distinct — a batch read
+    with startingOffsets='latest' must see an EMPTY log tail, not fall
+    back to earliest."""
+    if raw is None:
         return default
+    if raw in ("earliest", "latest"):
+        return raw
     return json.loads(raw)
+
+
+def _log_len(path: str, topic: str, partition: int) -> int:
+    fp = _log_file(path, topic, partition)
+    if not os.path.exists(fp):
+        return 0
+    with open(fp) as fh:
+        return sum(1 for _ in fh)
 
 
 class EverywhereKafkaBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.topics = [t.strip() for t in options["subscribe"].split(",")]
-        self.starting = _parse_offsets(options.get("startingOffsets"), None)
-        self.ending = _parse_offsets(options.get("endingOffsets"), None)
+        # real-source defaults for batch: earliest -> latest
+        self.starting = _parse_offsets(options.get("startingOffsets"), "earliest")
+        self.ending = _parse_offsets(options.get("endingOffsets"), "latest")
 
     def partitions(self) -> Sequence[InputPartition]:
         parts = []
         for topic, p in _list_topic_partitions(self.path, self.topics):
-            start = 0
-            end = None
-            if isinstance(self.starting, dict):
+            if self.starting == "earliest":
+                start = 0
+            elif self.starting == "latest":
+                start = _log_len(self.path, topic, p)
+            else:
                 start = int(self.starting.get(topic, {}).get(str(p), 0))
-            if isinstance(self.ending, dict):
+            if self.ending == "latest":
+                end = None
+            elif self.ending == "earliest":
+                end = 0
+            else:
                 e = self.ending.get(topic, {}).get(str(p))
                 end = int(e) if e is not None else None
             parts.append(_TopicPartition(topic, p, start, end))
@@ -231,11 +250,10 @@ class EverywhereKafkaStreamReader(SimpleDataSourceStreamReader):
         self.topics = [t.strip() for t in options["subscribe"].split(",")]
 
     def _lengths(self) -> dict[str, int]:
-        out = {}
-        for topic, p in _list_topic_partitions(self.path, self.topics):
-            with open(_log_file(self.path, topic, p)) as fh:
-                out[f"{topic}-{p}"] = sum(1 for _ in fh)
-        return out
+        return {
+            f"{topic}-{p}": _log_len(self.path, topic, p)
+            for topic, p in _list_topic_partitions(self.path, self.topics)
+        }
 
     def initialOffset(self) -> dict:
         return {k: 0 for k in self._lengths()}

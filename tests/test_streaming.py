@@ -948,6 +948,17 @@ def test_kafka_shim_batch_wire_contract(spark, tmp_path):
     assert {(r["partition"], r["offset"]) for r in sliced.collect()} == {
         (p, 1) for p in by_part
     }
+    # keyword offsets: 'latest' start = empty tail (NOT earliest —
+    # round-6 fix), explicit 'earliest'/'latest' = the full log
+    empty = (spark.read.format("everywhere_kafka")
+             .option("path", d).option("subscribe", "t1")
+             .option("startingOffsets", "latest").load())
+    assert empty.count() == 0
+    full = (spark.read.format("everywhere_kafka")
+            .option("path", d).option("subscribe", "t1")
+            .option("startingOffsets", "earliest")
+            .option("endingOffsets", "latest").load())
+    assert full.count() == 40
 
 
 def test_kafka_shim_stream_equals_batch_q47_q49(spark, sf_dir):
