@@ -1103,7 +1103,6 @@ def encode_jpeg_progressive(
     def ac_first_scan(ci, ss_, se_, al):
         cid, hs, vs, tq, plane = comps[ci]
         table = ac_lut[0 if ci == 0 else 1]
-        bh, bw = -(-plane.shape[0] // 8), -(-plane.shape[1] // 8)
         # true block counts (non-interleaved geometry)
         bh = (-(-h * vs // vmax) + 7) // 8
         bw = (-(-w * hs // hmax) + 7) // 8
