@@ -1170,22 +1170,34 @@ def encode_jpeg_progressive(
                 pending: list[int] = []
                 for i in range(last_new + 1):
                     v = absb[i]
-                    if (v >> (al + 1)) != 0:  # already significant
-                        pending.append((v >> al) & 1)
-                        continue
-                    if (v >> al) == 0:  # still zero
+                    if (v >> al) == 0:  # still zero at this level
                         run += 1
                         continue
-                    # newly significant
+                    # Nonzero at this level (newly OR already
+                    # significant): emit any pending ZRLs FIRST, so
+                    # every buffered correction bit stays inside the
+                    # span of the symbol the decoder reads it under
+                    # (the decoder's ZRL pass consumes exactly 16
+                    # zero-history positions plus the correction bits
+                    # of nonzero-history positions interleaved among
+                    # them — G.1.2.3 / figure G.7). After this loop
+                    # run <= 15, so a correction bit buffered below
+                    # can never straddle a ZRL boundary.
                     while run > 15:
                         code, ln = table[0xF0]
                         wtr.put(code, ln)
                         _refine_flush(wtr, pending)
+                        pending = []
                         run -= 16
+                    if (v >> (al + 1)) != 0:  # already significant
+                        pending.append((v >> al) & 1)
+                        continue
+                    # newly significant
                     code, ln = table[(run << 4) | 1]
                     wtr.put(code, ln)
                     wtr.put(signs[i], 1)
                     _refine_flush(wtr, pending)
+                    pending = []
                     run = 0
                 # trailing positions: correction bits ride the EOB
                 trailing = [

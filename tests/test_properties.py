@@ -5,7 +5,7 @@ hand-picked cases miss."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -717,7 +717,7 @@ def test_png_roundtrip_property(h, w, rgb, interlace, seed, data):
     assert (out == img).all()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(
     hb=st.integers(1, 4),
     wb=st.integers(1, 4),
@@ -746,7 +746,7 @@ def test_jpeg_constant_block_exactness_property(hb, wb, restart, seed):
     assert out.dtype == np.uint8 and np.array_equal(out, img)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(
     h=st.integers(1, 20),
     w=st.integers(1, 20),
@@ -795,7 +795,7 @@ def test_wav_pcm_roundtrip_property(n, rate, seed):
     assert np.array_equal(got, pcm)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(
     h=st.integers(1, 24),
     w=st.integers(1, 24),
@@ -803,6 +803,10 @@ def test_wav_pcm_roundtrip_property(n, rate, seed):
     quality=st.sampled_from([10, 50, 85]),
     seed=st.integers(0, 2**31 - 1),
 )
+# Round-6 judge counterexample: AC-refinement desync — the encoder
+# re-emitted un-cleared correction bits and buffered bits across a
+# pending ZRL boundary (jpeg.py ac_refine_scan). Pinned forever.
+@example(h=7, w=9, rgb=False, quality=10, seed=207)
 def test_jpeg_progressive_equals_baseline_property(h, w, rgb, quality, seed):
     """For ANY image, decoding the progressive stream must be
     bit-identical to decoding the baseline stream at the same
