@@ -202,6 +202,24 @@ def _log_len(path: str, topic: str, partition: int) -> int:
         return sum(1 for _ in fh)
 
 
+def _check_data_loss(
+    requested: int, available: int, tp: str, fail: bool, what: str
+) -> int:
+    """Real-source out-of-range semantics: an explicit offset beyond
+    the log end is data loss — raise under failOnDataLoss=true (the
+    default, like format("kafka")), clamp to the available range under
+    false (the real source logs a warning and skips)."""
+    if requested <= available:
+        return requested
+    if fail:
+        raise ValueError(
+            f"everywhere_kafka: {what} offset {requested} for {tp} is out of"
+            f" range (log end {available}). Some data may have been lost."
+            " Set failOnDataLoss=false to continue with the available range."
+        )
+    return available
+
+
 class EverywhereKafkaBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -209,23 +227,45 @@ class EverywhereKafkaBatchReader(DataSourceReader):
         # real-source defaults for batch: earliest -> latest
         self.starting = _parse_offsets(options.get("startingOffsets"), "earliest")
         self.ending = _parse_offsets(options.get("endingOffsets"), "latest")
+        self.fail_on_data_loss = (
+            str(options.get("failOnDataLoss", "true")).lower() != "false"
+        )
 
     def partitions(self) -> Sequence[InputPartition]:
         parts = []
         for topic, p in _list_topic_partitions(self.path, self.topics):
+            n = _log_len(self.path, topic, p)
             if self.starting == "earliest":
                 start = 0
             elif self.starting == "latest":
-                start = _log_len(self.path, topic, p)
+                start = n
             else:
                 start = int(self.starting.get(topic, {}).get(str(p), 0))
+                # real JSON grammar: -1 = latest, -2 = earliest
+                if start == -1:
+                    start = n
+                elif start == -2:
+                    start = 0
+                else:
+                    start = _check_data_loss(
+                        start, n, f"{topic}-{p}", self.fail_on_data_loss,
+                        "starting",
+                    )
             if self.ending == "latest":
                 end = None
             elif self.ending == "earliest":
                 end = 0
             else:
                 e = self.ending.get(topic, {}).get(str(p))
-                end = int(e) if e is not None else None
+                if e is None or int(e) == -1:
+                    end = None
+                elif int(e) == -2:
+                    end = 0
+                else:
+                    end = _check_data_loss(
+                        int(e), n, f"{topic}-{p}", self.fail_on_data_loss,
+                        "ending",
+                    )
             parts.append(_TopicPartition(topic, p, start, end))
         return parts
 
@@ -248,6 +288,9 @@ class EverywhereKafkaStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.topics = [t.strip() for t in options["subscribe"].split(",")]
+        self.fail_on_data_loss = (
+            str(options.get("failOnDataLoss", "true")).lower() != "false"
+        )
 
     def _lengths(self) -> dict[str, int]:
         return {
@@ -266,9 +309,13 @@ class EverywhereKafkaStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         for tp, n in end.items():
             topic, _, part = tp.rpartition("-")
-            rows.extend(
-                _read_log(self.path, topic, int(part), int(start.get(tp, 0)), n)
+            # checkpointed offset beyond the log end = the broker lost
+            # data (e.g. truncated logs) — real-source resume semantics
+            s = _check_data_loss(
+                int(start.get(tp, 0)), n, tp, self.fail_on_data_loss,
+                "checkpointed",
             )
+            rows.extend(_read_log(self.path, topic, int(part), s, n))
         merged = dict(start)
         merged.update(end)
         return iter(rows), merged

@@ -1064,3 +1064,112 @@ def test_kafka_shim_offsets_resume_without_spark(tmp_path):
         bytes(t[1]).decode() for t in r.readBetweenOffsets(start, off3)
     )
     assert replay_all == ["v1", "v2", "v3", "v4"]
+
+
+def test_kafka_shim_out_of_range_offsets_data_loss_semantics(spark, tmp_path):
+    """Real-source parity for out-of-range offsets (VERDICT r6 item
+    #5): an explicit starting/ending offset beyond the log end is data
+    loss — the default failOnDataLoss=true RAISES (the shim previously
+    returned silently empty), failOnDataLoss=false clamps to the
+    available range. The stream reader applies the same rule to a
+    checkpointed offset beyond the log end (broker truncation)."""
+    import json as _json
+
+    import pytest
+
+    from etl_everywhere_hub_spark.sources.kafka_shim import (
+        EverywhereKafkaStreamReader,
+        register_everywhere_kafka,
+        write_broker_log,
+    )
+
+    register_everywhere_kafka(spark)
+    d = str(tmp_path / "broker")
+    write_broker_log(
+        iter([(f"k{i}", f"v{i}", 1000 + i) for i in range(6)]),
+        d, "t", num_partitions=1,
+    )  # log end = 6
+
+    def batch(start=None, end=None, fail=None):
+        rd = (spark.read.format("everywhere_kafka")
+              .option("path", d).option("subscribe", "t"))
+        if start is not None:
+            rd = rd.option("startingOffsets", _json.dumps({"t": {"0": start}}))
+        if end is not None:
+            rd = rd.option("endingOffsets", _json.dumps({"t": {"0": end}}))
+        if fail is not None:
+            rd = rd.option("failOnDataLoss", fail)
+        return rd.load()
+
+    # beyond-log-end start: default raises with a data-loss message
+    with pytest.raises(Exception, match="[Dd]ata.*lost|out of range"):
+        batch(start=99).collect()
+    # beyond-log-end end: same
+    with pytest.raises(Exception, match="[Dd]ata.*lost|out of range"):
+        batch(end=99).collect()
+    # failOnDataLoss=false: clamp, not silence-vs-raise asymmetry
+    assert batch(start=99, fail="false").count() == 0
+    assert batch(end=99, fail="false").count() == 6
+    # in-range offsets unaffected by the new guard
+    assert batch(start=2, end=5).count() == 3
+    # -1/-2 per-partition JSON grammar (real source): -2=earliest, -1=latest
+    assert batch(start=-2, end=-1).count() == 6
+    assert batch(start=-1).count() == 0
+
+    # stream resume past a truncated log: raise by default, clamp on false
+    r = EverywhereKafkaStreamReader({"path": d, "subscribe": "t"})
+    with pytest.raises(ValueError, match="out of range"):
+        r.read({"t-0": 99})
+    r2 = EverywhereKafkaStreamReader(
+        {"path": d, "subscribe": "t", "failOnDataLoss": "false"}
+    )
+    rows, off = r2.read({"t-0": 99})
+    assert list(rows) == [] and off == {"t-0": 6}
+
+
+def test_populate_events_broker_atomic_and_crash_safe(sf_dir):
+    """Crash-injection for the broker populate tooling (VERDICT r6
+    item #5): a partial broker dir left by a crashed writer (logs
+    written, no _COMPLETE marker) must be discarded and rebuilt — the
+    old existence check would have appended duplicate offsets into the
+    surviving partitions. Also: populate is idempotent (second call
+    changes nothing) and never leaves its temp dir behind."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_everywhere_hub_spark.streaming.jobs import populate_events_broker
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ee_kafka_broker_{key}")
+
+    def line_counts():
+        return {
+            os.path.basename(p): sum(1 for _ in open(p))
+            for p in sorted(glob.glob(os.path.join(d, "events-*.jsonl")))
+        }
+
+    assert populate_events_broker(sf_dir) == d
+    baseline = line_counts()
+    assert baseline and os.path.exists(os.path.join(d, "_COMPLETE"))
+
+    # idempotent rerun: byte-for-byte same counts
+    populate_events_broker(sf_dir)
+    assert line_counts() == baseline
+
+    # crash injection: marker missing, partitions 1..n written, 0 gone
+    os.remove(os.path.join(d, "_COMPLETE"))
+    os.remove(os.path.join(d, "events-0.jsonl"))
+    populate_events_broker(sf_dir)
+    assert line_counts() == baseline, "rerun duplicated offsets"
+    assert os.path.exists(os.path.join(d, "_COMPLETE"))
+    leftovers = glob.glob(d + ".tmp-*")
+    assert leftovers == [], f"temp dirs left behind: {leftovers}"
+
+    # legacy partial state (pre-marker layout): dir exists, no marker
+    os.remove(os.path.join(d, "_COMPLETE"))
+    populate_events_broker(sf_dir)
+    assert line_counts() == baseline
+    assert os.path.exists(os.path.join(d, "_COMPLETE"))
