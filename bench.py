@@ -107,6 +107,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     RUNS = 3
+    # Round-7 headline additions (VERDICT r6 #7): q139 (iterative graph)
+    # and q331 (mapInPandas codec). q139 pairs fairly — its oracle runs
+    # the same three power iterations in SQL. q331 does NOT enter the
+    # cross-engine ratio: its DuckDB oracle is a CORRECTNESS oracle
+    # (integer character arithmetic reproducing the checksums), not an
+    # equivalent workload — DuckDB never encodes or decodes a JPEG, so
+    # pairing it would compare a codec against an adder. It still runs,
+    # counts in the headline total, and chains prev_spark_s like every
+    # other query; its duckdb_s is recorded in the sidecar with
+    # ratio_excluded so the exclusion is visible, not silent.
+    RATIO_EXCLUDED = {"q331_jpeg_decode_real_pixels"}
     for name, q in sorted(headline_queries().items()):
         best = float("inf")
         for _ in range(RUNS):
@@ -132,13 +143,25 @@ def main() -> None:
             "duckdb_s": d_best,
             "prev_spark_s": prev.get(name),
         }
+        if name in RATIO_EXCLUDED:
+            detail[name]["ratio_excluded"] = "correctness oracle, not equivalent work"
 
     total = round(sum(timings.values()), 3)
     duck_total = round(
-        sum(d["duckdb_s"] for d in detail.values() if d["duckdb_s"] is not None), 3
+        sum(
+            d["duckdb_s"]
+            for n, d in detail.items()
+            if d["duckdb_s"] is not None and n not in RATIO_EXCLUDED
+        ),
+        3,
     )
     paired_spark = round(
-        sum(d["spark_s"] for d in detail.values() if d["duckdb_s"] is not None), 3
+        sum(
+            d["spark_s"]
+            for n, d in detail.items()
+            if d["duckdb_s"] is not None and n not in RATIO_EXCLUDED
+        ),
+        3,
     )
     ratio = round(paired_spark / duck_total, 3) if duck_total else None
 

@@ -5995,6 +5995,7 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id AS doc_id, r AS rank_micro FROM r3
     """,
+    headline=True,  # added r7: bench reflects the graph + codec surface
 )
 def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (operators/graph.py:pagerank_exact)
@@ -21147,6 +21148,7 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(CASE WHEN k = 15 THEN v END) AS BIGINT) AS last_px
     FROM px GROUP BY doc_id
     """,
+    headline=True,  # added r7: bench reflects the graph + codec surface
 )
 def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode under oracle — q329's PNG loop for

@@ -77,11 +77,16 @@ def test_registry_contract():
 
 
 # The cross-round bench comparison (BENCH_r{N}.json / BENCH_DETAIL.json)
-# is only meaningful if the denominator is stable: this is the exact
-# headline set of round 5. Deliberate additions/removals must edit this
-# list WITH a CHANGELOG note in BASELINE.md (VERDICT r5 #8 — gates the
-# bench headline set against silent shrinkage).
-HEADLINE_SET_R5 = {
+# is only meaningful if the denominator is stable: this is the round-5
+# set plus the two DELIBERATE round-7 additions (q139 iterative graph,
+# q331 mapInPandas codec — VERDICT r6 #7; CHANGELOG note in
+# BASELINE.md). Further additions/removals must edit this list WITH a
+# CHANGELOG note in BASELINE.md (VERDICT r5 #8 — gates the bench
+# headline set against silent shrinkage). prev_spark_s chaining stays
+# intact for the original 17; the two new names start with prev=null.
+HEADLINE_SET_R7 = {
+    "q139_pagerank_iterations",
+    "q331_jpeg_decode_real_pixels",
     "q01_pricing_summary",
     "q105_local_supplier_volume",
     "q116_bigram_lm_score",
@@ -112,12 +117,12 @@ def test_bench_headline_set_is_pinned():
 
     from etl_everywhere_hub_spark.queries import headline_queries
 
-    assert set(headline_queries()) == HEADLINE_SET_R5
+    assert set(headline_queries()) == HEADLINE_SET_R7
 
     sidecar = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
     if os.path.exists(sidecar):
         detail = json.load(open(sidecar)).get("queries_detail", {})
-        missing = HEADLINE_SET_R5 - set(detail)
+        missing = HEADLINE_SET_R7 - set(detail)
         assert missing == set(), f"headline queries absent from bench: {missing}"
 
 
