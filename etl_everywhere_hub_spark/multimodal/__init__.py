@@ -477,6 +477,29 @@ def extract_features_sql_contract(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, schema=FEATURES_ORACLE_SCHEMA)
 
 
+def spread_for_codec(df: DataFrame) -> DataFrame:
+    """CPU-parallelism guard for worker-side codec stages (round 7).
+
+    A mapInPandas codec stage inherits the SCAN's partitioning. At
+    production scale that is the right zero-exchange shape — a 100 TB
+    documents table yields thousands of input splits and the decode
+    parallelizes for free. But when the scan yields FEWER splits than
+    cores (small fixtures; a table written as a few huge files), the
+    CPU-bound codec work serializes onto those few cores — measured on
+    the sf0.1 fixture: documents.parquet is ONE split, so q331's JPEG
+    encode+decode of 5000 images ran single-threaded (3.4 s where 32
+    cores sat idle). One bounded exchange of (id, payload) — KBs to a
+    few MBs, trivially cheap next to the codec CPU — restores
+    parallelism. The guard keeps the scale story intact: when the scan
+    already has >= defaultParallelism splits, NO exchange is added and
+    the plan stays the pure map pipeline."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter: text payloads as binary media rows (the container has no
     real image fixtures; bytes are bytes to the plumbing).

@@ -551,8 +551,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_returnflag,
                COUNT(l_quantity) AS n,
-               SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sx,
-               SUM(CAST(floor((l_quantity * l_quantity) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sxx
+               SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / 1e4 AS sx,
+               SUM(CAST(floor((l_quantity * l_quantity) * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sxx
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -1772,8 +1772,8 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
         SELECT user_id,
                COUNT(value) AS n,
-               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sx,
-               SUM(CAST(floor(value * value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sxx
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sx,
+               SUM(CAST(floor(value * value * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sxx
         FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id, e.value,
@@ -4390,7 +4390,7 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COUNT(*) AS n_items,
            SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5)
-               AS BIGINT)) / 1000000.0 AS revenue
+               AS BIGINT)) / 1e6 AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -12830,8 +12830,8 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksummed per image. The oracle reproduces the tiling with pure
     character arithmetic (pixel k = text byte k mod n; valid by the
     documents_as_media ASCII contract). Same embarrassingly-parallel
-    mapInPandas shape as q210: zero shuffles before the per-image
-    aggregate. Closes the round-4 'real image decode' gap for
+    mapInPandas shape as q210, plus spread_for_codec's bounded
+    parallelism guard (the only exchange; no-op at scale). Closes the round-4 'real image decode' gap for
     uncompressed formats (multimodal/__init__.py:decode_image)."""
     import numpy as np
     import pandas as pd
@@ -12839,6 +12839,7 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_everywhere_hub_spark.multimodal import (
         decode_image,
         documents_as_media,
+        spread_for_codec,
     )
 
     # empty docs are excluded on BOTH sides (oracle: length(text) > 0;
@@ -12877,7 +12878,7 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
         render_decode,
         "media_id long, h int, w int, pix_sum long, r_sum long, "
         "first_r long, last_b long",
@@ -16685,7 +16686,8 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is hash-checked bin by bin.
 
     Scale shape: identical to q231/q210 — one embarrassingly-parallel
-    mapInPandas (Arrow batches, zero shuffles), histogram computed in
+    mapInPandas (Arrow batches; the only exchange is spread_for_codec's
+    bounded parallelism guard, a no-op at scale), histogram computed in
     numpy per image, 8 scalar columns out."""
     import numpy as np
     import pandas as pd
@@ -16693,6 +16695,7 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_everywhere_hub_spark.multimodal import (
         decode_image,
         documents_as_media,
+        spread_for_codec,
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
@@ -16720,7 +16723,7 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_id"] + [f"b{i}" for i in range(8)],
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
         render_hist,
         "media_id long, b0 long, b1 long, b2 long, b3 long, "
         "b4 long, b5 long, b6 long, b7 long",
@@ -21038,8 +21041,9 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
     NotImplementedError is now narrowed to JPEG/WebP/interlaced.
 
     Scale shape: identical to q231 — embarrassingly-parallel
-    mapInPandas, zero shuffles, codec runs worker-side per Arrow
-    batch; the driver never sees a pixel."""
+    mapInPandas, codec runs worker-side per Arrow batch; the driver
+    never sees a pixel. The only exchange is spread_for_codec's
+    bounded parallelism guard (no-op at scale)."""
     import numpy as np
     import pandas as pd
 
@@ -21047,6 +21051,7 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image,
         documents_as_media,
         encode_png,
+        spread_for_codec,
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
@@ -21085,7 +21090,7 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
         render_decode,
         "media_id long, h int, w int, pix_sum long, r_sum long, "
         "first_r long, last_b long",
@@ -21166,14 +21171,17 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in-task before checksumming.
 
     Scale shape: identical to q329 — embarrassingly-parallel
-    mapInPandas, zero shuffles, codec runs worker-side per Arrow
-    batch; the driver never sees a pixel."""
+    mapInPandas, codec runs worker-side per Arrow batch; the driver
+    never sees a pixel. The only exchange is spread_for_codec's
+    bounded parallelism guard (KBs of payload; a no-op once the scan
+    yields >= parallelism splits — multimodal.spread_for_codec)."""
     import numpy as np
     import pandas as pd
 
     from etl_everywhere_hub_spark.multimodal import (
         decode_image,
         documents_as_media,
+        spread_for_codec,
     )
     from etl_everywhere_hub_spark.multimodal.jpeg import encode_jpeg_baseline
 
@@ -21216,7 +21224,7 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
         render_decode,
         "media_id long, h int, w int, pix_sum long, wsum long, "
         "first_px long, last_px long",
@@ -21267,12 +21275,16 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes flowed into the image, position-weighted.
 
     Scale shape: identical to q329/q331 — embarrassingly-parallel
-    mapInPandas, zero shuffles, both codecs run worker-side per Arrow
-    batch; the driver never sees a pixel or a stream byte."""
+    mapInPandas, both codecs run worker-side per Arrow batch; the
+    driver never sees a pixel or a stream byte. The only exchange is
+    spread_for_codec's bounded parallelism guard (no-op at scale)."""
     import numpy as np
     import pandas as pd
 
-    from etl_everywhere_hub_spark.multimodal import documents_as_media
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        spread_for_codec,
+    )
     from etl_everywhere_hub_spark.multimodal.jpeg import (
         decode_jpeg_baseline,
         encode_jpeg_baseline,
@@ -21325,7 +21337,7 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
         prog_decode,
         "media_id long, quality int, n_scans int, n_diff long, "
         "in_sum long, in_wsum long",
