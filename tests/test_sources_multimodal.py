@@ -787,3 +787,24 @@ def test_jpeg_progressive_decode_equals_baseline():
     )
     out = decode_jpeg_baseline(p)
     assert out.shape == (8, 16) and (out == 128).all()
+
+
+def test_spread_for_codec_guard(spark):
+    """spread_for_codec (round 7): when the scan/source yields fewer
+    partitions than defaultParallelism, one repartition restores codec
+    CPU parallelism; when partitions already >= parallelism it is a
+    NO-OP — the exact same DataFrame object, no exchange added (the
+    production-scale path must stay a pure map pipeline)."""
+    from etl_everywhere_hub_spark.multimodal import spread_for_codec
+
+    par = spark.sparkContext.defaultParallelism
+
+    few = spark.range(1000).coalesce(1)
+    assert few.rdd.getNumPartitions() == 1
+    spread = spread_for_codec(few)
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == 1000  # no rows harmed
+
+    many = spark.range(1000).repartition(par + 4)
+    out = spread_for_codec(many)
+    assert out is many, "must be a no-op (same object) when splits >= cores"
