@@ -93,6 +93,12 @@ def main() -> None:
         "q116_bigram_lm_score",
         "q136_hashed_ngram_classifier",
         "q43_cosine_topk",
+        # the two round-7 bench-headline additions, measured on the
+        # same 10x fixture: q139's doc_id-chain graph gets 10x nodes
+        # and 10x edges (chains stay within each replica's contiguous
+        # id block); q331 decodes 10x images (spread_for_codec path)
+        "q139_pagerank_iterations",
+        "q331_jpeg_decode_real_pixels",
     ]
     out = {}
     for name in names:
