@@ -1472,7 +1472,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
     ), votes AS (
         SELECT doc_id, bit, SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS bit) bits
+        FROM hashed CROSS JOIN range(32) AS bits(bit)
         GROUP BY doc_id, bit
     )
     SELECT doc_id,
@@ -8559,7 +8559,7 @@ def _q170_sql(iters: int = 2) -> str:
         SELECT vec_id AS c, s.s,
                list_transform(range(8),
                               i -> embedding[s.s * 8 + i + 1]::DOUBLE) AS sub
-        FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS s) s
+        FROM embeddings CROSS JOIN range(8) AS s(s)
         WHERE vec_id < 4
     )"""]
     for k in range(iters):
@@ -8579,13 +8579,13 @@ def _q170_sql(iters: int = 2) -> str:
                               * 1000000 + 0.5) AS BIGINT)) AS sm,
                COUNT(*) AS n
         FROM a{k} a JOIN embeddings e USING (vec_id)
-        CROSS JOIN (SELECT unnest(range(8)) AS i) i
+        CROSS JOIN range(8) AS i(i)
         GROUP BY a.code, a.s, i.i
     ), cent{k + 1} AS (
         SELECT cp.c, cp.s,
                list(COALESCE(m.sm / 1000000.0 / m.n, cp.sub[ii.i + 1])
                     ORDER BY ii.i) AS sub
-        FROM cent{k} cp CROSS JOIN (SELECT unnest(range(8)) AS i) ii
+        FROM cent{k} cp CROSS JOIN range(8) AS ii(i)
         LEFT JOIN m{k} m ON m.c = cp.c AND m.s = cp.s AND m.i = ii.i
         GROUP BY cp.c, cp.s
     )""")
@@ -8614,7 +8614,7 @@ def _q170_sql(iters: int = 2) -> str:
                            - e.embedding[s.s * 8 + i + 1]::DOUBLE)),
                    (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS ed2m
         FROM embeddings e
-        CROSS JOIN (SELECT unnest(range(8)) AS s) s
+        CROSS JOIN range(8) AS s(s)
         CROSS JOIN qv
     )
     SELECT cd.vec_id,
@@ -11429,8 +11429,8 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
                             1)) AS v,
                i.i AS i, j.j AS j
         FROM documents
-        CROSS JOIN (SELECT unnest(range(8)) AS i) i
-        CROSS JOIN (SELECT unnest(range(8)) AS j) j
+        CROSS JOIN range(8) AS i(i)
+        CROSS JOIN range(8) AS j(j)
     )
     SELECT doc_id AS media_id, 8 AS h, 8 AS w,
            CAST(SUM(v) AS BIGINT) AS pix_sum,
@@ -12810,7 +12810,7 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, k.k AS k,
                ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
         FROM documents
-        CROSS JOIN (SELECT unnest(range(768)) AS k) k
+        CROSS JOIN range(768) AS k(k)
         WHERE length(text) > 0
     )
     SELECT doc_id AS media_id, 16 AS h, 16 AS w,
@@ -15211,7 +15211,7 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), votes AS (
         SELECT doc_id, bit,
                SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        FROM hashed CROSS JOIN (SELECT unnest(range(48)) AS bit) bits
+        FROM hashed CROSS JOIN range(48) AS bits(bit)
         GROUP BY doc_id, bit
     ), sig AS (
         SELECT doc_id,
@@ -15220,7 +15220,7 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM votes GROUP BY doc_id
     ), bands AS (
         SELECT doc_id, simhash, b, (simhash >> CAST(12 * b AS INTEGER)) & 4095 AS v
-        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bs
+        FROM sig CROSS JOIN range(4) AS bs(b)
     ), pairs AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
         FROM bands a JOIN bands b
@@ -15896,7 +15896,7 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
         SELECT s, ('0x' || substr(md5(tok || '|' || CAST(s AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos,
                CAST(COUNT(*) AS BIGINT) AS c
-        FROM tok CROSS JOIN (SELECT unnest(range(4)) AS s) seeds
+        FROM tok CROSS JOIN range(4) AS seeds(s)
         GROUP BY 1, 2
     ), heavy AS (
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -15905,7 +15905,7 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), probes AS (
         SELECT h.tok, h.cnt, s.s,
                ('0x' || substr(md5(h.tok || '|' || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos
-        FROM heavy h CROSS JOIN (SELECT unnest(range(4)) AS s) s
+        FROM heavy h CROSS JOIN range(4) AS s(s)
     )
     SELECT p.tok AS tok, p.cnt AS cnt,
            CAST(MIN(c.c) AS BIGINT) AS est_cms,
@@ -16654,7 +16654,7 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
                ascii(substr(text, ((3 * p.p + 1) % length(text)) + 1, 1)) AS g,
                ascii(substr(text, ((3 * p.p + 2) % length(text)) + 1, 1)) AS b
         FROM documents
-        CROSS JOIN (SELECT unnest(range(256)) AS p) p
+        CROSS JOIN range(256) AS p(p)
         WHERE length(text) > 0
     ), lum AS (
         SELECT doc_id,
@@ -16883,7 +16883,7 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pos AS (
         SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
                                CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 65536 AS p
-        FROM keys CROSS JOIN (SELECT unnest(range(3)) AS s) s
+        FROM keys CROSS JOIN range(3) AS s(s)
     ), bits AS (
         SELECT DISTINCT p FROM pos
     ), nonmembers AS (
@@ -16892,7 +16892,7 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.c_custkey,
                SUM(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) AS hits
         FROM nonmembers n
-        CROSS JOIN (SELECT unnest(range(3)) AS s) s
+        CROSS JOIN range(3) AS s(s)
         LEFT JOIN bits b
           ON b.p = ('0x' || substr(md5(CAST(n.c_custkey AS VARCHAR) || '|' ||
                                    CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 65536
@@ -21016,7 +21016,7 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, k.k AS k,
                ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
         FROM documents
-        CROSS JOIN (SELECT unnest(range(768)) AS k) k
+        CROSS JOIN range(768) AS k(k)
         WHERE length(text) > 0
     )
     SELECT doc_id AS media_id, 16 AS h, 16 AS w,
@@ -21143,7 +21143,7 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, k.k AS k,
                ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
         FROM documents
-        CROSS JOIN (SELECT unnest(range(16)) AS k) k
+        CROSS JOIN range(16) AS k(k)
         WHERE length(text) > 0
     )
     SELECT doc_id AS media_id, 32 AS h, 32 AS w,
@@ -21238,7 +21238,7 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, k.k AS k,
                ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
         FROM documents
-        CROSS JOIN (SELECT unnest(range(64)) AS k) k
+        CROSS JOIN range(64) AS k(k)
         WHERE length(text) > 0
     )
     SELECT doc_id AS media_id,
