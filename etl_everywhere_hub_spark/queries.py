@@ -5831,7 +5831,7 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b,
                ('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
                    % 1001 - 500 AS w_milli
-        FROM generate_series(0, 1023) t(b)
+        FROM range(0, 1024) AS t(b)
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
@@ -6250,7 +6250,7 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (1 - 2 * (('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
                                               CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2))
                ) AS BIGINT) AS s
-        FROM el CROSS JOIN generate_series(1, 8) t(j)
+        FROM el CROSS JOIN range(1, 9) AS t(j)
         GROUP BY vec_id, j
     )
     SELECT vec_id, j, s / 1000000.0 AS y
@@ -7062,7 +7062,7 @@ def _resample8(e: DataFrame) -> DataFrame:
     ), sampled AS (
         SELECT p.user_id, j.j, p.x, p.y
         FROM pts p
-        JOIN generate_series(1, 8) j(j)
+        JOIN range(1, 9) AS j(j)
           ON p.rn = CAST(floor((j.j - 1) * (p.n - 1) / 7.0) AS BIGINT) + 1
         WHERE p.n >= 8
     ), pairs AS (
@@ -7454,7 +7454,7 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sampled AS (
         SELECT p.user_id, j.j, p.x, p.y
         FROM pts p
-        JOIN generate_series(1, 8) j(j)
+        JOIN range(1, 9) AS j(j)
           ON p.rn = CAST(floor((j.j - 1) * (p.n - 1) / 7.0) AS BIGINT) + 1
         WHERE p.n >= 8
     ), pairs AS (
@@ -11217,7 +11217,7 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b,
                ('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
                    % 1001 - 500 AS w_milli
-        FROM generate_series(0, 1023) t(b)
+        FROM range(0, 1024) AS t(b)
     ), scores AS (
         SELECT doc_id, SUM(w_milli) > 0 AS pred
         FROM bucketed JOIN weights USING (b)
