@@ -4,10 +4,10 @@ SURVEY §3 claims every entry point converges on the same plans — the
 DataFrame API, and SQL over registered views. Every registry query
 already ships an ANSI oracle string that DuckDB executes; this tool
 feeds that SAME string to ``spark.sql()`` over ``register_views`` temp
-views and compares the result to the DataFrame-API result with the
-driver's canonicalization. Since the existing oracle gate proves
-DataFrame == DuckDB, a MATCH here proves the three-way equality
-Spark-SQL == DataFrame == DuckDB.
+views and compares the result to DUCKDB's result for the same string
+(canon_parity). Since the existing oracle gate proves
+DataFrame == DuckDB, a MATCH here closes the three-way equality
+Spark-SQL == DuckDB == DataFrame.
 
 Output: one line per query (MATCH / NONPORTABLE:<category> /
 MISMATCH) and a JSON summary. The pinned portable set lives in
