@@ -820,3 +820,23 @@ def test_q311_fifo_allocation_is_merge_not_join(spark, sf_dir):
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan, f"{node} in q311 plan:\n{plan[:2000]}"
+
+
+def test_codec_queries_carry_only_the_spread_exchange(spark, sf_dir):
+    """Round-7 spread_for_codec shape pin: the payload-codec queries'
+    plans are MapInPandas over the scan with AT MOST ONE exchange —
+    the bounded parallelism spread — and never a join or aggregation
+    shuffle before the decode. A second exchange appearing here means
+    someone broke the pure-map codec pipeline."""
+    for name in [
+        "q231_ppm_decode_real_pixels",
+        "q282_image_luminance_histogram",
+        "q329_png_decode_real_pixels",
+        "q331_jpeg_decode_real_pixels",
+        "q332_jpeg_progressive_decode_nontrivial",
+    ]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = X.physical_plan(df)
+        assert "MapInPandas" in plan, (name, plan[:1500])
+        assert X.exchange_count(df) <= 1, (name, plan[:1500])
+        assert not X.has_cartesian(df), name
