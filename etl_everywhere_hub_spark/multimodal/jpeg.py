@@ -656,6 +656,39 @@ def _next_marker_pos(d: bytes, p: int) -> int:
     return len(d)
 
 
+def count_sos_scans(d: bytes) -> int:
+    """Number of SOS scans in a JPEG stream, counted by walking marker
+    segments — skipping each header segment by its length field and
+    each entropy-coded span by the byte-stuffing rules — instead of a
+    raw ``count(b"\\xff\\xda")`` substring search (ADVICE r7: a raw
+    search silently couples the count to table segment CONTENTS, and
+    would miscount if a DQT/DHT value pair ever formed FF DA)."""
+    n = 0
+    p = 2  # past SOI
+    end = len(d)
+    while p + 1 < end:
+        if d[p] != 0xFF:
+            p += 1  # garbage between segments: resync on FF
+            continue
+        m = d[p + 1]
+        if m in (0xFF, 0x00):  # fill byte / stuffed-zero remnant
+            p += 1
+            continue
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / RSTn: standalone
+            p += 2
+            continue
+        if p + 3 >= end:
+            break
+        seg_len = (d[p + 2] << 8) | d[p + 3]
+        p += 2 + seg_len
+        if m == 0xDA:  # SOS: entropy data follows the header
+            n += 1
+            p = _next_marker_pos(d, p)
+    return n
+
+
 def _comp_blocks(fh, fw, hs, vs, hmax, vmax):
     """(true_block_rows, true_block_cols, padded_rows, padded_cols)
     for one component: true counts per A.1.1 (component dims are
@@ -1186,8 +1219,7 @@ def encode_jpeg_progressive(
                     while run > 15:
                         code, ln = table[0xF0]
                         wtr.put(code, ln)
-                        _refine_flush(wtr, pending)
-                        pending = []
+                        _refine_flush(wtr, pending)  # clears in place
                         run -= 16
                     if (v >> (al + 1)) != 0:  # already significant
                         pending.append((v >> al) & 1)
@@ -1196,8 +1228,7 @@ def encode_jpeg_progressive(
                     code, ln = table[(run << 4) | 1]
                     wtr.put(code, ln)
                     wtr.put(signs[i], 1)
-                    _refine_flush(wtr, pending)
-                    pending = []
+                    _refine_flush(wtr, pending)  # clears in place
                     run = 0
                 # trailing positions: correction bits ride the EOB
                 trailing = [

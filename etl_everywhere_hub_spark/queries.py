@@ -21286,6 +21286,7 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_for_codec,
     )
     from etl_everywhere_hub_spark.multimodal.jpeg import (
+        count_sos_scans,
         decode_jpeg_baseline,
         encode_jpeg_baseline,
         encode_jpeg_progressive,
@@ -21314,7 +21315,7 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prog = encode_jpeg_progressive(img, quality=quality)
                 base = encode_jpeg_baseline(img, quality=quality)
                 assert prog[:2] == b"\xff\xd8" and prog[-2:] == b"\xff\xd9"
-                n_scans = prog.count(b"\xff\xda")
+                n_scans = count_sos_scans(prog)
                 out_p = decode_jpeg_baseline(prog)
                 out_b = decode_jpeg_baseline(base)
                 assert out_p.shape == img.shape and out_p.dtype == np.uint8

@@ -234,21 +234,31 @@ class EverywhereKafkaBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         parts = []
         for topic, p in _list_topic_partitions(self.path, self.topics):
-            n = _log_len(self.path, topic, p)
+            # _log_len is a full line-count scan of the partition log —
+            # planning-time I/O. Only the latest keyword, -1 keyword
+            # offsets, and the explicit-offset data-loss check need it;
+            # the default earliest->latest path never does.
+            n_cache: list[int | None] = [None]
+
+            def n() -> int:
+                if n_cache[0] is None:
+                    n_cache[0] = _log_len(self.path, topic, p)
+                return n_cache[0]
+
             if self.starting == "earliest":
                 start = 0
             elif self.starting == "latest":
-                start = n
+                start = n()
             else:
                 start = int(self.starting.get(topic, {}).get(str(p), 0))
                 # real JSON grammar: -1 = latest, -2 = earliest
                 if start == -1:
-                    start = n
+                    start = n()
                 elif start == -2:
                     start = 0
                 else:
                     start = _check_data_loss(
-                        start, n, f"{topic}-{p}", self.fail_on_data_loss,
+                        start, n(), f"{topic}-{p}", self.fail_on_data_loss,
                         "starting",
                     )
             if self.ending == "latest":
@@ -263,7 +273,7 @@ class EverywhereKafkaBatchReader(DataSourceReader):
                     end = 0
                 else:
                     end = _check_data_loss(
-                        int(e), n, f"{topic}-{p}", self.fail_on_data_loss,
+                        int(e), n(), f"{topic}-{p}", self.fail_on_data_loss,
                         "ending",
                     )
             parts.append(_TopicPartition(topic, p, start, end))

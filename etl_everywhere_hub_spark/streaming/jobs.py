@@ -81,6 +81,7 @@ def populate_events_broker(sf_dir: str, num_partitions: int = 4) -> str:
     leave a half-written broker that a rerun would append duplicate
     offsets into (write_broker_log opens logs in append mode), and a
     stale partial dir from a crashed writer is discarded."""
+    import glob
     import hashlib
     import json as _json
     import os
@@ -93,10 +94,44 @@ def populate_events_broker(sf_dir: str, num_partitions: int = 4) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"ee_kafka_broker_{key}")
     marker = os.path.join(d, "_COMPLETE")
+    # clean up orphaned scratch dirs from crashed writers (a crash
+    # between write_broker_log and the rename below leaves {d}.tmp-pid
+    # behind forever) — but never a live concurrent writer's
+    for stale in glob.glob(f"{d}.tmp-*") + glob.glob(f"{d}.stale-*"):
+        try:
+            pid = int(stale.rsplit("-", 1)[1])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid: leave it
     if os.path.exists(marker):
         return d
-    if os.path.exists(d):  # partial state from a crashed writer
-        shutil.rmtree(d)
+    if os.path.exists(d):
+        # Partial state from a crashed writer — but between the marker
+        # check above and removal, a concurrent populate may have
+        # renamed a COMPLETE dir into place (the TOCTOU in ADVICE r7).
+        # Rename-to-quarantine first: rename is atomic against the
+        # concurrent tmp->d rename, so whichever dir we actually grab
+        # can be inspected at leisure, and a COMPLETE dir is never
+        # destroyed.
+        quarantine = f"{d}.stale-{os.getpid()}"
+        try:
+            os.rename(d, quarantine)
+        except OSError:
+            pass  # a concurrent writer already replaced or removed it
+        else:
+            if os.path.exists(os.path.join(quarantine, "_COMPLETE")):
+                # we grabbed a concurrently-completed dir: put it back
+                # (or drop ours if yet another complete dir won d)
+                try:
+                    os.rename(quarantine, d)
+                except OSError:
+                    shutil.rmtree(quarantine)
+                return d
+            shutil.rmtree(quarantine)
+    if os.path.exists(marker):
+        return d
     con = duckdb.connect()
     rows = con.sql(
         "SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,"

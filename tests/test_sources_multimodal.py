@@ -789,6 +789,38 @@ def test_jpeg_progressive_decode_equals_baseline():
     assert out.shape == (8, 16) and (out == 128).all()
 
 
+def test_count_sos_scans_walks_segments():
+    """count_sos_scans (ADVICE r7): scan counting must walk marker
+    segments, not substring-search FF DA — a comment/table segment
+    whose PAYLOAD happens to contain the FF DA byte pair must not be
+    counted as a scan. Also pins the real counts on both encoders
+    (1 baseline; 10 progressive RGB / 6 gray per the scan script)."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        count_sos_scans,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rgb = (np.arange(24 * 24 * 3) % 251).astype(np.uint8).reshape(24, 24, 3)
+    gray = rgb[:, :, 0].copy()
+    base = encode_jpeg_baseline(rgb, quality=50)
+    assert count_sos_scans(base) == 1
+    assert count_sos_scans(encode_jpeg_progressive(rgb, quality=50)) == 10
+    assert count_sos_scans(encode_jpeg_progressive(gray, quality=50)) == 6
+
+    # adversarial: a COM segment whose payload contains FF DA — the
+    # raw substring count sees 2 scans, the segment walk sees 1, and
+    # the decoder still decodes the stream
+    com = b"\xff\xfe" + (2 + 4).to_bytes(2, "big") + b"ab\xff\xda"
+    crafted = base[:2] + com + base[2:]
+    assert crafted.count(b"\xff\xda") == 2  # the trap the walk avoids
+    assert count_sos_scans(crafted) == 1
+    assert decode_jpeg_baseline(crafted).shape == (24, 24, 3)
+
+
 def test_spread_for_codec_guard(spark):
     """spread_for_codec (round 7): when the scan/source yields fewer
     partitions than defaultParallelism, one repartition restores codec

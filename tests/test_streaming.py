@@ -1173,3 +1173,16 @@ def test_populate_events_broker_atomic_and_crash_safe(sf_dir):
     populate_events_broker(sf_dir)
     assert line_counts() == baseline
     assert os.path.exists(os.path.join(d, "_COMPLETE"))
+
+    # orphan hygiene (ADVICE r7): a scratch dir abandoned by a DEAD
+    # writer (crash between write_broker_log and rename) is swept on
+    # the next populate; a LIVE writer's scratch dir is left alone
+    dead = f"{d}.tmp-999999999"  # pid can't exist (> kernel pid_max)
+    live = f"{d}.tmp-{os.getpid()}"
+    os.makedirs(dead, exist_ok=True)
+    os.makedirs(live, exist_ok=True)
+    populate_events_broker(sf_dir)
+    assert not os.path.exists(dead), "dead writer's scratch not swept"
+    assert os.path.exists(live), "live writer's scratch was destroyed"
+    shutil.rmtree(live)
+    assert line_counts() == baseline
