@@ -6005,7 +6005,13 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     three iterations bit-exact against the oracle's unrolled CTEs;
     both engines compute identical floor divisions (non-negative
     operands). Per iteration the plan is join + groupBy + left join —
-    bounded, AQE-sized shuffles, lineage truncated each round."""
+    bounded, AQE-sized shuffles. The out-degree join is folded into
+    edge prep once (iteration-invariant) and, because the iteration
+    count is small and FIXED, intermediate lineage truncation is off
+    (checkpoint_every=0): three rounds of joins is a shallow plan,
+    Spark reuses the materialized edge exchange across rounds, and
+    each eager checkpoint would be a blocking job of pure scheduling
+    floor (VERDICT r7 item #2 — measured 1.2 s -> 0.8 s at sf0.1)."""
     from etl_everywhere_hub_spark.operators.graph import pagerank_exact
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -6023,7 +6029,7 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = d.select(F.col("doc_id").alias("id"))
-    ranks = pagerank_exact(nodes, edges, iters=3)
+    ranks = pagerank_exact(nodes, edges, iters=3, checkpoint_every=0)
     return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank_micro"))
 
 
