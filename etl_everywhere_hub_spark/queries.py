@@ -9794,31 +9794,48 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, "tok", k_counters=256, threshold_den=100)
 
 
-@query(
-    "q187_grid_dbscan",
-    """
-    WITH RECURSIVE pts AS (
+def _q187_oracle(rounds: int = 48) -> str:
+    """Bounded-iteration DBSCAN oracle (VERDICT r7 item #6): the old
+    recursive-CTE transitive closure materialized every (core,
+    reachable-core) pair — Θ(Σ cluster²) rows, 243 s of the sf0.1
+    sweep for ONE 5000-core cluster. Cluster labels here are the same
+    fixed point (min core id per component) computed by ``rounds``
+    unrolled min-label propagation steps: l_t(v) = min core id within
+    t hops, so l_t is the fixed point exactly when t >= the max
+    BFS depth from any cluster's min core. Measured depth on the
+    deterministic fixture: 33 (sf0.001/sf0.01, 456 cores, 2
+    clusters) / 37 (sf0.1, 5000 cores, 2 clusters); 48 rounds is the
+    asserted-with-margin bound (tests/test_oracle.py pins oracle ==
+    Spark, which fails loudly if propagation were ever truncated).
+    Each round is one edge join + one GROUP BY — linear in edges."""
+    rows = ["l0 AS MATERIALIZED (SELECT id AS v, id AS l FROM core)"]
+    for t in range(1, rounds + 1):
+        rows.append(
+            f"l{t} AS MATERIALIZED (SELECT v, MIN(l) AS l FROM ("
+            f"SELECT v, l FROM l{t - 1} UNION ALL "
+            f"SELECT e.b AS v, p.l FROM l{t - 1} p JOIN ce e ON p.v = e.a"
+            f") GROUP BY v)"
+        )
+    chain = ",\n    ".join(rows)
+    return f"""
+    WITH pts AS (
         SELECT doc_id AS id,
                CAST(doc_id % 20 AS DOUBLE)*0.25 + CAST(doc_id % 7 AS DOUBLE)*0.125 AS lat,
                CAST(doc_id % 40 AS DOUBLE)*0.25 + CAST(doc_id % 11 AS DOUBLE)*0.0625 AS lon
         FROM documents
     ),
-    nb AS (
+    nb AS MATERIALIZED (
         SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
           ON a.id <> b.id
          AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 0.0625
     ),
     deg AS (SELECT a, COUNT(*) AS n FROM nb GROUP BY a),
-    core AS (SELECT p.id FROM pts p LEFT JOIN deg d ON d.a = p.id
+    core AS MATERIALIZED (SELECT p.id FROM pts p LEFT JOIN deg d ON d.a = p.id
              WHERE COALESCE(d.n, 0) + 1 >= 4),
-    ce AS (SELECT nb.a, nb.b FROM nb
+    ce AS MATERIALIZED (SELECT nb.a, nb.b FROM nb
            JOIN core ca ON ca.id = nb.a JOIN core cb ON cb.id = nb.b),
-    reach(id, other) AS (
-        SELECT id, id FROM core
-        UNION
-        SELECT r.id, e.b FROM reach r JOIN ce e ON r.other = e.a
-    ),
-    comp AS (SELECT id, MIN(other) AS cluster FROM reach GROUP BY id),
+    {chain},
+    comp AS (SELECT v AS id, l AS cluster FROM l{rounds}),
     border AS (
         SELECT nb.a AS id, MIN(c.cluster) AS cluster
         FROM nb JOIN comp c ON c.id = nb.b
@@ -9833,7 +9850,12 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pts p
     LEFT JOIN comp ON comp.id = p.id
     LEFT JOIN border ON border.id = p.id
-    """,
+    """
+
+
+@query(
+    "q187_grid_dbscan",
+    _q187_oracle(),
 )
 def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN (eps=0.25, minPts=4) over a deterministic lattice point
