@@ -49,9 +49,253 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+# ---------------------------------------------------------------------------
+# Portable-SQL macros (round 8, VERDICT r7 item #1)
+#
+# Every oracle string must run VERBATIM on both DuckDB (the correctness
+# driver) and spark.sql() (the three-way parity gate,
+# tests/test_sql_parity.py). A handful of concepts have no shared
+# function name in the two dialects, but DO have an exact shared
+# arithmetic expansion. Those are written in the oracle source as a
+# named macro call and expanded ONCE here, at registration time — the
+# registered Query.oracle is the fully-expanded, engine-portable string
+# (both engines always receive the identical expanded text; there is no
+# per-engine branch anywhere).
+#
+# Macros (function-shaped, balanced-paren args, expanded innermost-out):
+#   epoch_ms(ts)  -> milliseconds since epoch of a TIMESTAMP/DATE expr.
+#       Spark has unix_millis, DuckDB has epoch_ms — no shared name.
+#       Expansion: days-since-epoch from extract(YEAR/DOY) (Gregorian
+#       leap-count arithmetic, exact for positive years), seconds from
+#       extract(HOUR/MINUTE/SECOND) (CAST .. AS INT truncates the
+#       fractional seconds in both engines), and the millisecond part
+#       parsed from CAST(ts AS VARCHAR(30)) — probed: both engines
+#       render '.179575'/'.17957'/'.1' identically (trailing zeros
+#       trimmed, '.' absent for whole seconds). Verified bit-equal to
+#       DuckDB's native epoch_ms on every fixture row and on
+#       leap-day/century edge cases.
+#   epoch_us(ts)  -> microseconds since epoch (same skeleton, 6-digit
+#       fraction pad).
+#   md5i64(x)     -> first 15 hex chars of md5(x) as a non-negative
+#       int64 (60 bits). DuckDB spells it ('0x'||substr(md5(x),1,15))
+#       ::BIGINT and Spark spells it conv(...,16,10) — no shared
+#       spelling, but Horner's rule over instr('0123456789abcdef', ..)
+#       digit positions is pure BIGINT arithmetic in both.
+# ---------------------------------------------------------------------------
+
+
+def _pms_sql(e: str, unit_ms: bool = True) -> str:
+    y = f"extract(YEAR FROM {e})"
+    doy = f"extract(DOY FROM {e})"
+    days = (
+        f"(({y} - 1970) * 365 + (CAST(floor(({y} - 1) / 4) AS BIGINT)"
+        f" - CAST(floor(({y} - 1) / 100) AS BIGINT)"
+        f" + CAST(floor(({y} - 1) / 400) AS BIGINT) - 477) + {doy} - 1)"
+    )
+    secs = (
+        f"(CAST({days} AS BIGINT) * 86400 + extract(HOUR FROM {e}) * 3600"
+        f" + extract(MINUTE FROM {e}) * 60 + CAST(extract(SECOND FROM {e}) AS INT))"
+    )
+    width, scale = (3, 1000) if unit_ms else (6, 1000000)
+    frac = (
+        f"CAST(substr(split_part(CAST({e} AS VARCHAR(30)), '.', 2) ||"
+        f" '{'0' * width}', 1, {width}) AS INT)"
+    )
+    return f"(CAST({secs} AS BIGINT) * {scale} + {frac})"
+
+
+def _md5int_sql(e: str, width: int = 15) -> str:
+    h = f"substr(md5({e}), 1, {width})"
+    acc = f"CAST(instr('0123456789abcdef', substr({h}, 1, 1)) - 1 AS BIGINT)"
+    for i in range(2, width + 1):
+        acc = f"({acc} * 16 + instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    return acc
+
+
+_SQL_MACROS = {
+    "epoch_ms": lambda a: _pms_sql(a, unit_ms=True),
+    "epoch_us": lambda a: _pms_sql(a, unit_ms=False),
+    "md5i64": lambda a: _md5int_sql(a, 15),
+    "md5i52": lambda a: _md5int_sql(a, 13),  # 13 hex chars (52 bits)
+}
+
+
+def _intdiv_sql(left: str, right: str) -> str:
+    """Portable integer TRUNC division (DuckDB's `//` on BIGINTs).
+
+    `(L - L % R) / R` — `%` is trunc-signed in both engines, the
+    subtraction makes the numerator exactly divisible, and the double
+    division is then exact for |L| < 2^53 (every oracle site is ppm /
+    bucket / rank arithmetic well under that; the two sketch oracles
+    whose numerators exceed 2^53 pre-reduce by shifting, see q260/q290).
+    Spelled with floor() when both operands are non-negative? No — one
+    uniform trunc spelling keeps negative-dividend sites (score diffs,
+    deltas) bit-identical to DuckDB's native `//`."""
+    return f"CAST((({left}) - ({left}) % ({right})) / ({right}) AS BIGINT)"
+
+
+_IDENT = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.")
+
+
+def _scan_primary_back(sql: str, i: int) -> int:
+    """Return start index of the primary expression ending just before
+    position i (exclusive). Handles identifiers/numbers (with dotted
+    qualifiers), string literals, and balanced ()/[] groups prefixed by
+    an optional function name."""
+    while i > 0 and sql[i - 1] in " \t\n":
+        i -= 1
+    if i > 0 and sql[i - 1] in ")]":
+        close, open_ = (")", "(") if sql[i - 1] == ")" else ("]", "[")
+        depth = 0
+        j = i - 1
+        while j >= 0:
+            if sql[j] == close:
+                depth += 1
+            elif sql[j] == open_:
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        # what precedes the group? skip whitespace, read the word
+        k = j
+        while k > 0 and sql[k - 1] in " \t\n":
+            k -= 1
+        w = k
+        while w > 0 and sql[w - 1] in _IDENT:
+            w -= 1
+        word = sql[w:k]
+        if word.upper() in ("OVER", "FILTER"):
+            # window / FILTER clause: the primary is the whole
+            # `<call> OVER (...)` expression — absorb the keyword and
+            # recurse for the call before it
+            return _scan_primary_back(sql, w)
+        if k == j and word:
+            return w  # function call / array index: include the name
+        return j
+    if i > 0 and sql[i - 1] == "'":
+        j = i - 2
+        while j >= 0 and sql[j] != "'":
+            j -= 1
+        return j
+    j = i
+    while j > 0 and sql[j - 1] in _IDENT:
+        j -= 1
+    return j
+
+
+def _scan_primary_fwd(sql: str, i: int) -> int:
+    """Return end index (exclusive) of the primary starting at/after i."""
+    n = len(sql)
+    while i < n and sql[i] in " \t\n":
+        i += 1
+    if i < n and sql[i] == "-":  # unary minus
+        i += 1
+        while i < n and sql[i] in " \t\n":
+            i += 1
+    if i < n and sql[i] == "'":
+        j = i + 1
+        while j < n and sql[j] != "'":
+            j += 1
+        return j + 1
+    if i < n and sql[i] == "(":
+        depth = 0
+        j = i
+        while j < n:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        return j + 1
+    j = i
+    while j < n and sql[j] in _IDENT:
+        j += 1
+    # function call (incl. CAST(... AS T)) or array index suffixes
+    while j < n and sql[j] in "([":
+        close = ")" if sql[j] == "(" else "]"
+        open_ = sql[j]
+        depth = 0
+        while j < n:
+            if sql[j] == open_:
+                depth += 1
+            elif sql[j] == close:
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        j += 1
+    return j
+
+
+def _expand_intdiv(sql: str) -> str:
+    """Rewrite every infix `//` (DuckDB trunc int-division — no Spark
+    spelling) into the portable _intdiv_sql form. Left operand =
+    the whole preceding multiplicative chain (`a * b // c` divides the
+    product); right operand = one primary (`//` is left-associative)."""
+    while True:
+        i = sql.find("//")
+        if i < 0:
+            return sql
+        # left: walk back through the multiplicative chain
+        start = _scan_primary_back(sql, i)
+        while True:
+            k = start
+            while k > 0 and sql[k - 1] in " \t\n":
+                k -= 1
+            if k > 0 and sql[k - 1] in "*/%":
+                start = _scan_primary_back(sql, k - 1)
+            else:
+                break
+        end = _scan_primary_fwd(sql, i + 2)
+        left = sql[start:i].strip()
+        right = sql[i + 2 : end].strip()
+        sql = sql[:start] + _intdiv_sql(left, right) + sql[end:]
+
+
+def _expand_macros(sql: str) -> str:
+    """Expand the named portable macros in an oracle string (innermost
+    call first so nested occurrences in the argument are already
+    expanded). Plain text scan + paren matching; macro names never
+    appear inside string literals in this codebase's oracles."""
+    sql = _expand_intdiv(sql)
+    changed = True
+    while changed:
+        changed = False
+        for name, fn in _SQL_MACROS.items():
+            i = 0
+            while True:
+                i = sql.find(name + "(", i)
+                if i < 0:
+                    break
+                if i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_"):
+                    i += len(name)
+                    continue
+                depth, j = 0, i + len(name)
+                while j < len(sql):
+                    if sql[j] == "(":
+                        depth += 1
+                    elif sql[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                arg = sql[i + len(name) + 1 : j]
+                if any(m + "(" in arg for m in _SQL_MACROS):
+                    i = i + len(name) + 1  # expand the inner call first
+                    continue
+                sql = sql[:i] + fn(arg.strip()) + sql[j + 1 :]
+                changed = True
+                break
+    return sql
+
+
 def query(name: str, oracle: str | None, headline: bool = False):
     def deco(fn: SparkFn) -> SparkFn:
-        REGISTRY[name] = Query(name, fn, oracle, headline)
+        REGISTRY[name] = Query(
+            name, fn, None if oracle is None else _expand_macros(oracle), headline
+        )
         return fn
 
     return deco
@@ -1405,7 +1649,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
     hashed AS (
-        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+        SELECT doc_id, md5i64(shingle) % 2147483647 AS h0
         FROM sh
     ),
     seeds(seed, a, b) AS (
@@ -1469,7 +1713,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents WHERE source = 'src0'
     ), hashed AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+        SELECT doc_id, md5i64(tok) AS h FROM tok
     ), votes AS (
         SELECT doc_id, bit, SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
         FROM hashed CROSS JOIN range(32) AS bits(bit)
@@ -2431,9 +2675,9 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH assigned AS (
         SELECT doc_id, lang,
-               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+               CASE WHEN md5i64(CAST(doc_id AS VARCHAR)) % 10 < 8
                     THEN 'train'
-                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 9
+                    WHEN md5i64(CAST(doc_id AS VARCHAR)) % 10 < 9
                     THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
@@ -2464,7 +2708,7 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH blocked AS (
         SELECT doc_id,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS block,
+               md5i64(CAST(doc_id AS VARCHAR)) % 8 AS block,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
         FROM documents
     ), packed AS (
@@ -3701,7 +3945,7 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ln(u)/w with u a fixed md5-derived uniform — larger weights win more
 # often, fully reproducible, no RNG state. Shared key shape:
 _Q98_KEY = (
-    "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)"
+    "ln((md5i52(CAST(doc_id AS VARCHAR)) + 1)"
     " / 4503599627370497.0) / n_chars"
 )
 _Q98_KEY_SPARK = (
@@ -5825,11 +6069,11 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), bucketed AS (
         SELECT doc_id,
-               ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b
+               md5i64(term) % 1024 AS b
         FROM tok
     ), weights AS (
         SELECT b,
-               ('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+               md5i64('w|' || CAST(b AS VARCHAR))
                    % 1001 - 500 AS w_milli
         FROM range(0, 1024) AS t(b)
     )
@@ -5927,13 +6171,13 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            md5(text) AS payload_md5,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           (('0x' || substr(md5(md5(text) || '|0'), 1, 15))::BIGINT % 1000000)
+           (md5i64(md5(text) || '|0') % 1000000)
                / 1000000.0 AS feat0,
-           (('0x' || substr(md5(md5(text) || '|1'), 1, 15))::BIGINT % 1000000)
+           (md5i64(md5(text) || '|1') % 1000000)
                / 1000000.0 AS feat1,
-           (('0x' || substr(md5(md5(text) || '|2'), 1, 15))::BIGINT % 1000000)
+           (md5i64(md5(text) || '|2') % 1000000)
                / 1000000.0 AS feat2,
-           (('0x' || substr(md5(md5(text) || '|3'), 1, 15))::BIGINT % 1000000)
+           (md5i64(md5(text) || '|3') % 1000000)
                / 1000000.0 AS feat3
     FROM documents
     """,
@@ -6253,8 +6497,8 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, j,
                CAST(SUM(
                    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) *
-                   (1 - 2 * (('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
-                                              CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2))
+                   (1 - 2 * (md5i64(CAST(i AS VARCHAR) || '|' ||
+                                              CAST(j AS VARCHAR)) % 2))
                ) AS BIGINT) AS s
         FROM el CROSS JOIN range(1, 9) AS t(j)
         GROUP BY vec_id, j
@@ -6324,9 +6568,9 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON c.id = d.doc_id
     ), folded AS (
         SELECT doc_id, component,
-               ('0x' || substr(md5('split|' || CAST(component AS VARCHAR)), 1, 15))::BIGINT
+               md5i64('split|' || CAST(component AS VARCHAR))
                    % 10 AS cluster_fold,
-               ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               md5i64('split|' || CAST(doc_id AS VARCHAR))
                    % 10 AS doc_fold
         FROM comp
     )
@@ -9628,7 +9872,7 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS ({{shingles}}),
     hashed AS (
-        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+        SELECT doc_id, md5i64(shingle) % 2147483647 AS h0
         FROM sh
     ),
     seeds(seed, a, b) AS (
@@ -9968,14 +10212,14 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ha AS (
         SELECT o_orderkey % 64 AS bucket,
-               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
-                   || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT AS h
+               md5i64(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS h
         FROM snap_a
     ),
     hb AS (
         SELECT o_orderkey % 64 AS bucket,
-               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
-                   || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT AS h
+               md5i64(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS h
         FROM snap_b
     ),
     ca AS (SELECT bucket, COUNT(*) AS cnt_a, bit_xor(h) AS xor_a FROM ha GROUP BY bucket),
@@ -11239,11 +11483,11 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), bucketed AS (
         SELECT doc_id,
-               ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b
+               md5i64(term) % 1024 AS b
         FROM tok
     ), weights AS (
         SELECT b,
-               ('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+               md5i64('w|' || CAST(b AS VARCHAR))
                    % 1001 - 500 AS w_milli
         FROM range(0, 1024) AS t(b)
     ), scores AS (
@@ -12920,8 +13164,7 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), g AS (
         SELECT doc_id,
-               [CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')),
-                       1, 15)) AS BIGINT)
+               [md5i64(array_to_string(toks[i+1:i+3], ' '))
                 for i in range(len(toks) - 2)] AS h
         FROM t
     ), s AS (
@@ -13529,8 +13772,7 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_concat(list_concat(
                    CAST([0] AS BIGINT[]),
                    [i for i in range(1, len(toks))
-                    if CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]),
-                             1, 15)) AS BIGINT) % 8 = 0]),
+                    if md5i64(toks[i] || ' ' || toks[i+1]) % 8 = 0]),
                    [CAST(len(toks) AS BIGINT)]) AS b
         FROM t
     ),
@@ -13547,7 +13789,7 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_max(list_transform(chunks,
                     c -> len(string_split(c, ' ')))) AS BIGINT) AS max_len,
            CAST(list_sum(list_transform(chunks,
-                    c -> CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT)
+                    c -> md5i64(c)
                          % 1000000007)) AS BIGINT) AS chunk_checksum
     FROM ch
     """,
@@ -14104,11 +14346,11 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q247_table_fingerprint",
     """
     WITH r AS (
-        SELECT CAST(('0x' || substr(md5(
+        SELECT md5i64(
                    CAST(o_orderkey AS VARCHAR) || '|' ||
                    CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
                    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                        AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007 AS h
+                        AS VARCHAR)) % 1000000007 AS h
         FROM orders
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -15006,8 +15248,8 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), picked AS (
         SELECT bs.b, daily.d, daily.x
         FROM daily CROSS JOIN bs
-        WHERE ('0x' || substr(md5(CAST(bs.b AS VARCHAR) || '|'
-                              || CAST(daily.d AS VARCHAR)), 1, 15))::BIGINT
+        WHERE md5i64(CAST(bs.b AS VARCHAR) || '|'
+                              || CAST(daily.d AS VARCHAR))
               % 2 = 0
     )
     SELECT CAST(b AS BIGINT) AS b,
@@ -15058,7 +15300,7 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE user_id IS NOT NULL
     ), hs AS (
         SELECT DISTINCT event_type,
-               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT >> 6)
+               (md5i64(CAST(user_id AS VARCHAR)) >> 6)
                    AS h
         FROM d
     ), ranked AS (
@@ -15235,7 +15477,7 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), hashed AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+        SELECT doc_id, md5i64(tok) AS h FROM tok
     ), votes AS (
         SELECT doc_id, bit,
                SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -15685,13 +15927,13 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n,
-           CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g1'), 1, 15))::BIGINT))
+           CAST(60 - length(bin(md5i64(c_mktsegment || '|g1')))
                 AS BIGINT) -
-           CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g2'), 1, 15))::BIGINT))
+           CAST(60 - length(bin(md5i64(c_mktsegment || '|g2')))
                 AS BIGINT) AS noise,
-           n + CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g1'), 1, 15))::BIGINT))
+           n + CAST(60 - length(bin(md5i64(c_mktsegment || '|g1')))
                 AS BIGINT) -
-               CAST(60 - length(bin(('0x' || substr(md5(c_mktsegment || '|g2'), 1, 15))::BIGINT))
+               CAST(60 - length(bin(md5i64(c_mktsegment || '|g2')))
                 AS BIGINT) AS released
     FROM counts
     """,
@@ -15922,7 +16164,7 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
     tot AS (SELECT COUNT(*) AS n FROM tok),
     cells AS (
-        SELECT s, ('0x' || substr(md5(tok || '|' || CAST(s AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos,
+        SELECT s, md5i64(tok || '|' || CAST(s AS VARCHAR)) % 1024 AS pos,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM tok CROSS JOIN range(4) AS seeds(s)
         GROUP BY 1, 2
@@ -15932,7 +16174,7 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) * 100 > (SELECT n FROM tot)
     ), probes AS (
         SELECT h.tok, h.cnt, s.s,
-               ('0x' || substr(md5(h.tok || '|' || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos
+               md5i64(h.tok || '|' || CAST(s.s AS VARCHAR)) % 1024 AS pos
         FROM heavy h CROSS JOIN range(4) AS s(s)
     )
     SELECT p.tok AS tok, p.cnt AS cnt,
@@ -16008,7 +16250,7 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                   ORDER BY md5i64(CAST(doc_id AS VARCHAR)),
                             doc_id) AS rk
         FROM documents
     )
@@ -16766,7 +17008,7 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS ({_SHINGLE_SQL.format(src="reps")}),
     hashed AS (
-        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+        SELECT doc_id, md5i64(shingle) % 2147483647 AS h0
         FROM sh
     ),
     seeds(seed, a, b) AS (
@@ -16909,8 +17151,8 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keys AS (
         SELECT c_custkey FROM customer WHERE c_acctbal > 9000
     ), pos AS (
-        SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
-                               CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 65536 AS p
+        SELECT md5i64(CAST(c_custkey AS VARCHAR) || '|' ||
+                               CAST(s.s AS VARCHAR)) % 65536 AS p
         FROM keys CROSS JOIN range(3) AS s(s)
     ), bits AS (
         SELECT DISTINCT p FROM pos
@@ -16922,8 +17164,8 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nonmembers n
         CROSS JOIN range(3) AS s(s)
         LEFT JOIN bits b
-          ON b.p = ('0x' || substr(md5(CAST(n.c_custkey AS VARCHAR) || '|' ||
-                                   CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % 65536
+          ON b.p = md5i64(CAST(n.c_custkey AS VARCHAR) || '|' ||
+                                   CAST(s.s AS VARCHAR)) % 65536
         GROUP BY n.c_custkey
     )
     SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_members,
@@ -17440,7 +17682,7 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hs AS (
         SELECT event_type,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               md5i64(CAST(user_id AS VARCHAR))
                    AS h
         FROM events WHERE user_id IS NOT NULL
     ),
@@ -17507,7 +17749,7 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
         SELECT o_orderpriority AS priority,
-               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               md5i64(CAST(o_orderkey AS VARCHAR))
                    % 5 AS fold,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         FROM orders
@@ -17578,7 +17820,7 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
         SELECT user_id,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               md5i64(CAST(user_id AS VARCHAR))
                    % 65536 AS h
         FROM u
     ),
@@ -17818,7 +18060,7 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hs AS (
         SELECT CAST(ts AS DATE) AS day,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               md5i64(CAST(user_id AS VARCHAR))
                    AS h
         FROM events WHERE user_id IS NOT NULL
     ),
@@ -18570,7 +18812,7 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority AS priority,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
                o_orderkey,
-               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               md5i64(CAST(o_orderkey AS VARCHAR))
                    % 9 + 1 AS w
         FROM orders
     ),
@@ -19049,7 +19291,7 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
     hashed AS (
         SELECT doc_id,
-               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+               md5i64(shingle) % 2147483647 AS h0
         FROM sh
     ),
     seeds(seed, a, b) AS (
@@ -19199,9 +19441,8 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
     np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
     neg AS (
         SELECT u, p, i,
-               ('0x' || substr(md5(CAST(u AS VARCHAR) || '|'
-                    || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
-                    1, 15))::BIGINT % n_parts + 1 AS n_part
+               md5i64(CAST(u AS VARCHAR) || '|'
+                    || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)) % n_parts + 1 AS n_part
         FROM pos CROSS JOIN np, generate_series(0, 1) AS g(i)
     ),
     coll AS (
@@ -20158,7 +20399,7 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
         SELECT user_id,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               md5i64(CAST(user_id AS VARCHAR))
                    % 2 AS arm,
                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2
                    AS converted
@@ -20626,7 +20867,7 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SHINGLE_SQL.format(src="documents")}),
     hashed AS (
         SELECT doc_id,
-               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h0
+               md5i64(shingle) % 2147483647 AS h0
         FROM sh
     ),
     seeds(seed, a, b) AS (
@@ -20983,7 +21224,7 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
         SELECT user_id,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               md5i64(CAST(user_id AS VARCHAR))
                    % 65536 AS h
         FROM u
     ),

@@ -1,0 +1,172 @@
+"""Unit tests for the portable-SQL macro layer (round 8).
+
+Every oracle string is expanded at registration into a form that runs
+VERBATIM on DuckDB and spark.sql(). These tests pin the expansion
+against DuckDB's NATIVE spelling of each concept — if the expansion
+ever drifts from `//` / epoch_ms / the 0x-hex cast semantics, the
+round-trip here breaks before any registry query does.
+"""
+
+import duckdb
+import pytest
+
+from etl_everywhere_hub_spark.queries import (
+    REGISTRY,
+    _expand_intdiv,
+    _expand_macros,
+    _md5int_sql,
+    _pms_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def duck1(con, expr_sql: str):
+    return con.sql(f"SELECT {expr_sql} AS r").fetchall()[0][0]
+
+
+# ---------------------------------------------------------------------------
+# `//` trunc-division expansion
+# ---------------------------------------------------------------------------
+
+INTDIV_CASES = [
+    # (source fragment, native DuckDB fragment) — must evaluate equal
+    ("7 // 2", "7 // 2"),
+    ("-7 // 2", "-7 // 2"),
+    ("7 // -2", "7 // -2"),
+    ("-7 // -2", "-7 // -2"),
+    # multiplicative chain binds into the left operand
+    ("3 * 7 // 2", "3 * 7 // 2"),
+    ("100 % 7 // 2", "100 % 7 // 2"),
+    # right operand is one primary; following ops apply to the quotient
+    ("100 // 7 % 3", "100 // 7 % 3"),
+    ("100 // 7 * 2", "100 // 7 * 2"),
+    # chained //
+    ("1000 // 7 // 3", "1000 // 7 // 3"),
+    # parenthesized / call operands
+    ("(85 * 17) // 100", "(85 * 17) // 100"),
+    ("abs(-90) // 7", "abs(-90) // 7"),
+    ("90 // abs(-7)", "90 // abs(-7)"),
+    ("greatest(9, 5) * 11 // least(4, 2)", "greatest(9, 5) * 11 // least(4, 2)"),
+    # additive neighbours stay outside the division
+    ("1 + 90 // 7", "1 + 90 // 7"),
+    ("90 // 7 - 1", "90 // 7 - 1"),
+    ("2 - 3 * 90 // 7", "2 - 3 * 90 // 7"),
+]
+
+
+@pytest.mark.parametrize("src,native", INTDIV_CASES)
+def test_intdiv_expansion_matches_native(con, src, native):
+    expanded = _expand_intdiv(src)
+    assert "//" not in expanded
+    assert duck1(con, expanded) == duck1(con, native)
+
+
+def test_intdiv_whitespace_and_newlines(con):
+    src = "SELECT CAST(12345 AS BIGINT) * 1000000\n                // (17 * 19) AS r"
+    expanded = _expand_intdiv(src)
+    assert "//" not in expanded
+    want = con.sql(
+        "SELECT CAST(12345 AS BIGINT) * 1000000 // (17 * 19) AS r"
+    ).fetchall()
+    assert con.sql(expanded).fetchall() == want
+
+
+def test_intdiv_window_over_left_operand(con):
+    # regression (round 8): the left operand must absorb the whole
+    # `<agg> OVER (...)` window expression, not split it at the frame
+    src = (
+        "SELECT SUM(x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)"
+        " * 1000000 // 7 AS r FROM (SELECT 3 AS x UNION ALL SELECT 4)"
+    )
+    expanded = _expand_intdiv(src)
+    assert "//" not in expanded
+    native = src  # DuckDB runs `//` natively
+    assert con.sql(expanded).fetchall() == con.sql(native).fetchall()
+
+
+def test_intdiv_filter_clause_left_operand(con):
+    src = (
+        "SELECT COUNT(*) FILTER (WHERE x > 3) * 100 // 3 AS r"
+        " FROM (SELECT 3 AS x UNION ALL SELECT 4)"
+    )
+    expanded = _expand_intdiv(src)
+    assert "//" not in expanded
+    assert con.sql(expanded).fetchall() == con.sql(src).fetchall()
+
+
+def test_intdiv_subquery_divisor(con):
+    src = "SELECT 100 // (SELECT 2 + 5) AS r"
+    expanded = _expand_intdiv(src)
+    assert "//" not in expanded
+    assert con.sql(expanded).fetchall() == [(14,)]
+
+
+# ---------------------------------------------------------------------------
+# epoch_ms / epoch_us expansion
+# ---------------------------------------------------------------------------
+
+TS_EDGES = [
+    "TIMESTAMP '2024-01-01 00:00:07.179575'",
+    "TIMESTAMP '2024-02-29 12:00:00.5'",
+    "TIMESTAMP '2024-03-01 00:00:00'",
+    "TIMESTAMP '1999-12-31 23:59:59.999999'",
+    "TIMESTAMP '1970-01-01 00:00:00'",
+    "TIMESTAMP '2000-02-29 23:59:59.000001'",
+]
+
+
+@pytest.mark.parametrize("ts", TS_EDGES)
+def test_epoch_ms_expansion_matches_native(con, ts):
+    assert duck1(con, _pms_sql(ts, unit_ms=True)) == duck1(con, f"epoch_ms({ts})")
+
+
+@pytest.mark.parametrize("ts", TS_EDGES)
+def test_epoch_us_expansion_matches_native(con, ts):
+    assert duck1(con, _pms_sql(ts, unit_ms=False)) == duck1(con, f"epoch_us({ts})")
+
+
+def test_epoch_ms_fixture_rows(con, sf_dir):
+    expr = _pms_sql("ts", unit_ms=True)
+    n = con.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet' WHERE {expr} <> epoch_ms(ts)"
+    ).fetchall()[0][0]
+    assert n == 0
+
+
+# ---------------------------------------------------------------------------
+# md5i64 / md5i52 expansion
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("arg", ["'a'", "'hello world'", "CAST(12345 AS VARCHAR)"])
+@pytest.mark.parametrize("width", [15, 13])
+def test_md5int_expansion_matches_native(con, arg, width):
+    native = f"('0x' || substr(md5({arg}), 1, {width}))::BIGINT"
+    assert duck1(con, _md5int_sql(arg, width)) == duck1(con, native)
+
+
+# ---------------------------------------------------------------------------
+# registry-wide invariants
+# ---------------------------------------------------------------------------
+
+
+def test_no_unexpanded_macros_in_registry():
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        assert "//" not in q.oracle, name
+        for macro in ("md5i64(", "md5i52(", "epoch_us("):
+            assert macro not in q.oracle, (name, macro)
+        # epoch_ms only survives as part of no identifier; expansion
+        # leaves extract()/substr() text, never the bare call
+        assert "epoch_ms(" not in q.oracle, name
+
+
+def test_expander_is_idempotent():
+    for q in list(REGISTRY.values())[:50]:
+        if q.oracle:
+            assert _expand_macros(q.oracle) == q.oracle
