@@ -19,6 +19,8 @@ Cross-engine determinism rules (pinned here, enforced per query):
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -84,14 +86,23 @@ REGISTRY: dict[str, Query] = {}
 # ---------------------------------------------------------------------------
 
 
-def _pms_sql(e: str, unit_ms: bool = True) -> str:
+def _days1970_sql(e: str) -> str:
+    """Days since 1970-01-01 of a DATE/TIMESTAMP expression — the
+    portable spelling of DuckDB's date subtraction (`d - DATE
+    '1970-01-01'`), which Spark types as an INTERVAL. Gregorian
+    leap-count arithmetic over extract(YEAR/DOY); 477 is the leap
+    count at 1970 (floor(1969/4) - floor(1969/100) + floor(1969/400))."""
     y = f"extract(YEAR FROM {e})"
     doy = f"extract(DOY FROM {e})"
-    days = (
+    return (
         f"(({y} - 1970) * 365 + (CAST(floor(({y} - 1) / 4) AS BIGINT)"
         f" - CAST(floor(({y} - 1) / 100) AS BIGINT)"
         f" + CAST(floor(({y} - 1) / 400) AS BIGINT) - 477) + {doy} - 1)"
     )
+
+
+def _pms_sql(e: str, unit_ms: bool = True) -> str:
+    days = _days1970_sql(e)
     secs = (
         f"(CAST({days} AS BIGINT) * 86400 + extract(HOUR FROM {e}) * 3600"
         f" + extract(MINUTE FROM {e}) * 60 + CAST(extract(SECOND FROM {e}) AS INT))"
@@ -117,6 +128,10 @@ _SQL_MACROS = {
     "epoch_us": lambda a: _pms_sql(a, unit_ms=False),
     "md5i64": lambda a: _md5int_sql(a, 15),
     "md5i52": lambda a: _md5int_sql(a, 13),  # 13 hex chars (52 bits)
+    "days1970": _days1970_sql,
+    # token count of a space-separated string — the portable spelling
+    # of DuckDB's ntok(x) (Spark: size(split(...)))
+    "ntok": lambda a: f"(length({a}) - length(replace({a}, ' ', '')) + 1)",
 }
 
 
@@ -260,6 +275,13 @@ def _expand_macros(sql: str) -> str:
     expanded). Plain text scan + paren matching; macro names never
     appear inside string literals in this codebase's oracles."""
     sql = _expand_intdiv(sql)
+    # Spark requires a length on VARCHAR casts; DuckDB treats the
+    # length as documentation. 64 covers every cast site (ints,
+    # doubles, timestamps — longest is a 26-char timestamp render);
+    # Spark silently truncates beyond it, so no oracle may cast an
+    # unbounded string through VARCHAR (none does — string-typed
+    # columns are already VARCHAR in both engines).
+    sql = re.sub(r"\bAS\s+VARCHAR\s*\)", "AS VARCHAR(64))", sql)
     changed = True
     while changed:
         changed = False
@@ -976,11 +998,22 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_asof_join",
     """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         best AS (
+             SELECT * FROM (
+                 SELECT p.event_id AS pid,
+                        c.event_id AS asof_event_id, c.ts AS asof_ts,
+                        c.value AS asof_value,
+                        row_number() OVER (PARTITION BY p.event_id
+                                           ORDER BY c.ts DESC, c.event_id DESC)
+                            AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+             ) ranked WHERE rn = 1
+         )
     SELECT p.event_id, p.user_id, p.ts,
-           c.event_id AS asof_event_id, c.ts AS asof_ts, c.value AS asof_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+           best.asof_event_id, best.asof_ts, best.asof_value
+    FROM p LEFT JOIN best ON best.pid = p.event_id
     """,
     headline=True,
 )
@@ -1488,13 +1521,41 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q37_text_quality",
     """
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
-           length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS avg_word_len
-    FROM documents
+    WITH ch AS (
+        SELECT doc_id,
+               ascii(substr(text, CAST(_c.k AS INT), 1)) AS a,
+               CASE WHEN _c.k > 1
+                    THEN ascii(substr(text, CAST(_c.k - 1 AS INT), 1))
+                    ELSE -1 END AS pa
+        FROM documents CROSS JOIN range(1, 1024) AS _c(k)
+        WHERE _c.k <= length(text)
+    ), cls AS (
+        SELECT doc_id,
+               CASE WHEN (a BETWEEN 65 AND 90) OR (a BETWEEN 97 AND 122)
+                    THEN 1 ELSE 0 END AS alpha,
+               CASE WHEN a BETWEEN 48 AND 57 THEN 1 ELSE 0 END AS dig,
+               CASE WHEN (pa BETWEEN 65 AND 90) OR (pa BETWEEN 97 AND 122)
+                    THEN 1 ELSE 0 END AS palpha,
+               CASE WHEN pa BETWEEN 48 AND 57 THEN 1 ELSE 0 END AS pdig,
+               CASE WHEN a = 32 THEN 1 ELSE 0 END AS sp
+        FROM ch
+    ), agg AS (
+        SELECT doc_id,
+               SUM(CASE WHEN alpha = 1 AND palpha = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN dig = 1 AND pdig = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN alpha = 0 AND dig = 0 AND sp = 0
+                        THEN 1 ELSE 0 END) AS n_tokens,
+               SUM(CASE WHEN alpha = 0 AND dig = 0 AND sp = 0
+                        THEN 1 ELSE 0 END) AS n_punct
+        FROM cls GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(ntok(d.text) AS BIGINT) AS n_words,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           a.n_punct * 1.0 / length(d.text) AS punct_ratio,
+           length(replace(d.text, ' ', '')) * 1.0 / ntok(d.text) AS avg_word_len
+    FROM documents d JOIN agg a ON a.doc_id = d.doc_id
     """,
     headline=True,
 )
@@ -1519,20 +1580,27 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_score_sql(markers: list[str]) -> str:
     quoted = ", ".join(f"'{m}'" for m in markers)
-    return f"len(list_filter(string_split(text, ' '), t -> t IN ({quoted})))"
+    return f"SUM(CASE WHEN t IN ({quoted}) THEN 1 ELSE 0 END)"
 
 
 @query(
     "q38_lang_id",
     f"""
-    WITH scored AS (
-        SELECT doc_id, lang,
+    WITH tok AS (
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS t
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
+    ), sc AS (
+        SELECT doc_id,
                {_lang_score_sql(T.LANG_MARKERS['de'])} AS s_de,
                {_lang_score_sql(T.LANG_MARKERS['en'])} AS s_en,
                {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es,
                {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
                {_lang_score_sql(T.LANG_MARKERS['zh'])} AS s_zh
-        FROM documents
+        FROM tok GROUP BY doc_id
+    ), scored AS (
+        SELECT d.doc_id, d.lang, sc.s_de, sc.s_en, sc.s_es, sc.s_fr, sc.s_zh
+        FROM documents d JOIN sc ON sc.doc_id = d.doc_id
     )
     SELECT doc_id, lang,
            CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
@@ -1555,7 +1623,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q39_tf_idf",
     """
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS term FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
     ), tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
     ), df AS (
@@ -1607,13 +1675,12 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_SQL = """
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 2),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3]))) AS shingle
-        FROM {src}
+        SELECT DISTINCT doc_id,
+               split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 2 AS INT)) AS shingle
+        FROM {src} CROSS JOIN range(1, 254) AS _k(k)
+        WHERE _k.k <= ntok(text) - 2
 """
 
 
@@ -1710,8 +1777,9 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_simhash",
     """
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents WHERE source = 'src0'
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS tok
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE source = 'src0' AND _k.k <= ntok(text)
     ), hashed AS (
         SELECT doc_id, md5i64(tok) AS h FROM tok
     ), votes AS (
@@ -1848,7 +1916,7 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_binary_payload",
     """
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS payload_bytes,
            md5(text) AS payload_md5,
            sha256(text) AS payload_sha256
     FROM documents
@@ -2096,9 +2164,10 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_udtf_token_positions",
     """
     SELECT doc_id,
-           unnest(string_split(text, ' ')) AS token,
-           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
-    FROM documents WHERE source = 'src1'
+           split_part(text, ' ', CAST(_k.k AS INT)) AS token,
+           CAST(_k.k AS BIGINT) AS pos
+    FROM documents CROSS JOIN range(1, 256) AS _k(k)
+    WHERE source = 'src1' AND _k.k <= ntok(text)
     """,
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2294,10 +2363,12 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q59_posexplode_json_tuple",
     """
     SELECT event_id,
-           CAST(generate_subscripts(string_split(props, ',') , 1) AS INTEGER) - 1 AS part_idx,
-           unnest(string_split(props, ',')) AS part,
+           CAST(_k.k AS INTEGER) - 1 AS part_idx,
+           split_part(props, ',', CAST(_k.k AS INT)) AS part,
            json_extract_string(props, '$.k') AS k_str
-    FROM events WHERE user_id = 3
+    FROM events CROSS JOIN range(1, 64) AS _k(k)
+    WHERE user_id = 3
+      AND _k.k <= length(props) - length(replace(props, ',', '')) + 1
     """,
 )
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2709,7 +2780,7 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH blocked AS (
         SELECT doc_id,
                md5i64(CAST(doc_id AS VARCHAR)) % 8 AS block,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+               CAST(ntok(text) AS BIGINT) AS tokens
         FROM documents
     ), packed AS (
         SELECT doc_id, block, tokens,
@@ -3074,14 +3145,15 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q78_decontamination",
     """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    grams AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(len(w) - 4),
-                   i -> array_to_string(w[i+1:i+5], ' ')))) AS g
-        FROM toks
-        WHERE len(w) >= 5
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 2 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 3 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 4 AS INT)) AS g
+        FROM documents CROSS JOIN range(1, 252) AS _k(k)
+        WHERE ntok(text) >= 5 AND _k.k <= ntok(text) - 4
     ),
     testg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
     SELECT a.doc_id, COUNT(*) AS n_shared_grams
@@ -3114,17 +3186,45 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q79_document_chunking",
     """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    chunks AS (
-        SELECT doc_id,
-               unnest(generate_series(0,
-                   CAST(greatest(0, ceil((len(w) - 32) / 24.0)) AS BIGINT))) AS chunk_id,
-               w
-        FROM toks
+    WITH chunks AS (
+        SELECT doc_id, text, ntok(text) AS n, CAST(_c.k AS BIGINT) AS chunk_id
+        FROM documents CROSS JOIN range(0, 16) AS _c(k)
+        WHERE _c.k <= greatest(0, CAST(ceil((ntok(text) - 32) / 24.0) AS BIGINT))
     )
     SELECT doc_id, chunk_id,
-           len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens,
-           md5(array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_hash
+           LEAST(32, n - chunk_id * 24) AS n_tokens,
+           md5(CASE WHEN chunk_id * 24 + 1 <= n THEN split_part(text, ' ', CAST(chunk_id * 24 + 1 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 2 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 2 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 3 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 3 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 4 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 4 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 5 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 5 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 6 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 6 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 7 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 7 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 8 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 8 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 9 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 9 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 10 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 10 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 11 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 11 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 12 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 12 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 13 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 13 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 14 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 14 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 15 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 15 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 16 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 16 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 17 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 17 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 18 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 18 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 19 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 19 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 20 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 20 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 21 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 21 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 22 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 22 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 23 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 23 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 24 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 24 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 25 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 25 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 26 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 26 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 27 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 27 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 28 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 28 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 29 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 29 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 30 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 30 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 31 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 31 AS INT)) ELSE '' END
+               || CASE WHEN chunk_id * 24 + 32 <= n THEN ' ' || split_part(text, ' ', CAST(chunk_id * 24 + 32 AS INT)) ELSE '' END) AS chunk_hash
     FROM chunks
     """,
 )
@@ -3252,11 +3352,18 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q82_listagg",
     """
-    SELECT n.n_name,
-           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv,
+    WITH j AS (
+        SELECT n.n_name,
+               string_agg(s.s_name, ',') OVER (
+                   PARTITION BY n.n_name ORDER BY s.s_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csv_run,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY s.s_name) AS rn
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT n_name, max_by(csv_run, rn) AS supplier_csv,
            COUNT(*) AS n_suppliers
-    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-    GROUP BY n.n_name
+    FROM j GROUP BY n_name
     """,
 )
 def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3462,9 +3569,9 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
     ),
     series AS (
-        SELECT user_id,
-               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
-        FROM span
+        SELECT user_id, b0 + INTERVAL 1 HOUR * CAST(_h.k AS INT) AS bucket
+        FROM span CROSS JOIN range(0, 1024) AS _h(k)
+        WHERE b0 + INTERVAL 1 HOUR * CAST(_h.k AS INT) <= b1
     )
     SELECT s.user_id, s.bucket,
            last_value(b.bucket_sum IGNORE NULLS) OVER (
@@ -3584,7 +3691,7 @@ _BM25_TERM_SCORE = (
     "q89_bm25",
     f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS term FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
     ),
     tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -3592,7 +3699,7 @@ _BM25_TERM_SCORE = (
         GROUP BY doc_id, term
     ),
     dl AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        SELECT doc_id, CAST(ntok(text) AS BIGINT) AS dl
         FROM documents
     ),
     stats AS (
@@ -3695,8 +3802,9 @@ _Q91_TERM = "-(cnt / CAST(dl AS DOUBLE)) * ln(cnt / CAST(dl AS DOUBLE))"
     f"""
     WITH tc AS (
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-              FROM documents)
+        FROM (SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS term
+              FROM documents CROSS JOIN range(1, 256) AS _k(k)
+              WHERE _k.k <= ntok(text))
         GROUP BY doc_id, term
     ),
     dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl FROM tc GROUP BY doc_id)
@@ -4214,7 +4322,7 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT CASE WHEN x % 3 = 0 THEN NULL ELSE x END AS k, x AS tag
-        FROM (SELECT unnest(generate_series(0, 96)) AS x)
+        FROM range(0, 97) AS _r(x)
     )
     SELECT a.event_id, a.k, b.tag
     FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
@@ -4803,9 +4911,10 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q115_vocab_coverage",
     """
     WITH toks AS (
-        SELECT t.tok FROM documents d,
-             unnest(string_split(d.text, ' ')) AS t(tok)
-        WHERE t.tok <> ''
+        SELECT split_part(d.text, ' ', CAST(_k.k AS INT)) AS tok
+        FROM documents d CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(d.text)
+          AND split_part(d.text, ' ', CAST(_k.k AS INT)) <> ''
     ),
     counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
@@ -4871,10 +4980,10 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, tok, pos FROM (
             SELECT d.doc_id,
-                   unnest(string_split(d.text, ' ')) AS tok,
-                   unnest(generate_series(1, len(string_split(d.text, ' '))))
-                     AS pos
-            FROM documents d
+                   split_part(d.text, ' ', CAST(_k.k AS INT)) AS tok,
+                   _k.k AS pos
+            FROM documents d CROSS JOIN range(1, 256) AS _k(k)
+            WHERE _k.k <= ntok(d.text)
         ) WHERE tok <> ''
     ),
     bigrams AS (
@@ -5550,17 +5659,15 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH words AS (
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc FROM (
-            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            SELECT split_part(text, ' ', CAST(_k.k AS INT)) AS tok FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
         ) WHERE len(tok) >= 2 GROUP BY tok
     ),
     pairs AS (
-        SELECT unnest(list_transform(
-                   generate_series(1, len(string_split(tok, '')) - 1),
-                   i -> string_split(tok, '')[i] || ' ' ||
-                        string_split(tok, '')[i + 1]
-               )) AS pair,
+        SELECT substr(tok, CAST(_c.k AS INT), 1) || ' ' ||
+               substr(tok, CAST(_c.k + 1 AS INT), 1) AS pair,
                wc
-        FROM words
+        FROM words CROSS JOIN range(1, 64) AS _c(k)
+        WHERE _c.k <= length(tok) - 1
     ),
     ranked AS (
         SELECT pair, CAST(SUM(wc) AS BIGINT) AS n,
@@ -5785,7 +5892,7 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH counts AS (
         SELECT lang, COUNT(*) AS n_docs,
-               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               CAST(SUM(CAST(ntok(text) AS BIGINT)) AS BIGINT)
                    AS n_tokens
         FROM documents GROUP BY lang
     ), weighted AS (
@@ -5897,7 +6004,7 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id, n_chars,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+               CAST(ntok(text) AS BIGINT) AS tokens
         FROM documents
     ), c AS (
         SELECT doc_id, n_chars, tokens,
@@ -6001,13 +6108,11 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q135_rare_token_scrub",
     """
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(w) + 1),
-                      i -> struct_pack(pos := i, tok := w[i]))) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-    ), flat AS (
-        SELECT doc_id, s.pos AS pos, s.tok AS tok FROM toks
+    WITH flat AS (
+        SELECT doc_id, CAST(_k.k AS BIGINT) AS pos,
+               split_part(text, ' ', CAST(_k.k AS INT)) AS tok
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ), counts AS (
         SELECT tok, COUNT(*) AS c FROM flat GROUP BY tok
     ), scrub AS (
@@ -6015,10 +6120,20 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN c.c < 500 THEN '<unk>' ELSE f.tok END AS st,
                CASE WHEN c.c < 500 THEN 1 ELSE 0 END AS unk
         FROM flat f JOIN counts c ON c.tok = f.tok
+    ), built AS (
+        SELECT doc_id,
+               string_agg(st, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+               COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+        FROM scrub
     )
-    SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(unk) AS BIGINT) AS n_unk,
-           md5(string_agg(st, ' ' ORDER BY pos)) AS scrubbed_md5
-    FROM scrub GROUP BY doc_id
+    SELECT u.doc_id, u.n_tokens, u.n_unk, md5(b.s) AS scrubbed_md5
+    FROM (SELECT doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(unk) AS BIGINT) AS n_unk
+          FROM scrub GROUP BY doc_id) u
+    JOIN (SELECT doc_id, s FROM built WHERE rn = cnt) b
+      ON b.doc_id = u.doc_id
     """,
 )
 def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6066,7 +6181,7 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q136_hashed_ngram_classifier",
     """
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS term FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
     ), bucketed AS (
         SELECT doc_id,
                md5i64(term) % 1024 AS b
@@ -6170,7 +6285,7 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            md5(text) AS payload_md5,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes,
            (md5i64(md5(text) || '|0') % 1000000)
                / 1000000.0 AS feat0,
            (md5i64(md5(text) || '|1') % 1000000)
@@ -6282,13 +6397,21 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
         SELECT doc_id,
-               unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-        FROM documents
+               split_part(text, ' ', CAST(_k.k AS INT)) AS tok,
+               _k.k - 1 AS pos
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ), chunk AS (
-        SELECT doc_id, pos // 10 AS chunk_idx,
-               string_agg(tok, ' ' ORDER BY pos) AS chunk_text
-        FROM tok GROUP BY doc_id, pos // 10
+        SELECT doc_id, chunk_idx, max_by(run, rn) AS chunk_text
+        FROM (
+            SELECT doc_id, pos // 10 AS chunk_idx,
+                   string_agg(tok, ' ') OVER (
+                       PARTITION BY doc_id, pos // 10 ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+                   row_number() OVER (PARTITION BY doc_id, pos // 10
+                                      ORDER BY pos) AS rn
+            FROM tok
+        ) z GROUP BY doc_id, chunk_idx
     ), df AS (
         SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs
         FROM chunk GROUP BY chunk_text
@@ -6297,12 +6420,21 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN d.n_docs >= 3 THEN 1 ELSE 0 END AS is_boiler
         FROM chunk c JOIN df d USING (chunk_text)
     )
+    , kruns AS (
+        SELECT doc_id, is_boiler,
+               string_agg(CASE WHEN is_boiler = 0 THEN chunk_text END, ' ')
+                   OVER (PARTITION BY doc_id ORDER BY chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY chunk_idx) AS rn
+        FROM kept
+    )
     SELECT doc_id,
            COUNT(*) AS n_chunks,
            CAST(SUM(is_boiler) AS BIGINT) AS n_removed,
-           md5(COALESCE(string_agg(CASE WHEN is_boiler = 0 THEN chunk_text END,
-                                   ' ' ORDER BY chunk_idx), '')) AS kept_md5
-    FROM kept
+           md5(COALESCE(max_by(run, rn), '')) AS kept_md5
+    FROM kruns
     GROUP BY doc_id
     """,
 )
@@ -6738,9 +6870,10 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
-        FROM documents
+               split_part(text, ' ', CAST(_k.k AS INT)) AS tok,
+               _k.k AS pos
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ), tri AS (
         SELECT doc_id, tok AS w1,
                lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
@@ -6992,9 +7125,10 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
-        FROM documents
+               split_part(text, ' ', CAST(_k.k AS INT)) AS tok,
+               _k.k AS pos
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ), bg AS (
         SELECT doc_id, tok AS w1,
                lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
@@ -8338,19 +8472,22 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q163_gopher_repetition",
     """
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    WITH tok AS (
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS tok
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE ntok(text) >= 3 AND _k.k <= ntok(text)
     ), base AS (
         SELECT doc_id,
-               len(tk) AS n_tok,
-               len(list_distinct(tk)) AS n_dist
-        FROM toks WHERE len(tk) >= 3
+               COUNT(*) AS n_tok,
+               COUNT(DISTINCT tok) AS n_dist
+        FROM tok GROUP BY doc_id
     ), tri AS (
-        SELECT doc_id, unnest(list_transform(
-                   generate_series(1, len(tk) - 2),
-                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-               )) AS gram
-        FROM toks WHERE len(tk) >= 3
+        SELECT doc_id,
+               split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 2 AS INT)) AS gram
+        FROM documents CROSS JOIN range(1, 254) AS _k(k)
+        WHERE ntok(text) >= 3 AND _k.k <= ntok(text) - 2
     ), cnt AS (
         SELECT doc_id, gram, COUNT(*) AS c FROM tri GROUP BY doc_id, gram
     ), top AS (
@@ -8559,7 +8696,7 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH activity AS (
         SELECT DISTINCT user_id,
-               (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+               days1970(ts) // 7 AS wk
         FROM events
     ), cohort AS (
         SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
@@ -9080,17 +9217,15 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
         SELECT doc_id AS media_id, text,
-               octet_length(encode(text)) // 64 AS n_frames
+               octet_length(CAST(text AS BINARY)) // 64 AS n_frames
         FROM documents
     )
     SELECT media_id,
            CAST(j AS BIGINT) AS frame_idx,
            CAST(n_frames AS BIGINT) AS n_frames,
            md5(substr(text, j * 64 + 1, 64)) AS frame_md5
-    FROM m, LATERAL (
-        SELECT unnest(range(0, n_frames, 3)) AS j
-    )
-    WHERE n_frames > 0
+    FROM m CROSS JOIN range(0, 64) AS _r(j)
+    WHERE n_frames > 0 AND j < n_frames AND j % 3 = 0
     """,
 )
 def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9366,8 +9501,9 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH inv AS (
         SELECT DISTINCT doc_id, tok FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents
+            SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS tok
+            FROM documents CROSS JOIN range(1, 256) AS _k(k)
+            WHERE _k.k <= ntok(text)
         )
     ), hits AS (
         SELECT doc_id FROM inv
@@ -9376,7 +9512,7 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) = 2
     )
     SELECT h.doc_id,
-           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+           CAST(ntok(d.text) AS BIGINT) AS n_tok
     FROM hits h
     JOIN documents d ON d.doc_id = h.doc_id
     WHERE h.doc_id NOT IN (SELECT doc_id FROM inv WHERE tok = 'vector')
@@ -9934,12 +10070,11 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q185_exact_substring_dedup",
     """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    wins AS (
-        SELECT doc_id, i AS s,
-               md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS h
-        FROM (SELECT doc_id, t, unnest(range(len(t) - 7)) AS i
-              FROM toks WHERE len(t) >= 8)
+    WITH wins AS (
+        SELECT doc_id, CAST(_i.k AS BIGINT) AS s,
+               md5(split_part(text, ' ', CAST(_i.k + 1 AS INT)) || ' ' || split_part(text, ' ', CAST(_i.k + 2 AS INT)) || ' ' || split_part(text, ' ', CAST(_i.k + 3 AS INT)) || ' ' || split_part(text, ' ', CAST(_i.k + 4 AS INT)) || ' ' || split_part(text, ' ', CAST(_i.k + 5 AS INT)) || ' ' || split_part(text, ' ', CAST(_i.k + 6 AS INT)) || ' ' || split_part(text, ' ', CAST(_i.k + 7 AS INT)) || ' ' || split_part(text, ' ', CAST(_i.k + 8 AS INT))) AS h
+        FROM documents CROSS JOIN range(0, 249) AS _i(k)
+        WHERE ntok(text) >= 8 AND _i.k <= ntok(text) - 8
     ),
     dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
     marked AS (SELECT w.doc_id, w.s, w.s + 7 AS e FROM wins w JOIN dups USING (h)),
@@ -9960,8 +10095,10 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, island
     ),
     tokpos AS (
-        SELECT doc_id, i AS pos, t[i + 1] AS tok
-        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)
+        SELECT doc_id, CAST(_k.k - 1 AS BIGINT) AS pos,
+               split_part(text, ' ', CAST(_k.k AS INT)) AS tok
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ),
     keep AS (
         SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
@@ -9970,19 +10107,27 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND tp.pos BETWEEN sp.s AND sp.e)
     ),
     clean AS (
-        SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
-        FROM keep GROUP BY doc_id
+        SELECT doc_id, md5(max_by(run, rn)) AS clean_md5
+        FROM (SELECT doc_id,
+                     string_agg(tok, ' ') OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS rn
+              FROM keep) z
+        GROUP BY doc_id
     ),
     spanstats AS (
         SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_tokens
         FROM spans GROUP BY doc_id
     )
     SELECT t.doc_id,
-           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(ntok(t.text) AS BIGINT) AS n_tokens,
            CAST(COALESCE(ss.n_spans, 0) AS BIGINT) AS n_spans,
            CAST(COALESCE(ss.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            COALESCE(c.clean_md5, md5('')) AS clean_md5
-    FROM toks t
+    FROM documents t
     LEFT JOIN spanstats ss USING (doc_id)
     LEFT JOIN clean c USING (doc_id)
     """,
@@ -10012,7 +10157,7 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q186_heavy_hitters",
     """
-    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    WITH tok AS (SELECT split_part(text, ' ', CAST(_k.k AS INT)) AS tok FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)),
     tot AS (SELECT COUNT(*) AS n FROM tok)
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_ppm
@@ -10640,7 +10785,7 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS cum
         FROM h
     ),
-    pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+    pcts AS (SELECT pct FROM (VALUES (50), (90), (99)) AS v(pct))
     SELECT c.flag, p.pct,
            CAST(MIN(c.bin) * 100 AS BIGINT) AS est_price_lo
     FROM c JOIN tot ON tot.flag = c.flag
@@ -10817,9 +10962,10 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
         SELECT doc_id,
-               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
+               CAST(_k.k AS INT) AS pos,
+               split_part(text, ' ', CAST(_k.k AS INT)) AS term
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     )
     SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
     FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
@@ -11143,7 +11289,7 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
         SELECT source,
-               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+               CAST(SUM(ntok(text)) AS BIGINT) AS tokens
         FROM documents GROUP BY source
     ),
     tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
@@ -11480,7 +11626,7 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q207_classifier_confusion",
     """
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS term FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
     ), bucketed AS (
         SELECT doc_id,
                md5i64(term) % 1024 AS b
@@ -11544,13 +11690,12 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q208_cross_source_contamination",
     """
     WITH sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 2),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3]))) AS shingle
-        FROM documents
+        SELECT DISTINCT doc_id,
+               split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 2 AS INT)) AS shingle
+        FROM documents CROSS JOIN range(1, 254) AS _k(k)
+        WHERE _k.k <= ntok(text) - 2
     ),
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
@@ -11905,7 +12050,7 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
         FROM h
     ),
-    pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+    pcts AS (SELECT pct FROM (VALUES (50), (90), (99)) AS v(pct))
     SELECT p.pct,
            CAST(MIN(c.bin) AS BIGINT) AS est_hours_lo,
            n AS converted_users
@@ -12195,10 +12340,10 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
         SELECT doc_id,
-               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
-                   AS pos,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
+               CAST(_k.k AS BIGINT) AS pos,
+               split_part(text, ' ', CAST(_k.k AS INT)) AS term
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tok),
     uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
@@ -12301,9 +12446,13 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     ),
     p AS (
-        SELECT user_id, session_id,
-               string_agg(event_type, '>' ORDER BY step ASC) AS path
-        FROM r WHERE step <= 3
+        SELECT user_id, session_id, max_by(run, step) AS path
+        FROM (SELECT user_id, session_id, step,
+                     string_agg(event_type, '>') OVER (
+                         PARTITION BY user_id, session_id ORDER BY step
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run
+              FROM r WHERE step <= 3) z
         GROUP BY user_id, session_id
     )
     SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions
@@ -12604,7 +12753,7 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tf AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            SELECT split_part(text, ' ', CAST(_k.k AS INT)) AS term FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
         ) t GROUP BY term
     ),
     r AS (
@@ -12667,13 +12816,12 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q225_neardup_cluster_savings",
     """
     WITH RECURSIVE sh AS MATERIALIZED (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 2),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3]))) AS shingle
-        FROM documents
+        SELECT DISTINCT doc_id,
+               split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 2 AS INT)) AS shingle
+        FROM documents CROSS JOIN range(1, 254) AS _k(k)
+        WHERE _k.k <= ntok(text) - 2
     ),
     sz AS MATERIALIZED (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
@@ -12899,7 +13047,7 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS cum
         FROM h
     ),
-    pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+    pcts AS (SELECT pct FROM (VALUES (50), (90), (99)) AS v(pct))
     SELECT c.priority, p.pct,
            CAST(MIN(c.bin) AS BIGINT) AS days_lo
     FROM c JOIN tot ON tot.priority = c.priority
@@ -13222,7 +13370,7 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
         SELECT source,
-               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+               CAST(SUM(ntok(text)) AS BIGINT) AS tokens
         FROM documents GROUP BY source
     ),
     z AS (
@@ -13355,15 +13503,15 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH words AS (
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc FROM (
-            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            SELECT split_part(text, ' ', CAST(_k.k AS INT)) AS tok FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
         ) WHERE len(tok) >= 2 GROUP BY tok
     ),
     sym AS (
         SELECT tok, wc,
-               CAST(generate_subscripts(string_split(tok, ''), 1) AS BIGINT)
-                   AS p,
-               unnest(string_split(tok, '')) AS s
-        FROM words
+               CAST(_c.k AS BIGINT) AS p,
+               substr(tok, CAST(_c.k AS INT), 1) AS s
+        FROM words CROSS JOIN range(1, 64) AS _c(k)
+        WHERE _c.k <= length(tok)
     ),
     p1 AS (
         SELECT s AS a, lead(s) OVER (PARTITION BY tok ORDER BY p) AS b, wc
@@ -13511,7 +13659,7 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
         SELECT doc_id,
-               n_chars * 1.0 / len(string_split(text, ' ')) AS difficulty
+               n_chars * 1.0 / ntok(text) AS difficulty
         FROM documents
     ),
     r AS (
@@ -13785,9 +13933,9 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(chunks) AS BIGINT) AS n_chunks,
            CAST(list_min(list_transform(chunks,
-                    c -> len(string_split(c, ' ')))) AS BIGINT) AS min_len,
+                    c -> ntok(c))) AS BIGINT) AS min_len,
            CAST(list_max(list_transform(chunks,
-                    c -> len(string_split(c, ' ')))) AS BIGINT) AS max_len,
+                    c -> ntok(c))) AS BIGINT) AS max_len,
            CAST(list_sum(list_transform(chunks,
                     c -> md5i64(c)
                          % 1000000007)) AS BIGINT) AS chunk_checksum
@@ -13863,7 +14011,7 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(ntok(text) AS BIGINT) AS words,
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
                CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
@@ -14527,7 +14675,7 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q250_autocorr_daily",
     """
     WITH daily AS (
-        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        SELECT days1970(o_orderdate) AS d,
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), st AS (
@@ -14821,7 +14969,7 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q254_seasonal_backtest",
     """
     WITH daily AS (
-        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        SELECT days1970(o_orderdate) AS d,
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), j AS (
@@ -14884,7 +15032,7 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q255_weekly_ks_drift",
     """
     WITH o AS (
-        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+        SELECT days1970(o_orderdate) // 7 AS wk,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS bin
         FROM orders
     ), wkt AS (
@@ -14980,7 +15128,7 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q256_haar_blocks",
     """
     WITH daily AS (
-        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        SELECT days1970(o_orderdate) AS d,
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), m AS (
@@ -15035,7 +15183,7 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH od AS (
         SELECT o_custkey AS cust,
-               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d
+               days1970(o_orderdate) AS d
         FROM orders
     ), g1 AS (
         SELECT cust, MIN(d) AS d1, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -15240,7 +15388,7 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q259_bootstrap_subsample_means",
     """
     WITH daily AS (
-        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        SELECT days1970(o_orderdate) AS d,
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), bs AS (
@@ -15475,7 +15623,7 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q262_simhash_band_pairs",
     """
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS tok FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
     ), hashed AS (
         SELECT doc_id, md5i64(tok) AS h FROM tok
     ), votes AS (
@@ -15555,15 +15703,22 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q263_calibration_brier",
     """
-    WITH scored AS (
+    WITH tok AS (
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS t
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
+    ), stopc AS (
         SELECT doc_id,
-               CAST(len(list_filter(string_split(text, ' '),
-                        t -> t IN ('the', 'a', 'of', 'and', 'is')))
-                    AS BIGINT) * 1000000
-                   // CAST(len(string_split(text, ' ')) AS BIGINT) AS p_ppm,
-               CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+               CAST(SUM(CASE WHEN t IN ('the', 'a', 'of', 'and', 'is')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY doc_id
+    ), scored AS (
+        SELECT d.doc_id,
+               s.ns * 1000000 // s.n AS p_ppm,
+               CASE WHEN d.lang = 'en' THEN CAST(1 AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS y
-        FROM documents
+        FROM documents d JOIN stopc s ON s.doc_id = d.doc_id
     )
     SELECT CAST(LEAST(p_ppm // 100000, 9) AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -15698,7 +15853,7 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q265_theil_sen_trend",
     """
     WITH daily AS (
-        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        SELECT days1970(o_orderdate) AS d,
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), slopes AS (
@@ -15789,7 +15944,7 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q266_top_p_vocab",
     """
     WITH tok AS (
-        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+        SELECT lang, split_part(text, ' ', CAST(_k.k AS INT)) AS tok FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)
     ), vocab AS (
         SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM tok GROUP BY lang, tok
@@ -15980,7 +16135,7 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q269_stream_heavy_hitters",
     """
-    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    WITH tok AS (SELECT split_part(text, ' ', CAST(_k.k AS INT)) AS tok FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)),
     tot AS (SELECT COUNT(*) AS n FROM tok)
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_ppm
@@ -16161,7 +16316,7 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q272_count_min_sketch",
     """
-    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    WITH tok AS (SELECT split_part(text, ' ', CAST(_k.k AS INT)) AS tok FROM documents CROSS JOIN range(1, 256) AS _k(k) WHERE _k.k <= ntok(text)),
     tot AS (SELECT COUNT(*) AS n FROM tok),
     cells AS (
         SELECT s, md5i64(tok || '|' || CAST(s AS VARCHAR)) % 1024 AS pos,
@@ -16340,7 +16495,7 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q275_rolling_median_7d",
     """
     WITH daily AS (
-        SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        SELECT days1970(o_orderdate) AS d,
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), win AS (
@@ -16862,7 +17017,8 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), lateness AS (
         SELECT high_water - ms AS late_ms FROM seq
     ), delays AS (
-        SELECT unnest([0, 300000, 900000, 1800000, 3600000]) AS delay_ms
+        SELECT delay_ms FROM (VALUES (0), (300000), (900000),
+                                     (1800000), (3600000)) AS v(delay_ms)
     )
     SELECT CAST(delay_ms AS BIGINT) AS delay_ms,
            CAST(SUM(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END) AS BIGINT)
@@ -17348,13 +17504,12 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q286_golden_record_survivorship",
     """
     WITH RECURSIVE sh AS MATERIALIZED (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 2),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3]))) AS shingle
-        FROM documents
+        SELECT DISTINCT doc_id,
+               split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 2 AS INT)) AS shingle
+        FROM documents CROSS JOIN range(1, 254) AS _k(k)
+        WHERE _k.k <= ntok(text) - 2
     ),
     sz AS MATERIALIZED (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
@@ -17599,8 +17754,9 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q289_query_likelihood_dirichlet",
     """
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS term
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ),
     lens AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d FROM tok GROUP BY doc_id
@@ -18231,18 +18387,26 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x
     ),
     seqs AS (
-        SELECT user_id, sess,
-               string_agg(ini, '' ORDER BY ms ASC, event_id ASC) AS seq
-        FROM s GROUP BY user_id, sess
+        SELECT user_id, sess, max_by(run, rn) AS seq
+        FROM (SELECT user_id, sess,
+                     string_agg(ini, '') OVER (
+                         PARTITION BY user_id, sess
+                         ORDER BY ms ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run,
+                     row_number() OVER (PARTITION BY user_id, sess
+                                        ORDER BY ms ASC, event_id ASC) AS rn
+              FROM s) z
+        GROUP BY user_id, sess
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
-           CAST(SUM(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN regexp_extract(seq, '^s', 0) <> '' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_start_signup,
-           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN regexp_extract(seq, 'v.*c.*p', 0) <> '' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_funnel_vcp,
-           CAST(SUM(CASE WHEN regexp_matches(seq, 'e$') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN regexp_extract(seq, 'e$', 0) <> '' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_end_error,
-           CAST(SUM(CASE WHEN regexp_matches(seq, '(vc)|(cv)') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN regexp_extract(seq, '(vc)|(cv)', 0) <> '' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_adjacent_vc
     FROM seqs
     """,
@@ -18537,17 +18701,20 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q301_c4_filter_report",
     """
-    WITH stats AS (
+    WITH per_tok AS (
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS t,
+               COUNT(*) AS c
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
+        GROUP BY doc_id, split_part(text, ' ', CAST(_k.k AS INT))
+    ),
+    stats AS (
         SELECT doc_id,
-               len(string_split(text, ' ')) AS n_tok,
-               (SELECT MAX(len(t)) FROM unnest(string_split(text, ' '))
-                    AS u(t)) AS max_tok_len,
-               (SELECT MAX(c) FROM (
-                    SELECT COUNT(*) AS c FROM unnest(string_split(text, ' '))
-                        AS u(t) GROUP BY t)) AS max_tok_cnt,
-               len(list_filter(string_split(text, ' '),
-                   t -> t IN ('the', 'a'))) AS n_stop
-        FROM documents
+               SUM(c) AS n_tok,
+               MAX(length(t)) AS max_tok_len,
+               MAX(c) AS max_tok_cnt,
+               SUM(CASE WHEN t IN ('the', 'a') THEN c ELSE 0 END) AS n_stop
+        FROM per_tok GROUP BY doc_id
     ),
     flags AS (
         SELECT doc_id,
@@ -20096,7 +20263,8 @@ _Q316_STATES = ["click", "view", "signup", "error"]
                CASE WHEN s = 'view' THEN 0.0 ELSE 1.0 END AS kv,
                CASE WHEN s = 'signup' THEN 0.0 ELSE 1.0 END AS ks,
                CASE WHEN s = 'error' THEN 0.0 ELSE 1.0 END AS ke
-        FROM (SELECT unnest(['base','click','view','signup','error']) AS s)
+        FROM (SELECT s FROM (VALUES ('base'), ('click'), ('view'),
+                                    ('signup'), ('error')) AS v(s))
     ),
     rec AS (
         SELECT scen, kc, kv, ks, ke, 0 AS it,
@@ -20493,13 +20661,12 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q320_license_propagation",
     """
     WITH RECURSIVE sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(len(string_split(text, ' ')) - 2),
-                   i -> string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3]))) AS shingle
-        FROM documents
+        SELECT DISTINCT doc_id,
+               split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+               split_part(text, ' ', CAST(_k.k + 2 AS INT)) AS shingle
+        FROM documents CROSS JOIN range(1, 254) AS _k(k)
+        WHERE _k.k <= ntok(text) - 2
     ),
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
