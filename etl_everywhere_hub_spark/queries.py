@@ -129,6 +129,15 @@ _SQL_MACROS = {
     "md5i64": lambda a: _md5int_sql(a, 15),
     "md5i52": lambda a: _md5int_sql(a, 13),  # 13 hex chars (52 bits)
     "days1970": _days1970_sql,
+    # ISO-8601 millisecond render (DuckDB strftime '%Y-%m-%dT%H:%M:%S.%g'
+    # + 'Z'; Spark date_format) — built from the shared VARCHAR(30)
+    # timestamp render, fraction truncated/zero-padded to 3 digits
+    "iso_ms": lambda a: (
+        f"(replace(split_part(CAST(CAST({a} AS TIMESTAMP) AS VARCHAR(30)),"
+        f" '.', 1), ' ', 'T') || '.' ||"
+        f" substr(split_part(CAST(CAST({a} AS TIMESTAMP) AS VARCHAR(30)),"
+        f" '.', 2) || '000', 1, 3) || 'Z')"
+    ),
     # token count of a space-separated string — the portable spelling
     # of DuckDB's ntok(x) (Spark: size(split(...)))
     "ntok": lambda a: f"(length({a}) - length(replace({a}, ' ', '')) + 1)",
@@ -541,10 +550,10 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS BIGINT) AS order_month,
            CAST(day(o_orderdate) AS BIGINT) AS order_day,
            date_trunc('month', o_orderdate) AS month_start,
-           CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch95,
+           CAST(days1970(o_orderdate) - days1970(DATE '1995-01-01') AS BIGINT) AS days_since_epoch95,
            o_orderdate + INTERVAL 30 DAY AS due_date,
            epoch_ms(o_orderdate) AS order_ms,
-           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS order_iso
+           iso_ms(o_orderdate) AS order_iso
     FROM orders
     """,
 )
@@ -1271,7 +1280,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q30_json_extract",
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+    SELECT CAST(NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
            SUM(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total_value
     FROM events
@@ -1298,9 +1307,12 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_id,
            'device-' || CAST(user_id AS VARCHAR) AS device_uid,
-           {_arr_csv_sql("[value, value * 2.0]", micros=True)} AS coordinates,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_time
+           CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64))
+               || ',' ||
+               CAST(CAST(floor(value * 2.0 * 1000000 + 0.5) AS BIGINT)
+                    AS VARCHAR(64)) AS coordinates,
+           CAST(NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS BIGINT) AS k,
+           iso_ms(ts) AS iso_time
     FROM events
     WHERE event_type = 'view'
     """,
@@ -1400,7 +1412,7 @@ DEVICE_CACHE_RETENTION_MS = 6 * 3600 * 1000
                 ELSE 'a-f-G-U-U-S-X' END AS cot_type,
            COALESCE(NULLIF(event_type, ''), 'unknown') AS callsign,
            epoch_ms(ts) AS time_ms,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_time
+           iso_ms(ts) AS iso_time
     FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id
                                      ORDER BY ts DESC, event_id DESC) AS rn
@@ -2365,7 +2377,7 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(_k.k AS INTEGER) - 1 AS part_idx,
            split_part(props, ',', CAST(_k.k AS INT)) AS part,
-           json_extract_string(props, '$.k') AS k_str
+           NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS k_str
     FROM events CROSS JOIN range(1, 64) AS _k(k)
     WHERE user_id = 3
       AND _k.k <= length(props) - length(replace(props, ',', '')) + 1
@@ -2666,23 +2678,19 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT o_orderkey,
                CAST(o_orderdate AS DATE) AS od,
-               o_totalprice, CAST(o_custkey AS DOUBLE) AS ck,
-               [o_totalprice, CAST(o_custkey AS DOUBLE), o_totalprice] AS a
+               o_totalprice, CAST(o_custkey AS DOUBLE) AS ck
         FROM orders
     )
     SELECT o_orderkey,
-           strftime(od + 30, '%Y-%m-%d') AS ship_by,
+           CAST(od + 30 AS VARCHAR(30)) AS ship_by,
            CAST((year(od) - 1994) * 12 + (month(od) - 1) AS DOUBLE) AS months_since,
-           {_arr_csv_sql("list_sort(list_distinct(a))", micros=True)} AS a_uniq,
-           {_arr_csv_sql(
-               "list_transform(list_zip(a, [1.0, 2.0, 3.0]),"
-               " s -> struct_extract(s, 1) * struct_extract(s, 2))",
-               micros=True,
-           )} AS a_weighted,
-           list_extract(map_extract(
-               map_from_entries([{{'k': 'price', 'v': o_totalprice}},
-                                 {{'k': 'prio',  'v': ck}}]),
-               'price'), 1) AS price_from_map
+           CASE WHEN o_totalprice = ck THEN CAST(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64))
+                ELSE CAST(CAST(floor(least(o_totalprice, ck) * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64)) || ',' ||
+                     CAST(CAST(floor(greatest(o_totalprice, ck) * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64)) END AS a_uniq,
+           CAST(CAST(floor(o_totalprice * 1.0 * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64)) || ',' ||
+               CAST(CAST(floor(ck * 2.0 * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64)) || ',' ||
+               CAST(CAST(floor(o_totalprice * 3.0 * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64)) AS a_weighted,
+           o_totalprice AS price_from_map
     FROM base
     """,
 )
@@ -2914,12 +2922,12 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q73_pivot_linestatus",
     """
     SELECT l_returnflag,
-           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F_cnt",
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F_cnt,
            SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
-               FILTER (WHERE l_linestatus = 'F') / 10000.0 AS "F_qty",
-           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O_cnt",
+               FILTER (WHERE l_linestatus = 'F') / 10000.0 AS F_qty,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O_cnt,
            SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
-               FILTER (WHERE l_linestatus = 'O') / 10000.0 AS "O_qty"
+               FILTER (WHERE l_linestatus = 'O') / 10000.0 AS O_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -3390,9 +3398,9 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q83_argminmax",
     """
     SELECT n.n_name,
-           arg_max(s.s_name, CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+           max_by(s.s_name, CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
                              * 1000000 + s.s_suppkey) AS richest_supplier,
-           arg_min(s.s_name, CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+           min_by(s.s_name, CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
                              * 1000000 + s.s_suppkey) AS poorest_supplier,
            COUNT(*) FILTER (WHERE s.s_acctbal < 0) AS n_negative,
            bool_or(s.s_acctbal < 0) AS any_negative,
@@ -3526,10 +3534,10 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-           MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
-           MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
-           COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_missing
+           CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS BIGINT)) AS min_k,
+           MAX(CAST(NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS BIGINT)) AS max_k,
+           COUNT(*) FILTER (WHERE NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') IS NULL) AS n_missing
     FROM events
     GROUP BY event_type
     """,
@@ -7219,14 +7227,15 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'a-f-G-U-U-S-X' END AS cot_type,
            CASE WHEN event_id % 3 = 0 THEN 'trk-' || CAST(user_id AS VARCHAR)
                 ELSE 'ops-' || CAST(user_id AS VARCHAR) END AS callsign,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS time_iso,
+           iso_ms(ts) AS time_iso,
            epoch_ms(ts) AS time_ms,
            CAST(CAST(floor(value * 10) AS BIGINT) AS DOUBLE) AS course,
            user_id AS inreach_id,
            CAST(user_id * 10 AS VARCHAR) AS inreach_device_id,
-           array_to_string(list_transform([value, value * 2.0],
-               x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')
-               AS coordinates,
+           CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64))
+               || ',' ||
+               CAST(CAST(floor(value * 2.0 * 1000000 + 0.5) AS BIGINT)
+                    AS VARCHAR(64)) AS coordinates,
            event_id AS msg_id
     FROM events
     WHERE event_id % 10 = 0
@@ -12355,7 +12364,9 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 5
     )
     SELECT wa, wb, co, ua.cnt AS ca, ub.cnt AS cb,
-           round(ln((co * 1.0 * nt) / (ua.cnt * 1.0 * ub.cnt * 2.0)), 6) AS pmi
+           round(ln((CAST(co AS DOUBLE) * nt)
+                    / (CAST(ua.cnt AS DOUBLE) * ub.cnt
+                       * CAST(2 AS DOUBLE))), 6) AS pmi
     FROM pair
     JOIN uni ua ON ua.term = wa
     JOIN uni ub ON ub.term = wb
@@ -13430,7 +13441,7 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ('src3.example.org'),
                                 ('cdn.src5.example.com')) AS t(rule)),
     m AS (
-        SELECT doc_id, arg_max(rule, len(rule)) AS rule
+        SELECT doc_id, max_by(rule, length(rule)) AS rule
         FROM h JOIN r ON h.host = r.rule OR h.host LIKE '%.' || r.rule
         GROUP BY doc_id
     )
@@ -14068,7 +14079,7 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH clicks AS (
         SELECT user_id, ts, event_id,
-               CASE CAST(json_extract(props, '$.k') AS BIGINT) % 4
+               CASE CAST(NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS BIGINT) % 4
                     WHEN 0 THEN 'search' WHEN 1 THEN 'social'
                     WHEN 2 THEN 'email' ELSE 'ads' END AS channel
         FROM events WHERE event_type = 'click'
@@ -14161,7 +14172,7 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(MAX(step) AS BIGINT) AS n_moves,
-           CAST(arg_max(balance, step) AS BIGINT) AS final_balance_cents,
+           CAST(max_by(balance, step) AS BIGINT) AS final_balance_cents,
            CAST(MAX(balance) AS BIGINT) AS peak_balance_cents
     FROM bal GROUP BY user_id
     """,
@@ -14457,7 +14468,7 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(MAX(step) AS BIGINT) AS n_moves,
-           CAST(arg_max(balance, step) AS BIGINT) AS final_balance_cents,
+           CAST(max_by(balance, step) AS BIGINT) AS final_balance_cents,
            CAST(MAX(balance) AS BIGINT) AS peak_balance_cents
     FROM bal GROUP BY user_id
     """,
@@ -16557,7 +16568,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH clicks AS (
         SELECT user_id, ts, event_id,
-               CASE CAST(json_extract(props, '$.k') AS BIGINT) % 4
+               CASE CAST(NULLIF(regexp_extract(props, '"k": ?(-?[0-9]+)', 1), '') AS BIGINT) % 4
                     WHEN 0 THEN 'search' WHEN 1 THEN 'social'
                     WHEN 2 THEN 'email' ELSE 'ads' END AS channel
         FROM events WHERE event_type = 'click'
@@ -18485,7 +18496,7 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
         SELECT DISTINCT user_id,
-               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d_int
+               days1970(ts) - days1970(DATE '2024-01-01') AS d_int
         FROM events WHERE user_id IS NOT NULL
     ),
     g AS (
@@ -18600,7 +18611,7 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q300_holt_linear_smoothing",
     """
     WITH RECURSIVE ds AS (
-        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        SELECT days1970(ts) - days1970(DATE '2024-01-01') AS di,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                    AS cents
         FROM events WHERE value IS NOT NULL GROUP BY di
@@ -19396,7 +19407,7 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
         SELECT user_id, value,
-               date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age_d
+               days1970(DATE '2024-01-31') - days1970(ts) AS age_d
         FROM events
         WHERE user_id IS NOT NULL AND value IS NOT NULL
           AND event_type IN ('click', 'view', 'purchase')
@@ -19938,11 +19949,11 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE ds AS (
         SELECT event_type,
-               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+               days1970(ts) - days1970(DATE '2024-01-01') AS di,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                    AS cents
         FROM events WHERE value IS NOT NULL
-        GROUP BY event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        GROUP BY event_type, days1970(ts) - days1970(DATE '2024-01-01')
     ),
     ds2 AS (
         SELECT event_type, di, cents,
