@@ -1743,9 +1743,15 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, seed
     ),
     bands AS (
-        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
-        FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+        SELECT doc_id, band, md5(max_by(run, seed)) AS band_key
+        FROM (SELECT doc_id, seed, CAST(seed // 2 AS INTEGER) AS band,
+                     string_agg(CAST(minhash AS VARCHAR(64)), '|') OVER (
+                         PARTITION BY doc_id, CAST(seed // 2 AS INTEGER)
+                         ORDER BY seed
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run
+              FROM seeded) z
+        GROUP BY doc_id, band
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -3581,12 +3587,17 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM span CROSS JOIN range(0, 1024) AS _h(k)
         WHERE b0 + INTERVAL 1 HOUR * CAST(_h.k AS INT) <= b1
     )
-    SELECT s.user_id, s.bucket,
-           last_value(b.bucket_sum IGNORE NULLS) OVER (
-               PARTITION BY s.user_id ORDER BY s.bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
-           b.bucket_sum IS NULL AS gapfilled
-    FROM series s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+    SELECT user_id, bucket,
+           MAX(bucket_sum) OVER (PARTITION BY user_id, grp) AS value_locf,
+           bucket_sum IS NULL AS gapfilled
+    FROM (
+        SELECT s.user_id, s.bucket, b.bucket_sum,
+               COUNT(b.bucket_sum) OVER (
+                   PARTITION BY s.user_id ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM series s
+        LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+    ) z
     """,
 )
 def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10032,9 +10043,15 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, seed
     ),
     bands AS (
-        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
-        FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+        SELECT doc_id, band, md5(max_by(run, seed)) AS band_key
+        FROM (SELECT doc_id, seed, CAST(seed // 2 AS INTEGER) AS band,
+                     string_agg(CAST(minhash AS VARCHAR(64)), '|') OVER (
+                         PARTITION BY doc_id, CAST(seed // 2 AS INTEGER)
+                         ORDER BY seed
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run
+              FROM seeded) z
+        GROUP BY doc_id, band
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -14696,7 +14713,7 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, nd * x - sx AS dev FROM daily CROSS JOIN st
     ), den AS (
         SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev
-    ), ks AS (SELECT UNNEST(generate_series(1, 7)) AS k)
+    ), ks AS (SELECT k FROM range(1, 8) AS _r(k))
     SELECT CAST(ks.k AS BIGINT) AS k,
            CAST(SUM(a.dev * b.dev) AS BIGINT) AS num,
            CAST(MIN(den.den) AS BIGINT) AS den,
@@ -14913,7 +14930,7 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (ORDER BY floor(c_acctbal * 100 + 0.5),
                                   c_custkey) AS rk
         FROM customer
-    ), ks AS (SELECT UNNEST(generate_series(1, 3)) AS k)
+    ), ks AS (SELECT k FROM range(1, 4) AS _r(k))
     SELECT CAST(a.c_custkey AS BIGINT) AS key_a,
            CAST(b.c_custkey AS BIGINT) AS key_b,
            CAST(ks.k AS BIGINT) AS k,
@@ -15049,7 +15066,10 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wkt AS (
         SELECT wk, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY wk
     ), bins AS (
-        SELECT UNNEST(generate_series(0, (SELECT MAX(bin) FROM o))) AS bin
+        -- bounded range + filter: bin = totalprice/100 dollars, well
+        -- under 8192 for TPC-H totalprice at any fixture sf
+        SELECT k AS bin FROM range(0, 8192) AS _r(k)
+        WHERE k <= (SELECT MAX(bin) FROM o)
     ), cnt AS (
         SELECT wk, bin, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY wk, bin
     ), cum AS (
@@ -15403,7 +15423,7 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), bs AS (
-        SELECT UNNEST(generate_series(1, 200)) AS b
+        SELECT b FROM range(1, 201) AS _r(b)
     ), picked AS (
         SELECT bs.b, daily.d, daily.x
         FROM daily CROSS JOIN bs
@@ -17190,9 +17210,15 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, seed
     ),
     bands AS (
-        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
-        FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+        SELECT doc_id, band, md5(max_by(run, seed)) AS band_key
+        FROM (SELECT doc_id, seed, CAST(seed // 2 AS INTEGER) AS band,
+                     string_agg(CAST(minhash AS VARCHAR(64)), '|') OVER (
+                         PARTITION BY doc_id, CAST(seed // 2 AS INTEGER)
+                         ORDER BY seed
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run
+              FROM seeded) z
+        GROUP BY doc_id, band
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -17993,7 +18019,7 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ((h * (i + 1) + 31 * i * i) % 65536) - 32768 AS smp
-        FROM h, generate_series(0, 63) AS t(i)
+        FROM h CROSS JOIN range(0, 64) AS t(i)
     )
     SELECT user_id AS track_id,
            CAST(8000 AS INTEGER) AS sample_rate,
@@ -18876,7 +18902,7 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.probe_id,
                CAST(SUM(CAST(floor(1000000000.0 / log2(i + 1) + 0.5)
                              AS BIGINT)) AS BIGINT) AS idcg_nano
-        FROM nrel n, generate_series(1, 10) AS g(i)
+        FROM nrel n CROSS JOIN range(1, 11) AS g(i)
         WHERE i <= n.n_rel_total
         GROUP BY n.probe_id
     )
@@ -19484,10 +19510,15 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, seed
     ),
     bands AS (
-        SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
-                   AS band_key
-        FROM seeded GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+        SELECT doc_id, band, md5(max_by(run, seed)) AS band_key
+        FROM (SELECT doc_id, seed, CAST(seed // 2 AS INTEGER) AS band,
+                     string_agg(CAST(minhash AS VARCHAR(64)), '|') OVER (
+                         PARTITION BY doc_id, CAST(seed // 2 AS INTEGER)
+                         ORDER BY seed
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run
+              FROM seeded) z
+        GROUP BY doc_id, band
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -19621,7 +19652,7 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, p, i,
                md5i64(CAST(u AS VARCHAR) || '|'
                     || CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)) % n_parts + 1 AS n_part
-        FROM pos CROSS JOIN np, generate_series(0, 1) AS g(i)
+        FROM pos CROSS JOIN np CROSS JOIN range(0, 2) AS g(i)
     ),
     coll AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_collisions
@@ -21061,12 +21092,17 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cfg(bands, rws) AS (VALUES (8, 1), (4, 2), (2, 4)),
     bands AS (
-        SELECT cfg.bands, cfg.rws, doc_id,
-               CAST(seed // cfg.rws AS INTEGER) AS band,
-               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
-                   AS band_key
-        FROM seeded CROSS JOIN cfg
-        GROUP BY cfg.bands, cfg.rws, doc_id, CAST(seed // cfg.rws AS INTEGER)
+        SELECT bands, rws, doc_id, band, md5(max_by(run, seed)) AS band_key
+        FROM (SELECT cfg.bands, cfg.rws, doc_id, seed,
+                     CAST(seed // cfg.rws AS INTEGER) AS band,
+                     string_agg(CAST(minhash AS VARCHAR(64)), '|') OVER (
+                         PARTITION BY cfg.bands, cfg.rws, doc_id,
+                                      CAST(seed // cfg.rws AS INTEGER)
+                         ORDER BY seed
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run
+              FROM seeded CROSS JOIN cfg) z
+        GROUP BY bands, rws, doc_id, band
     ),
     cands AS (
         SELECT DISTINCT a.bands, a.rws, a.doc_id AS a, b.doc_id AS b
@@ -21409,7 +21445,7 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT user_id, i,
                ((h * (i + 1) + 31 * i * i) % 65536) - 32768 AS smp
-        FROM h, generate_series(0, 63) AS t(i)
+        FROM h CROSS JOIN range(0, 64) AS t(i)
     )
     SELECT user_id AS track_id,
            CAST(i // 16 AS INTEGER) AS frame_idx,
