@@ -346,3 +346,127 @@ def test_kafka_transport_recovers_from_checkpoint(spark, tmp_path):
     want = drain(b2, str(tmp_path / "out_s"), str(tmp_path / "ckpt_s"))
 
     assert _canon(got) == _canon(want) and got.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# merge_cdc_sink (VERDICT r7 item #4): the Delta-MERGE-semantics
+# snapshot sink under the same kill-and-resume protocol, plus direct
+# crash-window simulations of its commit protocol.
+# ---------------------------------------------------------------------------
+
+
+def _cdc_stream(spark, d):
+    """Events as a CDC log: purchases delete the user's row, everything
+    else upserts it — exercises I/U/D through the merge."""
+    ev = _file_stream(spark, d)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+
+
+def _run_cdc(spark, src, state, ckpt):
+    from etl_everywhere_hub_spark.streaming.sinks import merge_cdc_sink
+
+    q = merge_cdc_sink(
+        _cdc_stream(spark, src),
+        state_path=state,
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak="event_id",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+
+def _snapshot_rows(spark, state):
+    from etl_everywhere_hub_spark.streaming.sinks import read_merge_snapshot
+
+    df = read_merge_snapshot(spark, state)
+    assert df is not None, "no committed snapshot"
+    return sorted(
+        (r["user_id"], r["event_id"], r["value"], r["op"]) for r in df.collect()
+    )
+
+
+def test_merge_cdc_sink_kill_and_resume_equals_uninterrupted(spark, tmp_path):
+    src = tmp_path / "cdc_src_i"
+    src.mkdir()
+    state_i = str(tmp_path / "cdc_state_i")
+    ckpt_i = str(tmp_path / "cdc_ckpt_i")
+    _write_jsonl(src / "part1.jsonl", PART1)
+    _run_cdc(spark, str(src), state_i, ckpt_i)
+    mid = _snapshot_rows(spark, state_i)
+    assert mid, "first half committed nothing"
+    _write_jsonl(src / "part2.jsonl", PART2)
+    _run_cdc(spark, str(src), state_i, ckpt_i)
+    got = _snapshot_rows(spark, state_i)
+
+    src2 = tmp_path / "cdc_src_s"
+    src2.mkdir()
+    _write_jsonl(src2 / "all.jsonl", ALL)
+    state_s = str(tmp_path / "cdc_state_s")
+    _run_cdc(spark, str(src2), state_s, str(tmp_path / "cdc_ckpt_s"))
+    want = _snapshot_rows(spark, state_s)
+    assert got == want and len(got) > 0
+    # the relational contract: newest op per user wins, D removes
+    import collections
+
+    newest = {}
+    for r in ALL:
+        key = r["user_id"]
+        cand = (r["ts"], r["event_id"])
+        if key not in newest or cand > (newest[key]["ts"], newest[key]["event_id"]):
+            newest[key] = r
+    expect = sorted(
+        (u, r["event_id"], r["value"], "U")
+        for u, r in newest.items()
+        if r["event_type"] != "purchase"
+    )
+    assert got == expect
+
+
+def test_merge_cdc_commit_crash_windows(spark, tmp_path):
+    """Simulate each crash window of the commit protocol directly and
+    assert readers always see a complete snapshot and replay repairs."""
+    import os
+
+    from etl_everywhere_hub_spark.streaming.sinks import (
+        _commit_snapshot,
+        read_merge_snapshot,
+    )
+
+    state = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, 10, "U")], "k long, v long, op string")
+    _commit_snapshot(df1, state, 0)
+    assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {10}
+
+    # window A: crash AFTER temp write, BEFORE rename — temp dir exists,
+    # manifest still points at v0; reader unaffected, sweep cleans it
+    df2 = spark.createDataFrame([(1, 20, "U")], "k long, v long, op string")
+    tmp = os.path.join(state, f"v{1:012d}.tmp-99999")
+    df2.write.mode("overwrite").parquet(tmp)
+    assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {10}
+
+    # window B: crash AFTER rename, BEFORE manifest — v1 exists but
+    # manifest still points at v0; reader still sees v0; a replay of
+    # batch 1 rebuilds v1 and completes the commit
+    os.rename(tmp, os.path.join(state, f"v{1:012d}"))
+    assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {10}
+    _commit_snapshot(df2, state, 1)  # the checkpointed replay
+    assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {20}
+
+    # window C: stale manifest temp from a dead writer is harmless and
+    # the sweep keeps only current+previous versions
+    with open(os.path.join(state, "_MANIFEST.tmp-4242"), "w") as fh:
+        fh.write("v-garbage")
+    df3 = spark.createDataFrame([(1, 30, "U")], "k long, v long, op string")
+    _commit_snapshot(df3, state, 2)
+    assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {30}
+    dirs = [d for d in os.listdir(state) if d.startswith("v") and "." not in d]
+    assert sorted(dirs) == [f"v{1:012d}", f"v{2:012d}"]
