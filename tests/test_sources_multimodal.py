@@ -531,11 +531,12 @@ def test_png_codec_roundtrip_all_filters_and_errors():
     with pytest.raises(NotImplementedError, match="depth"):
         mm.decode_image(p)
     # JPEG now decodes natively (multimodal/jpeg.py): truncated
-    # streams fail loudly; WebP still raises the narrowed
-    # library-needed error
+    # streams fail loudly; WebP-LOSSLESS decodes natively as of round 8
+    # (multimodal/webp.py, q333) — only the LOSSY VP8 stream raises,
+    # narrowly
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(32))
-    with pytest.raises(NotImplementedError, match="WebP"):
+    with pytest.raises(NotImplementedError, match="lossy"):
         mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + bytes(16))
 
 
