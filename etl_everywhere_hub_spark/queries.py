@@ -800,12 +800,33 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_collect_list",
-    f"""
-    SELECT l_orderkey,
-           {_arr_csv_sql("list_sort(list(l_linenumber))")} AS line_numbers,
-           {_arr_csv_sql("list_sort(list(DISTINCT l_returnflag))")} AS flags
-    FROM lineitem
-    GROUP BY l_orderkey
+    """
+    WITH ln AS (
+        SELECT l_orderkey, max_by(run, rn) AS line_numbers
+        FROM (SELECT l_orderkey,
+                     string_agg(CAST(l_linenumber AS VARCHAR(64)), ',')
+                         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS run,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber) AS rn
+              FROM lineitem) z
+        GROUP BY l_orderkey
+    ), fl AS (
+        SELECT l_orderkey, max_by(run, rn) AS flags
+        FROM (SELECT l_orderkey,
+                     string_agg(l_returnflag, ',')
+                         OVER (PARTITION BY l_orderkey ORDER BY l_returnflag
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS run,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_returnflag) AS rn
+              FROM (SELECT DISTINCT l_orderkey, l_returnflag
+                    FROM lineitem) dd) z
+        GROUP BY l_orderkey
+    )
+    SELECT ln.l_orderkey, ln.line_numbers, fl.flags
+    FROM ln JOIN fl ON fl.l_orderkey = ln.l_orderkey
     """,
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2250,20 +2271,35 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q55_array_map_funcs",
-    f"""
-    SELECT l_orderkey,
-           {_arr_csv_sql("lns")} AS line_numbers,
-           lns[1] AS first_line,
-           CAST(len(lns) AS BIGINT) AS n_lines,
-           list_contains(lns, 1) AS has_line1,
-           {_arr_csv_sql("list_slice(lns, 1, 2)")} AS first_two,
-           {_arr_csv_sql("list_transform(lns, x -> CAST(x AS BIGINT) * 10)")} AS tens,
-           {_arr_csv_sql("flatten([lns, lns])")} AS doubled_list,
-           CAST(list_position(lns, 2) AS INTEGER) AS pos_of_2
-    FROM (
-        SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
-        FROM lineitem GROUP BY l_orderkey
-    ) t
+    """
+    WITH r AS (
+        SELECT l_orderkey, l_linenumber AS v,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber) AS rn,
+               string_agg(CAST(l_linenumber AS VARCHAR(64)), ',') OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               string_agg(CAST(CAST(l_linenumber AS BIGINT) * 10
+                               AS VARCHAR(64)), ',') OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run10
+        FROM lineitem
+    ), agg AS (
+        SELECT l_orderkey,
+               max_by(run, rn) AS line_numbers,
+               max_by(run10, rn) AS tens,
+               MIN(v) AS first_line,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               bool_or(v = 1) AS has_line1,
+               MAX(CASE WHEN rn <= 2 THEN run END) AS first_two,
+               COALESCE(MIN(CASE WHEN v = 2 THEN rn END), 0) AS pos2
+        FROM r GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, line_numbers, first_line, n_lines, has_line1,
+           first_two, tens,
+           line_numbers || ',' || line_numbers AS doubled_list,
+           CAST(pos2 AS INTEGER) AS pos_of_2
+    FROM agg
     """,
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3329,19 +3365,28 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q81_repetition_stats",
     """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    grams AS (
-        SELECT doc_id, w,
-               list_transform(range(len(w) - 4),
-                              i -> array_to_string(w[i+1:i+5], ' ')) AS g5
-        FROM toks
+    WITH tok AS (
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k AS INT)) AS t
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
+    ), words AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               COUNT(DISTINCT t) AS n_distinct_words
+        FROM tok GROUP BY doc_id
+    ), grams AS (
+        SELECT doc_id, split_part(text, ' ', CAST(_k.k + 0 AS INT)) || ' ' || split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' || split_part(text, ' ', CAST(_k.k + 2 AS INT)) || ' ' || split_part(text, ' ', CAST(_k.k + 3 AS INT)) || ' ' || split_part(text, ' ', CAST(_k.k + 4 AS INT)) AS g5
+        FROM documents CROSS JOIN range(1, 252) AS _k(k)
+        WHERE _k.k <= ntok(text) - 4
+    ), gstats AS (
+        SELECT doc_id, COUNT(*) AS n_g5, COUNT(DISTINCT g5) AS n_g5_distinct
+        FROM grams GROUP BY doc_id
     )
-    SELECT doc_id,
-           len(w) AS n_words,
-           len(list_distinct(w)) AS n_distinct_words,
-           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
-           len(g5) - len(list_distinct(g5)) AS repeated_5grams
-    FROM grams
+    SELECT w.doc_id,
+           w.n_words,
+           w.n_distinct_words,
+           CAST(w.n_distinct_words AS DOUBLE) / w.n_words AS ttr,
+           COALESCE(g.n_g5 - g.n_g5_distinct, 0) AS repeated_5grams
+    FROM words w LEFT JOIN gstats g ON g.doc_id = w.doc_id
     """,
 )
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5110,31 +5155,26 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q117_bitwise_array_setops",
     """
-    WITH base AS (
+    WITH per_row AS (
+        -- a = [1, 2 + id%4), b = [id%3, id%3 + 3): contiguous integer
+        -- intervals, so the set-op LENGTHS the query aggregates have
+        -- exact interval arithmetic (the Spark side still runs the
+        -- real array set operators; this is the values contract)
         SELECT event_id, event_type,
                CAST(event_id % 16 AS BIGINT) AS flags,
-               range(1, CAST(2 + event_id % 4 AS BIGINT)) AS a,
-               range(CAST(event_id % 3 AS BIGINT),
-                     CAST(event_id % 3 + 3 AS BIGINT)) AS b
+               1 + event_id % 4 AS na,
+               greatest(0, least(2 + event_id % 4, event_id % 3 + 3)
+                           - greatest(1, event_id % 3)) AS ni
         FROM events WHERE event_id % 7 = 0
-    ),
-    per_row AS (
-        SELECT event_id, event_type, flags,
-               list_sort(list_distinct(array_concat(a, b))) AS ab_union,
-               list_sort(list_distinct(
-                   list_filter(a, x -> list_contains(b, x)))) AS ab_intersect,
-               list_sort(list_distinct(
-                   list_filter(a, x -> NOT list_contains(b, x)))) AS ab_except
-        FROM base
     )
     SELECT event_type,
            bit_or(flags)  AS flags_any,
            bit_and(flags) AS flags_all,
            bit_xor(flags) AS flags_parity,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(len(ab_union)) AS BIGINT) AS total_union_len,
-           CAST(SUM(len(ab_intersect)) AS BIGINT) AS total_intersect_len,
-           CAST(SUM(len(ab_except)) AS BIGINT) AS total_except_len
+           CAST(SUM(na + 3 - ni) AS BIGINT) AS total_union_len,
+           CAST(SUM(ni) AS BIGINT) AS total_intersect_len,
+           CAST(SUM(na - ni) AS BIGINT) AS total_except_len
     FROM per_row
     GROUP BY event_type
     """,
@@ -8147,13 +8187,21 @@ _ELLIPSE_LON_SQL, _ELLIPSE_LAT_SQL = _dest_sql(
                CAST(event_id % 360 AS DOUBLE) AS tilt
         FROM latest WHERE rn = 1
     )
-    SELECT user_id,
-           array_to_string(flatten(list_transform(
-               generate_series(0, 12),
-               i -> [{_micro_sql(_ELLIPSE_LON_SQL)},
-                     {_micro_sql(_ELLIPSE_LAT_SQL)}]
-           )), ',') AS ring
-    FROM base
+    , pts AS (
+        SELECT user_id, i,
+               {_micro_sql(_ELLIPSE_LON_SQL)} AS lon_s,
+               {_micro_sql(_ELLIPSE_LAT_SQL)} AS lat_s
+        FROM base CROSS JOIN range(0, 13) AS _i(i)
+    ), runs AS (
+        SELECT user_id,
+               string_agg(lon_s || ',' || lat_s, ',') OVER (
+                   PARTITION BY user_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               row_number() OVER (PARTITION BY user_id ORDER BY i) AS rn
+        FROM pts
+    )
+    SELECT user_id, max_by(run, rn) AS ring
+    FROM runs GROUP BY user_id
     """,
 )
 def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8213,15 +8261,24 @@ _SECTOR_LON_SQL, _SECTOR_LAT_SQL = _dest_sql(
                  + CAST(user_id % 90 AS DOUBLE) AS b2
         FROM latest WHERE rn = 1
     )
-    SELECT user_id,
-           array_to_string(flatten(
-               [[{_micro_sql('lon0')}, {_micro_sql('lat0')}]] ||
-               list_transform(generate_series(0, 8),
-                   k -> [{_micro_sql(_SECTOR_LON_SQL)},
-                         {_micro_sql(_SECTOR_LAT_SQL)}]) ||
-               [[{_micro_sql('lon0')}, {_micro_sql('lat0')}]]
-           ), ',') AS ring
-    FROM base
+    , pts AS (
+        SELECT user_id, pos,
+               CASE WHEN pos = 0 OR pos = 10
+                    THEN {_micro_sql('lon0')} || ',' || {_micro_sql('lat0')}
+                    ELSE {_micro_sql(_SECTOR_LON_SQL)} || ',' ||
+                         {_micro_sql(_SECTOR_LAT_SQL)} END AS seg
+        FROM (SELECT b.*, _p.pos, CAST(_p.pos - 1 AS BIGINT) AS k
+              FROM base b CROSS JOIN range(0, 11) AS _p(pos)) s
+    ), runs AS (
+        SELECT user_id,
+               string_agg(seg, ',') OVER (
+                   PARTITION BY user_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               row_number() OVER (PARTITION BY user_id ORDER BY pos) AS rn
+        FROM pts
+    )
+    SELECT user_id, max_by(run, rn) AS ring
+    FROM runs GROUP BY user_id
     """,
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13542,8 +13599,11 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE _c.k <= length(tok)
     ),
     p1 AS (
-        SELECT s AS a, lead(s) OVER (PARTITION BY tok ORDER BY p) AS b, wc
-        FROM sym QUALIFY b IS NOT NULL
+        SELECT * FROM (
+            SELECT s AS a, lead(s) OVER (PARTITION BY tok ORDER BY p) AS b,
+                   wc
+            FROM sym
+        ) z WHERE b IS NOT NULL
     ),
     best AS (
         SELECT a, b FROM p1 GROUP BY a, b
@@ -13560,14 +13620,16 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken AS (
         -- greedy left-to-right: within a run of CONSECUTIVE candidate
         -- positions (only possible when a = b), every other one merges
-        SELECT tok, p
-        FROM (
+        SELECT tok, p FROM (
             SELECT tok, p,
-                   p - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY p) AS grp
-            FROM cand
-        )
-        QUALIFY (ROW_NUMBER() OVER (PARTITION BY tok, grp ORDER BY p) - 1)
-                % 2 = 0
+                   ROW_NUMBER() OVER (PARTITION BY tok, grp ORDER BY p) AS rg
+            FROM (
+                SELECT tok, p,
+                       p - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY p)
+                           AS grp
+                FROM cand
+            ) g1
+        ) g2 WHERE (rg - 1) % 2 = 0
     ),
     merged AS (
         SELECT sym.tok, sym.wc, sym.p,
@@ -13581,9 +13643,11 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sym LEFT JOIN taken t ON t.tok = sym.tok AND t.p = sym.p
     ),
     p2 AS (
-        SELECT s AS a2, lead(s) OVER (PARTITION BY tok ORDER BY p) AS b2, wc
-        FROM merged WHERE consumed = 0
-        QUALIFY b2 IS NOT NULL
+        SELECT * FROM (
+            SELECT s AS a2, lead(s) OVER (PARTITION BY tok ORDER BY p)
+                       AS b2, wc
+            FROM merged WHERE consumed = 0
+        ) z WHERE b2 IS NOT NULL
     ),
     ranked AS (
         SELECT a2 || ' ' || b2 AS pair, CAST(SUM(wc) AS BIGINT) AS n,
@@ -14037,15 +14101,47 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q240_readability_fertility",
     """
-    WITH m AS (
+    WITH ch AS (
+        -- q37's portable run-counting: regexp_extract_all counts have
+        -- no dialect-shared spelling, but codepoint classes over a
+        -- char range join do (run start = class holds, prev doesn't)
         SELECT doc_id,
-               CAST(ntok(text) AS BIGINT) AS words,
-               CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
-               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
-                   AS vowel_groups,
-               CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
-        FROM documents
+               ascii(substr(text, CAST(_c.k AS INT), 1)) AS a,
+               CASE WHEN _c.k > 1
+                    THEN ascii(substr(text, CAST(_c.k - 1 AS INT), 1))
+                    ELSE -1 END AS pa
+        FROM documents CROSS JOIN range(1, 1024) AS _c(k)
+        WHERE _c.k <= length(text)
+    ), cls AS (
+        SELECT doc_id,
+               CASE WHEN (a BETWEEN 65 AND 90) OR (a BETWEEN 97 AND 122)
+                    THEN 1 ELSE 0 END AS alpha,
+               CASE WHEN a BETWEEN 48 AND 57 THEN 1 ELSE 0 END AS dig,
+               CASE WHEN (pa BETWEEN 65 AND 90) OR (pa BETWEEN 97 AND 122)
+                    THEN 1 ELSE 0 END AS palpha,
+               CASE WHEN pa BETWEEN 48 AND 57 THEN 1 ELSE 0 END AS pdig,
+               CASE WHEN a = 32 THEN 1 ELSE 0 END AS sp,
+               CASE WHEN a IN (97, 101, 105, 111, 117) THEN 1 ELSE 0 END
+                   AS vow,
+               CASE WHEN pa IN (97, 101, 105, 111, 117) THEN 1 ELSE 0 END
+                   AS pvow
+        FROM ch
+    ), agg AS (
+        SELECT doc_id,
+               SUM(CASE WHEN alpha = 1 AND palpha = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN dig = 1 AND pdig = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN alpha = 0 AND dig = 0 AND sp = 0
+                        THEN 1 ELSE 0 END) AS bpe_tokens,
+               SUM(CASE WHEN vow = 1 AND pvow = 0 THEN 1 ELSE 0 END)
+                   AS vowel_groups
+        FROM cls GROUP BY doc_id
+    ), m AS (
+        SELECT d.doc_id,
+               CAST(ntok(d.text) AS BIGINT) AS words,
+               CAST(g.bpe_tokens AS BIGINT) AS bpe_tokens,
+               CAST(g.vowel_groups AS BIGINT) AS vowel_groups,
+               CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS letters
+        FROM documents d JOIN agg g ON g.doc_id = d.doc_id
     )
     SELECT doc_id, words, bpe_tokens, vowel_groups,
            round(bpe_tokens * 1.0 / words, 6) AS fertility,
@@ -16530,14 +16626,15 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ), win AS (
-        SELECT a.d AS d, list_sort(list(b.x)) AS xs, CAST(COUNT(*) AS BIGINT) AS n
+        SELECT a.d AS d, b.x AS x,
+               row_number() OVER (PARTITION BY a.d ORDER BY b.x) AS rk,
+               COUNT(*) OVER (PARTITION BY a.d) AS n
         FROM daily a JOIN daily b ON b.d BETWEEN a.d - 6 AND a.d
-        GROUP BY a.d
     )
-    SELECT d, n,
-           CAST(xs[CAST((n + 1) // 2 AS INTEGER)] AS BIGINT) AS med_lo,
-           CAST(xs[CAST((n + 2) // 2 AS INTEGER)] AS BIGINT) AS med_hi
-    FROM win
+    SELECT d, CAST(n AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN x END) AS BIGINT) AS med_lo,
+           CAST(MAX(CASE WHEN rk = (n + 2) // 2 THEN x END) AS BIGINT) AS med_hi
+    FROM win GROUP BY d, n
     """,
 )
 def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
