@@ -67,7 +67,13 @@ def test_roundtrip_property(h, w, seed, sg, cache, runs):
     # low-entropy palette-ish content so runs / cache hits actually occur
     img = (rng.integers(0, 4, size=(h, w, 3)) * 77).astype(np.uint8)
     enc = encode_vp8l(img, subtract_green=sg, cache_bits=cache, use_runs=runs)
-    assert np.array_equal(decode_vp8l(enc), img)
+    out = decode_vp8l(enc)
+    if out.ndim == 2:
+        # channel-equal images collapse to gray by contract (the
+        # stream carries no gray/RGB distinction); q333 re-stacks the
+        # same way
+        out = np.stack([out] * 3, axis=-1)
+    assert np.array_equal(out, img)
 
 
 def test_riff_container_shape():
