@@ -13406,29 +13406,36 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q232_winnowing_fingerprints",
     """
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id,
-               [md5i64(array_to_string(toks[i+1:i+3], ' '))
-                for i in range(len(toks) - 2)] AS h
-        FROM t
-    ), s AS (
-        SELECT doc_id, h,
-               list_distinct([
-                   list_reduce(
-                       list_transform(range(p, p + 4),
-                                      j -> {'pos': j, 'hv': h[j + 1]}),
-                       (a, b) -> CASE WHEN b.hv <= a.hv THEN b ELSE a END).pos
-                   for p in range(len(h) - 3)
-               ]) AS sel_pos
-        FROM g
+    WITH hsh AS (
+        SELECT doc_id, CAST(_k.k - 1 AS BIGINT) AS pos,
+               md5i64(split_part(text, ' ', CAST(_k.k AS INT)) || ' ' ||
+                      split_part(text, ' ', CAST(_k.k + 1 AS INT)) || ' ' ||
+                      split_part(text, ' ', CAST(_k.k + 2 AS INT))) AS hv
+        FROM documents CROSS JOIN range(1, 254) AS _k(k)
+        WHERE _k.k <= ntok(text) - 2
+    ), nh AS (
+        SELECT doc_id, COUNT(*) AS nhash FROM hsh GROUP BY doc_id
+    ), wins AS (
+        -- each length-4 window picks its RIGHTMOST minimal hash (the
+        -- winnowing tiebreak): rank by (hv ASC, pos DESC) per window
+        SELECT w.doc_id, h.pos, h.hv,
+               row_number() OVER (PARTITION BY w.doc_id, w.p
+                                  ORDER BY h.hv ASC, h.pos DESC) AS rk
+        FROM (SELECT n.doc_id, CAST(_p.k AS BIGINT) AS p
+              FROM nh n CROSS JOIN range(0, 256) AS _p(k)
+              WHERE _p.k <= n.nhash - 4) w
+        JOIN hsh h ON h.doc_id = w.doc_id
+                  AND h.pos BETWEEN w.p AND w.p + 3
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+               CAST(SUM(hv % 1000000007) AS BIGINT) AS fp_checksum
+        FROM (SELECT DISTINCT doc_id, pos, hv FROM wins WHERE rk = 1) z
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(len(sel_pos) AS BIGINT) AS n_fp,
-           CAST(COALESCE(list_sum(list_transform(sel_pos,
-                    p -> h[p + 1] % 1000000007)), 0) AS BIGINT) AS fp_checksum
-    FROM s
+    SELECT d.doc_id,
+           COALESCE(a.n_fp, 0) AS n_fp,
+           COALESCE(a.fp_checksum, 0) AS fp_checksum
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """,
 )
 def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14017,34 +14024,49 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q239_content_defined_chunking",
     """
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WITH tok AS (
+        SELECT doc_id, CAST(_k.k AS BIGINT) AS i,
+               split_part(text, ' ', CAST(_k.k AS INT)) AS tok
+        FROM documents CROSS JOIN range(1, 256) AS _k(k)
+        WHERE _k.k <= ntok(text)
     ),
-    c AS (
-        SELECT doc_id, toks,
-               list_concat(list_concat(
-                   CAST([0] AS BIGINT[]),
-                   [i for i in range(1, len(toks))
-                    if md5i64(toks[i] || ' ' || toks[i+1]) % 8 = 0]),
-                   [CAST(len(toks) AS BIGINT)]) AS b
-        FROM t
+    flags AS (
+        -- a boundary after token i when the (tok_i, tok_i+1) pair
+        -- hash gate fires — the rolling-hash cut of content-defined
+        -- chunking, spelled with lead() instead of a list
+        -- comprehension so both dialects parse it
+        SELECT doc_id, i, tok,
+               CASE WHEN lead(tok) OVER w IS NOT NULL
+                     AND md5i64(tok || ' ' || lead(tok) OVER w) % 8 = 0
+                    THEN 1 ELSE 0 END AS brk
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
     ),
-    ch AS (
-        SELECT doc_id,
-               [array_to_string(toks[b[j+1]+1 : b[j+2]], ' ')
-                for j in range(len(b) - 1)] AS chunks
-        FROM c
+    assign AS (
+        SELECT doc_id, i, tok,
+               1 + COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cid
+        FROM flags
+    ),
+    built AS (
+        SELECT doc_id, cid,
+               string_agg(tok, ' ') OVER (
+                   PARTITION BY doc_id, cid ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               row_number() OVER (PARTITION BY doc_id, cid ORDER BY i) AS rn
+        FROM assign
+    ),
+    chunks AS (
+        SELECT doc_id, cid, max_by(run, rn) AS chunk, COUNT(*) AS clen
+        FROM built GROUP BY doc_id, cid
     )
     SELECT doc_id,
-           CAST(len(chunks) AS BIGINT) AS n_chunks,
-           CAST(list_min(list_transform(chunks,
-                    c -> ntok(c))) AS BIGINT) AS min_len,
-           CAST(list_max(list_transform(chunks,
-                    c -> ntok(c))) AS BIGINT) AS max_len,
-           CAST(list_sum(list_transform(chunks,
-                    c -> md5i64(c)
-                         % 1000000007)) AS BIGINT) AS chunk_checksum
-    FROM ch
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(MIN(clen) AS BIGINT) AS min_len,
+           CAST(MAX(clen) AS BIGINT) AS max_len,
+           CAST(SUM(md5i64(chunk) % 1000000007) AS BIGINT) AS chunk_checksum
+    FROM chunks GROUP BY doc_id
     """,
 )
 def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
