@@ -256,7 +256,13 @@ def _clamp_add_subtract_full(a, b, c):
 
 
 def _clamp_add_subtract_half(a, b):
-    return min(255, max(0, a + ((a - b) >> 1)))
+    # C-integer truncation toward zero, per the VP8L spec's
+    # ClampAddSubtractHalf `a + (a - b) / 2` (round-9 advice fix:
+    # `>> 1` floors, which differs by 1 for a < b with odd delta,
+    # and the error cascades through reconstructed neighbors)
+    d = a - b
+    half = d // 2 if d >= 0 else -((-d) // 2)
+    return min(255, max(0, a + half))
 
 
 def _predict(mode: int, px, left, top, topleft, topright):
@@ -412,7 +418,18 @@ def _decode_pixels(
 
 
 def _apply_inverse_transforms(img, transforms, w, h):
-    for ttype, data in reversed(transforms):
+    """Inverse-apply transforms in reverse signal order. Each entry is
+    ``(ttype, eff_w, data)`` where ``eff_w`` is the image width IN
+    EFFECT when that transform was read (round-9 advice fix): a
+    transform read AFTER color-indexing operates on the PACKED width —
+    using the full ``w`` there would index past the bundled image.
+    ``eff_w`` is recorded at read time in ``decode_vp8l`` exactly like
+    the palette's own ``orig_w``."""
+    for ttype, eff_w, data in reversed(transforms):
+        assert img.shape[1] == eff_w, (
+            f"VP8L: transform {ttype} expects width {eff_w}, image is "
+            f"{img.shape[1]} — inconsistent transform chain"
+        )
         if ttype == 2:  # SUBTRACT_GREEN
             g = img[:, :, 2].astype(np.int32)
             img[:, :, 1] = (img[:, :, 1].astype(np.int32) + g) & 0xFF
@@ -421,7 +438,7 @@ def _apply_inverse_transforms(img, transforms, w, h):
             bits, modes = data
             res = img.astype(np.int32)
             for y in range(h):
-                for x in range(w):
+                for x in range(eff_w):
                     if x == 0 and y == 0:
                         pred = (255, 0, 0, 0)
                     elif y == 0:
@@ -438,7 +455,7 @@ def _apply_inverse_transforms(img, transforms, w, h):
                         # reconstructed in scanline order
                         topright = (
                             tuple(res[y - 1, x + 1])
-                            if x + 1 < w
+                            if x + 1 < eff_w
                             else tuple(res[y, 0])
                         )
                         pred = _predict(mode, None, left, top, topleft, topright)
@@ -447,7 +464,7 @@ def _apply_inverse_transforms(img, transforms, w, h):
         elif ttype == 1:  # COLOR (cross-color)
             bits, cdata = data
             for y in range(h):
-                for x in range(w):
+                for x in range(eff_w):
                     cx = cdata[y >> bits, x >> bits]
                     g2r = int(cx[3])  # blue channel holds green->red
                     g2b = int(cx[2])  # green channel holds green->blue
@@ -465,10 +482,9 @@ def _apply_inverse_transforms(img, transforms, w, h):
             idx_per_byte = 1 << width_bits if width_bits else 1
             bitdepth = 8 >> width_bits if width_bits else 8
             mask = (1 << bitdepth) - 1
-            res = np.zeros((h, w, 4), dtype=np.uint8)
-            packed_w = img.shape[1]
+            res = np.zeros((h, orig_w, 4), dtype=np.uint8)
             for y in range(h):
-                for x in range(w):
+                for x in range(orig_w):
                     packed = int(img[y, x // idx_per_byte, 2])
                     shift = (x % idx_per_byte) * bitdepth
                     pi = (packed >> shift) & mask
@@ -519,16 +535,16 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     while br.read(1):
         ttype = br.read(2)
         if ttype == 2:
-            transforms.append((2, None))
+            transforms.append((2, dec_w, None))
         elif ttype in (0, 1):
             bits = br.read(3) + 2
             bw = (dec_w + (1 << bits) - 1) >> bits
             bh = (h + (1 << bits) - 1) >> bits
             sub = _decode_pixels(br, bw, bh, False)
             if ttype == 0:
-                transforms.append((0, (bits, sub[:, :, 2].astype(np.int32))))
+                transforms.append((0, dec_w, (bits, sub[:, :, 2].astype(np.int32))))
             else:
-                transforms.append((1, (bits, sub)))
+                transforms.append((1, dec_w, (bits, sub)))
         elif ttype == 3:
             psize = br.read(8) + 1
             pal = _decode_pixels(br, psize, 1, False)[0]
@@ -543,8 +559,11 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
                 width_bits = 1
             else:
                 width_bits = 0
-            transforms.append((3, (pal, width_bits, dec_w)))
-            dec_w = (dec_w + (1 << width_bits) - 1) >> width_bits
+            packed_w = (dec_w + (1 << width_bits) - 1) >> width_bits
+            # eff_w at APPLY time is the packed width (the inverse
+            # receives the bundled image and expands it to dec_w)
+            transforms.append((3, packed_w, (pal, width_bits, dec_w)))
+            dec_w = packed_w
         else:
             raise ValueError("VP8L: bad transform type")
 

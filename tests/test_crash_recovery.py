@@ -455,18 +455,118 @@ def test_merge_cdc_commit_crash_windows(spark, tmp_path):
 
     # window B: crash AFTER rename, BEFORE manifest — v1 exists but
     # manifest still points at v0; reader still sees v0; a replay of
-    # batch 1 rebuilds v1 and completes the commit
+    # batch 1 publishes a RETRY slot (v1r1) and repoints the manifest,
+    # never touching v0 (which a concurrent reader may be scanning) or
+    # removing a published directory before the manifest moves off it
     os.rename(tmp, os.path.join(state, f"v{1:012d}"))
     assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {10}
     _commit_snapshot(df2, state, 1)  # the checkpointed replay
     assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {20}
+    dirs = [d for d in os.listdir(state) if d.startswith("v") and "." not in d]
+    # unpublished v1 swept; published v0 kept for in-flight readers
+    assert sorted(dirs) == [f"v{0:012d}", f"v{1:012d}r1"]
+
+    # window B': crash AFTER manifest replace, BEFORE the Spark
+    # checkpoint commit — replay of the same batch is a no-op (the
+    # manifest already names this batch's slot; rebuilding would tear
+    # the directory readers are pointed at)
+    before = sorted(os.listdir(state))
+    # a real replay re-merges the SAME batch rows; passing a DIFFERENT
+    # df here proves the no-op — nothing may be rewritten or republished
+    _commit_snapshot(
+        spark.createDataFrame([(1, 99, "U")], "k long, v long, op string"),
+        state,
+        1,
+    )
+    assert sorted(os.listdir(state)) == before
+    assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {20}
 
     # window C: stale manifest temp from a dead writer is harmless and
-    # the sweep keeps only current+previous versions
+    # the sweep keeps only current + previously-published versions
     with open(os.path.join(state, "_MANIFEST.tmp-4242"), "w") as fh:
         fh.write("v-garbage")
     df3 = spark.createDataFrame([(1, 30, "U")], "k long, v long, op string")
     _commit_snapshot(df3, state, 2)
     assert {r["v"] for r in read_merge_snapshot(spark, state).collect()} == {30}
     dirs = [d for d in os.listdir(state) if d.startswith("v") and "." not in d]
-    assert sorted(dirs) == [f"v{1:012d}", f"v{2:012d}"]
+    assert sorted(dirs) == [f"v{1:012d}r1", f"v{2:012d}"]
+
+
+def test_merge_cdc_stale_upsert_after_delete_does_not_resurrect(spark, tmp_path):
+    """Round-8 verdict item #2: a delete committed in batch N followed
+    by a STALE upsert (older order_col) in batch N+1 must keep the key
+    deleted — the tombstone is retained in the snapshot, so cross-batch
+    merges are order-insensitive, matching the single-batch result."""
+    from etl_everywhere_hub_spark.streaming.sinks import (
+        _merge_cdc_batch,
+        read_merge_snapshot,
+    )
+
+    schema = "k long, v long, ts long, op string"
+
+    def batch(rows, bid, state):
+        _merge_cdc_batch(
+            spark.createDataFrame(rows, schema), bid, state,
+            keys=["k"], order_col="ts", tiebreak="v", op_col="op",
+        )
+
+    # split across batches: upsert, delete, then a stale upsert
+    state_split = str(tmp_path / "split")
+    batch([(1, 10, 100, "I"), (2, 20, 100, "U")], 0, state_split)
+    batch([(1, 0, 200, "D")], 1, state_split)
+    batch([(1, 11, 150, "U")], 2, state_split)  # stale: older than the delete
+    got = sorted(
+        (r["k"], r["v"]) for r in read_merge_snapshot(spark, state_split).collect()
+    )
+    assert got == [(2, 20)], f"stale upsert resurrected a deleted key: {got}"
+    # the tombstone is still present in the raw merge state
+    raw = read_merge_snapshot(spark, state_split, include_tombstones=True)
+    tomb = [(r["k"], r["op"]) for r in raw.collect() if r["op"] == "D"]
+    assert tomb == [(1, "D")]
+
+    # the same rows in ONE batch produce the identical read view
+    state_one = str(tmp_path / "one")
+    batch(
+        [(1, 10, 100, "I"), (2, 20, 100, "U"), (1, 0, 200, "D"), (1, 11, 150, "U")],
+        0,
+        state_one,
+    )
+    got_one = sorted(
+        (r["k"], r["v"]) for r in read_merge_snapshot(spark, state_one).collect()
+    )
+    assert got_one == got
+
+
+def test_merge_cdc_tombstone_retention_bounds_state(spark, tmp_path):
+    """tombstone_retention drops tombstones older than
+    max(order_col) - retention: state stays O(live keys), at the
+    documented cost that upserts staler than the horizon may
+    resurrect (Delta's deletedFileRetentionDuration trade-off)."""
+    from etl_everywhere_hub_spark.streaming.sinks import (
+        _merge_cdc_batch,
+        read_merge_snapshot,
+    )
+
+    schema = "k long, v long, ts long, op string"
+    state = str(tmp_path / "ret")
+
+    def batch(rows, bid):
+        _merge_cdc_batch(
+            spark.createDataFrame(rows, schema), bid, state,
+            keys=["k"], order_col="ts", tiebreak="v", op_col="op",
+            tombstone_retention=40,
+        )
+
+    batch([(1, 10, 100, "I")], 0)
+    batch([(1, 0, 200, "D")], 1)
+    # tombstone ts=200 within horizon of max ts=200 → retained
+    raw = read_merge_snapshot(spark, state, include_tombstones=True)
+    assert [(r["k"], r["op"]) for r in raw.collect()] == [(1, "D")]
+    # new activity advances the horizon past the tombstone (300-40 > 200)
+    batch([(3, 30, 300, "U")], 2)
+    raw = read_merge_snapshot(spark, state, include_tombstones=True)
+    assert sorted((r["k"], r["op"]) for r in raw.collect()) == [(3, "U")]
+    got = sorted(
+        (r["k"], r["v"]) for r in read_merge_snapshot(spark, state).collect()
+    )
+    assert got == [(3, 30)]

