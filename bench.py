@@ -119,28 +119,40 @@ def main() -> None:
     # ratio_excluded so the exclusion is visible, not silent.
     RATIO_EXCLUDED = {"q331_jpeg_decode_real_pixels"}
     for name, q in sorted(headline_queries().items()):
-        best = float("inf")
+        s_runs: list[float] = []
         for _ in range(RUNS):
             t0 = time.time()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            s_runs.append(time.time() - t0)
+        s_runs.sort()
+        timings[name] = round(s_runs[0], 3)
         # queries persist() frames they consume more than once; drop
         # them between queries so a registry sweep doesn't accumulate
         # executor memory (each query still re-pays its own cache fill
         # on the second run — both runs measure the same work)
         spark.catalog.clearCache()
         d_best = None
+        d_runs: list[float] = []
         if q.oracle is not None:
-            d_best = float("inf")
             for _ in range(RUNS):
                 t0 = time.time()
                 con.sql(q.oracle).df()
-                d_best = min(d_best, time.time() - t0)
-            d_best = round(d_best, 3)
+                d_runs.append(time.time() - t0)
+            d_runs.sort()
+            d_best = round(d_runs[0], 3)
+        # Full spread per engine (VERDICT r8 item #8): min is the
+        # headline (the engine's actual cost on this shared VM), the
+        # sorted run list + median let the next round classify ±0.1 s
+        # upticks as noise vs drift from the artifact alone.
         detail[name] = {
             "spark_s": timings[name],
+            "spark_runs_s": [round(x, 3) for x in s_runs],
+            "spark_median_s": round(s_runs[len(s_runs) // 2], 3),
             "duckdb_s": d_best,
+            "duckdb_runs_s": [round(x, 3) for x in d_runs] or None,
+            "duckdb_median_s": (
+                round(d_runs[len(d_runs) // 2], 3) if d_runs else None
+            ),
             "prev_spark_s": prev.get(name),
         }
         if name in RATIO_EXCLUDED:
