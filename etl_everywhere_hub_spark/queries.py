@@ -141,7 +141,102 @@ _SQL_MACROS = {
     # token count of a space-separated string — the portable spelling
     # of DuckDB's ntok(x) (Spark: size(split(...)))
     "ntok": lambda a: f"(length({a}) - length(replace({a}, ' ', '')) + 1)",
+    # elem(a, i): 1-based array element access (round 9, VERDICT r8
+    # item #5 — the blocker on the embedding-array ledger). `a[i]`
+    # PARSES in both engines but is 1-based in DuckDB and 0-based in
+    # Spark; there is no shared function name either (element_at is
+    # map-only in DuckDB, list_extract is DuckDB-only). The portable
+    # offset comes from a DOCUMENTED, unit-pinned dialect divergence:
+    # `^` is POWER in DuckDB (1^1 = 1.0) and XOR in Spark (1^1 = 0),
+    # so CAST(1^1 AS BIGINT) is exactly the base correction each
+    # engine needs. Same text, both engines, exact semantics — and it
+    # runs on the driver's PLAIN DuckDB (no session-setup macro
+    # registration required, unlike the CREATE MACRO alternative).
+    # Spark runs ANSI mode: out-of-range access ERRORS (DuckDB gives
+    # NULL), so every call site must be bounds-driven (range joins
+    # bounded by alen). Pinned against native spellings on both
+    # engines in tests/test_macros.py.
+    "elem": lambda a, i: f"(({a})[({i}) - 1 + CAST(1^1 AS BIGINT)])",
+    # alen(a): list length. No shared spelling (len/array_length are
+    # DuckDB-only on lists; size/cardinality/array_size Spark-only) —
+    # but CAST(<array> AS VARCHAR(n)) renders IDENTICALLY in both
+    # engines ('[v1, v2, ...]', probed incl. decimal padding), so the
+    # separator count is the length. Flat numeric/string arrays only
+    # (no nested arrays/structs — elements must not contain commas);
+    # every ledger call site is an embedding or id list. 65535 covers
+    # the widest fixture array (dim-64 doubles ≈ 1.3 KB; Spark
+    # truncates silently past the declared VARCHAR width, DuckDB
+    # ignores it). Oracle-side only — the Spark DataFrame twins use
+    # F.size natively.
+    "alen": lambda a: (
+        f"(CASE WHEN CAST(({a}) AS VARCHAR(65535)) = '[]' THEN 0"
+        f" ELSE length(CAST(({a}) AS VARCHAR(65535)))"
+        f" - length(replace(CAST(({a}) AS VARCHAR(65535)), ',', '')) + 1 END)"
+    ),
+    # dotn(a, b, n): dot product of the first n elements (n a literal —
+    # the embeddings fixture is schema-fixed at dim 64) expanded as a
+    # LEFT-NESTED sum of CAST-to-DOUBLE products. The nesting order IS
+    # the sequential left fold, so the expansion is bit-identical to
+    # the Spark twins' F.aggregate / DuckDB's native list_reduce —
+    # float determinism without quantizing or changing any DataFrame
+    # implementation. Norms are dotn(a, a, n); sums are sumn(a, n).
+    "dotn": lambda a, b, n: _foldn_sql(
+        int(n), lambda k: (
+            f"(CAST(elem({a}, {k}) AS DOUBLE)"
+            f" * CAST(elem({b}, {k}) AS DOUBLE))"
+        )
+    ),
+    # sumn(a, n): left-nested sum of the first n elements as DOUBLE.
+    "sumn": lambda a, n: _foldn_sql(
+        int(n), lambda k: f"CAST(elem({a}, {k}) AS DOUBLE)"
+    ),
 }
+
+
+def _foldn_sql(n: int, term) -> str:
+    """Left-nested `(((t1 + t2) + t3) + ...)` over 1-based term index —
+    the textual image of a sequential left fold (see dotn above)."""
+    acc = term(1)
+    for k in range(2, n + 1):
+        acc = f"({acc} + {term(k)})"
+    return acc
+
+
+def _csvn_sql(n: int, term) -> str:
+    """Portable CSV of n per-element terms via a BALANCED `||` tree
+    (both engines concatenate VARCHARs with ||; concat is associative
+    so balancing is value-neutral, and it keeps expression depth at
+    log2(n) — a left-deep 64-term chain with nested CASTs trips
+    DuckDB's 128-deep binder recursion limit). The fixed-width twin of
+    _arr_csv_sql for dim-64 embedding outputs — list_transform /
+    array_to_string have no Spark spelling."""
+    parts = [term(k) for k in range(1, n + 1)]
+
+    def join(lo: int, hi: int) -> str:
+        if hi - lo == 1:
+            return parts[lo]
+        mid = (lo + hi) // 2
+        return f"({join(lo, mid)} || ',' || {join(mid, hi)})"
+
+    return join(0, n)
+
+
+def _greatestn_sql(n: int, term) -> str:
+    """n-ary greatest() over per-element terms (variadic greatest is
+    portable; element MAX has no shared list-function spelling)."""
+    return "greatest(" + ", ".join(term(k) for k in range(1, n + 1)) + ")"
+
+
+# Shared fold: milli-quantized squared L2 norm of `embedding` as exact
+# BIGINT arithmetic (order-free — every term is an integer), used by
+# the score-shaped eval oracles (q294/q306/q315/q227).
+_Q2SUM64 = _foldn_sql(
+    64,
+    lambda k: (
+        f"CAST(floor(CAST(elem(embedding, {k}) AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+        f" * CAST(floor(CAST(elem(embedding, {k}) AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+    ),
+)
 
 
 def _intdiv_sql(left: str, right: str) -> str:
@@ -316,10 +411,32 @@ def _expand_macros(sql: str) -> str:
                 if any(m + "(" in arg for m in _SQL_MACROS):
                     i = i + len(name) + 1  # expand the inner call first
                     continue
-                sql = sql[:i] + fn(arg.strip()) + sql[j + 1 :]
+                sql = sql[:i] + fn(*_split_macro_args(arg)) + sql[j + 1 :]
                 changed = True
                 break
     return sql
+
+
+def _split_macro_args(s: str) -> list[str]:
+    """Split a macro's argument text on TOP-LEVEL commas (multi-arg
+    macros like elem(a, i)). Paren/bracket depth tracked; macro args
+    in this codebase's oracles never contain string literals with
+    commas or brackets."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
 
 
 def query(name: str, oracle: str | None, headline: bool = False):
@@ -1846,12 +1963,9 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
     scored AS (
         SELECT qid, cid,
-               list_reduce(list_transform(range(len(qe)),
-                   i -> qe[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(range(len(qe)),
-                      i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE), (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(range(len(ce)),
-                      i -> ce[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               dotn(qe, ce, 64)
+               / (sqrt(dotn(qe, qe, 64))
+                  * sqrt(dotn(ce, ce, 64)))
                AS cosine_sim
         FROM q CROSS JOIN c
         WHERE qid <> cid
@@ -1890,12 +2004,9 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a, b, cosine_sim FROM (
         SELECT a, b,
-               list_reduce(list_transform(range(len(ea)),
-                   i -> ea[i+1]::DOUBLE * eb[i+1]::DOUBLE), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(range(len(ea)),
-                      i -> ea[i+1]::DOUBLE * ea[i+1]::DOUBLE), (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(range(len(eb)),
-                      i -> eb[i+1]::DOUBLE * eb[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               dotn(ea, eb, 64)
+               / (sqrt(dotn(ea, ea, 64))
+                  * sqrt(dotn(eb, eb, 64)))
                AS cosine_sim
         FROM pairs
     ) s WHERE cosine_sim >= 0.3
@@ -1914,8 +2025,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH norms AS (
         SELECT vec_id, label,
-               sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
-                                (acc, x) -> acc + x)) AS nrm
+               sqrt(dotn(embedding, embedding, 64)) AS nrm
         FROM embeddings
     )
     SELECT label, COUNT(*) AS n_vectors,
@@ -2868,15 +2978,11 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH scaled AS (
         SELECT vec_id,
-               list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-                           (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+               {_greatestn_sql(64, lambda k: f"abs(CAST(elem(embedding, {k}) AS DOUBLE))")} / 127.0 AS scale
         FROM embeddings
     )
     SELECT e.vec_id,
-           {_arr_csv_sql(
-               "list_transform(e.embedding,"
-               " x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT))"
-           )} AS qvec,
+           {_csvn_sql(64, lambda k: f"CAST(CAST(floor(CAST(elem(e.embedding, {k}) AS DOUBLE) / s.scale + 0.5) AS BIGINT) AS VARCHAR(64))")} AS qvec,
            round(s.scale, 9) AS scale
     FROM embeddings e JOIN scaled s USING (vec_id)
     """,
@@ -13061,26 +13167,24 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q227_embedding_norm_outliers",
-    """
+    f"""
     WITH nz AS (
         SELECT vec_id,
-               CAST(list_sum(list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
-                    AS BIGINT) AS n2
+               CAST({_Q2SUM64} AS BIGINT) AS n2
         FROM embeddings
     ),
     s AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n2) AS BIGINT) AS sx,
-               CAST(SUM(CAST(n2 AS HUGEINT) * CAST(n2 AS HUGEINT)) AS HUGEINT)
-                   AS sxx
+               CAST(SUM(CAST(n2 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx
         FROM nz
     )
     SELECT vec_id, n2
     FROM nz CROSS JOIN s
-    WHERE CAST(CAST(n * n2 - sx AS HUGEINT) * CAST(n * n2 - sx AS HUGEINT)
-               AS HUGEINT)
-          > 9 * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+    WHERE CAST(CAST(n * n2 - sx AS DECIMAL(38,0)) * CAST(n * n2 - sx AS DECIMAL(38,0))
+               AS DECIMAL(38,0))
+          > 9 * (CAST(n AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))
     """,
 )
 def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15807,11 +15911,12 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
     )
     SELECT a, b,
-           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+           CAST(bit_count((sa.simhash | sb.simhash) - (sa.simhash & sb.simhash))
+                AS BIGINT) AS hamming
     FROM pairs
     JOIN sig sa ON sa.doc_id = a
     JOIN sig sb ON sb.doc_id = b
-    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    WHERE bit_count((sa.simhash | sb.simhash) - (sa.simhash & sb.simhash)) <= 3
     """,
 )
 def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17575,12 +17680,9 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings),
     scored AS (
         SELECT qid, cid, c.label, q.true_label,
-               list_reduce(list_transform(range(len(qe)),
-                   i -> qe[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(range(len(qe)),
-                      i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE), (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(range(len(ce)),
-                      i -> ce[i+1]::DOUBLE * ce[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               dotn(qe, ce, 64)
+               / (sqrt(dotn(qe, qe, 64))
+                  * sqrt(dotn(ce, ce, 64)))
                AS cosine_sim
         FROM q CROSS JOIN c
         WHERE qid <> cid
@@ -18305,14 +18407,14 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q294_roc_auc",
-    """
+    f"""
     WITH nz AS (
         SELECT vec_id,
                CAST(label % 2 AS INTEGER) AS pos,
-               CAST(list_sum(list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
-                    AS BIGINT) AS n2
+               CAST({_foldn_sql(64, lambda k: (
+                   f"CAST(floor(CAST(elem(embedding, {k}) AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+                   f" * CAST(floor(CAST(elem(embedding, {k}) AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+               ))} AS BIGINT) AS n2
         FROM embeddings
     ),
     r AS (
@@ -18996,19 +19098,14 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q302_ndcg_at_10",
     """
     WITH m AS (
-        SELECT vec_id, label,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
-                   AS mv
-        FROM embeddings
+        SELECT vec_id, label, embedding FROM embeddings
     ),
     probes AS (SELECT * FROM m WHERE vec_id <= 20),
     corpus AS (SELECT * FROM m WHERE vec_id > 20),
     scored AS (
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
-               list_sum(list_transform(range(1, len(p.mv) + 1),
-                        i -> p.mv[i] * c.mv[i])) AS dot
+               ((((((((((((((((((((((((((((((((((((((((((((((((((((((((((((((((CAST(floor(CAST(elem(p.embedding, 1) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 1) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 2) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 2) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 3) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 3) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 4) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 4) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 5) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 5) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 6) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 6) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 7) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 7) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 8) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 8) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 9) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 9) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 10) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 10) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 11) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 11) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 12) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 12) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 13) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 13) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 14) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 14) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 15) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 15) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 16) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 16) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 17) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 17) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 18) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 18) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 19) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 19) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 20) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 20) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 21) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 21) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 22) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 22) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 23) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 23) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 24) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 24) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 25) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 25) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 26) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 26) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 27) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 27) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 28) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 28) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 29) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 29) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 30) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 30) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 31) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 31) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 32) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 32) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 33) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 33) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 34) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 34) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 35) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 35) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 36) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 36) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 37) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 37) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 38) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 38) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 39) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 39) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 40) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 40) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 41) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 41) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 42) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 42) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 43) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 43) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 44) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 44) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 45) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 45) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 46) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 46) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 47) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 47) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 48) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 48) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 49) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 49) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 50) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 50) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 51) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 51) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 52) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 52) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 53) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 53) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 54) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 54) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 55) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 55) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 56) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 56) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 57) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 57) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 58) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 58) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 59) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 59) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 60) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 60) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 61) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 61) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 62) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 62) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 63) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 63) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) + CAST(floor(CAST(elem(p.embedding, 64) AS DOUBLE) * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(elem(c.embedding, 64) AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS dot
         FROM probes p, corpus c
     ),
     ranked AS (
@@ -19446,14 +19543,11 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q306_decile_lift_table",
-    """
+    f"""
     WITH nz AS (
         SELECT vec_id,
                CAST(label % 2 AS BIGINT) AS pos,
-               CAST(list_sum(list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
-                    AS BIGINT) AS n2
+               CAST({_Q2SUM64} AS BIGINT) AS n2
         FROM embeddings
     ),
     r AS (
@@ -20218,14 +20312,11 @@ def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q315_isotonic_calibration",
-    """
+    f"""
     WITH nz AS (
         SELECT vec_id,
                CAST(label % 2 AS BIGINT) AS pos,
-               CAST(list_sum(list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
-                    AS BIGINT) AS n2
+               CAST({_Q2SUM64} AS BIGINT) AS n2
         FROM embeddings
     ),
     r AS (

@@ -170,3 +170,74 @@ def test_expander_is_idempotent():
     for q in list(REGISTRY.values())[:50]:
         if q.oracle:
             assert _expand_macros(q.oracle) == q.oracle
+
+
+# ---------------------------------------------------------------------------
+# elem / alen (round 9): portable array access + length
+# ---------------------------------------------------------------------------
+
+ELEM_CASES = [
+    # (macro-source fragment, native DuckDB fragment)
+    ("elem([10, 20, 30], 1)", "([10, 20, 30])[1]"),
+    ("elem([10, 20, 30], 3)", "([10, 20, 30])[3]"),
+    ("elem([1.5, 2.5], 1 + 1)", "([1.5, 2.5])[2]"),
+    ("elem(['a', 'b'], 2)", "(['a', 'b'])[2]"),
+    # nested: index computed from another elem
+    ("elem([10, 20, 30], CAST(elem([2.0, 1.0], 1) AS INT))", "20"),
+    ("alen([10, 20, 30])", "3"),
+    ("alen([1.5])", "1"),
+    ("alen(CAST([] AS DOUBLE[]))", "0"),
+]
+
+
+@pytest.mark.parametrize("src,native", ELEM_CASES)
+def test_elem_alen_expansion_matches_duckdb_native(con, src, native):
+    expanded = _expand_macros(src)
+    assert "elem(" not in expanded and "alen(" not in expanded
+    assert duck1(con, expanded) == duck1(con, native)
+
+
+def test_elem_alen_match_spark_native(spark):
+    """The SAME expanded text evaluates in spark.sql() to Spark's
+    native 0-based access / size() — pins the ^-divergence offset
+    (power=1 in DuckDB, xor=0 in Spark) on both engines."""
+    exp_elem = _expand_macros("elem(array(10, 20, 30), 2)")
+    exp_len = _expand_macros("alen(array(10, 20, 30))")
+    row = spark.sql(
+        f"SELECT {exp_elem} AS e, {exp_len} AS n, "
+        "(array(10, 20, 30))[1] AS native_e, size(array(10, 20, 30)) AS native_n"
+    ).collect()[0]
+    assert row["e"] == row["native_e"] == 20
+    assert row["n"] == row["native_n"] == 3
+
+
+def test_elem_alen_fixture_embeddings_both_engines(con, spark, sf_dir):
+    """elem/alen over the real embeddings fixture: DuckDB expansion ==
+    DuckDB native, and spark.sql over the same text == F.size/getItem."""
+    con.sql(
+        f"CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exp = _expand_macros(
+        "SELECT vec_id, alen(embedding) AS n, elem(embedding, 1) AS e1, "
+        "elem(embedding, alen(embedding)) AS elast "
+        "FROM embeddings ORDER BY vec_id LIMIT 5"
+    )
+    want = con.sql(
+        f"SELECT vec_id, len(embedding) AS n, embedding[1] AS e1, "
+        f"embedding[len(embedding)] AS elast "
+        f"FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT 5"
+    ).fetchall()
+    got_duck = con.sql(exp).fetchall()
+    assert got_duck == want
+    from etl_everywhere_hub_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    got_spark = [tuple(r) for r in spark.sql(exp).collect()]
+    assert [tuple(map(_approx, r)) for r in got_spark] == [
+        tuple(map(_approx, r)) for r in want
+    ]
+
+
+def _approx(v):
+    return round(v, 5) if isinstance(v, float) else v
