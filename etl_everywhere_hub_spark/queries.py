@@ -190,6 +190,15 @@ _SQL_MACROS = {
     "sumn": lambda a, n: _foldn_sql(
         int(n), lambda k: f"CAST(elem({a}, {k}) AS DOUBLE)"
     ),
+    # sqdistn(a, b, n): squared euclidean distance, same left-nested
+    # sequential-fold expansion as dotn (bit-identical to the Spark
+    # twins' F.aggregate over zip_with / DuckDB's list_zip fold).
+    "sqdistn": lambda a, b, n: _foldn_sql(
+        int(n), lambda k: (
+            f"((CAST(elem({a}, {k}) AS DOUBLE) - CAST(elem({b}, {k}) AS DOUBLE))"
+            f" * (CAST(elem({a}, {k}) AS DOUBLE) - CAST(elem({b}, {k}) AS DOUBLE)))"
+        )
+    ),
 }
 
 
@@ -2273,12 +2282,13 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_grouped_agg_centroid",
     """
     WITH u AS (
-        SELECT label, generate_subscripts(embedding, 1) AS dim,
-               unnest(embedding)::DOUBLE AS v
-        FROM embeddings
+        SELECT label, d.dim AS dim,
+               CAST(elem(embedding, d.dim) AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN range(1, 65) AS d(dim)
     )
     SELECT label, dim,
-           SUM(CAST(floor(v * 100000000 + 0.5) AS BIGINT)) / 100000000.0 / COUNT(*) AS centroid_v
+           CAST(SUM(CAST(floor(v * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100000000 / COUNT(*) AS centroid_v
     FROM u GROUP BY label, dim
     """,
 )
@@ -5877,13 +5887,11 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable cosine template (round 9): dotn expands to the left-nested
+# sequential fold, bit-identical to F.aggregate / list_reduce.
 _Q129_COS = """
-               list_reduce(list_transform(range(len({a})),
-                   i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(range(len({a})),
-                      i -> {a}[i+1]::DOUBLE * {a}[i+1]::DOUBLE), (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(range(len({b})),
-                      i -> {b}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               dotn({a}, {b}, 64)
+               / (sqrt(dotn({a}, {a}, 64)) * sqrt(dotn({b}, {b}, 64)))
 """
 
 
@@ -6714,17 +6722,17 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH el AS (
         SELECT label,
-               unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) AS dim,
+               elem(embedding, d.dim) AS x,
+               d.dim AS dim,
                vec_id
-        FROM embeddings
+        FROM embeddings CROSS JOIN range(1, 65) AS d(dim)
     ), stats AS (
         SELECT label, dim,
                COUNT(*) AS n,
-               SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-                   / 1000000.0 AS sx,
-               SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000 + 0.5)
-                   AS BIGINT)) / 100000000.0 AS sxx
+               CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1000000 AS sx,
+               CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 100000000 AS sxx
         FROM el GROUP BY label, dim
     )
     SELECT e.vec_id, e.label, e.dim,
@@ -6787,9 +6795,9 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH el AS (
         SELECT vec_id,
-               unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
+               elem(embedding, d.i) AS x,
+               d.i AS i
+        FROM embeddings CROSS JOIN range(1, 65) AS d(i)
     ), proj AS (
         SELECT vec_id, j,
                CAST(SUM(
@@ -6944,14 +6952,7 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
     ), dists AS (
         SELECT e.vec_id, c.cell,
-               list_reduce(
-                   list_transform(
-                       list_zip(e.embedding, c.c),
-                       s -> (CAST(struct_extract(s, 1) AS DOUBLE) -
-                             CAST(struct_extract(s, 2) AS DOUBLE)) *
-                            (CAST(struct_extract(s, 1) AS DOUBLE) -
-                             CAST(struct_extract(s, 2) AS DOUBLE))),
-                   (a, b) -> a + b) AS d2
+               sqdistn(e.embedding, c.c, 64) AS d2
         FROM embeddings e CROSS JOIN cents c
     ), assign AS (
         SELECT vec_id, cell FROM (
@@ -6961,9 +6962,10 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t WHERE rn = 1
     ), el AS (
         SELECT a.cell,
-               generate_subscripts(e.embedding, 1) AS dim,
-               unnest(e.embedding) AS x
+               d.dim AS dim,
+               elem(e.embedding, d.dim) AS x
         FROM embeddings e JOIN assign a USING (vec_id)
+        CROSS JOIN range(1, 65) AS d(dim)
     )
     SELECT cell, dim,
            COUNT(*) AS n,
@@ -9039,11 +9041,18 @@ def _maxsim_sql() -> str:
     reduction is integer-exact and order-free."""
 
     def dotm(s: int, t: int) -> str:
-        return (
-            "CAST(floor(list_reduce(list_transform(range(8), i -> "
-            f"qe[{s * 8} + i + 1]::DOUBLE * ce[{t * 8} + i + 1]::DOUBLE), "
-            "(acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT)"
+        # left-nested 8-term fold over elem() — portable, bit-identical
+        # to the Spark side's sequential F.aggregate (round 9)
+        acc = (
+            f"(CAST(elem(qe, {s * 8 + 1}) AS DOUBLE)"
+            f" * CAST(elem(ce, {t * 8 + 1}) AS DOUBLE))"
         )
+        for i in range(1, 8):
+            acc = (
+                f"({acc} + CAST(elem(qe, {s * 8 + i + 1}) AS DOUBLE)"
+                f" * CAST(elem(ce, {t * 8 + i + 1}) AS DOUBLE))"
+            )
+        return f"CAST(floor({acc} * 1000000 + 0.5) AS BIGINT)"
 
     per_q = [
         "greatest(" + ", ".join(dotm(s, t) for t in range(8)) + ")"
@@ -11199,10 +11208,10 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
         SELECT vec_id,
-               CAST(generate_subscripts(embedding, 1) AS INT) AS i,
-               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+               CAST(d.i AS INT) AS i,
+               CAST(floor(CAST(elem(embedding, d.i) AS DOUBLE) * 1000 + 0.5)
                     AS BIGINT) AS x
-        FROM embeddings
+        FROM embeddings CROSS JOIN range(1, 65) AS d(i)
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM m GROUP BY i),
@@ -13936,13 +13945,12 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable truncated-cosine template (round 9): n must be a literal —
+# dotn expands at registration (the n='len(q.qe)' call sites became 64,
+# the fixture's schema-fixed dim).
 _Q237_COS = """
-               list_reduce(list_transform(range({n}),
-                   i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(range({n}),
-                      i -> {a}[i+1]::DOUBLE * {a}[i+1]::DOUBLE), (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(range({n}),
-                      i -> {b}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (acc, x) -> acc + x)))
+               dotn({a}, {b}, {n})
+               / (sqrt(dotn({a}, {a}, {n})) * sqrt(dotn({b}, {b}, {n})))
 """
 
 
@@ -13955,7 +13963,7 @@ _Q237_COS = """
     ),
     scored AS (
         SELECT q.qid, e.vec_id,
-               {_Q237_COS.format(a='q.qe', b='e.embedding', n='len(q.qe)')} AS cf,
+               {_Q237_COS.format(a='q.qe', b='e.embedding', n='64')} AS cf,
                {_Q237_COS.format(a='q.qe', b='e.embedding', n='16')} AS ct
         FROM q JOIN embeddings e ON e.vec_id <> q.qid
     ),
@@ -14039,7 +14047,7 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT q.qid, e.vec_id,
-               {_Q237_COS.format(a='q.qe', b='e.embedding', n='len(q.qe)')} AS cf,
+               {_Q237_COS.format(a='q.qe', b='e.embedding', n='64')} AS cf,
                {_Q237_COS.format(a='q.qe', b='e.embedding', n='16')} AS ct
         FROM q JOIN embeddings e ON e.vec_id <> q.qid
     ),
@@ -21443,10 +21451,10 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH x AS (
         SELECT vec_id,
-               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+               CAST(d.dim AS BIGINT) AS dim,
+               CAST(floor(CAST(elem(embedding, d.dim) AS DOUBLE) * 1000 + 0.5)
                     AS BIGINT) AS m
-        FROM embeddings
+        FROM embeddings CROSS JOIN range(1, 65) AS d(dim)
     ),
     s AS (
         SELECT dim,
@@ -21466,9 +21474,9 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(rk AS BIGINT) AS rk, CAST(dim AS BIGINT) AS dim,
            CAST(var_scaled AS BIGINT) AS var_scaled,
-           CAST(SUM(var_scaled) OVER (ORDER BY rk ASC
-                                      ROWS UNBOUNDED PRECEDING)
-                * 1000000 // tot AS BIGINT) AS cum_share_ppm
+           CAST((SUM(var_scaled) OVER (ORDER BY rk ASC
+                                       ROWS UNBOUNDED PRECEDING) >> 16)
+                * 1000000 // greatest(tot >> 16, 1) AS BIGINT) AS cum_share_ppm
     FROM r
     """,
 )
@@ -21515,9 +21523,13 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("rk"),
         F.col("dim").cast("long").alias("dim"),
         F.col("var_scaled").cast("long").alias("var_scaled"),
+        # >>16 pre-reduction keeps the portable oracle's `//`
+        # numerator under 2^53 (the q260/q290 idiom) — mirrored here
+        # so both sides compute the identical quantized share
         F.expr(
-            "CAST(sum(var_scaled) OVER (ORDER BY rk ASC "
-            "ROWS UNBOUNDED PRECEDING) * 1000000 div tot AS BIGINT)"
+            "CAST((sum(var_scaled) OVER (ORDER BY rk ASC "
+            "ROWS UNBOUNDED PRECEDING) >> 16) * 1000000 "
+            "div greatest(tot >> 16, 1) AS BIGINT)"
         ).alias("cum_share_ppm"),
     )
 
