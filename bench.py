@@ -63,7 +63,8 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev: dict[str, float] = {}
     try:
-        sidecar_prev = json.load(open(os.path.join(repo_dir, "BENCH_DETAIL.json")))
+        sidecar_prev = json.load(open(os.path.join(
+            repo_dir, os.environ.get("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json"))))
         prev = {
             name: d.get("spark_s")
             for name, d in sidecar_prev.get("queries_detail", {}).items()
@@ -180,8 +181,11 @@ def main() -> None:
     # Full per-query detail (spark/duckdb/prev) goes to a committed
     # sidecar; the stdout line carries only the compact headline so the
     # driver's bounded tail capture always holds the complete object.
+    # SPARK_GRAFT_DETAIL_OUT redirects the sidecar (the sf1.0 pairing
+    # writes BENCH_DETAIL_SF1.json without clobbering the sf0.1 one)
+    detail_name = os.environ.get("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     try:
-        with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as fh:
+        with open(os.path.join(repo_dir, detail_name), "w") as fh:
             json.dump(
                 {
                     "sf": sf_val,

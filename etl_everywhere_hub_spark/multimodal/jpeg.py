@@ -721,6 +721,9 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     restart_interval = 0
     frame = None  # (h, w, comps, progressive)
     coefs: dict[int, np.ndarray] = {}  # cid -> (pad_bh, pad_bw, 64) zigzag
+    arith = False  # SOF9 sequential arithmetic (Annex G via jpeg_arith)
+    cond_dc: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
+    cond_ac: dict[int, int] = {}  # DAC: table -> Kx
 
     while pos + 2 <= len(d):
         if d[pos] != 0xFF:
@@ -755,7 +758,7 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 nat = np.zeros(64, np.int32)
                 nat[ZIGZAG] = tab
                 qt[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith seq)
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -764,8 +767,22 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps, marker == 0xC2)
-        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("arithmetic-coded JPEG not supported")
+            arith = marker == 0xC9
+        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/lossless arithmetic JPEG not supported "
+                "(sequential SOF9 decodes via multimodal/jpeg_arith.py)"
+            )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            at = 0
+            while at + 1 < len(body) + 1 and at < len(body):
+                tc_tb, cs = body[at], body[at + 1]
+                tc, tb = tc_tb >> 4, tc_tb & 0x0F
+                if tc == 0:
+                    cond_dc[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    cond_ac[tb] = cs  # Kx
+                at += 2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("lossless/differential JPEG frame type")
         elif marker == 0xC4:  # DHT — possibly several tables
@@ -790,10 +807,20 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            pos = _decode_scan(
-                d, pos + 2 + ln, frame, scan, qt, huff,
-                restart_interval, coefs, (ss, se, ah, al),
-            )
+            if arith:
+                from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+                    decode_scan_arith,
+                )
+
+                pos = decode_scan_arith(
+                    d, pos + 2 + ln, frame, scan, cond_dc, cond_ac,
+                    restart_interval, coefs,
+                )
+            else:
+                pos = _decode_scan(
+                    d, pos + 2 + ln, frame, scan, qt, huff,
+                    restart_interval, coefs, (ss, se, ah, al),
+                )
             continue
         # APPn/COM/unknown: skip
         pos += 2 + ln

@@ -1511,11 +1511,10 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_higher_order_funcs",
     f"""
     SELECT vec_id,
-           CAST(len(embedding) AS BIGINT) AS dim,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-           list_reduce(list_transform(embedding, x -> x::DOUBLE),
-                       (acc, x) -> acc + x) AS sum_all,
-           {_arr_csv_sql("list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)", micros=True)} AS doubled
+           CAST(alen(embedding) AS BIGINT) AS dim,
+           CAST(alen(filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           sumn(embedding, 64) AS sum_all,
+           {_csvn_sql(64, lambda k: f"CAST(CAST(floor(CAST(elem(embedding, {k}) AS DOUBLE) * 2.0 * 1000000 + 0.5) AS BIGINT) AS VARCHAR(64))")} AS doubled
     FROM embeddings
     """,
 )
@@ -1653,7 +1652,9 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 7 = 0
     ), fps AS (
-        SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+        SELECT doc_id,
+               md5(replace(replace(replace(lower(trim(text)),
+                   ' ', ' ' || chr(1)), chr(1) || ' ', ''), chr(1), '')) AS fp
         FROM corpus
     )
     SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
@@ -8421,12 +8422,68 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("user_id", _arr_csv(flat, micros=True).alias("ring"))
 
 
-_RAYCAST_SQL = (
-    "(list_sum(list_transform(generate_series(1, len(xs) - 1), i ->"
-    " CASE WHEN ((ys[i] > {py}) != (ys[i+1] > {py}))"
-    " AND ({px} < (xs[i+1] - xs[i]) * ({py} - ys[i])"
-    " / (ys[i+1] - ys[i]) + xs[i]) THEN 1 ELSE 0 END)) % 2 = 1)"
+def _q161_ring_sql(vs):
+    """Registration-time expansion of q161's polygon math for ONE
+    constant ring (round 9 portability): the vertex lists are
+    compile-time constants, so the centroid, the centroid-inside ray
+    cast, and the nearest-vertex argmin all expand to closed-form
+    constant expressions the ENGINES fold (plain double arithmetic —
+    identical IEEE results both sides); only the per-row point test
+    keeps px/py as live columns. Replaces the DuckDB-only array
+    literals / list_sort-over-struct / generate_series / slice forms.
+    Returns (raycast_fn(px, py), cx, cy, best_lon, best_lat)."""
+    n = len(vs) - 1  # closed ring: last vertex repeats the first
+
+    def fnum(v):
+        return repr(float(v))
+
+    def raycast(px, py):
+        terms = []
+        for k in range(n):
+            x1, y1 = vs[k]
+            x2, y2 = vs[k + 1]
+            terms.append(
+                f"CASE WHEN (({fnum(y1)} > {py}) != ({fnum(y2)} > {py}))"
+                f" AND ({px} < ({fnum(x2)} - {fnum(x1)}) * ({py} - {fnum(y1)})"
+                f" / ({fnum(y2)} - {fnum(y1)}) + {fnum(x1)}) THEN 1 ELSE 0 END"
+            )
+        acc = f"({terms[0]})"
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return f"({acc} % 2 = 1)"
+
+    def foldsum(vals):
+        acc = fnum(vals[0])
+        for v in vals[1:]:
+            acc = f"({acc} + {fnum(v)})"
+        return acc
+
+    cx = f"({foldsum([x for x, _ in vs[:-1]])} / {n})"
+    cy = f"({foldsum([y for _, y in vs[:-1]])} / {n})"
+    d2 = [
+        f"(({fnum(x)} - {cx}) * ({fnum(x)} - {cx})"
+        f" + ({fnum(y)} - {cy}) * ({fnum(y)} - {cy}))"
+        for x, y in vs[:-1]
+    ]
+    dmin = "least(" + ", ".join(d2) + ")"
+    # argmin with index tie-break: first vertex whose d2 equals the min
+    best_lon = "CASE " + " ".join(
+        f"WHEN {d2[k]} = {dmin} THEN {fnum(vs[k][0])}" for k in range(n)
+    ) + " END"
+    best_lat = "CASE " + " ".join(
+        f"WHEN {d2[k]} = {dmin} THEN {fnum(vs[k][1])}" for k in range(n)
+    ) + " END"
+    return raycast, cx, cy, best_lon, best_lat
+
+
+_Q161_A = _q161_ring_sql([(0, 0), (8, -2), (12, 6), (6, 11), (-2, 7), (0, 0)])
+_Q161_B = _q161_ring_sql(
+    [(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8), (10, 10), (0, 10), (0, 0)]
 )
+
+
+def _q161_branch(expr_a: str, expr_b: str) -> str:
+    return f"(CASE WHEN event_id % 2 = 0 THEN {expr_a} ELSE {expr_b} END)"
 
 
 @query(
@@ -8435,41 +8492,23 @@ _RAYCAST_SQL = (
     WITH base AS (
         SELECT event_id,
                (value - floor(value / 12.0) * 12.0 - 1.0) AS px,
-               (value * 1.7 - floor(value * 1.7 / 12.0) * 12.0 - 1.0) AS py,
-               CASE WHEN event_id % 2 = 0
-                    THEN [0.0, 8.0, 12.0, 6.0, -2.0, 0.0]
-                    ELSE [0.0, 10.0, 10.0, 2.0, 2.0, 10.0, 10.0, 0.0, 0.0]
-               END AS xs,
-               CASE WHEN event_id % 2 = 0
-                    THEN [0.0, -2.0, 6.0, 11.0, 7.0, 0.0]
-                    ELSE [0.0, 0.0, 2.0, 2.0, 8.0, 8.0, 10.0, 10.0, 0.0]
-               END AS ys
+               (value * 1.7 - floor(value * 1.7 / 12.0) * 12.0 - 1.0) AS py
         FROM events
-    ), cent AS (
-        SELECT *,
-               list_reduce(xs[1:len(xs) - 1], (a, b) -> a + b)
-                   / (len(xs) - 1) AS cx,
-               list_reduce(ys[1:len(ys) - 1], (a, b) -> a + b)
-                   / (len(ys) - 1) AS cy
-        FROM base
-    ), pof AS (
-        SELECT event_id, px, py, xs, ys, cx, cy,
-               {_RAYCAST_SQL.format(px='cx', py='cy')} AS c_inside,
-               list_sort(list_transform(generate_series(1, len(xs) - 1),
-                   i -> {{'d2': (xs[i] - cx) * (xs[i] - cx)
-                                + (ys[i] - cy) * (ys[i] - cy),
-                         'i': i, 'lon': xs[i], 'lat': ys[i]}}))[1] AS best
-        FROM cent
     )
     SELECT event_id,
-           CAST(CASE WHEN {_RAYCAST_SQL.format(px='px', py='py')}
+           CAST(CASE WHEN {_q161_branch(_Q161_A[0]('px', 'py'), _Q161_B[0]('px', 'py'))}
                 THEN 1 ELSE 0 END AS BIGINT) AS pt_inside,
-           CAST(CASE WHEN c_inside THEN 1 ELSE 0 END AS BIGINT) AS pof_used_centroid,
-           CAST(floor((CASE WHEN c_inside THEN cx ELSE best.lon END)
-                * 1000000 + 0.5) AS BIGINT) AS pof_lon_micro,
-           CAST(floor((CASE WHEN c_inside THEN cy ELSE best.lat END)
-                * 1000000 + 0.5) AS BIGINT) AS pof_lat_micro
-    FROM pof
+           CAST(CASE WHEN {_q161_branch(_Q161_A[0](_Q161_A[1], _Q161_A[2]), _Q161_B[0](_Q161_B[1], _Q161_B[2]))}
+                THEN 1 ELSE 0 END AS BIGINT) AS pof_used_centroid,
+           CAST(floor({_q161_branch(
+               f"CASE WHEN {_Q161_A[0](_Q161_A[1], _Q161_A[2])} THEN {_Q161_A[1]} ELSE {_Q161_A[3]} END",
+               f"CASE WHEN {_Q161_B[0](_Q161_B[1], _Q161_B[2])} THEN {_Q161_B[1]} ELSE {_Q161_B[3]} END",
+           )} * 1000000 + 0.5) AS BIGINT) AS pof_lon_micro,
+           CAST(floor({_q161_branch(
+               f"CASE WHEN {_Q161_A[0](_Q161_A[1], _Q161_A[2])} THEN {_Q161_A[2]} ELSE {_Q161_A[4]} END",
+               f"CASE WHEN {_Q161_B[0](_Q161_B[1], _Q161_B[2])} THEN {_Q161_B[2]} ELSE {_Q161_B[4]} END",
+           )} * 1000000 + 0.5) AS BIGINT) AS pof_lat_micro
+    FROM base
     """,
 )
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8922,7 +8961,7 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lex AS (
         SELECT doc_id,
-               len(list_filter(string_split(text, ' '),
+               alen(filter(split(text, ' '),
                    x -> x IN ('table', 'data', 'query'))) AS tf
         FROM documents
     ), ra AS (
@@ -8935,15 +8974,9 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
     ), sem AS (
         SELECT d.doc_id,
-               list_reduce(list_transform(range(len(qv.qe)),
-                   i -> qv.qe[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE),
-                   (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(range(len(qv.qe)),
-                      i -> qv.qe[i+1]::DOUBLE * qv.qe[i+1]::DOUBLE),
-                      (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(range(len(e.embedding)),
-                      i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE),
-                      (acc, x) -> acc + x))) AS cos
+               dotn(qv.qe, e.embedding, 64)
+               / (sqrt(dotn(qv.qe, qv.qe, 64))
+                  * sqrt(dotn(e.embedding, e.embedding, 64))) AS cos
         FROM documents d
         JOIN embeddings e ON e.vec_id = d.doc_id
         CROSS JOIN qv
@@ -22164,4 +22197,96 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         "media_id long, h int, w int, sg int, cache_bits int, "
         "pix_sum long, wsum long, first_px long, last_px long",
+    )
+
+
+@query(
+    "q334_jpeg_arith_decode",
+    """
+    WITH px AS (
+        SELECT doc_id, k.k AS k,
+               ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN range(16) AS k(k)
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 32 AS h, 32 AS w,
+           CAST(64 * SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM((k + 1) * v) AS BIGINT) AS wsum,
+           CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_px,
+           CAST(MIN(CASE WHEN k = 15 THEN v END) AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG decode under oracle (round 9, VERDICT r8
+    item #6) — q331's exactness loop through the T.81 Annex D/F/G
+    entropy layer instead of huffman: the same 4x4 constant-block
+    grayscale grid is encoded as a sequential SOF9 stream by
+    multimodal/jpeg_arith.py (QM-coder with Table D.3 estimation, DC
+    diff classification contexts, AC EOB/run/magnitude contexts,
+    restart_interval=2 so the RSTn flush + statistics-reset path runs
+    in every image) and decoded back through the SAME marker walk in
+    decode_jpeg_baseline (SOF9 dispatches to decode_scan_arith). At
+    quant step 1 the constant-block spectrum is integral, so the
+    roundtrip is EXACT and the oracle reproduces every pixel with the
+    identical integer character arithmetic q331 uses — any QM-coder
+    asymmetry, context-model mismatch, or restart-reinit bug breaks
+    the hash, not just a self-test.
+
+    Scale shape: identical to q331 — embarrassingly-parallel
+    mapInPandas, codec worker-side per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                vals = np.frombuffer((buf * reps)[:16], np.uint8)
+                img = np.repeat(
+                    np.repeat(vals.reshape(4, 4), 8, axis=0), 8, axis=1
+                )
+                jpg = encode_jpeg_arith(img, quant_scale=0, restart_interval=2)
+                assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+                out = decode_image(jpg)  # QM decode + dequant + IDCT
+                assert out.shape == (32, 32) and out.dtype == np.uint8
+                blocks = out.reshape(4, 8, 4, 8).transpose(0, 2, 1, 3)
+                assert (blocks == blocks[:, :, :1, :1]).all(), "block not constant"
+                got = blocks[:, :, 0, 0].reshape(16).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        32,
+                        32,
+                        int(64 * got.sum()),
+                        int((np.arange(1, 17) * got).sum()),
+                        int(got[0]),
+                        int(got[15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "pix_sum", "wsum", "first_px", "last_px",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, pix_sum long, wsum long, "
+        "first_px long, last_px long",
     )

@@ -855,3 +855,126 @@ def test_jpeg_progressive_equals_baseline_property(h, w, rgb, quality, seed):
     ob = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=quality))
     op = decode_jpeg_baseline(encode_jpeg_progressive(img, quality=quality))
     assert np.array_equal(ob, op)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    nbits=st.integers(1, 400),
+    nctx=st.integers(1, 8),
+    bias=st.sampled_from([5, 50, 95]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_arith_qm_coder_roundtrip_property(nbits, nctx, bias, seed):
+    """The T.81 Annex D QM-coder pair: any decision sequence over any
+    context mix roundtrips exactly, at heavy MPS/LPS bias (long-run
+    carry + stacked-0xFF paths) and balanced streams alike."""
+    import random
+
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+        AC_BINS,
+        ArithDecoder,
+        ArithEncoder,
+        Stats,
+    )
+
+    rng = random.Random(seed)
+    bits = [
+        (rng.randrange(nctx), 1 if rng.random() < bias / 100 else 0)
+        for _ in range(nbits)
+    ]
+    st_e = Stats(AC_BINS)
+    st_d = Stats(AC_BINS)
+    enc = ArithEncoder()
+    for ctx, b in bits:
+        enc.encode(st_e, ctx, b)
+    data = enc.flush() + b"\xff\xd9"
+    dec = ArithDecoder(data, 0)
+    assert [dec.decode(st_d, ctx) for ctx, _ in bits] == [b for _, b in bits]
+    # stuffing invariant: inside the entropy segment every 0xFF is
+    # followed by 0x00 (D.1.6) — no accidental marker emission
+    seg = data[:-2]
+    for i, by in enumerate(seg[:-1]):
+        if by == 0xFF:
+            assert seg[i + 1] == 0x00
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    hb=st.integers(1, 4),
+    wb=st.integers(1, 4),
+    restart=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_arith_constant_block_exactness_property(hb, wb, restart, seed):
+    """q334's exactness contract as a property: constant 8x8 blocks
+    roundtrip bit-exactly through SEQUENTIAL ARITHMETIC JPEG (SOF9) at
+    quant step 1, with or without restart markers (RSTn resets the QM
+    statistics and DC predictors — an un-reset decoder diverges)."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import decode_jpeg_baseline
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(seed % 2**32)
+    blocks = rng.randint(0, 256, (hb, wb)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = encode_jpeg_arith(img, quant_scale=0, restart_interval=restart)
+    out = decode_jpeg_baseline(payload)
+    assert out.dtype == np.uint8 and np.array_equal(out, img)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_arith_quant1_gray_bounded_error_property(h, w, seed):
+    """Arbitrary gray content through arithmetic JPEG at quant step 1:
+    the entropy layer is LOSSLESS (it carries the identical quantized
+    coefficients the huffman layer carries), so the rigorous ±3 bound
+    derived for the baseline path holds unchanged — and the arithmetic
+    and huffman decodes of the same image are bit-identical."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(seed % 2**32)
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    out_a = decode_jpeg_baseline(encode_jpeg_arith(img, quant_scale=0))
+    out_h = decode_jpeg_baseline(encode_jpeg_baseline(img, quant_scale=0))
+    assert out_a.shape == (h, w)
+    assert np.abs(out_a.astype(int) - img.astype(int)).max() <= 3
+    assert np.array_equal(out_a, out_h)  # same coefficients, same IDCT
+
+
+def test_jpeg_arith_rgb_and_fixed_bin():
+    """RGB SOF9 roundtrip at default quality decodes to the same
+    pixels as the huffman baseline at identical quantization (shared
+    upstream: color transform, FDCT, quant); the AC sign bin never
+    adapts (Qe stays 0x5A1D self-looped)."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+        _FIXED,
+        _QE,
+        encode_jpeg_arith,
+    )
+
+    assert _QE[_FIXED] == (0x5A1D, 113, 113, 0)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (21, 18, 3)).astype(np.uint8)
+    out_a = decode_jpeg_baseline(encode_jpeg_arith(img, quality=85))
+    out_h = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=85, subsampling="444")
+    )
+    assert out_a.shape == img.shape
+    assert np.array_equal(out_a, out_h)

@@ -1,0 +1,133 @@
+"""Generate the sf1.0 fixture set (VERDICT r8 item #3) at /tmp/sf1.0.
+
+The driver ships sf0.001/0.01/0.1 (TESTDATA.md — read-only); the
+bench at sf0.1 mostly measures Spark's fixed scheduling/codegen floor
+(BASELINE.md). This tool builds a DETERMINISTIC sf1.0 (~6M lineitem)
+from sf0.1 with the repo's established replication schemes so the
+19-query headline can be paired where the data term dominates:
+
+- region/nation: copied (fixed-size dims at every TPC-H scale).
+- customer/supplier/part/orders/lineitem: 10 replicas with one key
+  offset per replica applied to EVERY key column (PK and FK alike),
+  so per-key join fan-in/out is exactly the sf0.1 shape — the
+  warehouse grows by new entities, not longer histories
+  (tools/scale10_r6_tpch.py §2h scheme, now FK-complete).
+- events: event_id/user_id offsets (more users, same per-user
+  history — window/session work per key constant).
+- documents: the collision-safe token-suffix scheme
+  (tools/scale10_r7_llm.py §2i): every token gets a per-replica
+  suffix, so each replica's internal shingle/near-dup structure is
+  IDENTICAL while cross-replica collisions are impossible — true
+  near-dup pairs grow exactly 10x, never quadratically.
+- embeddings: vec_id offset + a deterministic element-0 perturbation
+  per replica (breaks exact-duplicate vectors across replicas).
+
+Usage (writes /tmp/sf1.0, ~10 parquet dirs, idempotent):
+
+    SPARK_GRAFT_CPUS=32 PYTHONPATH=. python tools/gen_sf1.py
+
+Then pair the headline there:
+
+    SPARK_GRAFT_SF_DIR=/tmp/sf1.0 SPARK_GRAFT_DETAIL_OUT=BENCH_DETAIL_SF1.json \
+        python bench.py > BENCH_SF1_r9.json
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.1"
+OUT = os.environ.get("SF1_DIR", "/tmp/sf1.0")
+REPLICAS = 10
+OFF = 1_000_000_000  # key offset stride per replica
+
+
+def _replicate(spark, table: str, key_cols: list[str], text_suffix=False,
+               perturb_col: str | None = None):
+    from pyspark.sql import functions as F
+
+    from etl_everywhere_hub_spark.catalog import load_table
+
+    # load_table gives canonical types (events' TIMESTAMP(NANOS) is
+    # rescued to TIMESTAMP_NTZ micros exactly as every query sees it)
+    df = load_table(spark, SF, table)
+    parts = []
+    for i in range(REPLICAS):
+        r = df
+        for c in key_cols:
+            r = r.withColumn(c, F.col(c) + F.lit(i * OFF))
+        if text_suffix and i > 0:
+            r = r.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1_r{i}")
+            )
+        if perturb_col is not None and i > 0:
+            # deterministic tiny shift of element 0 per replica
+            r = r.withColumn(
+                perturb_col,
+                F.concat(
+                    F.array(
+                        (F.element_at(F.col(perturb_col), 1)
+                         + F.lit(i * 1e-3)).cast("float")
+                    ),
+                    F.slice(F.col(perturb_col), 2, 10_000),
+                ),
+            )
+        parts.append(r)
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionAll(r)
+    _write_single(out, table)
+    print(f"  {table}: {REPLICAS}x written")
+
+
+def _write_single(df, table: str) -> None:
+    """Single-FILE parquet like the driver fixtures (bench.py's DuckDB
+    views read '{dir}/{t}.parquet' as a file path, not a glob)."""
+    import glob
+    import shutil
+
+    tmp = f"{OUT}/__{table}_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, f"{OUT}/{table}.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    if os.path.isfile(f"{OUT}/embeddings.parquet"):
+        print(f"{OUT} already built")
+        return
+    os.makedirs(OUT, exist_ok=True)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .appName("gen_sf1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import shutil as _sh
+
+    for t in ("region", "nation"):
+        _sh.copyfile(f"{SF}/{t}.parquet", f"{OUT}/{t}.parquet")
+        print(f"  {t}: copied")
+    _replicate(spark, "customer", ["c_custkey"])
+    _replicate(spark, "supplier", ["s_suppkey"])
+    _replicate(spark, "part", ["p_partkey"])
+    _replicate(spark, "orders", ["o_orderkey", "o_custkey"])
+    _replicate(spark, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+    _replicate(spark, "events", ["event_id", "user_id"])
+    _replicate(spark, "documents", ["doc_id"], text_suffix=True)
+    _replicate(spark, "embeddings", ["vec_id"], perturb_col="embedding")
+    print(f"sf1.0 fixture complete at {OUT}")
+
+
+if __name__ == "__main__":
+    main()
