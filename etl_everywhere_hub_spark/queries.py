@@ -9160,24 +9160,55 @@ def _q170_sql(iters: int = 2) -> str:
     """Generate the q170 oracle SQL with `iters` Lloyd iterations —
     the CTE chain is mechanical per iteration, so it is built here
     instead of hand-unrolled (cent0 -> [assign -> means -> cent{k+1}]
-    x iters -> final coding/ADC against cent{iters})."""
-    d2m_vs_cent = """
-           CAST(floor(list_reduce(list_transform(range(8),
-               i -> ({v}[c.s * 8 + i + 1]::DOUBLE - c.sub[i + 1])
-                    * ({v}[c.s * 8 + i + 1]::DOUBLE - c.sub[i + 1])),
-               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT)"""
-    parts = ["""
+    x iters -> final coding/ADC against cent{iters}).
+
+    Round 9 portable form: centroids are 8 WIDE COLUMNS (v0..v7)
+    instead of a DuckDB list, every subspace fold is a left-nested
+    elem() chain (identical addition order to the old list_reduce —
+    bit-identical doubles), the M-step divides through an explicit
+    DOUBLE cast (DuckDB's `/` was already DOUBLE; the cast only stops
+    spark.sql typing the decimal-literal form as DECIMAL), and the
+    ordered code string uses the windowed-run + max_by(run, s) ordered
+    -agg spelling (the q41 pattern). Values are unchanged; the string
+    now runs verbatim on both engines."""
+
+    def d2m(v: str, cent: str = "c") -> str:
+        acc = (
+            f"(CAST(elem({v}, {cent}.s * 8 + 1) AS DOUBLE) - {cent}.v0)"
+            f" * (CAST(elem({v}, {cent}.s * 8 + 1) AS DOUBLE) - {cent}.v0)"
+        )
+        for jj in range(1, 8):
+            t = (
+                f"(CAST(elem({v}, {cent}.s * 8 + {jj + 1}) AS DOUBLE) - {cent}.v{jj})"
+                f" * (CAST(elem({v}, {cent}.s * 8 + {jj + 1}) AS DOUBLE) - {cent}.v{jj})"
+            )
+            acc = f"({acc} + {t})"
+        return f"CAST(floor({acc} * 1000000 + 0.5) AS BIGINT)"
+
+    cent0_cols = ",\n               ".join(
+        f"CAST(elem(embedding, s.s * 8 + {jj + 1}) AS DOUBLE) AS v{jj}"
+        for jj in range(8)
+    )
+    parts = [f"""
     WITH cent0 AS (
         SELECT vec_id AS c, s.s,
-               list_transform(range(8),
-                              i -> embedding[s.s * 8 + i + 1]::DOUBLE) AS sub
+               {cent0_cols}
         FROM embeddings CROSS JOIN range(8) AS s(s)
         WHERE vec_id < 4
     )"""]
     for k in range(iters):
+        sm_cols = ",\n               ".join(
+            f"SUM(CAST(floor(CAST(elem(e.embedding, a.s * 8 + {jj + 1}) AS DOUBLE)"
+            f" * 1000000 + 0.5) AS BIGINT)) AS sm{jj}"
+            for jj in range(8)
+        )
+        new_cols = ",\n               ".join(
+            f"COALESCE(CAST(m.sm{jj} AS DOUBLE) / 1000000 / m.n, cp.v{jj}) AS v{jj}"
+            for jj in range(8)
+        )
         parts.append(f""", d{k} AS (
         SELECT e.vec_id, c.s, c.c,
-               {d2m_vs_cent.format(v='e.embedding')} AS d2m
+               {d2m('e.embedding')} AS d2m
         FROM embeddings e CROSS JOIN cent{k} c
     ), a{k} AS (
         SELECT vec_id, s, c AS code FROM (
@@ -9186,26 +9217,36 @@ def _q170_sql(iters: int = 2) -> str:
             FROM d{k}
         ) WHERE rn = 1
     ), m{k} AS (
-        SELECT a.code AS c, a.s, i.i,
-               SUM(CAST(floor(e.embedding[a.s * 8 + i.i + 1]::DOUBLE
-                              * 1000000 + 0.5) AS BIGINT)) AS sm,
+        SELECT a.code AS c, a.s,
+               {sm_cols},
                COUNT(*) AS n
         FROM a{k} a JOIN embeddings e USING (vec_id)
-        CROSS JOIN range(8) AS i(i)
-        GROUP BY a.code, a.s, i.i
+        GROUP BY a.code, a.s
     ), cent{k + 1} AS (
         SELECT cp.c, cp.s,
-               list(COALESCE(m.sm / 1000000.0 / m.n, cp.sub[ii.i + 1])
-                    ORDER BY ii.i) AS sub
-        FROM cent{k} cp CROSS JOIN range(8) AS ii(i)
-        LEFT JOIN m{k} m ON m.c = cp.c AND m.s = cp.s AND m.i = ii.i
-        GROUP BY cp.c, cp.s
+               {new_cols}
+        FROM cent{k} cp
+        LEFT JOIN m{k} m ON m.c = cp.c AND m.s = cp.s
     )""")
+    qex_acc = (
+        "(CAST(elem(qv.qe, s.s * 8 + 1) AS DOUBLE)"
+        " - CAST(elem(e.embedding, s.s * 8 + 1) AS DOUBLE))"
+        " * (CAST(elem(qv.qe, s.s * 8 + 1) AS DOUBLE)"
+        " - CAST(elem(e.embedding, s.s * 8 + 1) AS DOUBLE))"
+    )
+    for jj in range(1, 8):
+        t = (
+            f"(CAST(elem(qv.qe, s.s * 8 + {jj + 1}) AS DOUBLE)"
+            f" - CAST(elem(e.embedding, s.s * 8 + {jj + 1}) AS DOUBLE))"
+            f" * (CAST(elem(qv.qe, s.s * 8 + {jj + 1}) AS DOUBLE)"
+            f" - CAST(elem(e.embedding, s.s * 8 + {jj + 1}) AS DOUBLE))"
+        )
+        qex_acc = f"({qex_acc} + {t})"
     parts.append(f""", qv AS (
         SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
     ), subf AS (
         SELECT e.vec_id, c.s, c.c,
-               {d2m_vs_cent.format(v='e.embedding')} AS d2m
+               {d2m('e.embedding')} AS d2m
         FROM embeddings e CROSS JOIN cent{iters} c
     ), coded AS (
         SELECT vec_id, s, c AS code, d2m FROM (
@@ -9215,29 +9256,30 @@ def _q170_sql(iters: int = 2) -> str:
         ) WHERE rn = 1
     ), qd AS (
         SELECT c.s, c.c,
-               {d2m_vs_cent.format(v='qv.qe')} AS qd2m
+               {d2m('qv.qe')} AS qd2m
         FROM qv CROSS JOIN cent{iters} c
     ), ex AS (
         SELECT e.vec_id, s.s,
-               CAST(floor(list_reduce(list_transform(range(8),
-                   i -> (qv.qe[s.s * 8 + i + 1]::DOUBLE
-                         - e.embedding[s.s * 8 + i + 1]::DOUBLE)
-                        * (qv.qe[s.s * 8 + i + 1]::DOUBLE
-                           - e.embedding[s.s * 8 + i + 1]::DOUBLE)),
-                   (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS ed2m
+               CAST(floor({qex_acc} * 1000000 + 0.5) AS BIGINT) AS ed2m
         FROM embeddings e
         CROSS JOIN range(8) AS s(s)
         CROSS JOIN qv
+    ), runs AS (
+        SELECT cd.vec_id, cd.s, qd.qd2m, ex.ed2m,
+               string_agg(CAST(cd.code AS VARCHAR(64)), ',') OVER (
+                   PARTITION BY cd.vec_id ORDER BY cd.s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM coded cd
+        JOIN qd ON qd.s = cd.s AND qd.c = cd.code
+        JOIN ex ON ex.vec_id = cd.vec_id AND ex.s = cd.s
+        WHERE cd.vec_id % 25 = 0
     )
-    SELECT cd.vec_id,
-           string_agg(CAST(cd.code AS VARCHAR), ',' ORDER BY cd.s) AS codes,
-           CAST(SUM(qd.qd2m) AS BIGINT) AS approx_d2_micro,
-           CAST(SUM(ex.ed2m) AS BIGINT) AS exact_d2_micro
-    FROM coded cd
-    JOIN qd ON qd.s = cd.s AND qd.c = cd.code
-    JOIN ex ON ex.vec_id = cd.vec_id AND ex.s = cd.s
-    WHERE cd.vec_id % 25 = 0
-    GROUP BY cd.vec_id
+    SELECT vec_id,
+           max_by(run, s) AS codes,
+           CAST(SUM(qd2m) AS BIGINT) AS approx_d2_micro,
+           CAST(SUM(ed2m) AS BIGINT) AS exact_d2_micro
+    FROM runs
+    GROUP BY vec_id
     """)
     return "".join(parts)
 
