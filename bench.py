@@ -119,7 +119,34 @@ def main() -> None:
     # other query; its duckdb_s is recorded in the sidecar with
     # ratio_excluded so the exclusion is visible, not silent.
     RATIO_EXCLUDED = {"q331_jpeg_decode_real_pixels"}
+    # SPARK_GRAFT_ORACLE_SKIP: comma-separated query names whose DuckDB
+    # oracle is NOT run (recorded as oracle_skipped, excluded from the
+    # paired ratio). Exists for sf1.0: q127's oracle is an O(n^2)
+    # spatial theta join (~220 s/run at 10x events, measured) — the
+    # infeasibility is itself the scale evidence for the Spark side's
+    # grid-blocked join (PLANS.md/SCALE.md); the oracle still gates
+    # correctness at sf<=0.1 where it runs in seconds.
+    oracle_skip = set(
+        filter(None, os.environ.get("SPARK_GRAFT_ORACLE_SKIP", "").split(","))
+    )
+    # SPARK_GRAFT_QUERY_SKIP skips a headline query ENTIRELY (both
+    # engines), recorded as query_skipped. Exists for q127 at sf1.0:
+    # its synthetic geometry derives lat/lon from custkey modulos over
+    # a FIXED area, so the TRUE answer grows quadratically with the
+    # corpus — at 10x customers the benchmark would measure output
+    # volume (~100x pairs through one AQE-coalesced task), not engine
+    # efficiency. The grid join's scaling story lives in SCALE.md's
+    # density-constant runs; q127 still benches + verifies at sf0.1.
+    query_skip = set(
+        filter(None, os.environ.get("SPARK_GRAFT_QUERY_SKIP", "").split(","))
+    )
     for name, q in sorted(headline_queries().items()):
+        if name in query_skip:
+            detail[name] = {"query_skipped": (
+                "SPARK_GRAFT_QUERY_SKIP: fixed-area geometry makes the "
+                "true answer quadratic at this sf"
+            )}
+            continue
         s_runs: list[float] = []
         for _ in range(RUNS):
             t0 = time.time()
@@ -134,7 +161,7 @@ def main() -> None:
         spark.catalog.clearCache()
         d_best = None
         d_runs: list[float] = []
-        if q.oracle is not None:
+        if q.oracle is not None and name not in oracle_skip:
             for _ in range(RUNS):
                 t0 = time.time()
                 con.sql(q.oracle).df()
@@ -158,13 +185,17 @@ def main() -> None:
         }
         if name in RATIO_EXCLUDED:
             detail[name]["ratio_excluded"] = "correctness oracle, not equivalent work"
+        if name in oracle_skip:
+            detail[name]["oracle_skipped"] = (
+                "SPARK_GRAFT_ORACLE_SKIP: O(n^2) oracle infeasible at this sf"
+            )
 
     total = round(sum(timings.values()), 3)
     duck_total = round(
         sum(
             d["duckdb_s"]
             for n, d in detail.items()
-            if d["duckdb_s"] is not None and n not in RATIO_EXCLUDED
+            if d.get("duckdb_s") is not None and n not in RATIO_EXCLUDED
         ),
         3,
     )
@@ -172,7 +203,7 @@ def main() -> None:
         sum(
             d["spark_s"]
             for n, d in detail.items()
-            if d["duckdb_s"] is not None and n not in RATIO_EXCLUDED
+            if d.get("duckdb_s") is not None and n not in RATIO_EXCLUDED
         ),
         3,
     )

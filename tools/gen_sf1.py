@@ -46,19 +46,31 @@ OFF = 1_000_000_000  # key offset stride per replica
 
 
 def _replicate(spark, table: str, key_cols: list[str], text_suffix=False,
-               perturb_col: str | None = None):
+               perturb_col: str | None = None, value_shift: float = 0.0):
     from pyspark.sql import functions as F
 
     from etl_everywhere_hub_spark.catalog import load_table
 
     # load_table gives canonical types (events' TIMESTAMP(NANOS) is
     # rescued to TIMESTAMP_NTZ micros exactly as every query sees it)
+    if os.path.isfile(f"{OUT}/{table}.parquet"):
+        print(f"  {table}: exists, skipped")
+        return
     df = load_table(spark, SF, table)
     parts = []
     for i in range(REPLICAS):
         r = df
         for c in key_cols:
             r = r.withColumn(c, F.col(c) + F.lit(i * OFF))
+        if value_shift and i > 0:
+            # spatial honesty: replica users' trajectories must live
+            # ELSEWHERE (a warehouse grows by new entities in new
+            # places, not 10 co-located copies). 1000.0 value units =
+            # 1e9 micro, far outside every radius threshold (q156's is
+            # sqrt(1.5e16) = 1.22e8 micro), so cross-replica pairs are
+            # excluded and the quadratic-pair queries grow LINEARLY at
+            # constant density instead of x100 at x10 density.
+            r = r.withColumn("value", F.col("value") + F.lit(i * value_shift))
         if text_suffix and i > 0:
             r = r.withColumn(
                 "text", F.regexp_replace("text", r"(\S+)", rf"$1_r{i}")
@@ -99,9 +111,6 @@ def _write_single(df, table: str) -> None:
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    if os.path.isfile(f"{OUT}/embeddings.parquet"):
-        print(f"{OUT} already built")
-        return
     os.makedirs(OUT, exist_ok=True)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -123,7 +132,7 @@ def main() -> None:
     _replicate(spark, "part", ["p_partkey"])
     _replicate(spark, "orders", ["o_orderkey", "o_custkey"])
     _replicate(spark, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
-    _replicate(spark, "events", ["event_id", "user_id"])
+    _replicate(spark, "events", ["event_id", "user_id"], value_shift=1000.0)
     _replicate(spark, "documents", ["doc_id"], text_suffix=True)
     _replicate(spark, "embeddings", ["vec_id"], perturb_col="embedding")
     print(f"sf1.0 fixture complete at {OUT}")
