@@ -8012,15 +8012,18 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.n >= 8
     ), pairs AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
-               CAST(SUM((a.x - b.x) * (a.x - b.x)
-                        + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_micro
+               CAST(SUM(CAST(a.x - b.x AS DECIMAL(38,0))
+                          * CAST(a.x - b.x AS DECIMAL(38,0))
+                        + CAST(a.y - b.y AS DECIMAL(38,0))
+                          * CAST(a.y - b.y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS d2_dec
         FROM sampled a JOIN sampled b
           ON a.j = b.j AND a.user_id < b.user_id
         GROUP BY a.user_id, b.user_id
         HAVING COUNT(*) = 8
     )
-    SELECT user_a, user_b, d2_micro FROM pairs
-    WHERE d2_micro <= 15000000000000000
+    SELECT user_a, user_b, CAST(d2_dec AS BIGINT) AS d2_micro FROM pairs
+    WHERE d2_dec <= 15000000000000000
     """,
     headline=True,
 )

@@ -65,11 +65,14 @@ def _replicate(spark, table: str, key_cols: list[str], text_suffix=False,
         if value_shift and i > 0:
             # spatial honesty: replica users' trajectories must live
             # ELSEWHERE (a warehouse grows by new entities in new
-            # places, not 10 co-located copies). 1000.0 value units =
-            # 1e9 micro, far outside every radius threshold (q156's is
-            # sqrt(1.5e16) = 1.22e8 micro), so cross-replica pairs are
+            # places, not 10 co-located copies). 100.0 value units
+            # puts adjacent replicas 5*s^2 = 5e16 micro^2 apart —
+            # outside q156's 1.5e16 radius, so cross-replica pairs are
             # excluded and the quadratic-pair queries grow LINEARLY at
-            # constant density instead of x100 at x10 density.
+            # constant density instead of x100 at x10 density — while
+            # the widest coordinate diff (2*(560+900)*1e6 = 2.92e9)
+            # keeps its int64 square under 2^63 (the oracle computes
+            # ALL pair diffs before filtering; 1000.0 overflowed).
             r = r.withColumn("value", F.col("value") + F.lit(i * value_shift))
         if text_suffix and i > 0:
             r = r.withColumn(
@@ -132,7 +135,7 @@ def main() -> None:
     _replicate(spark, "part", ["p_partkey"])
     _replicate(spark, "orders", ["o_orderkey", "o_custkey"])
     _replicate(spark, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
-    _replicate(spark, "events", ["event_id", "user_id"], value_shift=1000.0)
+    _replicate(spark, "events", ["event_id", "user_id"], value_shift=100.0)
     _replicate(spark, "documents", ["doc_id"], text_suffix=True)
     _replicate(spark, "embeddings", ["vec_id"], perturb_col="embedding")
     print(f"sf1.0 fixture complete at {OUT}")
