@@ -714,14 +714,22 @@ def test_jpeg_baseline_codec():
     )
     assert np.array_equal(decode_jpeg_baseline(p8), decode_jpeg_baseline(p16))
 
-    # narrowed NotImplementedError: arithmetic-coded (SOF9)
-    sof9 = (
+    # round 9: SOF9 (sequential arithmetic) DECODES via jpeg_arith —
+    # the narrowed NotImplementedError is progressive arithmetic (SOFA)
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    gray = rng.randint(0, 256, (3, 2)).astype(np.uint8)
+    img9 = np.repeat(np.repeat(gray, 8, axis=0), 8, axis=1)
+    assert np.array_equal(
+        decode_jpeg_baseline(encode_jpeg_arith(img9, quant_scale=0)), img9
+    )
+    sofa = (
         b"\xff\xd8"
-        + struct.pack(">BBH", 0xFF, 0xC9, 8)
+        + struct.pack(">BBH", 0xFF, 0xCA, 8)
         + b"\x08\x00\x10\x00\x10\x01"
     )
     with pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_jpeg_baseline(sof9)
+        decode_jpeg_baseline(sofa)
     # bad payloads fail loudly
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"\x00\x01\x02")
