@@ -64,17 +64,20 @@ FEATURES_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real, dependency-free image decode — PPM (P6), PGM (P5),
-    uncompressed 24/32-bit BMP, 8-bit PNG (sequential or Adam7
-    interlaced; stdlib zlib inflate + all 5 scanline filters), and
+    """Real, dependency-free image decode — PPM (P6), PGM (P5)
+    including 16-bit maxval (big-endian samples -> uint16, round 9),
+    uncompressed 24/32-bit BMP, PNG at EVERY spec bit depth
+    (1/2/4/8/16, sequential or Adam7 interlaced; stdlib zlib inflate +
+    all 5 scanline filters; 16-bit returns uint16), and
     huffman JPEG — baseline in either scan layout, or progressive
     with spectral selection + successive approximation (full marker
-    walk + float IDCT, multimodal/jpeg.py) — returning a uint8
-    ndarray of shape (h, w) for grayscale or (h, w, 3) for RGB. WebP
-    decode covers the LOSSLESS (VP8L) stream (multimodal/webp.py,
-    round 8); lossy VP8 and arithmetic-coded JPEG remain
-    NotImplemented at their narrowed raise points (wire PIL/opencv
-    there when available).
+    walk + float IDCT, multimodal/jpeg.py; sequential ARITHMETIC
+    SOF9 via multimodal/jpeg_arith.py, round 9) — returning a uint8
+    (uint16 for 16-bit sources) ndarray of shape (h, w) for grayscale
+    or (h, w, 3) for RGB. WebP decode covers the LOSSLESS (VP8L)
+    stream (multimodal/webp.py, round 8); lossy VP8 and
+    progressive-arithmetic JPEG remain NotImplemented at their
+    narrowed raise points (wire PIL/opencv there when available).
     Exercised on real pixel bytes under oracle by q231 (PPM), q329
     (PNG through every filter type), q331 (JPEG through the
     huffman+IDCT path), and q333 (VP8L)."""
@@ -120,9 +123,16 @@ def _decode_pnm(payload: bytes) -> "np.ndarray":
         vals.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte separates maxval from raster
     w, h, maxval = vals
-    if maxval > 255:
-        raise NotImplementedError("16-bit-per-sample PNM not supported")
     ch = 3 if magic == b"P6" else 1
+    if maxval > 65535 or maxval <= 0:
+        raise ValueError(f"PNM maxval {maxval} out of spec range")
+    if maxval > 255:
+        # 2-byte samples, most significant byte first (netpbm spec) —
+        # round 9: full-fidelity uint16 return, like 16-bit PNG
+        arr = np.frombuffer(
+            payload, dtype=">u2", count=w * h * ch, offset=pos
+        ).astype(np.uint16)
+        return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
 
@@ -205,7 +215,12 @@ def _png_filter_rows(lines: "np.ndarray", ch: int, filters: list) -> bytearray:
     return raw
 
 
-def encode_png(img: "np.ndarray", row_filters=None, interlace: bool = False) -> bytes:
+def encode_png(
+    img: "np.ndarray",
+    row_filters=None,
+    interlace: bool = False,
+    depth: int = 8,
+) -> bytes:
     """Deterministic, dependency-free PNG writer for 8-bit grayscale
     (h, w) or RGB (h, w, 3) arrays: signature + IHDR + one IDAT
     (stdlib zlib level 6, fixed — byte-reproducible) + IEND, CRC32 per
@@ -219,7 +234,8 @@ def encode_png(img: "np.ndarray", row_filters=None, interlace: bool = False) -> 
     import struct
     import zlib
 
-    a = np.ascontiguousarray(img, dtype=np.uint8)
+    dt = np.uint16 if depth == 16 else np.uint8
+    a = np.ascontiguousarray(img, dtype=dt)
     if a.ndim == 2:
         h, w = a.shape
         color, ch = 0, 1
@@ -230,6 +246,13 @@ def encode_png(img: "np.ndarray", row_filters=None, interlace: bool = False) -> 
         px = a
     else:
         raise ValueError(f"encode_png: unsupported array shape {a.shape}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"encode_png: bad depth {depth}")
+    if depth < 8:
+        if color != 0:
+            raise ValueError("encode_png: sub-byte depths are gray-only")
+        if int(a.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"encode_png: sample exceeds {depth}-bit range")
 
     if interlace:
         subs = [px[y0::dy, x0::dx] for x0, y0, dx, dy in _PNG_ADAM7]
@@ -242,11 +265,36 @@ def encode_png(img: "np.ndarray", row_filters=None, interlace: bool = False) -> 
     if len(filters) != n_rows:
         raise ValueError("row_filters length must equal scanline count")
 
+    def pack_rows(sub: "np.ndarray") -> "np.ndarray":
+        """(rows, w, ch) samples -> (rows, row_bytes) packed filter
+        input at the target depth (MSB-first sub-byte packing /
+        big-endian 16-bit, spec 7.2)."""
+        rows, sw = sub.shape[0], sub.shape[1]
+        flat = sub.reshape(rows, sw * ch)
+        if depth == 8:
+            return flat.astype(np.int16)
+        if depth == 16:
+            out = np.zeros((rows, sw * ch * 2), np.int16)
+            out[:, 0::2] = (flat >> 8) & 0xFF
+            out[:, 1::2] = flat & 0xFF
+            return out
+        nbits = sw * ch * depth
+        bits = np.zeros((rows, nbits), np.uint8)
+        for j in range(depth):
+            bits[:, j::depth] = (flat >> (depth - 1 - j)) & 1
+        pad = (-nbits) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((rows, pad), np.uint8)], axis=1
+            )
+        return np.packbits(bits, axis=1).astype(np.int16)
+
+    bpp = max(1, ch * depth // 8)
     raw = bytearray()
     at = 0
     for s in subs:
-        lines = s.reshape(s.shape[0], -1).astype(np.int16)
-        raw.extend(_png_filter_rows(lines, ch, filters[at : at + s.shape[0]]))
+        lines = pack_rows(s)
+        raw.extend(_png_filter_rows(lines, bpp, filters[at : at + s.shape[0]]))
         at += s.shape[0]
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -257,20 +305,25 @@ def encode_png(img: "np.ndarray", row_filters=None, interlace: bool = False) -> 
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     idat = zlib.compress(bytes(raw), 6)
     return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, ch: int, off: int = 0) -> "np.ndarray":
+def _png_unfilter(
+    raw: bytes, row_bytes: int, h: int, bpp: int, off: int = 0
+) -> "np.ndarray":
     """Reverse the scanline filters over one (sub)image: h rows of
-    (1 filter-type byte + w*ch filtered bytes) starting at `off` in
-    `raw` (spec §9: None/Sub/Up/Average/Paeth). Returns the
-    reconstructed (h, w*ch) int32 raster. Sub/Up vectorize whole-row
-    in numpy; Average and Paeth are sequential by definition (each
-    pixel needs its decoded left neighbor) → an O(w) python loop per
-    filtered row with numpy ops across channels."""
-    stride = w * ch
+    (1 filter-type byte + row_bytes filtered bytes) starting at `off`
+    in `raw` (spec §9: None/Sub/Up/Average/Paeth). `bpp` is the filter
+    byte distance — bytes per complete pixel, floored to 1 for
+    sub-byte depths (spec: "bpp is rounded up to one"). Returns the
+    reconstructed (h, row_bytes) int32 raster. Sub/Up vectorize
+    whole-row in numpy; Average and Paeth are sequential by definition
+    (each unit needs its decoded left neighbor) → an O(row) python
+    loop per filtered row with numpy ops across the bpp lane."""
+    stride = row_bytes
+    units = stride // bpp
     recon = np.zeros((h, stride), np.int32)
     for y in range(h):
         ft = raw[off + y * (stride + 1)]
@@ -281,25 +334,25 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int, off: int = 0) -> "np.ndar
         if ft == 0:
             recon[y] = line
         elif ft == 1:
-            # Sub is a per-channel-lane prefix sum mod 256
+            # Sub is a per-byte-lane prefix sum mod 256
             recon[y] = (
-                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) % 256
+                np.cumsum(line.reshape(units, bpp), axis=0, dtype=np.int64) % 256
             ).reshape(stride)
         elif ft == 2:
             recon[y] = (line + prev) % 256
         elif ft == 3:
             row = recon[y]
-            left = np.zeros(ch, np.int32)
-            for x in range(w):
-                s = slice(x * ch, (x + 1) * ch)
+            left = np.zeros(bpp, np.int32)
+            for x in range(units):
+                s = slice(x * bpp, (x + 1) * bpp)
                 left = (line[s] + (left + prev[s]) // 2) % 256
                 row[s] = left
         elif ft == 4:
             row = recon[y]
-            left = np.zeros(ch, np.int32)
-            upleft = np.zeros(ch, np.int32)
-            for x in range(w):
-                s = slice(x * ch, (x + 1) * ch)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for x in range(units):
+                s = slice(x * bpp, (x + 1) * bpp)
                 up = prev[s]
                 p = left + up - upleft
                 pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
@@ -314,6 +367,26 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int, off: int = 0) -> "np.ndar
     return recon
 
 
+def _png_unpack_samples(recon: "np.ndarray", w: int, ch: int, depth: int):
+    """(h, row_bytes) filtered-byte raster -> (h, w, ch) sample array
+    at the file's depth: uint8 for depth<=8 (sub-byte unpacked
+    MSB-first, spec 7.2), uint16 big-endian pairs for depth 16."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon.astype(np.uint8).reshape(h, w, ch)
+    if depth == 16:
+        b = recon.astype(np.uint16)
+        return ((b[:, 0::2] << 8) | b[:, 1::2]).reshape(h, w, ch)
+    bits = np.unpackbits(recon.astype(np.uint8), axis=1)
+    n = w * ch
+    # gather each sample's depth bits MSB-first: bit j of sample i is
+    # bit column i*depth + j
+    vals = np.zeros((h, n), np.uint8)
+    for j in range(depth):
+        vals = (vals << 1) | bits[:, j::depth][:, :n]
+    return vals.reshape(h, w, ch)
+
+
 def _decode_png(payload: bytes) -> "np.ndarray":
     """8-bit PNG decode with nothing but stdlib zlib: chunk walk
     (CRC-verified), IHDR validation, IDAT concatenation + inflate,
@@ -323,8 +396,10 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     Color types: 0 gray, 2 RGB, 3 palette (PLTE expanded),
     4 gray+alpha, 6 RGBA — alpha dropped, palette expanded, so the
     return shape matches the other decoders: (h, w) gray or (h, w, 3)
-    RGB. 1/2/4/16-bit depths raise NotImplementedError (narrow,
-    documented).
+    RGB. ALL spec bit depths decode (round 9): 1/2/4-bit packed
+    samples unpack MSB-first and gray scales to full range by
+    255/(2^d-1) (palette indices are never scaled, spec 7.2); 16-bit
+    big-endian samples return full-fidelity uint16 arrays.
 
     Per-image cost: see _png_unfilter. Decode runs worker-side inside
     mapInPandas batches (q329), never on the driver."""
@@ -362,43 +437,63 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError(f"PNG bad compression/filter method {comp}/{filt}")
     if interlace not in (0, 1):
         raise ValueError(f"PNG bad interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    # allowed depths per color type (spec 11.2.2, Table 11.1)
+    _ALLOWED = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16)}
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG bad color type {color}")
+    if depth not in _ALLOWED[color]:
+        raise ValueError(f"PNG depth {depth} invalid for color type {color}")
     ch = _PNG_CHANNELS[color]
-    stride = w * ch
+    bpp = max(1, ch * depth // 8)  # filter byte distance (spec 9)
+
+    def row_bytes(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
+    dt = np.uint16 if depth == 16 else np.uint8
     if interlace == 0:
-        if len(raw) != h * (stride + 1):
+        rb = row_bytes(w)
+        if len(raw) != h * (rb + 1):
             raise ValueError(
-                f"PNG raster size {len(raw)} != expected {h * (stride + 1)}"
+                f"PNG raster size {len(raw)} != expected {h * (rb + 1)}"
             )
-        px = _png_unfilter(raw, w, h, ch).astype(np.uint8).reshape(h, w, ch)
+        px = _png_unpack_samples(_png_unfilter(raw, rb, h, bpp), w, ch, depth)
     else:
-        px = np.zeros((h, w, ch), np.uint8)
+        px = np.zeros((h, w, ch), dt)
         off = 0
         for x0, y0, dx, dy in _PNG_ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * ch + 1)
+            prb = row_bytes(pw)
+            need = ph * (prb + 1)
             if off + need > len(raw):
                 raise ValueError("PNG interlaced raster truncated")
-            sub = _png_unfilter(raw, pw, ph, ch, off).astype(np.uint8)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub = _png_unpack_samples(
+                _png_unfilter(raw, prb, ph, bpp, off), pw, ch, depth
+            )
+            px[y0::dy, x0::dx] = sub
             off += need
         if off != len(raw):
             raise ValueError(f"PNG raster size {len(raw)} != expected {off}")
+    px = px.reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        return plte[px.reshape(h, w)]
+        return plte[px.reshape(h, w)]  # indices are NEVER scaled (spec 7.2)
     if color == 0:
-        return px.reshape(h, w)
+        g = px.reshape(h, w)
+        if depth < 8:
+            # spec-recommended sample scaling to full range; exact
+            # integers (255 is divisible by 1, 3 and 15)
+            return (g.astype(np.int32) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
+        return g  # uint8 or full-fidelity uint16
     if color == 4:
-        return px[:, :, 0].copy()  # gray, alpha dropped
+        return px[:, :, 0].copy()  # gray, alpha dropped (uint8/uint16)
     return px[:, :, :3].copy() if ch == 4 else px  # RGB(A) → RGB
 
 

@@ -978,3 +978,75 @@ def test_jpeg_arith_rgb_and_fixed_bin():
     )
     assert out_a.shape == img.shape
     assert np.array_equal(out_a, out_h)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    depth=st.sampled_from([1, 2, 4, 8, 16]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_all_depths_roundtrip_property(h, w, depth, interlace, seed, data):
+    """Round 9: PNG at EVERY spec bit depth roundtrips under any
+    per-row filter mix and both interlace methods. Sub-byte gray
+    decodes to the spec-scaled full-range value (255/(2^d-1), exact
+    integers); 16-bit returns full-fidelity uint16."""
+    import numpy as np
+
+    import etl_everywhere_hub_spark.multimodal as mm
+
+    rng = np.random.RandomState(seed % 2**32)
+    hi = (1 << depth) if depth < 16 else 65536
+    img = rng.randint(0, hi, (h, w)).astype(
+        np.uint16 if depth == 16 else np.uint8
+    )
+    if interlace:
+        n_rows = sum(
+            s.shape[0]
+            for s in (img[y0::dy, x0::dx] for x0, y0, dx, dy in mm._PNG_ADAM7)
+            if s.size
+        )
+    else:
+        n_rows = h
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=n_rows, max_size=n_rows)
+    )
+    payload = mm.encode_png(
+        img, row_filters=filters, interlace=interlace, depth=depth
+    )
+    out = mm.decode_image(payload)
+    assert out.shape == img.shape
+    if depth < 8:
+        want = (img.astype(np.int32) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+        assert (out == want).all()
+    else:
+        assert out.dtype == img.dtype and (out == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    rgb=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_pnm_16bit_roundtrip_property(h, w, rgb, seed):
+    """Round 9: netpbm 16-bit maxval — 2-byte big-endian samples
+    decode to full-fidelity uint16 for both P5 (gray) and P6 (RGB)."""
+    import numpy as np
+
+    import etl_everywhere_hub_spark.multimodal as mm
+
+    rng = np.random.RandomState(seed % 2**32)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.randint(0, 65536, shape).astype(np.uint16)
+    magic = b"P6" if rgb else b"P5"
+    payload = magic + f" {w} {h} 65535\n".encode() + img.astype(">u2").tobytes()
+    out = mm.decode_image(payload)
+    assert out.dtype == np.uint16 and out.shape == shape
+    assert (out == img).all()

@@ -381,9 +381,19 @@ def test_decode_malformed_inputs_raise_cleanly():
         raise AssertionError(f"malformed input decoded to {out.shape}: {payload[:20]!r}")
 
 
-def test_decode_pnm_16bit_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"P6\n2 2\n65535\n" + bytes(24))
+def test_decode_pnm_16bit():
+    """Round 9: 16-bit maxval PNM decodes to full-fidelity uint16
+    (big-endian samples per the netpbm spec); out-of-spec maxval
+    still fails loudly."""
+    import numpy as np
+
+    img = np.arange(12, dtype=np.uint16).reshape(2, 2, 3) * 5000
+    out = multimodal.decode_image(
+        b"P6\n2 2\n65535\n" + img.astype(">u2").tobytes()
+    )
+    assert out.dtype == np.uint16 and np.array_equal(out, img)
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_image(b"P5\n1 1\n70000\n" + bytes(2))
 
 
 def test_wav_codec_roundtrip_and_error_channel():
@@ -525,10 +535,22 @@ def test_png_codec_roundtrip_all_filters_and_errors():
          + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_image(p)
-    # narrowed NotImplementedError: 16-bit depth
+    # round 9: 16-bit gray DECODES (full-fidelity uint16) — the crafted
+    # all-zero raster is 1 filter byte + 4 sample bytes
     p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
          + chunk(b"IDAT", zlib.compress(bytes(5))) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="depth"):
+    out16 = mm.decode_image(p)
+    assert out16.dtype == np.uint16 and out16.shape == (1, 2)
+    assert (out16 == 0).all()
+    # spec-INVALID depth/color combos fail loudly (depth 3 gray;
+    # depth 16 palette)
+    p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 3, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(bytes(2))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="depth"):
+        mm.decode_image(p)
+    p = (mm.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(bytes(5))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="depth"):
         mm.decode_image(p)
     # JPEG now decodes natively (multimodal/jpeg.py): truncated
     # streams fail loudly; WebP-LOSSLESS decodes natively as of round 8
