@@ -561,12 +561,19 @@ def encode_jpeg_arith(
     quality: int = 90,
     quant_scale: int | None = None,
     restart_interval: int = 0,
+    dc_cond: tuple[int, int] = (0, 1),
+    ac_kx: int = 5,
+    interleaved: bool = True,
 ) -> bytes:
     """Sequential arithmetic-coded JFIF encoder (SOF9) for 8-bit gray
-    (h, w) or RGB (h, w, 3), 4:4:4, one interleaved scan. Emits the
-    default conditioning (DAC omitted -> L=0, U=1, Kx=5). The entropy
-    layer is the Annex D coder above; everything upstream (color
-    transform, FDCT, quantization, headers) is shared with
+    (h, w) or RGB (h, w, 3), 4:4:4. ``dc_cond=(L, U)`` / ``ac_kx``
+    set the conditioning; non-default values emit a DAC segment
+    (B.2.4.3) so the decoder's DAC parse and the classification /
+    Kx-split boundaries are exercised end-to-end.
+    ``interleaved=False`` writes one SOS per component (A.2.2) — each
+    scan gets its OWN coder and statistics per spec. The entropy layer
+    is the Annex D coder above; everything upstream (color transform,
+    FDCT, quantization, headers) is shared with
     ``encode_jpeg_baseline``."""
     from etl_everywhere_hub_spark.multimodal.jpeg import (
         QUANT_CHROMA,
@@ -622,47 +629,60 @@ def encode_jpeg_arith(
     for cid, hs, vs, tq, _p in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
     out += seg(0xC9, sof)
+    L, U = dc_cond
+    if (L, U) != (0, 1) or ac_kx != 5:
+        # DAC (B.2.4.3): Tc/Tb byte + conditioning byte per table
+        out += seg(0xCC, bytes([0x00, (U << 4) | L, 0x10, ac_kx]))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    # SOS: DC table 0, AC table 0 for every component (stats areas are
-    # per-table; default conditioning, no DAC segment)
-    sos = bytes([len(comps)])
-    for cid, _hs, _vs, _tq, _p in comps:
-        sos += bytes([cid, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
 
-    dc_st = Stats(DC_BINS)
-    ac_st = Stats(AC_BINS)
-    fixed = Stats(0)
-    enc = ArithEncoder()
-    last_dc = [0] * len(comps)
-    dc_ctx = [0] * len(comps)
-    bh, bw = coefs[0].shape[:2]
-    mcu_count = 0
-    rst = 0
-    for my in range(bh):
-        for mx in range(bw):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                out += enc.flush()
-                out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) & 7
-                dc_st.reset()
-                ac_st.reset()
-                enc = ArithEncoder()
-                last_dc = [0] * len(comps)
-                dc_ctx = [0] * len(comps)
-            for oi in range(len(comps)):
-                zz = coefs[oi][my, mx]
-                diff = int(zz[0]) - last_dc[oi]
-                last_dc[oi] = int(zz[0])
-                _encode_dc(enc, dc_st, dc_ctx, oi, diff, 0, 1)
-                _encode_ac_block(enc, ac_st, fixed, zz, 5)
-            mcu_count += 1
-    out += enc.flush()
+    def encode_scan(scan_comps: list[int]) -> bytes:
+        """One SOS segment + entropy data for the given component
+        indices; fresh coder and statistics per scan (F.1.4)."""
+        body = bytearray()
+        sos = bytes([len(scan_comps)])
+        for oi in scan_comps:
+            sos += bytes([comps[oi][0], 0x00])
+        sos += bytes([0, 63, 0])
+        body += seg(0xDA, sos)
+        dc_st = Stats(DC_BINS)
+        ac_st = Stats(AC_BINS)
+        fixed = Stats(0)
+        enc = ArithEncoder()
+        last_dc = {oi: 0 for oi in scan_comps}
+        dc_ctx = {oi: 0 for oi in scan_comps}
+        bh, bw = coefs[scan_comps[0]].shape[:2]
+        mcu_count = 0
+        rst = 0
+        for my in range(bh):
+            for mx in range(bw):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    body += enc.flush()
+                    body += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                    dc_st.reset()
+                    ac_st.reset()
+                    enc = ArithEncoder()
+                    last_dc = {oi: 0 for oi in scan_comps}
+                    dc_ctx = {oi: 0 for oi in scan_comps}
+                for oi in scan_comps:
+                    zz = coefs[oi][my, mx]
+                    diff = int(zz[0]) - last_dc[oi]
+                    last_dc[oi] = int(zz[0])
+                    _encode_dc(enc, dc_st, dc_ctx, oi, diff, L, U)
+                    _encode_ac_block(enc, ac_st, fixed, zz, ac_kx)
+                mcu_count += 1
+        body += enc.flush()
+        return bytes(body)
+
+    if interleaved:
+        out += encode_scan(list(range(len(comps))))
+    else:
+        for oi in range(len(comps)):
+            out += encode_scan([oi])
     out += b"\xff\xd9"
     return bytes(out)

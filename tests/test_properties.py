@@ -1050,3 +1050,61 @@ def test_pnm_16bit_roundtrip_property(h, w, rgb, seed):
     out = mm.decode_image(payload)
     assert out.dtype == np.uint16 and out.shape == shape
     assert (out == img).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    hb=st.integers(1, 3),
+    wb=st.integers(1, 3),
+    L=st.integers(0, 3),
+    du=st.integers(0, 3),
+    kx=st.sampled_from([1, 5, 12, 30, 63]),
+    interleaved=st.booleans(),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_arith_conditioning_property(
+    hb, wb, L, du, kx, interleaved, restart, seed
+):
+    """Round-9 hardening: DAC conditioning (DC L/U bounds, AC Kx
+    low/high magnitude split) and non-interleaved per-component scans
+    roundtrip exactly — any conditioning the spec allows changes the
+    CONTEXT SELECTION on both sides identically, never the values.
+    Non-default conditioning emits a real DAC segment, so the
+    decoder's B.2.4.3 parse runs; interleaved=False gives each scan
+    its own coder + statistics (F.1.4)."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import decode_jpeg_baseline
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    U = L + du  # spec: L <= U
+    rng = np.random.RandomState(seed % 2**32)
+    # gray: constant blocks are EXACT at quant 1 (pure-DC, integral)
+    gblocks = rng.randint(0, 256, (hb, wb)).astype(np.uint8)
+    gimg = np.repeat(np.repeat(gblocks, 8, axis=0), 8, axis=1)
+    out = decode_jpeg_baseline(
+        encode_jpeg_arith(
+            gimg, quant_scale=0, dc_cond=(L, U), ac_kx=kx,
+            interleaved=interleaved, restart_interval=restart,
+        )
+    )
+    assert out.dtype == np.uint8 and np.array_equal(out, gimg)
+    # RGB: the entropy layer is LOSSLESS, so the arithmetic decode must
+    # be bit-identical to the HUFFMAN decode of the same image (the
+    # YCbCr transform rounds identically upstream of both)
+    from etl_everywhere_hub_spark.multimodal.jpeg import encode_jpeg_baseline
+
+    cimg = np.repeat(
+        np.repeat(rng.randint(0, 256, (hb, wb, 3)).astype(np.uint8), 8, 0), 8, 1
+    )
+    out_a = decode_jpeg_baseline(
+        encode_jpeg_arith(
+            cimg, quant_scale=0, dc_cond=(L, U), ac_kx=kx,
+            interleaved=interleaved, restart_interval=restart,
+        )
+    )
+    out_h = decode_jpeg_baseline(
+        encode_jpeg_baseline(cimg, quant_scale=0, subsampling="444")
+    )
+    assert np.array_equal(out_a, out_h)
