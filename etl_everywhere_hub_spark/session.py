@@ -35,6 +35,15 @@ _RUNTIME_CONFS = {
     # partitions regardless of over-partitioned inputs.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Prefer hash joins over sort-merge when a side's per-partition
+    # build fits the size gate (autoBroadcastJoinThreshold x shuffle
+    # partitions — Spark's canBuildLocalHashMap): skips the sort of
+    # both shuffled sides, the same choice an in-process columnar
+    # engine makes. Falls back to SMJ automatically when neither side
+    # passes the gate (the 100 TB big-big case), SHJ spills since
+    # Spark 3.1, and AQE's skew splitter handles both node types.
+    # Measured at sf1.0: q105 star join 3.61 -> 2.72 s (round 9).
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Arrow for pandas UDF / toPandas boundaries (the only sanctioned
     # Python touchpoints).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -305,7 +305,12 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         assert len(j.collect()) == 400_000
         plan = X.physical_plan(j)
         assert "isFinalPlan=true" in plan, plan[:1500]
-        assert "SortMergeJoin(skew=true)" in plan, plan[:3000]
+        # the engine prefers hash joins (session.py round 9); AQE's
+        # skew splitter marks whichever shuffled join node ran
+        assert (
+            "SortMergeJoin(skew=true)" in plan
+            or "ShuffledHashJoin(skew=true)" in plan
+        ), plan[:3000]
     finally:
         for k, v in keep.items():
             if v is None:
