@@ -774,8 +774,10 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 "(sequential SOF9 decodes via multimodal/jpeg_arith.py)"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            if len(body) % 2:
+                raise ValueError("DAC segment has a trailing odd byte")
             at = 0
-            while at + 1 < len(body) + 1 and at < len(body):
+            while at + 1 < len(body):
                 tc_tb, cs = body[at], body[at + 1]
                 tc, tb = tc_tb >> 4, tc_tb & 0x0F
                 if tc == 0:

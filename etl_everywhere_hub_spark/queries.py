@@ -46,6 +46,7 @@ class Query:
     spark: SparkFn
     oracle: str | None  # None → non-SQL-expressible; driver does rows-only
     headline: bool = False  # included in bench.py
+    raw_oracle: str | None = None  # pre-macro-expansion source (lint target)
 
 
 REGISTRY: dict[str, Query] = {}
@@ -417,13 +418,33 @@ def _expand_macros(sql: str) -> str:
                             break
                     j += 1
                 arg = sql[i + len(name) + 1 : j]
-                if any(m + "(" in arg for m in _SQL_MACROS):
+                if _contains_macro_call(arg):
                     i = i + len(name) + 1  # expand the inner call first
                     continue
                 sql = sql[:i] + fn(*_split_macro_args(arg)) + sql[j + 1 :]
                 changed = True
                 break
     return sql
+
+
+def _contains_macro_call(text: str) -> bool:
+    """True iff ``text`` contains a macro CALL — the macro name at a
+    word boundary (preceding char not alnum/underscore) followed by
+    '('. The same boundary test the outer scan applies (ADVICE r9:
+    a bare ``m + "(" in text`` substring check would treat an
+    identifier merely ENDING in a macro name, e.g. a future
+    ``myelem(...)``, as an inner call and permanently skip expanding
+    the enclosing macro)."""
+    for m in _SQL_MACROS:
+        j = 0
+        while True:
+            j = text.find(m + "(", j)
+            if j < 0:
+                break
+            if j == 0 or not (text[j - 1].isalnum() or text[j - 1] == "_"):
+                return True
+            j += len(m)
+    return False
 
 
 def _split_macro_args(s: str) -> list[str]:
@@ -451,7 +472,11 @@ def _split_macro_args(s: str) -> list[str]:
 def query(name: str, oracle: str | None, headline: bool = False):
     def deco(fn: SparkFn) -> SparkFn:
         REGISTRY[name] = Query(
-            name, fn, None if oracle is None else _expand_macros(oracle), headline
+            name,
+            fn,
+            None if oracle is None else _expand_macros(oracle),
+            headline,
+            oracle,
         )
         return fn
 

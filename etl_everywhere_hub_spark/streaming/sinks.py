@@ -188,7 +188,15 @@ def _merge_cdc_batch(
     older than ``max(order_col) - retention`` are dropped, the same
     contract as Delta's ``delta.deletedFileRetentionDuration`` — an
     upsert staler than the retention horizon MAY resurrect, which is
-    the documented trade-off. This is q245's oracle-checked relation
+    the documented trade-off. The horizon is GLOBAL, not per-key
+    (ADVICE r9 item #4): ``max(order_col)`` across the whole snapshot,
+    so one hot key advancing the clock can expire tombstones for keys
+    whose own activity lags far behind it — a stale upsert for such a
+    lagging key can then resurrect it well inside that key's own
+    activity window. If per-key ordering skew is expected (device
+    fleets with mixed report rates), size the retention to the SLOWEST
+    key's staleness bound, or leave retention None (tombstones kept
+    forever, resurrection impossible). This is q245's oracle-checked relation
     wired into the streaming transport; on a lakehouse deployment the
     body of this function becomes one `MERGE INTO` statement."""
     spark = batch_df.sparkSession

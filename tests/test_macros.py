@@ -241,3 +241,67 @@ def test_elem_alen_fixture_embeddings_both_engines(con, spark, sf_dir):
 
 def _approx(v):
     return round(v, 5) if isinstance(v, float) else v
+
+
+# ---------------------------------------------------------------------------
+# round-10 ADVICE fixes: inner-call word boundary + alen call-site lint
+# ---------------------------------------------------------------------------
+
+
+def test_inner_macro_scan_uses_word_boundary(con):
+    """ADVICE r9 item #2: an identifier merely ENDING in a macro name
+    inside an argument (e.g. ``myelem(...)``) must NOT be treated as an
+    inner macro call — the old bare-substring check skipped expanding
+    the ENCLOSING macro forever, leaving raw macro text in the oracle."""
+    from etl_everywhere_hub_spark.queries import _contains_macro_call
+
+    assert not _contains_macro_call("myelem(x)")
+    assert not _contains_macro_call("foo_ntok(x)")
+    assert _contains_macro_call("elem(a, 1)")
+    assert _contains_macro_call("1 + ntok(s)")
+    # end-to-end: enclosing macro expands even when its arg contains a
+    # non-macro identifier that ends in a macro name
+    src = "alen(filter([1, 2], x -> x > myelem(0)))"
+    expanded = _expand_macros(src)
+    assert "alen(" not in expanded
+    assert "myelem(0)" in expanded  # untouched, still a plain call
+
+
+def test_alen_call_sites_are_comma_safe():
+    """ADVICE r9 item #3: ``alen`` counts commas in the VARCHAR render,
+    which miscounts for string arrays whose elements contain commas.
+    The constraint is documented at the macro; this lint enforces it at
+    every call site — each raw-oracle alen argument must be explicitly
+    allowlisted below with its comma-free justification. A NEW alen
+    site fails here until it is consciously reviewed and added."""
+    import re as _re
+
+    # argument-text allowlist: substrings that prove comma-free elements
+    allow = [
+        # numeric arrays (double render never contains commas)
+        "embedding",
+        # q168: tokens filtered against a comma-free IN-list — the
+        # surviving elements are exactly 'table'/'data'/'query'
+        "x IN ('table', 'data', 'query')",
+    ]
+    for name, q in REGISTRY.items():
+        raw = q.raw_oracle
+        if not raw or "alen(" not in raw:
+            continue
+        for m in _re.finditer(r"(?<![A-Za-z0-9_])alen\(", raw):
+            # balanced-paren arg extraction (same walk as the expander)
+            i = m.end() - 1
+            depth, j = 0, i
+            while j < len(raw):
+                if raw[j] == "(":
+                    depth += 1
+                elif raw[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            arg = raw[i + 1 : j]
+            assert any(a in arg for a in allow), (
+                f"{name}: alen() over unreviewed argument {arg!r} — "
+                "prove its elements are comma-free and allowlist it"
+            )
