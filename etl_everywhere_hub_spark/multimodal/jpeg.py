@@ -20,8 +20,9 @@ scan, per-component non-interleaved baseline scans, and PROGRESSIVE
 (SOF2) scans with spectral selection, successive approximation, and
 EOBRUN (DC/AC x first/refinement, spec G.1.2/G.2) — for any
 (h_i, v_i) sampling factors incl. 4:2:0/4:2:2, box chroma upsampling,
-JFIF YCbCr->RGB. Arithmetic-coded (SOF9+) and lossless/differential
-frames raise NotImplementedError (narrow, documented); 12-bit
+JFIF YCbCr->RGB. Arithmetic-coded frames — sequential SOF9 AND
+progressive SOFA (round 10) — dispatch to multimodal/jpeg_arith.py;
+only lossless/differential frames raise NotImplementedError; 12-bit
 precision raises ValueError.
 
 Encoder (``encode_jpeg_baseline``): JFIF APP0, Annex-K quantization
@@ -710,7 +711,8 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     successive approximation, DC and AC, first and refinement scans
     (spec G.1.2 / G.2). Scans accumulate QUANTIZED COEFFICIENTS per
     component; dequantization + IDCT run once at EOI, vectorized over
-    every block. Arithmetic-coded streams raise NotImplementedError;
+    every block. Arithmetic-coded streams (sequential SOF9 and
+    progressive SOFA) dispatch to jpeg_arith.decode_scan_arith;
     12-bit precision raises ValueError."""
     d = payload
     if d[:2] != b"\xff\xd8":
@@ -758,7 +760,9 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 nat = np.zeros(64, np.int32)
                 nat[ZIGZAG] = tab
                 qt[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith seq)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline/extended, SOF2 progressive huffman,
+            # SOF9 sequential arithmetic, SOFA progressive arithmetic
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -766,12 +770,11 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (fh, fw, comps, marker == 0xC2)
-            arith = marker == 0xC9
-        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (fh, fw, comps, marker in (0xC2, 0xCA))
+            arith = marker in (0xC9, 0xCA)
+        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/lossless arithmetic JPEG not supported "
-                "(sequential SOF9 decodes via multimodal/jpeg_arith.py)"
+                "lossless/differential arithmetic JPEG not supported"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             if len(body) % 2:
@@ -816,7 +819,7 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
 
                 pos = decode_scan_arith(
                     d, pos + 2 + ln, frame, scan, cond_dc, cond_ac,
-                    restart_interval, coefs,
+                    restart_interval, coefs, (ss, se, ah, al),
                 )
             else:
                 pos = _decode_scan(

@@ -22355,3 +22355,107 @@ def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, h int, w int, pix_sum long, wsum long, "
         "first_px long, last_px long",
     )
+
+
+@query(
+    "q336_jpeg_arith_progressive_decode",
+    """
+    WITH px AS (
+        SELECT doc_id, k.k AS k,
+               ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN range(16) AS k(k)
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 32 AS h, 32 AS w, 6 AS n_scans,
+           CAST(64 * SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM((k + 1) * v) AS BIGINT) AS wsum,
+           CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_px,
+           CAST(MIN(CASE WHEN k = 15 THEN v END) AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE ARITHMETIC JPEG (SOFA) decode under oracle (round
+    10, VERDICT r9 item #2) — q334's exactness loop through the Annex
+    G.2 progressive composition: the same 4x4 constant-block grayscale
+    grid is encoded as a 6-scan SOFA stream (the gray scan script:
+    DC first at Al=1, luma
+    AC in two spectral bands at Al=2, AC+DC successive-approximation
+    refinements — multimodal/jpeg_arith.encode_jpeg_arith_progressive
+    with cycled DAC conditioning so the L/U classification and Kx
+    split boundaries run under refinement too) and decoded back
+    through decode_jpeg_baseline's SOFA dispatch. The scans carry the
+    same quantized coefficients as the sequential stream, so at quant
+    step 1 the roundtrip is EXACT and the oracle is q334's integer
+    character arithmetic; n_scans pins that the 6-scan script (not a
+    single-scan fallback) was decoded — any refinement-context or
+    point-transform bug breaks the hash.
+
+    Scale shape: identical to q331/q334 — embarrassingly-parallel
+    mapInPandas, codec worker-side per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg import count_sos_scans
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                vals = np.frombuffer((buf * reps)[:16], np.uint8)
+                img = np.repeat(
+                    np.repeat(vals.reshape(4, 4), 8, axis=0), 8, axis=1
+                )
+                dc_cond = [(0, 1), (1, 3), (0, 2)][mid % 3]
+                kx = [5, 2, 9][mid % 3]
+                jpg = encode_jpeg_arith_progressive(
+                    img, quant_scale=0, dc_cond=dc_cond, ac_kx=kx
+                )
+                assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+                n_scans = count_sos_scans(jpg)
+                out = decode_image(jpg)  # SOFA QM decode + dequant + IDCT
+                assert out.shape == (32, 32) and out.dtype == np.uint8
+                blocks = out.reshape(4, 8, 4, 8).transpose(0, 2, 1, 3)
+                assert (blocks == blocks[:, :, :1, :1]).all(), "block not constant"
+                got = blocks[:, :, 0, 0].reshape(16).astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        32,
+                        32,
+                        int(n_scans),
+                        int(64 * got.sum()),
+                        int((np.arange(1, 17) * got).sum()),
+                        int(got[0]),
+                        int(got[15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "n_scans",
+                    "pix_sum", "wsum", "first_px", "last_px",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, n_scans int, pix_sum long, wsum long, "
+        "first_px long, last_px long",
+    )

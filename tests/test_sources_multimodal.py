@@ -736,22 +736,30 @@ def test_jpeg_baseline_codec():
     )
     assert np.array_equal(decode_jpeg_baseline(p8), decode_jpeg_baseline(p16))
 
-    # round 9: SOF9 (sequential arithmetic) DECODES via jpeg_arith —
-    # the narrowed NotImplementedError is progressive arithmetic (SOFA)
-    from etl_everywhere_hub_spark.multimodal.jpeg_arith import encode_jpeg_arith
+    # round 9: SOF9 (sequential arithmetic) DECODES via jpeg_arith;
+    # round 10: SOFA (progressive arithmetic) decodes too — the
+    # narrowed NotImplementedError is lossless/differential frames
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
 
     gray = rng.randint(0, 256, (3, 2)).astype(np.uint8)
     img9 = np.repeat(np.repeat(gray, 8, axis=0), 8, axis=1)
     assert np.array_equal(
         decode_jpeg_baseline(encode_jpeg_arith(img9, quant_scale=0)), img9
     )
-    sofa = (
-        b"\xff\xd8"
-        + struct.pack(">BBH", 0xFF, 0xCA, 8)
-        + b"\x08\x00\x10\x00\x10\x01"
+    assert np.array_equal(
+        decode_jpeg_baseline(encode_jpeg_arith_progressive(img9, quant_scale=0)),
+        img9,
     )
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_jpeg_baseline(sofa)
+    sof_ll = (
+        b"\xff\xd8"
+        + struct.pack(">BBH", 0xFF, 0xCB, 11)
+        + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    )
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg_baseline(sof_ll)
     # bad payloads fail loudly
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"\x00\x01\x02")
