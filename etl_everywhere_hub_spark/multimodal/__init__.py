@@ -71,16 +71,19 @@ def decode_image(payload: bytes) -> "np.ndarray":
     all 5 scanline filters; 16-bit returns uint16), and
     huffman JPEG — baseline in either scan layout, or progressive
     with spectral selection + successive approximation (full marker
-    walk + float IDCT, multimodal/jpeg.py; sequential ARITHMETIC
-    SOF9 via multimodal/jpeg_arith.py, round 9) — returning a uint8
-    (uint16 for 16-bit sources) ndarray of shape (h, w) for grayscale
-    or (h, w, 3) for RGB. WebP decode covers the LOSSLESS (VP8L)
-    stream (multimodal/webp.py, round 8); lossy VP8 and
-    progressive-arithmetic JPEG remain NotImplemented at their
-    narrowed raise points (wire PIL/opencv there when available).
-    Exercised on real pixel bytes under oracle by q231 (PPM), q329
-    (PNG through every filter type), q331 (JPEG through the
-    huffman+IDCT path), and q333 (VP8L)."""
+    walk + float IDCT, multimodal/jpeg.py; ARITHMETIC entropy coding
+    via multimodal/jpeg_arith.py — sequential SOF9 in round 9,
+    progressive SOFA in round 10) — returning a uint8 (uint16 for
+    16-bit sources) ndarray of shape (h, w) for grayscale or
+    (h, w, 3) for RGB. WebP decode covers BOTH stream types: the
+    LOSSLESS VP8L form (multimodal/webp.py, round 8) and the common
+    LOSSY VP8 key-frame form (multimodal/vp8.py, RFC 6386, round 10 —
+    boolean decoder, token contexts, iWHT/iDCT, all intra modes, both
+    loop filters); only VP8X extended/animated containers still
+    raise. Exercised on real pixel bytes under oracle by q231 (PPM),
+    q329 (PNG through every filter type), q331/q334/q336 (JPEG
+    huffman / arithmetic / progressive-arithmetic), q333 (VP8L), and
+    q335 (lossy VP8)."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":

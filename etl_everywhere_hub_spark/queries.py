@@ -22358,6 +22358,115 @@ def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q335_webp_vp8_lossy_decode",
+    """
+    WITH px AS (
+        SELECT doc_id, k.k AS k,
+               ascii(substr(text, (k.k % length(text)) + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN range(16) AS k(k)
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 64 AS h, 64 AS w,
+           CAST(256 * SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM((k + 1) * v) AS BIGINT) AS wsum,
+           CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_px,
+           CAST(MIN(CASE WHEN k = 15 THEN v END) AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-VP8 WebP decode under oracle (round 10, VERDICT r9 item
+    #1 — the last WebP decode gap; most in-the-wild .webp is lossy
+    VP8). q331/q334's exactness loop through the RFC 6386 pipeline:
+    16 payload bytes become a 4x4 grid of 16x16-constant macroblocks
+    (64x64 gray), encoded as a real VP8 key frame in a RIFF/WEBP
+    container by multimodal/vp8.py and decoded back through
+    decode_image's container walk (RIFF -> 'VP8 ' chunk ->
+    boolean-decoder header parse -> token decode -> dequant -> iWHT +
+    iDCT -> intra prediction).
+
+    EXACTNESS DERIVATION (the ``exact_dc`` contract): at qindex 0 the
+    quantizers are y_dc=4, y2_dc=8, y2_ac=8. For a residual constant r
+    over a macroblock, every 4x4 DCT has only a DC term and the Y2 WHT
+    concentrates it into its own DC; the encoder emits quantized
+    y2_dc = 8r-4, which dequantizes to 64r-32 and inverse-WHTs to
+    subblock DCs of 8r-4, each of which inverse-DCTs to
+    ((8r-4)+4)>>3 = r exactly — the decoder reproduces every SOURCE
+    pixel bit-for-bit, so the oracle is the same integer character
+    arithmetic as q334 (scaled to the 64x64 raster). Alternate rows
+    take the B_PRED branch (all-B_DC submodes, quantized dc = 2r-1,
+    dequant 8r-4, same iDCT identity), so both token-plane layouts
+    (Y2-present plane 0/1 and the Y-without-Y2 plane 3) decode under
+    the oracle. Any boolean-coder asymmetry, context mismatch,
+    dequant or transform bug breaks the hash, not just a self-test.
+
+    Scale shape: identical to q331/q333/q334 — embarrassingly-parallel
+    mapInPandas, codec worker-side per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.vp8 import encode_webp_vp8
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                vals = np.frombuffer((buf * reps)[:16], np.uint8)
+                img = np.repeat(
+                    np.repeat(vals.reshape(4, 4), 16, axis=0), 16, axis=1
+                )
+                # alternate 16x16-with-Y2 and B_PRED token layouts
+                plan = "dc" if mid % 2 == 0 else (
+                    lambda my, mx: (4, [0] * 16, 0)
+                )
+                webp = encode_webp_vp8(
+                    img, qindex=0, exact_dc=True, mode_plan=plan
+                )
+                assert webp[:4] == b"RIFF" and webp[12:16] == b"VP8 "
+                out = decode_image(webp)  # boolean decode + iWHT/iDCT
+                assert out.shape == (64, 64) and out.dtype == np.uint8
+                blocks = out.reshape(4, 16, 4, 16).transpose(0, 2, 1, 3)
+                assert (blocks == blocks[:, :, :1, :1]).all(), "MB not constant"
+                got = blocks[:, :, 0, 0].reshape(16).astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        64,
+                        64,
+                        int(256 * got.sum()),
+                        int((np.arange(1, 17) * got).sum()),
+                        int(got[0]),
+                        int(got[15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "pix_sum", "wsum", "first_px", "last_px",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, pix_sum long, wsum long, "
+        "first_px long, last_px long",
+    )
+
+
+@query(
     "q336_jpeg_arith_progressive_decode",
     """
     WITH px AS (

@@ -1,0 +1,241 @@
+"""Lossy-VP8 key-frame codec tests — round 10 (VERDICT r9 item #1).
+
+The headline property is the one the encoder is built around: it
+reconstructs IN-LOOP with the decoder's exact inverse ops, so
+``decode_vp8(encode_vp8(img))`` must equal the encoder's returned
+reconstruction BIT-EXACTLY — through every intra mode, any qindex,
+both loop filters, skip on/off, odd sizes, gray and RGB.  On top of
+that sits the q335 oracle contract: at qindex 0 with a source that is
+constant within every 16x16 macroblock, ``exact_dc=True`` codes an
+exactly-representable DC-only residual and the roundtrip reproduces
+the SOURCE pixels exactly (not just the recon).
+
+INTEROP CAVEAT (mirrors the module docstring): the large RFC 6386
+probability tables are documented placeholders — these tests pin the
+full pipeline (predictors, transforms, dequant, token contexts, loop
+filter) self-consistently, and ``tools/cluster_smoke.py
+--codec-interop`` covers foreign-stream interop on equipped hosts.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
+
+from etl_everywhere_hub_spark.multimodal import decode_image
+from etl_everywhere_hub_spark.multimodal.vp8 import (
+    decode_vp8,
+    encode_vp8,
+    encode_webp_vp8,
+)
+from etl_everywhere_hub_spark.multimodal.webp import decode_vp8l
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _gray(seed, h, w):
+    return _rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def _roundtrip_is_recon(img, **kw):
+    enc, recon = encode_vp8(img, return_recon=True, **kw)
+    dec = decode_vp8(enc)
+    assert dec.dtype == np.uint8 and dec.shape == recon.shape
+    assert np.array_equal(dec, recon), (
+        f"decode != encoder recon (kw={kw}, maxdiff="
+        f"{int(np.abs(dec.astype(int) - recon.astype(int)).max())})"
+    )
+    return enc, dec
+
+
+# ---------------------------------------------------------------------------
+# decode == in-loop reconstruction, bit-exact (the structural property)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("plan", ["dc", "v", "h", "tm", "bpred", "mixed"])
+@pytest.mark.parametrize("qindex", [0, 40, 127])
+def test_recon_bit_exact_every_mode(plan, qindex):
+    img = _gray(hash((plan, qindex)) % 2**31, 48, 48)
+    _roundtrip_is_recon(img, qindex=qindex, mode_plan=plan)
+
+
+@pytest.mark.parametrize(
+    "h,w", [(1, 1), (4, 4), (16, 16), (15, 17), (33, 49), (64, 3), (2, 130)]
+)
+def test_recon_bit_exact_odd_sizes(h, w):
+    # non-multiple-of-16 dims pad to whole MBs internally; the decoder
+    # must crop back to exactly (h, w)
+    # "mixed" varies the chroma mode, so recon chroma can drift off the
+    # uniform 128 and the decoder legitimately returns RGB — pin only
+    # the pixel dims (the recon equality above is the real property)
+    enc, dec = _roundtrip_is_recon(
+        _gray(h * 1000 + w, h, w), qindex=25, mode_plan="mixed"
+    )
+    assert dec.shape[:2] == (h, w)
+
+
+@pytest.mark.parametrize("ftype", [0, 1])  # 0 = normal, 1 = simple
+@pytest.mark.parametrize("level,sharp", [(10, 0), (35, 3), (63, 7)])
+def test_recon_bit_exact_loop_filter(ftype, level, sharp):
+    img = _gray(ftype * 100 + level + sharp, 47, 42)
+    _roundtrip_is_recon(
+        img,
+        qindex=60,
+        mode_plan="mixed",
+        filter_level=level,
+        filter_type=ftype,
+        sharpness=sharp,
+    )
+
+
+def test_recon_bit_exact_no_skip_flag():
+    # mb_no_coeff_skip off: every MB carries tokens even when all-zero
+    _roundtrip_is_recon(_gray(9, 32, 32), qindex=80, use_skip=False)
+
+
+def test_skip_path_actually_skips():
+    # a flat image at high qindex quantizes everything to zero: with
+    # use_skip the stream should be much smaller than without, and the
+    # skipped-MB context-zeroing path must still agree with the decoder
+    img = np.full((64, 64), 77, np.uint8)
+    small, _ = _roundtrip_is_recon(img, qindex=100, use_skip=True)
+    big, _ = _roundtrip_is_recon(img, qindex=100, use_skip=False)
+    assert len(small) < len(big)
+
+
+def test_rgb_recon_bit_exact_and_gray_collapse():
+    img = _rng(5).integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    enc, recon = encode_vp8(img, qindex=30, return_recon=True)
+    dec = decode_vp8(enc)
+    assert dec.shape == (37, 53, 3)
+    assert np.array_equal(dec, recon)
+    # gray input ⇒ uniform-128 chroma ⇒ decoder collapses to (h, w)
+    g = _gray(6, 24, 24)
+    assert decode_vp8(encode_vp8(g, qindex=30)).ndim == 2
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    qindex=st.integers(0, 127),
+    plan=st.sampled_from(["dc", "v", "h", "tm", "bpred", "mixed"]),
+    level=st.integers(0, 63),
+    ftype=st.integers(0, 1),
+    sharp=st.integers(0, 7),
+    skip=st.booleans(),
+)
+@example(seed=0, h=16, w=16, qindex=0, plan="dc", level=0, ftype=0,
+         sharp=0, skip=True)
+def test_recon_bit_exact_property(seed, h, w, qindex, plan, level, ftype,
+                                  sharp, skip):
+    _roundtrip_is_recon(
+        _gray(seed, h, w),
+        qindex=qindex,
+        mode_plan=plan,
+        filter_level=level,
+        filter_type=ftype,
+        sharpness=sharp,
+        use_skip=skip,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact_dc: the q335 oracle contract (source recovered EXACTLY)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    mbs_y=st.integers(1, 4),
+    mbs_x=st.integers(1, 4),
+)
+def test_exact_dc_recovers_source(seed, mbs_y, mbs_x):
+    vals = _rng(seed).integers(0, 256, (mbs_y, mbs_x), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 16, 0), 16, 1)
+    dec = decode_vp8(encode_vp8(img, qindex=0, exact_dc=True))
+    assert np.array_equal(dec, img)
+
+
+def test_exact_dc_bpred_subblocks():
+    # exact_dc through the B_PRED branch: all-B_DC submodes keep each
+    # 4x4 sub-residual constant (DC averages of per-MB constants are
+    # constant; directional submodes would mix two MBs' constants and
+    # trip the encoder's constancy guard)
+    vals = _rng(11).integers(0, 256, (2, 2), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 16, 0), 16, 1)
+    dec = decode_vp8(
+        encode_vp8(img, qindex=0, exact_dc=True,
+                   mode_plan=lambda my, mx: (4, [0] * 16, 0))
+    )
+    assert np.array_equal(dec, img)
+
+
+def test_exact_dc_guards():
+    img = np.repeat(np.repeat(np.arange(4, dtype=np.uint8).reshape(2, 2) * 60,
+                              16, 0), 16, 1)
+    with pytest.raises(ValueError, match="requires qindex 0"):
+        encode_vp8(img, qindex=1, exact_dc=True)
+    bad = img.copy()
+    bad[3, 3] ^= 1  # break within-MB constancy
+    with pytest.raises(ValueError, match="not constant"):
+        encode_vp8(bad, qindex=0, exact_dc=True)
+
+
+# ---------------------------------------------------------------------------
+# container plumbing + error paths
+# ---------------------------------------------------------------------------
+
+
+def test_webp_container_dispatch():
+    img = _gray(21, 20, 28)
+    payload = encode_webp_vp8(img, qindex=15)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+    direct = decode_vp8(encode_vp8(img, qindex=15))
+    # both container entry points route 'VP8 ' chunks to decode_vp8
+    assert np.array_equal(decode_vp8l(payload), direct)
+    assert np.array_equal(decode_image(payload), direct)
+
+
+def test_container_odd_chunk_padding():
+    # RIFF pads odd-sized chunks with one byte; the walker must honor it
+    img = _gray(22, 17, 19)
+    payload = encode_webp_vp8(img, qindex=33)
+    stream_len = struct.unpack("<I", payload[16:20])[0]
+    assert len(payload) == 20 + stream_len + (stream_len & 1)
+    assert decode_vp8l(payload).shape == (17, 19)
+
+
+def test_decode_rejects_interframe_and_garbage():
+    good = encode_vp8(_gray(1, 16, 16))
+    inter = bytes([good[0] | 1]) + good[1:]
+    with pytest.raises(ValueError, match="interframe"):
+        decode_vp8(inter)
+    bad_sc = good[:3] + b"\x00\x01\x2a" + good[6:]
+    with pytest.raises(ValueError, match="start code"):
+        decode_vp8(bad_sc)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_vp8(good[:5])
+
+
+def test_encode_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        encode_vp8(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        encode_vp8(np.zeros((0, 7), np.uint8))
+
+
+def test_custom_mode_plan_callable():
+    def plan(my, mx):
+        return (0, None, (my + mx) % 4) if mx % 2 else (3, None, 0)
+
+    _roundtrip_is_recon(_gray(31, 40, 72), qindex=45, mode_plan=plan)
