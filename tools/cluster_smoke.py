@@ -13,6 +13,7 @@ Usage (see RUNBOOK.md for the full walkthrough)::
         [--sf /path/to/testdata/sf0.01] \
         [--kafka-bootstrap host:9092] \
         [--delta]            # requires delta-spark on the classpath
+        [--codec-interop]    # requires Pillow and/or libjpeg/libwebp CLIs
 
 Checks:
 
@@ -32,6 +33,39 @@ Checks:
    tools/verify_twstate.py (three-way latest-per-key equivalence:
    transformWithStateInPandas == applyInPandasWithState == batch
    window).
+4. ``codec-interop`` (``--codec-interop``, round 10 / VERDICT r9
+   item #3) — closes the documented memory-risk on the
+   hand-transcribed codec constant tables (T.81 Table D.3 in
+   jpeg_arith.py, the VP8L distance map in webp.py, the RFC 6386
+   tables in vp8.py) by decoding streams produced by EXTERNAL
+   encoders and vice versa, on fixed deterministic vectors:
+
+   - ``png16``  — Pillow writes a 16-bit grayscale PNG → this repo's
+     decoder reproduces the uint16 samples; reverse: our
+     ``encode_png(depth=16)`` → Pillow readback.
+   - ``adam7``  — our interlaced writer → Pillow readback: pins our
+     pass layout against a foreign unfilterer (Pillow cannot WRITE
+     Adam7, so the forward direction is the only one available — and
+     the load-bearing one).
+   - ``jpeg``   — Pillow baseline+progressive encode → our decoder vs
+     Pillow's own decode (IDCT-tolerance compare, |Δ| ≤ 3); reverse:
+     our baseline encoder → Pillow readback.
+   - ``jpeg-arith`` — needs ``jpegtran`` built with arithmetic
+     support: our baseline stream transcoded ``-arithmetic`` (and
+     ``-progressive -arithmetic``) must decode BIT-IDENTICALLY to the
+     huffman original through our decoder — a transcode preserves
+     coefficients exactly, so this pins Table D.3 and the Annex F/G
+     context models against libjpeg's encoder with zero tolerance.
+   - ``vp8l``   — needs ``cwebp``: lossless-encodes gradient vectors
+     (gradients make the PREDICTOR transform profitable, exercising
+     modes 11-13) → our ``decode_vp8l`` must reproduce the source
+     pixels exactly; reverse: our ``encode_vp8l`` → ``dwebp``/Pillow.
+   - ``vp8``    — needs ``cwebp`` + ``dwebp``/Pillow: lossy-encodes a
+     vector and compares our RFC 6386 decode against the system
+     decode. EXPECTED TO FAIL while
+     ``multimodal.vp8.INTEROP_TABLES_VERIFIED`` is False (the big RFC
+     probability tables are documented placeholders); the failure
+     line names the flag so the to-do cannot rot silently.
 
 Exit code: 0 if every ATTEMPTED check passes (env-skips don't fail);
 1 on any FAIL; the summary line lists each check's status so a CI
@@ -186,10 +220,262 @@ def smoke_delta(sf: str) -> str:
         return f"PASS delta ({len(got)} rows equal to merge_cdc_sink snapshot)"
 
 
+def _interop_vectors():
+    """Fixed deterministic test vectors (seeded — identical on every
+    machine, so failures are reproducible by quoting the line)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20261)
+    yy, xx = np.mgrid[0:48, 0:64]
+    grad_gray = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    grad_rgb = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, (xx + yy) % 256], axis=2
+    ).astype(np.uint8)
+    noise_rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    gray16 = (
+        (yy.astype(np.uint32) * 1021 + xx.astype(np.uint32) * 557) % 65536
+    ).astype(np.uint16)
+    return grad_gray, grad_rgb, noise_rgb, gray16
+
+
+def _run(cmd: list[str]) -> bytes:
+    import subprocess
+
+    return subprocess.run(cmd, check=True, capture_output=True).stdout
+
+
+def smoke_codec_interop() -> list[str]:
+    """External-encoder interop for the hand-transcribed codec tables
+    (module docstring check #4). Every sub-check SKIPs individually on
+    a missing tool, so partial environments still verify what they can."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    out: list[str] = []
+    try:
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    jpegtran = shutil.which("jpegtran")
+    cwebp = shutil.which("cwebp")
+    dwebp = shutil.which("dwebp")
+
+    from etl_everywhere_hub_spark.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg import encode_jpeg_baseline
+    from etl_everywhere_hub_spark.multimodal.webp import (
+        decode_vp8l,
+        encode_vp8l,
+    )
+
+    grad_gray, grad_rgb, noise_rgb, gray16 = _interop_vectors()
+
+    def pil_png_bytes(arr) -> bytes:
+        import io
+
+        from PIL import Image
+
+        mode = "I;16" if arr.dtype == np.uint16 else None
+        im = Image.fromarray(arr, mode=mode)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def pil_decode(payload: bytes):
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+
+    # --- png16: foreign 16-bit stream -> our decoder, and reverse ---
+    if has_pil:
+        try:
+            ours = _decode_png(pil_png_bytes(gray16))
+            assert ours.dtype == np.uint16 and np.array_equal(ours, gray16), (
+                "our 16-bit decode != Pillow-encoded source"
+            )
+            back = pil_decode(encode_png(gray16, depth=16))
+            assert np.array_equal(back.astype(np.uint16), gray16), (
+                "Pillow readback != our 16-bit encode"
+            )
+            out.append("PASS codec-interop/png16 (both directions exact)")
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/png16: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/png16: Pillow absent")
+
+    # --- adam7: our interlaced writer -> foreign unfilterer ---
+    if has_pil:
+        try:
+            for img in (grad_gray, grad_rgb):
+                n_rows = sum(
+                    ((img.shape[0] - y0 + dy - 1) // dy)
+                    for x0, y0, dx, dy in (
+                        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                    )
+                    if (img.shape[1] - x0 + dx - 1) // dx > 0
+                )
+                payload = encode_png(
+                    img, interlace=True,
+                    row_filters=[y % 5 for y in range(n_rows)],
+                )
+                back = pil_decode(payload)
+                assert np.array_equal(back, img), "Adam7 readback mismatch"
+            out.append("PASS codec-interop/adam7 (Pillow readback exact, all filters)")
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/adam7: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/adam7: Pillow absent")
+
+    # --- jpeg: foreign baseline/progressive huffman -> our decoder ---
+    if has_pil:
+        try:
+            import io
+
+            from PIL import Image
+
+            for prog in (False, True):
+                buf = io.BytesIO()
+                Image.fromarray(grad_rgb).save(
+                    buf, format="JPEG", quality=85, progressive=prog
+                )
+                ours = decode_image(buf.getvalue()).astype(np.int32)
+                theirs = pil_decode(buf.getvalue()).astype(np.int32)
+                d = int(np.abs(ours - theirs).max())
+                assert d <= 3, f"IDCT divergence {d} > 3 (progressive={prog})"
+            back = pil_decode(encode_jpeg_baseline(grad_rgb, quality=90))
+            d = int(np.abs(back.astype(np.int32) - grad_rgb.astype(np.int32)).max())
+            assert d <= 24, f"our-encoder Pillow readback off by {d}"
+            out.append("PASS codec-interop/jpeg (huffman both directions, |Δ|≤3 IDCT)")
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/jpeg: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/jpeg: Pillow absent")
+
+    # --- jpeg-arith: libjpeg transcode pins Table D.3 bit-exactly ---
+    if jpegtran:
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                base = encode_jpeg_baseline(grad_gray, quality=90)
+                src = os.path.join(td, "b.jpg")
+                with open(src, "wb") as f:
+                    f.write(base)
+                want = decode_image(base)
+                for extra, label in (
+                    ([], "sequential"),
+                    (["-progressive"], "progressive"),
+                ):
+                    arith = _run(
+                        [jpegtran, "-arithmetic", *extra, src]
+                    )
+                    got = decode_image(arith)
+                    assert np.array_equal(got, want), (
+                        f"{label} arithmetic transcode decode != huffman decode"
+                    )
+            out.append(
+                "PASS codec-interop/jpeg-arith (transcode decodes "
+                "bit-identically, sequential + progressive)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/jpeg-arith: {type(e).__name__}: {e}")
+    else:
+        out.append(
+            "SKIP(env) codec-interop/jpeg-arith: jpegtran absent (needs "
+            "libjpeg built with arithmetic support)"
+        )
+
+    # --- vp8l: cwebp lossless (predictor transform) -> our decoder ---
+    if cwebp and has_pil:
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                for i, img in enumerate((grad_rgb, noise_rgb, grad_gray)):
+                    rgb = img if img.ndim == 3 else np.stack([img] * 3, 2)
+                    src = os.path.join(td, f"v{i}.png")
+                    with open(src, "wb") as f:
+                        f.write(pil_png_bytes(rgb))
+                    dst = os.path.join(td, f"v{i}.webp")
+                    # -m 6 = max effort: makes cwebp pick real transform
+                    # stacks (predictor modes incl. 11-13 on gradients)
+                    _run([cwebp, "-lossless", "-m", "6", "-q", "100",
+                          src, "-o", dst])
+                    with open(dst, "rb") as f:
+                        ours = decode_vp8l(f.read())
+                    if ours.ndim == 2:
+                        ours = np.stack([ours] * 3, 2)
+                    assert np.array_equal(ours[..., :3], rgb), (
+                        f"vector {i}: our VP8L decode != source"
+                    )
+                # reverse: our encoder -> Pillow
+                payload = encode_vp8l(grad_rgb)
+                back = pil_decode(payload)
+                assert np.array_equal(back[..., :3], grad_rgb)
+            out.append(
+                "PASS codec-interop/vp8l (cwebp -m 6 streams decode exactly; "
+                "our streams read back)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/vp8l: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/vp8l: cwebp and/or Pillow absent")
+
+    # --- vp8 lossy: EXPECTED FAIL until the RFC tables are filled in ---
+    if cwebp and (dwebp or has_pil):
+        try:
+            from etl_everywhere_hub_spark.multimodal.vp8 import (
+                INTEROP_TABLES_VERIFIED,
+            )
+
+            with tempfile.TemporaryDirectory() as td:
+                src = os.path.join(td, "l.png")
+                with open(src, "wb") as f:
+                    f.write(pil_png_bytes(grad_rgb))
+                dst = os.path.join(td, "l.webp")
+                _run([cwebp, "-q", "80", src, "-o", dst])
+                with open(dst, "rb") as f:
+                    payload = f.read()
+                ours = decode_image(payload).astype(np.int32)
+                if dwebp:
+                    ppm = os.path.join(td, "l.ppm")
+                    _run([dwebp, dst, "-ppm", "-o", ppm])
+                    with open(ppm, "rb") as f:
+                        theirs = decode_image(f.read()).astype(np.int32)
+                else:
+                    theirs = pil_decode(payload).astype(np.int32)[..., :3]
+                d = int(np.abs(ours - theirs).max())
+                assert d <= 1, (
+                    f"lossy-VP8 foreign decode off by {d} "
+                    f"(INTEROP_TABLES_VERIFIED={INTEROP_TABLES_VERIFIED}: "
+                    "the RFC 6386 default_coef_probs/coef_update_probs/"
+                    "kf_bmode_prob tables in multimodal/vp8.py are "
+                    "placeholders — fill them from the RFC text, flip the "
+                    "flag, rerun)"
+                )
+            out.append("PASS codec-interop/vp8 (lossy foreign stream decodes)")
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/vp8: {type(e).__name__}: {e}")
+    else:
+        out.append(
+            "SKIP(env) codec-interop/vp8: cwebp/dwebp absent (NOTE: will "
+            "FAIL until multimodal/vp8.py INTEROP_TABLES_VERIFIED — "
+            "placeholder RFC tables desynchronize on foreign streams)"
+        )
+    return out
+
+
 def main(argv: list[str]) -> int:
     argv, sf = _take_flag(argv, "--sf")
     argv, bootstrap = _take_flag(argv, "--kafka-bootstrap")
     want_delta = "--delta" in argv
+    want_interop = "--codec-interop" in argv
     sf = sf or "/root/testdata/sf0.01"
     results: list[str] = []
 
@@ -238,6 +524,20 @@ def main(argv: list[str]) -> int:
             "SKIP(env) twstate: google.protobuf absent (in-container "
             "twin: applyInPandasWithState cache verified; recipe: "
             "tools/verify_twstate.py)"
+        )
+
+    # 4. codec interop (external encoders vs the transcribed tables)
+    if want_interop:
+        try:
+            results.extend(smoke_codec_interop())
+        except Exception as e:  # noqa: BLE001
+            results.append(f"FAIL codec-interop: {type(e).__name__}: {e}")
+    else:
+        results.append(
+            "SKIP(env) codec-interop: pass --codec-interop on a host with "
+            "Pillow / jpegtran / cwebp (in-container twins: roundtrip + "
+            "oracle tests pin the pipelines self-consistently; the "
+            "transcribed-table memory risk needs a foreign encoder)"
         )
 
     print("\n== cluster_smoke summary ==")
