@@ -121,26 +121,33 @@ def main() -> None:
     RATIO_EXCLUDED = {"q331_jpeg_decode_real_pixels"}
     # SPARK_GRAFT_ORACLE_SKIP: comma-separated query names whose DuckDB
     # oracle is NOT run (recorded as oracle_skipped, excluded from the
-    # paired ratio). Exists for sf1.0: q127's oracle is an O(n^2)
-    # spatial theta join (~220 s/run at 10x events, measured) — the
-    # infeasibility is itself the scale evidence for the Spark side's
-    # grid-blocked join (PLANS.md/SCALE.md); the oracle still gates
-    # correctness at sf<=0.1 where it runs in seconds.
+    # paired ratio). No standing user as of round 10 (q127's oracle
+    # gained the implied lat-band predicate, 4.2 s/run at sf1.0); kept
+    # for future fixtures where an oracle is infeasible at scale.
     oracle_skip = set(
         filter(None, os.environ.get("SPARK_GRAFT_ORACLE_SKIP", "").split(","))
     )
     # SPARK_GRAFT_QUERY_SKIP skips a headline query ENTIRELY (both
-    # engines), recorded as query_skipped. Exists for q127 at sf1.0:
-    # its synthetic geometry derives lat/lon from custkey modulos over
-    # a FIXED area, so the TRUE answer grows quadratically with the
-    # corpus — at 10x customers the benchmark would measure output
-    # volume (~100x pairs through one AQE-coalesced task), not engine
-    # efficiency. The grid join's scaling story lives in SCALE.md's
-    # density-constant runs; q127 still benches + verifies at sf0.1.
+    # engines), recorded as query_skipped. Round 9's user (q127 at
+    # sf1.0 — fixed-area geometry made the true answer quadratic) is
+    # RETIRED in round 10: the +100 deg/replica region term keeps the
+    # answer linear at every gen_sf1 scale, so no headline query
+    # skips anywhere. The knob stays for future fixture pathologies.
     query_skip = set(
         filter(None, os.environ.get("SPARK_GRAFT_QUERY_SKIP", "").split(","))
     )
-    for name, q in sorted(headline_queries().items()):
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated substrings — run just the
+    # matching headline queries (round 10: the sf3 data-term spot-bench
+    # pairs six queries without paying the full 19-query sweep).
+    only = [
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    ]
+    selected = {
+        name: q
+        for name, q in headline_queries().items()
+        if not only or any(s in name for s in only)
+    }
+    for name, q in sorted(selected.items()):
         if name in query_skip:
             detail[name] = {"query_skipped": (
                 "SPARK_GRAFT_QUERY_SKIP: fixed-area geometry makes the "

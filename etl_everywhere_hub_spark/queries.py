@@ -5783,7 +5783,9 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (
         SELECT c_custkey AS id,
                CAST(c_custkey % 48 AS DOUBLE) * 0.25
-                 + CAST(c_custkey % 7 AS DOUBLE) * 0.125 AS lat,
+                 + CAST(c_custkey % 7 AS DOUBLE) * 0.125
+                 + 100.0 * FLOOR(CAST(c_custkey AS DOUBLE) / 1000000000.0)
+                 AS lat,
                CAST(c_custkey % 96 AS DOUBLE) * 0.25
                  + CAST(c_custkey % 11 AS DOUBLE) * 0.0625 AS lon
         FROM customer
@@ -5791,7 +5793,9 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.id AS id_a, b.id AS id_b,
            (a.lat - b.lat) * (a.lat - b.lat)
            + (a.lon - b.lon) * (a.lon - b.lon) AS dist_sq
-    FROM pts a JOIN pts b ON a.id < b.id
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND b.lat BETWEEN a.lat - 0.25 AND a.lat + 0.25
     WHERE (a.lat - b.lat) * (a.lat - b.lat)
           + (a.lon - b.lon) * (a.lon - b.lon) <= 0.0625
     """,
@@ -5811,14 +5815,31 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-4 degrees, so all distance arithmetic is exact in doubles and
     the <= r² cut is bit-identical cross-engine (no trig: the
     bucketing pattern is the point; swap the predicate for haversine
-    when geodesic truth matters)."""
+    when geodesic truth matters).
+
+    SCALE HONESTY (round 10, VERDICT r9 item #4): lat carries a
+    +100°·floor(key/1e9) REGION term — zero for every driver fixture
+    (keys < 1e9 at sf ≤ 0.1, so sweeps are unchanged), but each
+    gen_sf1.py key-offset replica lands in its own spatial region.
+    The warehouse then grows by new entities in NEW places (constant
+    density, like q156's value_shift), the true answer scales
+    linearly, and the sf ≥ 1.0 bench measures engine efficiency
+    instead of quadratic output volume. The oracle additionally
+    carries the IMPLIED band ``b.lat BETWEEN a.lat ± 0.25`` (any pair
+    within r=0.25 satisfies it, so the result is unchanged — all
+    values are multiples of 2^-4, the bound arithmetic is exact):
+    it lets DuckDB's inequality join enumerate O(n·band) candidates
+    instead of all O(n²) id-ordered pairs, which is what makes the
+    oracle pairable at sf1.0 (was the r9 query_skipped entry)."""
     r2 = 0.0625  # r = 0.25 degrees; cell size = r
     cell = 0.25
     c = load_table(spark, sf_dir, "customer")
     pts = c.select(
         F.col("c_custkey").alias("id"),
         ((F.col("c_custkey") % 48).cast("double") * 0.25
-         + (F.col("c_custkey") % 7).cast("double") * 0.125).alias("lat"),
+         + (F.col("c_custkey") % 7).cast("double") * 0.125
+         + F.floor(F.col("c_custkey").cast("double") / 1_000_000_000.0)
+           .cast("double") * 100.0).alias("lat"),
         ((F.col("c_custkey") % 96).cast("double") * 0.25
          + (F.col("c_custkey") % 11).cast("double") * 0.0625).alias("lon"),
     ).withColumn(

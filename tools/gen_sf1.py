@@ -22,14 +22,24 @@ from sf0.1 with the repo's established replication schemes so the
 - embeddings: vec_id offset + a deterministic element-0 perturbation
   per replica (breaks exact-duplicate vectors across replicas).
 
-Usage (writes /tmp/sf1.0, ~10 parquet dirs, idempotent):
+Usage (writes /tmp/sf1.0, ~10 parquet files, idempotent):
 
     SPARK_GRAFT_CPUS=32 PYTHONPATH=. python tools/gen_sf1.py
+
+Round 10 (VERDICT r9 item #5): ``--mult N`` generalizes the replica
+count — N replicas of sf0.1 = sf N/10, written to /tmp/sf{N/10}
+(e.g. ``--mult 30`` → /tmp/sf3.0). Every scheme is replica-count-safe
+by construction: key offsets stride 1e9 (q127's region term gives
+each replica its own spatial region at ANY count), the events
+value_shift keeps replicas 5e16 micro² apart regardless of count
+(q156's oracle squares diffs in DECIMAL(38,0) since round 9, so even
+mult 30's widest 6.9e9-micro diff is exact), token suffixes _r{i}
+stay collision-free, and embedding perturbations stay distinct.
 
 Then pair the headline there:
 
     SPARK_GRAFT_SF_DIR=/tmp/sf1.0 SPARK_GRAFT_DETAIL_OUT=BENCH_DETAIL_SF1.json \
-        python bench.py > BENCH_SF1_r9.json
+        python bench.py > BENCH_SF1_r10.json
 """
 
 from __future__ import annotations
@@ -40,8 +50,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.1"
-OUT = os.environ.get("SF1_DIR", "/tmp/sf1.0")
 REPLICAS = 10
+if "--mult" in sys.argv:
+    REPLICAS = int(sys.argv[sys.argv.index("--mult") + 1])
+_sf_label = f"{REPLICAS / 10:.1f}"
+OUT = os.environ.get("SF1_DIR", f"/tmp/sf{_sf_label}")
 OFF = 1_000_000_000  # key offset stride per replica
 
 
@@ -138,7 +151,7 @@ def main() -> None:
     _replicate(spark, "events", ["event_id", "user_id"], value_shift=100.0)
     _replicate(spark, "documents", ["doc_id"], text_suffix=True)
     _replicate(spark, "embeddings", ["vec_id"], perturb_col="embedding")
-    print(f"sf1.0 fixture complete at {OUT}")
+    print(f"sf{_sf_label} fixture ({REPLICAS}x sf0.1) complete at {OUT}")
 
 
 if __name__ == "__main__":
