@@ -27,8 +27,13 @@ contain, since WebP has no reference-frame chain):
 Encoder coverage (a test-vector generator, not a rate-optimised
 compressor): gray or RGB (4:2:0) key frames, per-MB mode selection
 (DC/V/H/TM 16x16 with Y2, or B_PRED with per-subblock modes), any
-qindex, optional loop filter, optional skip flag, single token
-partition. The encoder reconstructs IN-LOOP with the decoder's exact
+qindex, optional loop filter, optional skip flag, and — so that every
+DECODER path above is exercised by in-repo streams, not just parsed —
+1/2/4/8 token partitions, the five header quantizer deltas,
+segmentation with per-segment quantizers (delta or absolute) and
+tree-coded per-MB ids, coefficient-probability updates applied to
+both the header and the token coding, and the LF ref/mode delta
+fields. The encoder reconstructs IN-LOOP with the decoder's exact
 inverse ops (iWHT, iDCT, predictors, loop filter), so
 ``decode(encode(img))`` is BIT-IDENTICAL to the encoder's returned
 reconstruction by construction — the property the test suite pins.
@@ -1226,6 +1231,11 @@ def encode_vp8(
     use_skip: bool = True,
     exact_dc: bool = False,
     return_recon: bool = False,
+    n_partitions: int = 1,
+    q_deltas: tuple = (0, 0, 0, 0, 0),
+    segments=None,
+    coef_update: dict | None = None,
+    lf_ref_deltas: tuple | None = None,
 ):
     """Encode uint8 gray (h, w) or RGB (h, w, 3) as a VP8 key frame
     (bare stream — wrap with ``encode_webp_vp8`` for a .webp file).
@@ -1237,6 +1247,26 @@ def encode_vp8(
     oracle contract; see the derivation in the q335 docstring).
     ``return_recon=True`` additionally returns the encoder's in-loop
     reconstruction — ``decode_vp8(bytes)`` must equal it bit-exactly.
+
+    Decoder-only-path knobs (round 10 — these exist so the decode
+    paths real libvpx streams hit are exercised by in-repo streams,
+    not just parsed; all default OFF and leave the stream unchanged):
+
+    - ``n_partitions``: 1/2/4/8 token partitions; MB row r codes into
+      partition ``r % n`` with 3-byte LE sizes framing (§9.5).
+    - ``q_deltas``: the five signed header quantizer deltas
+      (y_dc, y2_dc, y2_ac, uv_dc, uv_ac), each in [-15, 15] (§9.6).
+    - ``segments``: ``(seg_plan, seg_quant, seg_abs, tree_probs)`` —
+      per-MB segment ids from ``seg_plan(my, mx) -> 0..3``, coded with
+      ``tree_probs`` (3 probs), per-segment quantizer index deltas (or
+      absolute values when ``seg_abs``) as in §9.3/§10.
+    - ``coef_update``: ``{(i, j, k, t): prob}`` coefficient-probability
+      updates (§13.4) — applied to BOTH the header field and the
+      encoder's own token coding, so the decoder must apply them to
+      stay synchronized.
+    - ``lf_ref_deltas``: 8-tuple of signed loop-filter ref/mode deltas
+      — parse-only on key frames (intra never selects them) but
+      exercises the §9.4 header branch.
     """
     a = np.ascontiguousarray(img, dtype=np.uint8)
     gray = a.ndim == 2
@@ -1281,8 +1311,29 @@ def encode_vp8(
         buf[0, :] = 127
         buf[1:, 0] = 129
 
-    (ydq, y2dq, uvdq) = _quantizers(qindex, 0, 0, 0, 0, 0)
-    probs = DEFAULT_COEF_PROBS
+    if n_partitions not in (1, 2, 4, 8):
+        raise ValueError("n_partitions must be 1, 2, 4 or 8")
+    # per-segment quantizers, mirroring the decoder's seg_q exactly
+    # (global q_deltas compose with per-segment index deltas/absolutes)
+    if segments is not None:
+        seg_plan, seg_quant, seg_abs, seg_tree_probs = segments
+    else:
+        seg_plan, seg_quant, seg_abs, seg_tree_probs = None, [0] * 4, 0, [255] * 3
+    seg_q = []
+    for s in range(4):
+        qi = (seg_quant[s] if seg_abs else qindex + seg_quant[s]) \
+            if segments is not None else qindex
+        seg_q.append(_quantizers(_clamp_q(qi), *q_deltas))
+    if coef_update:
+        probs = [
+            [[list(DEFAULT_COEF_PROBS[i][j][k]) for k in range(3)]
+             for j in range(8)]
+            for i in range(4)
+        ]
+        for (i, j, k, t), p in coef_update.items():
+            probs[i][j][k][t] = p
+    else:
+        probs = DEFAULT_COEF_PROBS
     prob_skip_false = 128
 
     def plan(my, mx):
@@ -1301,25 +1352,49 @@ def encode_vp8(
         return (named[mode_plan], None, DC_PRED)
 
     hdr = BoolEncoder()
-    tok = BoolEncoder()
+    toks = [BoolEncoder() for _ in range(n_partitions)]
     # --- frame header (mirrors _read_frame_header) ---
     hdr.encode(128, 0)  # color_space
     hdr.encode(128, 0)  # clamping
-    hdr.encode(128, 0)  # segmentation disabled
+    hdr.encode(128, 1 if segments is not None else 0)
+    if segments is not None:
+        hdr.encode(128, 1)  # update_map
+        hdr.encode(128, 1)  # update_data
+        hdr.encode(128, 1 if seg_abs else 0)
+        for s in range(4):  # quantizer deltas/absolutes
+            hdr.encode(128, 1)
+            hdr.signed_literal(seg_quant[s], 7)
+        for _ in range(4):  # loop-filter deltas absent
+            hdr.encode(128, 0)
+        for p in seg_tree_probs:  # map probs
+            hdr.encode(128, 1)
+            hdr.literal(p, 8)
     hdr.encode(128, 1 if filter_type else 0)
     hdr.literal(filter_level, 6)
     hdr.literal(sharpness, 3)
-    hdr.encode(128, 0)  # lf deltas off
-    hdr.literal(0, 2)  # one token partition
+    hdr.encode(128, 1 if lf_ref_deltas is not None else 0)
+    if lf_ref_deltas is not None:
+        hdr.encode(128, 1)  # update flag
+        for d in lf_ref_deltas:  # 4 ref + 4 mode deltas (parse-only)
+            hdr.encode(128, 1)
+            hdr.signed_literal(d, 6)
+    hdr.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_partitions], 2)
     hdr.literal(qindex, 7)
-    for _ in range(5):
-        hdr.encode(128, 0)  # no quantizer deltas
+    for d in q_deltas:  # y_dc, y2_dc, y2_ac, uv_dc, uv_ac
+        if d:
+            hdr.encode(128, 1)
+            hdr.signed_literal(d, 4)
+        else:
+            hdr.encode(128, 0)
     hdr.encode(128, 1)  # refresh entropy (keyframe convention)
-    for i in range(4):  # no coef prob updates
+    for i in range(4):  # coef prob updates (§13.4)
         for j in range(8):
             for k in range(3):
                 for t in range(11):
-                    hdr.encode(COEF_UPDATE_PROBS[i][j][k][t], 0)
+                    upd = bool(coef_update) and (i, j, k, t) in coef_update
+                    hdr.encode(COEF_UPDATE_PROBS[i][j][k][t], 1 if upd else 0)
+                    if upd:
+                        hdr.literal(coef_update[(i, j, k, t)], 8)
     hdr.encode(128, 1 if use_skip else 0)
     if use_skip:
         hdr.literal(prob_skip_false, 8)
@@ -1332,12 +1407,15 @@ def encode_vp8(
     skip_inner = [[False] * mbs_x for _ in range(mbs_y)]
 
     for my in range(mbs_y):
+        tok = toks[my % n_partitions]
         left_y = np.zeros(4, np.int32)
         left_u = np.zeros(2, np.int32)
         left_v = np.zeros(2, np.int32)
         left_y2 = 0
         left_bmode = [B_DC] * 4
         for mx in range(mbs_x):
+            seg = seg_plan(my, mx) % 4 if seg_plan is not None else 0
+            ydq, y2dq, uvdq = seg_q[seg]
             ymode, submodes, uvmode = plan(my, mx)
             has_y2 = ymode != B_PRED
             y0, x0 = my * 16 + 1, mx * 16 + 1
@@ -1457,6 +1535,14 @@ def encode_vp8(
             skip = use_skip and not any_coef
 
             # --- header-partition symbols (decoder order) ---
+            if segments is not None:  # seg id precedes the skip flag
+                p = seg_tree_probs
+                if seg < 2:
+                    hdr.encode(p[0], 0)
+                    hdr.encode(p[1], seg)
+                else:
+                    hdr.encode(p[0], 1)
+                    hdr.encode(p[2], seg - 2)
             if use_skip:
                 hdr.encode(prob_skip_false, 1 if skip else 0)
             hdr.tree(KF_YMODE_TREE, KF_YMODE_PROB, ymode)
@@ -1530,9 +1616,16 @@ def encode_vp8(
 
     part1 = hdr.getvalue()
     tag = (len(part1) << 5) | (1 << 4) | (0 << 1) | 0  # show=1, ver=0, key
+    parts = [t.getvalue() for t in toks]
+    sizes = b"".join(
+        bytes((len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF))
+        for p in parts[:-1]
+    )  # §9.5: 3-byte LE sizes for all but the last partition
     out = bytes(
         (tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF)
-    ) + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + part1 + tok.getvalue()
+    ) + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + part1 + sizes + b"".join(
+        parts
+    )
 
     if not return_recon:
         return out

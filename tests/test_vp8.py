@@ -149,6 +149,111 @@ def test_recon_bit_exact_property(seed, h, w, qindex, plan, level, ftype,
 
 
 # ---------------------------------------------------------------------------
+# decoder-only paths, driven by the round-10 encoder knobs: multi-
+# partition token streams, segmentation, quantizer deltas, coefficient-
+# probability updates, LF-delta header fields (all default-off)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nparts", [2, 4, 8])
+def test_multi_partition_token_streams(nparts):
+    # rows code into partition (row % n); a decoder that mixed up the
+    # 3-byte size framing or partition selection would desynchronize
+    img = _gray(nparts, 70, 52)
+    enc, dec = _roundtrip_is_recon(
+        img, qindex=40, n_partitions=nparts, mode_plan="mixed"
+    )
+    single = encode_vp8(img, qindex=40, mode_plan="mixed")
+    assert enc != single  # framing actually present
+    assert np.array_equal(decode_vp8(enc), decode_vp8(single))
+
+
+def test_quantizer_deltas():
+    img = _gray(77, 48, 48)
+    enc, _ = _roundtrip_is_recon(img, qindex=40,
+                                 q_deltas=(3, -2, 5, -7, 15))
+    base = encode_vp8(img, qindex=40)
+    assert enc != base  # deltas change dequant, not just the header
+
+
+@pytest.mark.parametrize("seg_abs", [0, 1])
+def test_segmentation_per_mb_quantizers(seg_abs):
+    img = _gray(88 + seg_abs, 64, 64)
+    seg = (
+        (lambda my, mx: (my + mx) % 4),
+        [10, 60, 100, 127] if seg_abs else [0, 10, -10, 25],
+        seg_abs,
+        [100, 160, 200],
+    )
+    enc, dec = _roundtrip_is_recon(img, qindex=40, segments=seg)
+    base = encode_vp8(img, qindex=40)
+    # different per-MB quantizers must change the reconstruction
+    assert not np.array_equal(dec, decode_vp8(base))
+
+
+def test_coef_prob_updates_synchronize():
+    # updates alter BOTH the header field and the token coding; a
+    # decoder ignoring them desynchronizes immediately
+    img = _gray(99, 48, 48)
+    _roundtrip_is_recon(
+        img,
+        qindex=40,
+        coef_update={(0, 0, 0, 0): 200, (1, 2, 1, 3): 17, (3, 7, 2, 10): 254},
+    )
+
+
+def test_lf_delta_header_fields_parse():
+    _roundtrip_is_recon(
+        _gray(111, 40, 40),
+        qindex=40,
+        lf_ref_deltas=(1, -2, 3, -4, 5, -6, 7, -8),
+        filter_level=25,
+    )
+
+
+def test_kitchen_sink_all_knobs():
+    _roundtrip_is_recon(
+        _gray(123, 70, 52),
+        qindex=60,
+        n_partitions=4,
+        q_deltas=(1, -1, 2, -2, 3),
+        segments=((lambda my, mx: mx % 4), [5, -5, 0, 12], 0, [80, 128, 190]),
+        coef_update={(0, 1, 0, 1): 99},
+        lf_ref_deltas=(0, 1, 2, 3, -3, -2, -1, 0),
+        filter_level=33,
+        mode_plan="mixed",
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    nparts=st.sampled_from([1, 2, 4, 8]),
+    qindex=st.integers(0, 127),
+    dq=st.tuples(*[st.integers(-15, 15)] * 5),
+    seg_on=st.booleans(),
+    seg_abs=st.integers(0, 1),
+)
+def test_decoder_path_property(seed, nparts, qindex, dq, seg_on, seg_abs):
+    segments = (
+        ((lambda my, mx: (my * 3 + mx) % 4),
+         [min(127, max(-63, d * 4)) for d in dq[:4]] if not seg_abs
+         else [abs(d * 8) % 128 for d in dq[:4]],
+         seg_abs, [90, 140, 210])
+        if seg_on
+        else None
+    )
+    _roundtrip_is_recon(
+        _gray(seed, 33, 49),
+        qindex=qindex,
+        n_partitions=nparts,
+        q_deltas=dq,
+        segments=segments,
+        mode_plan="mixed",
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact_dc: the q335 oracle contract (source recovered EXACTLY)
 # ---------------------------------------------------------------------------
 
