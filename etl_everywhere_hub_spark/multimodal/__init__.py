@@ -73,17 +73,19 @@ def decode_image(payload: bytes) -> "np.ndarray":
     with spectral selection + successive approximation (full marker
     walk + float IDCT, multimodal/jpeg.py; ARITHMETIC entropy coding
     via multimodal/jpeg_arith.py — sequential SOF9 in round 9,
-    progressive SOFA in round 10) — returning a uint8 (uint16 for
-    16-bit sources) ndarray of shape (h, w) for grayscale or
-    (h, w, 3) for RGB. WebP decode covers BOTH stream types: the
+    progressive SOFA in round 10; LOSSLESS SOF3 spatial DPCM with all
+    seven Annex-H predictors and 2..16-bit precision via
+    multimodal/jpeg_lossless.py, round 10) — returning a uint8
+    (uint16 for 16-bit sources) ndarray of shape (h, w) for grayscale
+    or (h, w, 3) for RGB. WebP decode covers BOTH stream types: the
     LOSSLESS VP8L form (multimodal/webp.py, round 8) and the common
     LOSSY VP8 key-frame form (multimodal/vp8.py, RFC 6386, round 10 —
     boolean decoder, token contexts, iWHT/iDCT, all intra modes, both
     loop filters); only VP8X extended/animated containers still
     raise. Exercised on real pixel bytes under oracle by q231 (PPM),
-    q329 (PNG through every filter type), q331/q334/q336 (JPEG
-    huffman / arithmetic / progressive-arithmetic), q333 (VP8L), and
-    q335 (lossy VP8)."""
+    q329 (PNG through every filter type), q331/q334/q336/q337 (JPEG
+    huffman / arithmetic / progressive-arithmetic / lossless), q333
+    (VP8L), and q335 (lossy VP8)."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":

@@ -22,8 +22,11 @@ EOBRUN (DC/AC x first/refinement, spec G.1.2/G.2) — for any
 (h_i, v_i) sampling factors incl. 4:2:0/4:2:2, box chroma upsampling,
 JFIF YCbCr->RGB. Arithmetic-coded frames — sequential SOF9 AND
 progressive SOFA (round 10) — dispatch to multimodal/jpeg_arith.py;
-only lossless/differential frames raise NotImplementedError; 12-bit
-precision raises ValueError.
+LOSSLESS huffman frames (SOF3, Annex H, round 10) dispatch to
+multimodal/jpeg_lossless.py; only differential (hierarchical-only)
+and lossless-arithmetic frames raise NotImplementedError; 12-bit
+precision raises ValueError for DCT processes (lossless carries the
+full 2..16-bit range per H.1).
 
 Encoder (``encode_jpeg_baseline``): JFIF APP0, Annex-K quantization
 tables scaled by libjpeg's quality curve (or caller-supplied tables —
@@ -713,7 +716,9 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     component; dequantization + IDCT run once at EOI, vectorized over
     every block. Arithmetic-coded streams (sequential SOF9 and
     progressive SOFA) dispatch to jpeg_arith.decode_scan_arith;
-    12-bit precision raises ValueError."""
+    lossless streams (SOF3) to jpeg_lossless.decode_scan_lossless
+    (spatial DPCM — assembled without IDCT or color transform);
+    12-bit precision raises ValueError for DCT processes."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -723,7 +728,9 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     restart_interval = 0
     frame = None  # (h, w, comps, progressive)
     coefs: dict[int, np.ndarray] = {}  # cid -> (pad_bh, pad_bw, 64) zigzag
+    samples: dict[int, np.ndarray] = {}  # lossless: cid -> (h, w) plane
     arith = False  # SOF9 sequential arithmetic (Annex G via jpeg_arith)
+    lossless_prec: int | None = None  # SOF3 (Annex H via jpeg_lossless)
     cond_dc: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
     cond_ac: dict[int, int] = {}  # DAC: table -> Kx
 
@@ -788,8 +795,20 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 else:
                     cond_ac[tb] = cs  # Kx
                 at += 2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("lossless/differential JPEG frame type")
+        elif marker == 0xC3:  # SOF3 — lossless huffman (Annex H)
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if not 2 <= prec <= 16:  # H.1: lossless allows the full range
+                raise ValueError(f"bad lossless precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps, False)
+            lossless_prec = prec
+        elif marker in (0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "differential (hierarchical-only) JPEG frame type"
+            )
         elif marker == 0xC4:  # DHT — possibly several tables
             at = 0
             while at < len(body):
@@ -812,7 +831,17 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            if arith:
+            if lossless_prec is not None:
+                from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+                    decode_scan_lossless,
+                )
+
+                pos = decode_scan_lossless(
+                    d, pos + 2 + ln, frame, scan, huff,
+                    restart_interval, samples, (ss, se, ah, al),
+                    lossless_prec,
+                )
+            elif arith:
                 from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
                     decode_scan_arith,
                 )
@@ -833,6 +862,30 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     if frame is None:
         raise ValueError("no SOF segment found")
     fh, fw, comps, _prog = frame
+    if lossless_prec is not None:
+        # Annex-H assembly: samples are spatial already — no IDCT, no
+        # color transform (T.81 defines none for lossless; planes are
+        # carried verbatim, the DNG/TIFF-EP convention).
+        if not samples:
+            raise ValueError("no SOS segment found")
+        missing = [c[0] for c in comps if c[0] not in samples]
+        if missing:
+            raise ValueError(f"components {missing} never scanned")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        dt = np.uint8 if lossless_prec <= 8 else np.uint16
+        planes = []
+        for cid, hs, vs, _tq in comps:
+            plane = samples[cid]
+            ry, rx = vmax // vs, hmax // hs
+            if ry > 1 or rx > 1:  # box-replicate subsampled components
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            planes.append(plane[:fh, :fw].astype(dt))
+        if len(planes) == 1:
+            return planes[0]
+        if len(planes) == 3:
+            return np.stack(planes, axis=2)
+        raise ValueError(f"unsupported component count {len(planes)}")
     if not coefs:
         raise ValueError("no SOS segment found")
     missing = [c[0] for c in comps if c[0] not in coefs]

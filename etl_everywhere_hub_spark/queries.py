@@ -22589,3 +22589,155 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, h int, w int, n_scans int, pix_sum long, wsum long, "
         "first_px long, last_px long",
     )
+
+
+@query(
+    "q337_jpeg_lossless_decode",
+    """
+    WITH px AS (
+        SELECT doc_id, r.r AS r, c.c AS c,
+               ascii(substr(text, (c.c % length(text)) + 1, 1)) AS v,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    ELSE 4 END AS BIGINT) AS ptd
+        FROM documents
+        CROSS JOIN range(16) AS r(r)
+        CROSS JOIN range(16) AS c(c)
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 16 AS h, 16 AS w,
+           CAST(1 + doc_id % 7 AS INT) AS predictor,
+           CAST(doc_id % 3 AS INT) AS pt,
+           CAST(SUM(CAST(floor(((v + r * c) % 256) / ptd) AS BIGINT) * ptd)
+                AS BIGINT) AS pix_sum8,
+           CAST(SUM((r * 16 + c + 1)
+                    * CAST(floor(((v + r * c) % 256) / ptd) AS BIGINT) * ptd)
+                AS BIGINT) AS wsum8,
+           CAST(SUM(v * 257 + r * 31) AS BIGINT) AS pix_sum16,
+           CAST(SUM(((v + r * c) % 256) + ((v + r * c + 37) % 256)
+                    + ((v + r * c + 74) % 256)) AS BIGINT) AS rgb_sum,
+           CAST(MIN(CASE WHEN r = 0 AND c = 0
+                    THEN CAST(floor(v / ptd) AS BIGINT) * ptd END)
+                AS BIGINT) AS first_px,
+           CAST(MIN(CASE WHEN r = 15 AND c = 15
+                    THEN CAST(floor(((v + 225) % 256) / ptd) AS BIGINT) * ptd
+                    END) AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) decode under oracle (round
+    10) — the frame type that completes the non-hierarchical JPEG
+    decode matrix (baseline/extended/progressive huffman, sequential
+    + progressive arithmetic, now lossless DPCM). Unlike the DCT
+    queries' constant-block trick, lossless needs no special source:
+    the roundtrip is EXACT for ARBITRARY images, so each document
+    renders three text-derived rasters with non-trivial spatial
+    structure and the oracle recomputes their statistics with integer
+    SQL:
+
+      - gray-8  px[r,c] = (v[c] + r*c) % 256, predictor cycling
+        1 + doc_id % 7 (all seven Annex-H predictors under oracle),
+        point transform Pt = doc_id % 3 (decoded == (px >> Pt) << Pt
+        — the CAST(floor(x / 2^Pt)) * 2^Pt term in the SQL), restart
+        interval cycling {0, 8, 16, 24} incl. mid-line anchors;
+      - gray-16 px[r,c] = v[c]*257 + r*31 (16-bit precision path,
+        uint16 output);
+      - RGB     plane k = (v[c] + r*c + 37k) % 256 as ONE interleaved
+        scan (the A.2.3 sample-MCU layout) with its own predictor
+        phase.
+
+    All statistics are computed from the DECODED arrays, so the
+    marker walk, DHT build, DPCM prediction (incl. the SSSS=16
+    escape), restart resync, Pt shift, and plane assembly are all
+    load-bearing for the hash match.
+
+    Scale shape: identical to q331/q334/q336 — embarrassingly-parallel
+    mapInPandas, codec worker-side per Arrow batch, no shuffle beyond
+    the small-fixture spread_for_codec guard."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        rr = np.arange(16)
+        rc = np.outer(rr, rr)
+        widx = (rr[:, None] * 16 + rr[None, :] + 1).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                v = np.frombuffer((buf * reps)[:16], np.uint8).astype(np.int64)
+                pred = 1 + mid % 7
+                pt = mid % 3
+                ri = (mid % 4) * 8
+                img8 = ((v[None, :] + rc) % 256).astype(np.uint8)
+                dec8 = decode_image(
+                    encode_jpeg_lossless(
+                        img8, predictor=pred, point_transform=pt,
+                        restart_interval=ri,
+                    )
+                )
+                assert dec8.dtype == np.uint8 and dec8.shape == (16, 16)
+                assert (dec8 == (img8 >> pt) << pt).all()
+                img16 = (v[None, :] * 257 + (rr * 31)[:, None]).astype(
+                    np.uint16
+                )
+                dec16 = decode_image(
+                    encode_jpeg_lossless(
+                        img16, predictor=1 + (mid + 3) % 7,
+                        restart_interval=(mid % 2) * 16,
+                    )
+                )
+                assert dec16.dtype == np.uint16 and (dec16 == img16).all()
+                rgb = np.stack(
+                    [(v[None, :] + rc + 37 * k) % 256 for k in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                decc = decode_image(
+                    encode_jpeg_lossless(
+                        rgb, predictor=1 + (mid + 5) % 7,
+                        restart_interval=(mid % 2) * 16,
+                    )
+                )
+                assert decc.shape == (16, 16, 3) and (decc == rgb).all()
+                d8 = dec8.astype(np.int64)
+                rows.append(
+                    (
+                        mid, 16, 16, pred, pt,
+                        int(d8.sum()),
+                        int((widx * d8).sum()),
+                        int(dec16.astype(np.int64).sum()),
+                        int(decc.astype(np.int64).sum()),
+                        int(d8[0, 0]),
+                        int(d8[15, 15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "predictor", "pt",
+                    "pix_sum8", "wsum8", "pix_sum16", "rgb_sum",
+                    "first_px", "last_px",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, predictor int, pt int, "
+        "pix_sum8 long, wsum8 long, pix_sum16 long, rgb_sum long, "
+        "first_px long, last_px long",
+    )

@@ -11,7 +11,11 @@ noop sink. Two runs per query per engine, min (shared-VM spike
 rejection, same policy as bench.py).
 
     SPARK_GRAFT_CPUS=32 PYTHONPATH=. python tools/bench_pair.py
-      [--sf /root/testdata/sf0.1]
+      [--sf /root/testdata/sf0.1] [--only q37,q41,...]
+
+``--only`` restricts to a comma-separated prefix list (e.g.
+``--only q37,q39,q41,q116,q136,q156`` for the data-term six at
+sf≥1 scaling points — VERDICT r9 item #5).
 
 Prints a per-query table plus ONE JSON line:
 {"spark_total", "duckdb_total", "ratio", "queries": {name:
@@ -41,6 +45,9 @@ def main() -> None:
     if "--sf" in argv:
         sf_dir = argv[argv.index("--sf") + 1]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    only = None
+    if "--only" in argv:
+        only = tuple(argv[argv.index("--only") + 1].split(","))
 
     from etl_everywhere_hub_spark.queries import headline_queries
     from etl_everywhere_hub_spark.session import get_spark
@@ -67,6 +74,8 @@ def main() -> None:
 
     rows = []
     for name, q in sorted(headline_queries().items()):
+        if only is not None and not name.startswith(only):
+            continue
         s_best = float("inf")
         for _ in range(2):
             t0 = time.time()
