@@ -77,15 +77,20 @@ def decode_image(payload: bytes) -> "np.ndarray":
     seven Annex-H predictors and 2..16-bit precision via
     multimodal/jpeg_lossless.py, round 10) — returning a uint8
     (uint16 for 16-bit sources) ndarray of shape (h, w) for grayscale
-    or (h, w, 3) for RGB. WebP decode covers BOTH stream types: the
-    LOSSLESS VP8L form (multimodal/webp.py, round 8) and the common
-    LOSSY VP8 key-frame form (multimodal/vp8.py, RFC 6386, round 10 —
-    boolean decoder, token contexts, iWHT/iDCT, all intra modes, both
-    loop filters); only VP8X extended/animated containers still
-    raise. Exercised on real pixel bytes under oracle by q231 (PPM),
-    q329 (PNG through every filter type), q331/q334/q336/q337 (JPEG
-    huffman / arithmetic / progressive-arithmetic / lossless), q333
-    (VP8L), and q335 (lossy VP8)."""
+    or (h, w, 3) for RGB. WebP decode covers the full container
+    matrix: the LOSSLESS VP8L form (multimodal/webp.py, round 8), the
+    common LOSSY VP8 key-frame form (multimodal/vp8.py, RFC 6386,
+    round 10 — boolean decoder, token contexts, iWHT/iDCT, all intra
+    modes, both loop filters), and VP8X EXTENDED containers (later
+    round 10): stills with ALPH alpha chunks and ANIM/ANMF animations
+    composited by webp.decode_webp_frames — this function returns the
+    first frame in the RGB schema; frame-sampling pipelines call
+    decode_webp_frames for all of them. Exercised on real pixel bytes
+    under oracle by q231 (PPM), q329 (PNG through every filter type),
+    q331/q334/q336/q337 (JPEG huffman / arithmetic /
+    progressive-arithmetic / lossless), q333 (VP8L), q335 (lossy
+    VP8), q338 (VP8X still + alpha), and q339 (animation
+    compositing)."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -103,8 +108,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
         return decode_vp8l(payload)
     raise NotImplementedError(
-        "unrecognized image container; PPM/PGM/BMP/PNG/huffman-JPEG/"
-        "WebP-lossless decode natively"
+        "unrecognized image container; PPM/PGM/BMP/PNG/JPEG "
+        "(huffman/arithmetic/lossless) and WebP (VP8L/VP8/VP8X) "
+        "decode natively"
     )
 
 

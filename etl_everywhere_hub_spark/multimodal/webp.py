@@ -498,41 +498,53 @@ def _apply_inverse_transforms(img, transforms, w, h):
     return img
 
 
+def _riff_chunks(data: bytes):
+    """Walk a RIFF/WEBP container, yielding (tag, body) pairs in file
+    order (size fields honored, odd sizes padded per RIFF)."""
+    if data[8:12] != b"WEBP":
+        raise ValueError("RIFF container is not WEBP")
+    off = 12
+    while off + 8 <= len(data):
+        tag = data[off : off + 4]
+        size = struct.unpack("<I", data[off + 4 : off + 8])[0]
+        yield tag, data[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+
+
 def decode_vp8l(payload: bytes) -> np.ndarray:
-    """Decode a WebP-lossless file (RIFF container or bare VP8L
-    stream) to uint8 (h, w, 3) RGB (alpha dropped — the repo's media
-    schema is RGB/gray like the other codecs) or (h, w) for gray."""
+    """Decode a WebP file (RIFF container or bare VP8L stream) to
+    uint8 (h, w, 3) RGB (alpha dropped — the repo's media schema is
+    RGB/gray like the other codecs) or (h, w) for gray. Containers
+    route by stream type: VP8L lossless here, lossy VP8 key frames to
+    multimodal/vp8.py (round 10), and VP8X extended containers —
+    still images with ALPH alpha, and ANIM/ANMF animations — through
+    decode_webp_frames (later round 10), returning the FIRST
+    composited frame for animations (a frame-sampling pipeline calls
+    decode_webp_frames directly for all frames)."""
     data = payload
     if data[:4] == b"RIFF":
-        if data[8:12] != b"WEBP":
-            raise ValueError("RIFF container is not WEBP")
-        off = 12
         data_v = None
-        while off + 8 <= len(data):
-            tag = data[off : off + 4]
-            size = struct.unpack("<I", data[off + 4 : off + 8])[0]
+        for tag, body in _riff_chunks(data):
             if tag == b"VP8L":
-                data_v = data[off + 8 : off + 8 + size]
+                data_v = body
                 break
-            off += 8 + size + (size & 1)
-        if data_v is None:
-            # round 10 (VERDICT r9 item #1): lossy VP8 key frames
-            # decode via the RFC 6386 codec in multimodal/vp8.py
-            off = 12
-            while off + 8 <= len(data):
-                tag = data[off : off + 4]
-                size = struct.unpack("<I", data[off + 4 : off + 8])[0]
-                if tag == b"VP8 ":
-                    from etl_everywhere_hub_spark.multimodal.vp8 import (
-                        decode_vp8,
-                    )
+            if tag == b"VP8 ":
+                from etl_everywhere_hub_spark.multimodal.vp8 import (
+                    decode_vp8,
+                )
 
-                    return decode_vp8(data[off + 8 : off + 8 + size])
-                off += 8 + size + (size & 1)
-            raise NotImplementedError(
-                "WEBP container without a VP8L or VP8 chunk (VP8X "
-                "extended/animated streams not implemented)"
-            )
+                return decode_vp8(body)
+            if tag == b"VP8X":
+                frames = decode_webp_frames(payload)
+                rgba = frames[0]
+                rgb = rgba[:, :, :3]
+                if np.array_equal(rgb[:, :, 0], rgb[:, :, 1]) and (
+                    np.array_equal(rgb[:, :, 1], rgb[:, :, 2])
+                ):
+                    return rgb[:, :, 0].copy()
+                return rgb.copy()
+        if data_v is None:
+            raise ValueError("WEBP container has no image chunk")
         data = data_v
     if not data or data[0] != 0x2F:
         raise ValueError("VP8L: bad signature byte")
@@ -542,7 +554,21 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("VP8L: unsupported version")
+    img = _decode_image_stream(br, w, h)
+    rgb = img[:, :, 1:4]
+    if np.array_equal(rgb[:, :, 0], rgb[:, :, 1]) and np.array_equal(
+        rgb[:, :, 1], rgb[:, :, 2]
+    ):
+        return rgb[:, :, 0].copy()
+    return rgb.copy()
 
+
+def _decode_image_stream(br: BitReader, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image-stream (optional transforms + level-0
+    spatially-coded image) -> (h, w, 4) uint8 ARGB. Shared by the
+    main VP8L path and the VP8X ALPH lossless path, which the
+    container spec defines as exactly this stream with implicit
+    dimensions (no signature byte, no 32-bit size header)."""
     transforms = []
     dec_w = w
     while br.read(1):
@@ -581,13 +607,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             raise ValueError("VP8L: bad transform type")
 
     img = _decode_pixels(br, dec_w, h, True)
-    img = _apply_inverse_transforms(img, transforms, w, h)
-    rgb = img[:, :, 1:4]
-    if np.array_equal(rgb[:, :, 0], rgb[:, :, 1]) and np.array_equal(
-        rgb[:, :, 1], rgb[:, :, 2]
-    ):
-        return rgb[:, :, 0].copy()
-    return rgb.copy()
+    return _apply_inverse_transforms(img, transforms, w, h)
 
 
 # ---------------------------------------------------------------------------
@@ -803,3 +823,377 @@ def encode_vp8l(
         chunk += b"\x00"
     riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     return riff
+
+
+# ---------------------------------------------------------------------------
+# VP8X extended container (round 10): ALPH alpha + ANIM/ANMF animation
+#
+# Public spec: "WebP Container Specification" (RIFF layout, VP8X
+# flags, ALPH header/filtering, ANIM/ANMF geometry and flags). The
+# deterministic integer renderings chosen for the two spots the spec
+# leaves to the compositor — the floor-division alpha-over operator
+# and background-color disposal — are documented at their functions
+# and mirrored exactly by the encoder/oracle; foreign-compositor
+# interop belongs to tools/cluster_smoke.py --codec-interop like the
+# other codecs' transcription caveats.
+# ---------------------------------------------------------------------------
+
+
+def _u24le(b: bytes, off: int = 0) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _p24le(v: int) -> bytes:
+    return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    c = tag + struct.pack("<I", len(body)) + body
+    if len(body) & 1:  # RIFF pad byte
+        c += b"\x00"
+    return c
+
+
+def _alpha_predict(out, y: int, x: int, method: int) -> int:
+    """ALPH filter prediction (container spec 'Alpha filtering').
+    Border rule shared by all methods: (0,0) predicts 0, the rest of
+    row 0 predicts left, the rest of column 0 predicts above; method
+    3 (gradient) clips left+above-topleft to [0, 255]."""
+    if y == 0:
+        return int(out[0, x - 1]) if x else 0
+    if x == 0:
+        return int(out[y - 1, 0])
+    if method == 1:
+        return int(out[y, x - 1])
+    if method == 2:
+        return int(out[y - 1, x])
+    g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(out[y - 1, x - 1])
+    return min(255, max(0, g))
+
+
+def _inverse_alpha_filter(res: np.ndarray, method: int) -> np.ndarray:
+    """alpha[y,x] = (residual + predict) mod 256. Methods 1/2 are
+    vectorized cumulative sums (the prediction chains are pure
+    row/column prefix sums); gradient's clip forces the scalar loop."""
+    if method == 0:
+        return res.copy()
+    h, w = res.shape
+    r = res.astype(np.int64)
+    if method == 1:  # horizontal: col 0 chains down, rows cumsum right
+        out = np.zeros((h, w), np.int64)
+        out[:, 0] = np.cumsum(r[:, 0]) % 256
+        if w > 1:
+            out[:, 1:] = (
+                out[:, :1] + np.cumsum(r[:, 1:], axis=1)
+            ) % 256
+        return out.astype(np.uint8)
+    if method == 2:  # vertical: row 0 chains right, cols cumsum down
+        out = np.zeros((h, w), np.int64)
+        out[0, :] = np.cumsum(r[0, :]) % 256
+        if h > 1:
+            out[1:, :] = (
+                out[:1, :] + np.cumsum(r[1:, :], axis=0)
+            ) % 256
+        return out.astype(np.uint8)
+    if method == 3:
+        out = np.zeros((h, w), np.int32)
+        for y in range(h):
+            for x in range(w):
+                out[y, x] = (int(res[y, x]) + _alpha_predict(out, y, x, 3)) & 0xFF
+        return out.astype(np.uint8)
+    raise ValueError(f"ALPH: bad filtering method {method}")
+
+
+def _forward_alpha_filter(alpha: np.ndarray, method: int) -> np.ndarray:
+    """Encoder mirror: residual = (alpha - predict) mod 256, predict
+    computed from the ORIGINAL plane (== decoded plane; filtering is
+    lossless)."""
+    if method == 0:
+        return alpha.copy()
+    h, w = alpha.shape
+    res = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            p = _alpha_predict(alpha, y, x, method)
+            res[y, x] = (int(alpha[y, x]) - p) & 0xFF
+    return res
+
+
+def _decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane. Header byte (LSB
+    first): bits 0-1 compression (0 raw, 1 headerless-VP8L where the
+    GREEN channel carries alpha), bits 2-3 filtering method, bits 4-5
+    preprocessing (informational — a level-reduction hint applied at
+    encode time; no decode action), bits 6-7 reserved."""
+    if not body:
+        raise ValueError("ALPH: empty chunk")
+    head = body[0]
+    comp = head & 3
+    method = (head >> 2) & 3
+    if comp == 0:
+        if len(body) < 1 + w * h:
+            raise ValueError("ALPH: raw payload shorter than plane")
+        res = np.frombuffer(body, np.uint8, w * h, 1).reshape(h, w)
+    elif comp == 1:
+        br = BitReader(body, 1)
+        res = _decode_image_stream(br, w, h)[:, :, 2]  # green channel
+    else:
+        raise ValueError(f"ALPH: bad compression method {comp}")
+    return _inverse_alpha_filter(res, method)
+
+
+def _vp8l_stream(img: np.ndarray) -> bytes:
+    """Bare VP8L stream bytes (signature + 32-bit header + data) for
+    embedding in VP8X/ANMF chunks — encode_vp8l's RIFF output with
+    the container peeled off."""
+    for tag, body in _riff_chunks(encode_vp8l(img)):
+        if tag == b"VP8L":
+            return body
+    raise AssertionError("encode_vp8l emitted no VP8L chunk")
+
+
+def _encode_alph(
+    alpha: np.ndarray, method: int = 0, lossless: bool = False
+) -> bytes:
+    res = _forward_alpha_filter(alpha.astype(np.uint8), method)
+    if not lossless:
+        return bytes([method << 2]) + res.tobytes()
+    # headerless VP8L: the signature byte + 32-bit size header are
+    # exactly 5 bytes, so the implicit-dimensions stream is a clean
+    # byte-slice of the full encoding
+    return bytes([1 | (method << 2)]) + _vp8l_stream(res)[5:]
+
+
+def _decode_vp8l_argb(data: bytes) -> np.ndarray:
+    """Bare VP8L stream -> (h, w, 4) ARGB (alpha KEPT — animation
+    frames need it for compositing, unlike the RGB top-level API)."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = BitReader(data, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+    return _decode_image_stream(br, w, h)
+
+
+def _frame_rgba(
+    tag: bytes, body: bytes, alpha_body: bytes | None
+) -> np.ndarray:
+    """One image (sub)chunk + optional ALPH -> (h, w, 4) RGBA."""
+    if tag == b"VP8L":
+        argb = _decode_vp8l_argb(body)
+        rgba = argb[:, :, [1, 2, 3, 0]].copy()
+        if alpha_body is not None:  # spec discourages ALPH+VP8L but
+            h, w = rgba.shape[:2]  # an explicit plane still wins
+            rgba[:, :, 3] = _decode_alph(alpha_body, w, h)
+        return rgba
+    from etl_everywhere_hub_spark.multimodal.vp8 import decode_vp8
+
+    rgb = decode_vp8(body)
+    if rgb.ndim == 2:
+        rgb = np.stack([rgb, rgb, rgb], axis=2)
+    h, w = rgb.shape[:2]
+    a = (
+        _decode_alph(alpha_body, w, h)
+        if alpha_body is not None
+        else np.full((h, w), 255, np.uint8)
+    )
+    return np.dstack([rgb, a])
+
+
+def _blend_over(canvas: np.ndarray, frame: np.ndarray) -> np.ndarray:
+    """Alpha-blend frame over canvas (ANMF blending method 0) with
+    exact integer arithmetic: out_a*255 = fa*255 + ca*(255-fa), rgb
+    and alpha floor-divided — deterministic (the spec gives the real-
+    valued over operator and leaves rounding to the compositor; this
+    floor rendering is mirrored by the q-suite oracle)."""
+    fa = frame[:, :, 3:4].astype(np.int64)
+    ca = canvas[:, :, 3:4].astype(np.int64)
+    oa255 = fa * 255 + ca * (255 - fa)
+    num = (
+        frame[:, :, :3].astype(np.int64) * fa * 255
+        + canvas[:, :, :3].astype(np.int64) * ca * (255 - fa)
+    )
+    rgb = np.where(oa255 > 0, num // np.maximum(oa255, 1), 0)
+    return np.dstack([rgb.astype(np.uint8), (oa255 // 255).astype(np.uint8)])
+
+
+def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode ANY WebP payload to a list of (h, w, 4) uint8 RGBA
+    canvases — one per composited animation frame, or a single entry
+    for still images (simple VP8/VP8L files and VP8X stills with
+    ALPH alpha). This is the frame-sampling entry point a multimodal
+    pipeline maps over video-ish columns; decode_vp8l/decode_image
+    return frames[0] collapsed to the RGB schema.
+
+    Animation composition (deterministic renderings of the container
+    spec): the canvas initializes to the ANIM background color
+    (BGRA byte order in the chunk), each ANMF frame is placed at its
+    (2x, 2y) offset and either alpha-blended (_blend_over) or
+    overwritten per its B flag, the canvas is snapshotted as that
+    frame's output, then D=1 disposal refills the frame rectangle
+    with the background color."""
+    data = payload
+    if data[:4] != b"RIFF":
+        if data[:1] == b"\x2f":
+            argb = _decode_vp8l_argb(data)
+            return [argb[:, :, [1, 2, 3, 0]].copy()]
+        raise ValueError("not a RIFF/WEBP payload or bare VP8L stream")
+    chunks = list(_riff_chunks(data))
+    vp8x = next((b for t, b in chunks if t == b"VP8X"), None)
+    if vp8x is None:
+        for tag, body in chunks:
+            if tag in (b"VP8L", b"VP8 "):
+                return [_frame_rgba(tag, body, None)]
+        raise ValueError("WEBP container has no image chunk")
+    if len(vp8x) < 10:
+        raise ValueError("VP8X: truncated header")
+    cw = _u24le(vp8x, 4) + 1
+    ch = _u24le(vp8x, 7) + 1
+
+    bg = np.array([0, 0, 0, 0], np.uint8)
+    frames: list[np.ndarray] = []
+    canvas: np.ndarray | None = None
+    pending_alpha: bytes | None = None
+    for tag, body in chunks:
+        if tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("ANIM: truncated chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg = np.array([r_, g_, b_, a_], np.uint8)
+            canvas = np.tile(bg, (ch, cw, 1))
+        elif tag == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before ANIM chunk")
+            if len(body) < 16:
+                raise ValueError("ANMF: truncated header")
+            fx = _u24le(body, 0) * 2
+            fy = _u24le(body, 3) * 2
+            fw = _u24le(body, 6) + 1
+            fh = _u24le(body, 9) + 1
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose = bool(flags & 0x01)
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF: frame exceeds canvas")
+            sub_alpha: bytes | None = None
+            rgba: np.ndarray | None = None
+            off = 16
+            while off + 8 <= len(body):
+                stag = body[off : off + 4]
+                ssize = struct.unpack("<I", body[off + 4 : off + 8])[0]
+                sbody = body[off + 8 : off + 8 + ssize]
+                if stag == b"ALPH":
+                    sub_alpha = sbody
+                elif stag in (b"VP8L", b"VP8 "):
+                    rgba = _frame_rgba(stag, sbody, sub_alpha)
+                off += 8 + ssize + (ssize & 1)
+            if rgba is None:
+                raise ValueError("ANMF: no image subchunk")
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError("ANMF: image dims disagree with header")
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                canvas[fy : fy + fh, fx : fx + fw] = rgba
+            else:
+                canvas[fy : fy + fh, fx : fx + fw] = _blend_over(rect, rgba)
+            frames.append(canvas.copy())
+            if dispose:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif tag == b"ALPH":
+            pending_alpha = body
+        elif tag in (b"VP8L", b"VP8 "):  # VP8X still image
+            rgba = _frame_rgba(tag, body, pending_alpha)
+            if rgba.shape[:2] != (ch, cw):
+                raise ValueError("VP8X: still image dims disagree")
+            return [rgba]
+        # ICCP/EXIF/XMP: metadata — skipped
+    if not frames:
+        raise ValueError("WEBP container has no image chunk")
+    return frames
+
+
+def encode_webp_vp8x_still(
+    img: np.ndarray,
+    alpha: np.ndarray | None = None,
+    alpha_filter: int = 0,
+    alpha_lossless: bool = False,
+    lossy: bool = False,
+    **vp8_kw,
+) -> bytes:
+    """VP8X still-image container: optional ALPH chunk (any filtering
+    method, raw or headerless-VP8L compression) + VP8L (default) or
+    lossy VP8 image chunk."""
+    h, w = img.shape[:2]
+    flags = 0
+    inner = b""
+    if alpha is not None:
+        if alpha.shape != (h, w):
+            raise ValueError("alpha plane dims disagree with image")
+        flags |= 0x10  # Alpha flag
+        inner += _chunk(
+            b"ALPH", _encode_alph(alpha, alpha_filter, alpha_lossless)
+        )
+    if lossy:
+        from etl_everywhere_hub_spark.multimodal.vp8 import encode_vp8
+
+        inner += _chunk(b"VP8 ", encode_vp8(img, **vp8_kw))
+    else:
+        inner += _chunk(b"VP8L", _vp8l_stream(img))
+    head = bytes([flags]) + bytes(3) + _p24le(w - 1) + _p24le(h - 1)
+    body = _chunk(b"VP8X", head) + inner
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def encode_webp_anim(
+    frames: list,
+    canvas_wh: tuple[int, int],
+    bg: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop: int = 0,
+) -> bytes:
+    """VP8X/ANIM/ANMF animation container. ``frames`` is a list of
+    dicts: {img: (h,w[,3]) uint8, x, y (even canvas offsets), dur:
+    ms, blend: bool (False = overwrite), dispose: bool, alpha:
+    optional plane, alpha_filter, alpha_lossless}. Frames encode as
+    VP8L (lossless — exact pixels for the oracle contract); ``bg`` is
+    RGBA (stored BGRA per spec)."""
+    cw, ch = canvas_wh
+    body = b""
+    for f in frames:
+        img = f["img"]
+        fh, fw = img.shape[:2]
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        if x + fw > cw or y + fh > ch:
+            raise ValueError("frame exceeds canvas")
+        flags = (0x02 if not f.get("blend", True) else 0) | (
+            0x01 if f.get("dispose", False) else 0
+        )
+        inner = b""
+        if f.get("alpha") is not None:
+            inner += _chunk(
+                b"ALPH",
+                _encode_alph(
+                    f["alpha"],
+                    f.get("alpha_filter", 0),
+                    f.get("alpha_lossless", False),
+                ),
+            )
+        inner += _chunk(b"VP8L", _vp8l_stream(img))
+        head = (
+            _p24le(x // 2)
+            + _p24le(y // 2)
+            + _p24le(fw - 1)
+            + _p24le(fh - 1)
+            + _p24le(f.get("dur", 100))
+            + bytes([flags])
+        )
+        body += _chunk(b"ANMF", head + inner)
+    r, g, b_, a = bg
+    anim = bytes([b_, g, r, a]) + struct.pack("<H", loop)
+    head = bytes([0x12]) + bytes(3) + _p24le(cw - 1) + _p24le(ch - 1)
+    out = _chunk(b"VP8X", head) + _chunk(b"ANIM", anim) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out

@@ -554,15 +554,16 @@ def test_png_codec_roundtrip_all_filters_and_errors():
         mm.decode_image(p)
     # JPEG now decodes natively (multimodal/jpeg.py): truncated
     # streams fail loudly; WebP-LOSSLESS decodes natively as of round 8
-    # (multimodal/webp.py, q333) and LOSSY VP8 as of round 10
-    # (multimodal/vp8.py, q335) — a truncated VP8 chunk fails loudly,
-    # and only VP8X extended/animated containers still raise narrowly
+    # (multimodal/webp.py, q333), LOSSY VP8 and VP8X extended
+    # containers as of round 10 (multimodal/vp8.py q335; ALPH/ANIM in
+    # webp.py) — malformed chunks of every type fail loudly
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(32))
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + bytes(16))
-    with pytest.raises(NotImplementedError, match="VP8X"):
-        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8X" + bytes(16))
+    with pytest.raises(ValueError, match="image chunk"):
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8X"
+                        + struct.pack("<I", 10) + bytes(10))
 
 
 def test_png_adam7_interlaced_roundtrip():

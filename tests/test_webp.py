@@ -86,18 +86,19 @@ def test_riff_container_shape():
     assert np.array_equal(decode_vp8l(bare), decode_vp8l(enc))
 
 
-def test_lossy_webp_dispatches_and_vp8x_rejected_narrowly():
+def test_lossy_webp_dispatches_and_empty_vp8x_rejected():
     # round 10: 'VP8 ' chunks route to the RFC 6386 decoder (a truncated
     # one fails THERE, proving the dispatch) …
     fake = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
     with pytest.raises(ValueError, match="truncated"):
         decode_vp8l(fake)
-    # … while VP8X extended/animated containers remain the narrow raise
+    # … and VP8X containers decode (tests/test_vp8x.py) — one with no
+    # image chunk at all fails loudly
     vp8x = (
         b"RIFF" + struct.pack("<I", 22) + b"WEBP"
         + b"VP8X" + struct.pack("<I", 10) + bytes(10)
     )
-    with pytest.raises(NotImplementedError, match="VP8X"):
+    with pytest.raises(ValueError, match="image chunk"):
         decode_vp8l(vp8x)
 
 

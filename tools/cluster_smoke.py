@@ -66,6 +66,22 @@ Checks:
      ``multimodal.vp8.INTEROP_TABLES_VERIFIED`` is False (the big RFC
      probability tables are documented placeholders); the failure
      line names the flag so the to-do cannot rot silently.
+   - ``jpeg-lossless`` — needs libjpeg-turbo >= 3.0 ``cjpeg``/
+     ``djpeg``: foreign ``-lossless`` streams at predictors 1/4/7
+     must decode to the exact source samples (lossless has no
+     tolerance), and our Annex-H stream must read back through
+     ``djpeg`` — pins the restart-anchor and boundary-prediction
+     reading against the reference implementation (round 10).
+   - ``vp8x-alph`` — needs ``cwebp`` + Pillow: a lossy+alpha encode
+     emits a real VP8X/ALPH pair; the ALPH plane (decoded directly,
+     independent of the VP8 probability tables) must equal the
+     source alpha bit-exactly (cwebp's default alpha_q=100 is
+     lossless). Pins our ALPH header/filter/headerless-VP8L reading
+     against libwebp's alpha encoder (round 10).
+   - ``vp8x-anim`` — needs Pillow (with WebP mux): our 3-frame
+     blend/dispose animation must read back frame-exact in Pillow,
+     and a Pillow-authored lossless animation must composite
+     identically through ``decode_webp_frames`` (round 10).
 
 Exit code: 0 if every ATTEMPTED check passes (env-skips don't fail);
 1 on any FAIL; the summary line lists each check's status so a CI
@@ -468,6 +484,164 @@ def smoke_codec_interop() -> list[str]:
             "FAIL until multimodal/vp8.py INTEROP_TABLES_VERIFIED — "
             "placeholder RFC tables desynchronize on foreign streams)"
         )
+
+    # --- jpeg-lossless: libjpeg-turbo >= 3.0 cjpeg/djpeg (round 10) ---
+    cjpeg = shutil.which("cjpeg")
+    djpeg = shutil.which("djpeg")
+    if cjpeg and djpeg:
+        try:
+            from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+                encode_jpeg_lossless,
+            )
+
+            with tempfile.TemporaryDirectory() as td:
+                src = os.path.join(td, "g.pgm")
+                with open(src, "wb") as f:
+                    f.write(
+                        b"P5\n%d %d\n255\n"
+                        % (grad_gray.shape[1], grad_gray.shape[0])
+                        + grad_gray.tobytes()
+                    )
+                for psv in (1, 4, 7):
+                    try:
+                        foreign = _run(
+                            [cjpeg, "-lossless", str(psv), src]
+                        )
+                    except Exception:
+                        raise RuntimeError(
+                            "cjpeg present but refuses -lossless (needs "
+                            "libjpeg-turbo >= 3.0)"
+                        ) from None
+                    got = decode_image(foreign)
+                    assert np.array_equal(got, grad_gray), (
+                        f"foreign lossless psv={psv} decode != source"
+                    )
+                # reverse: our stream -> djpeg
+                ours = encode_jpeg_lossless(grad_gray, predictor=4)
+                dst = os.path.join(td, "o.jpg")
+                with open(dst, "wb") as f:
+                    f.write(ours)
+                back = decode_image(_run([djpeg, "-pnm", dst]))
+                assert np.array_equal(back, grad_gray), (
+                    "djpeg readback of our lossless stream != source"
+                )
+            out.append(
+                "PASS codec-interop/jpeg-lossless (foreign psv 1/4/7 decode "
+                "exactly; our stream reads back)"
+            )
+        except RuntimeError as e:
+            out.append(f"SKIP(env) codec-interop/jpeg-lossless: {e}")
+        except Exception as e:  # noqa: BLE001
+            out.append(
+                f"FAIL codec-interop/jpeg-lossless: {type(e).__name__}: {e}"
+            )
+    else:
+        out.append(
+            "SKIP(env) codec-interop/jpeg-lossless: cjpeg/djpeg absent "
+            "(needs libjpeg-turbo >= 3.0 for -lossless)"
+        )
+
+    # --- vp8x/alph: foreign ALPH plane decodes exactly (round 10;
+    #     alpha rides its own chunk, independent of the VP8 tables) ---
+    if cwebp and has_pil:
+        try:
+            from etl_everywhere_hub_spark.multimodal.webp import (
+                _decode_alph,
+                _riff_chunks,
+                _u24le,
+            )
+
+            with tempfile.TemporaryDirectory() as td:
+                rng = np.random.default_rng(7)
+                rgba = np.dstack(
+                    [grad_rgb, rng.integers(0, 256, grad_rgb.shape[:2])]
+                ).astype(np.uint8)
+                src = os.path.join(td, "a.png")
+                Image.fromarray(rgba, "RGBA").save(src)
+                dst = os.path.join(td, "a.webp")
+                _run([cwebp, "-q", "80", src, "-o", dst])
+                with open(dst, "rb") as f:
+                    payload = f.read()
+                alph = vp8x = None
+                for tag, body in _riff_chunks(payload):
+                    if tag == b"ALPH":
+                        alph = body
+                    elif tag == b"VP8X":
+                        vp8x = body
+                assert alph is not None and vp8x is not None, (
+                    "cwebp emitted no VP8X/ALPH (alpha dropped?)"
+                )
+                w = _u24le(vp8x, 4) + 1
+                h = _u24le(vp8x, 7) + 1
+                got = _decode_alph(alph, w, h)
+                assert np.array_equal(got, rgba[:, :, 3]), (
+                    "foreign ALPH plane decode != source alpha "
+                    "(default alpha_q=100 is lossless)"
+                )
+            out.append(
+                "PASS codec-interop/vp8x-alph (cwebp ALPH chunk decodes "
+                "bit-exactly)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/vp8x-alph: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/vp8x-alph: cwebp/Pillow absent")
+
+    # --- vp8x/anim: our animation reads back in Pillow; a Pillow
+    #     lossless animation composites identically in ours ---
+    if has_pil:
+        try:
+            import io
+
+            from etl_everywhere_hub_spark.multimodal.webp import (
+                decode_webp_frames,
+                encode_webp_anim,
+            )
+
+            tiles = [
+                np.full((16, 16), 40 * (k + 1), np.uint8) for k in range(3)
+            ]
+            payload = encode_webp_anim(
+                [
+                    dict(img=tiles[0], x=0, y=0),
+                    dict(img=tiles[1], x=16, y=0, blend=False, dispose=True),
+                    dict(img=tiles[2], x=0, y=16),
+                ],
+                (32, 32),
+                bg=(9, 9, 9, 255),
+            )
+            im = Image.open(io.BytesIO(payload))
+            n = getattr(im, "n_frames", 1)
+            assert n == 3, f"Pillow sees {n} frames, not 3"
+            im.seek(0)
+            f0 = np.asarray(im.convert("RGB"))
+            assert (f0[0:16, 0:16, 0] == 40).all(), "frame-0 tile mismatch"
+            # reverse: Pillow-authored lossless animation -> ours
+            frames_pil = [
+                Image.fromarray(
+                    np.full((32, 32, 3), 50 * (k + 1), np.uint8)
+                )
+                for k in range(2)
+            ]
+            buf = io.BytesIO()
+            frames_pil[0].save(
+                buf, format="WEBP", save_all=True,
+                append_images=frames_pil[1:], lossless=True, duration=100,
+            )
+            ours = decode_webp_frames(buf.getvalue())
+            assert len(ours) == 2
+            for k, fr in enumerate(ours):
+                assert (fr[:, :, 0] == 50 * (k + 1)).all(), (
+                    f"frame {k} composite mismatch"
+                )
+            out.append(
+                "PASS codec-interop/vp8x-anim (3-frame stream reads back in "
+                "Pillow; Pillow-authored animation composites identically)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/vp8x-anim: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/vp8x-anim: Pillow absent")
     return out
 
 
