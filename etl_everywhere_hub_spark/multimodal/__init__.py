@@ -73,9 +73,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
     with spectral selection + successive approximation (full marker
     walk + float IDCT, multimodal/jpeg.py; ARITHMETIC entropy coding
     via multimodal/jpeg_arith.py — sequential SOF9 in round 9,
-    progressive SOFA in round 10; LOSSLESS SOF3 spatial DPCM with all
-    seven Annex-H predictors and 2..16-bit precision via
-    multimodal/jpeg_lossless.py, round 10) — returning a uint8
+    progressive SOFA in round 10; LOSSLESS spatial DPCM — huffman
+    SOF3 and QM-arithmetic SOF11 — with all seven Annex-H predictors
+    and 2..16-bit precision via multimodal/jpeg_lossless.py, round
+    10) — returning a uint8
     (uint16 for 16-bit sources) ndarray of shape (h, w) for grayscale
     or (h, w, 3) for RGB. WebP decode covers the full container
     matrix: the LOSSLESS VP8L form (multimodal/webp.py, round 8), the

@@ -22,11 +22,11 @@ EOBRUN (DC/AC x first/refinement, spec G.1.2/G.2) — for any
 (h_i, v_i) sampling factors incl. 4:2:0/4:2:2, box chroma upsampling,
 JFIF YCbCr->RGB. Arithmetic-coded frames — sequential SOF9 AND
 progressive SOFA (round 10) — dispatch to multimodal/jpeg_arith.py;
-LOSSLESS huffman frames (SOF3, Annex H, round 10) dispatch to
-multimodal/jpeg_lossless.py; only differential (hierarchical-only)
-and lossless-arithmetic frames raise NotImplementedError; 12-bit
-precision raises ValueError for DCT processes (lossless carries the
-full 2..16-bit range per H.1).
+LOSSLESS frames — huffman SOF3 AND QM-arithmetic SOF11 (Annex H,
+round 10) — dispatch to multimodal/jpeg_lossless.py; only
+differential (hierarchical-only) frames raise NotImplementedError;
+12-bit precision raises ValueError for DCT processes (lossless
+carries the full 2..16-bit range per H.1).
 
 Encoder (``encode_jpeg_baseline``): JFIF APP0, Annex-K quantization
 tables scaled by libjpeg's quality curve (or caller-supplied tables —
@@ -779,9 +779,20 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps, marker in (0xC2, 0xCA))
             arith = marker in (0xC9, 0xCA)
-        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCB:  # SOF11 — lossless arithmetic (Annex H)
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps, False)
+            lossless_prec = prec
+            arith = True
+        elif marker in (0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/differential arithmetic JPEG not supported"
+                "differential (hierarchical-only) arithmetic JPEG frame type"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             if len(body) % 2:
@@ -831,7 +842,17 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            if lossless_prec is not None:
+            if lossless_prec is not None and arith:
+                from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+                    decode_scan_lossless_arith,
+                )
+
+                pos = decode_scan_lossless_arith(
+                    d, pos + 2 + ln, frame, scan, cond_dc,
+                    restart_interval, samples, (ss, se, ah, al),
+                    lossless_prec,
+                )
+            elif lossless_prec is not None:
                 from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
                     decode_scan_lossless,
                 )

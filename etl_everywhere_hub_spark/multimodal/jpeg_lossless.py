@@ -1,5 +1,7 @@
-"""Dependency-free LOSSLESS JPEG codec (ITU-T T.81 Annex H, huffman
-process — SOF3).
+"""Dependency-free LOSSLESS JPEG codec (ITU-T T.81 Annex H) — BOTH
+entropy layers: huffman (SOF3) and QM-arithmetic (SOF11, the 158-bin
+H.1.2.2 statistical model over the jpeg_arith.py coder pair; see the
+section comment below).
 
 Closes the last non-hierarchical JPEG frame type (VERDICT r9 "what's
 missing": only lossless/differential frames still raised after round
@@ -68,7 +70,11 @@ from etl_everywhere_hub_spark.multimodal.jpeg import (
     _next_marker_pos,
 )
 
-__all__ = ["encode_jpeg_lossless", "decode_scan_lossless"]
+__all__ = [
+    "encode_jpeg_lossless",
+    "decode_scan_lossless",
+    "decode_scan_lossless_arith",
+]
 
 # Difference-category table for the encoder: 17 symbols (SSSS 0..16,
 # H.1.2.2). T.81 ships no default lossless tables; any Kraft-valid
@@ -219,13 +225,18 @@ def encode_jpeg_lossless(
     restart_interval: int = 0,
     precision: int | None = None,
     interleave: bool = True,
+    arithmetic: bool = False,
+    dc_cond: tuple | None = None,
 ) -> bytes:
     """Encode a (h, w) or (h, w, 3) integer array as a lossless JPEG
-    (SOF3). ``precision`` defaults to 8 for uint8 input and 16 for
-    anything wider; any P in 2..16 is accepted if the samples fit.
-    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs
-    (samples in non-interleaved scans). ``interleave=False`` writes
-    one scan per component instead of a single interleaved scan.
+    — SOF3 (huffman) by default, SOF11 (QM arithmetic, the H.1.2.2
+    model) with ``arithmetic=True``. ``precision`` defaults to 8 for
+    uint8 input and 16 for anything wider; any P in 2..16 is accepted
+    if the samples fit. ``restart_interval`` > 0 emits DRI + RSTn
+    every that many MCUs (samples in non-interleaved scans).
+    ``interleave=False`` writes one scan per component instead of a
+    single interleaved scan. ``dc_cond=(L, U)`` emits a DAC marker
+    with non-default conditioning bounds (arithmetic only).
     Deterministic: same array -> same bytes. Roundtrip contract:
     decode(encode(a, Pt)) == (a >> Pt) << Pt exactly."""
     a = np.asarray(img)
@@ -247,7 +258,14 @@ def encode_jpeg_lossless(
         raise ValueError(f"bad lossless predictor {predictor}")
     if not 0 <= point_transform < precision:
         raise ValueError("point transform must be in [0, precision)")
+    if dc_cond is not None and not arithmetic:
+        raise ValueError("dc_cond applies to arithmetic coding only")
     h, w = planes[0].shape
+    if arithmetic:
+        return _encode_lossless_arith(
+            planes, h, w, precision, predictor, point_transform,
+            restart_interval, interleave, dc_cond,
+        )
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DHT: one table, class 0 id 0 (lossless uses DC-style coding only)
@@ -336,4 +354,341 @@ def encode_jpeg_lossless(
         for k in range(nc):
             out += emit_scan([k])
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Lossless ARITHMETIC coding (SOF11 / X'CB') — the Annex H DPCM above
+# driven by the Annex D QM coder with the lossless statistical model.
+#
+# Statistical model (T.81 H.1.2.2, 158-bin area): each difference is
+# coded with the SAME binary tree as a sequential-DC difference
+# (zero decision S0, sign SS, Sz>1 SP/SN, magnitude-category
+# escalation Xn, magnitude bits Mn), but the 4-bin cluster is selected
+# by a TWO-NEIGHBOR context: the classifications of Da (difference
+# coded at the sample to the left) and Db (difference coded at the
+# sample above), each in 5 categories {zero, small +, small -,
+# large +, large -} under the DC conditioning bounds L/U (DAC marker
+# or the 0/1 defaults) — 25 contexts x 4 bins = bins 0..99. Two X/M
+# magnitude-bin sets follow (15 category + 14 bit bins each), selected
+# by whether Db is LARGE: set A at bin 100, set B at bin 129 — 158
+# bins total, the spec's lossless statistical-area size.
+#
+# TRANSCRIPTION-RISK NOTE (same class as Table D.3 in jpeg_arith.py):
+# the exact bin ordering within Table H.2 and the X-set selector are
+# this author's reading of the spec's lossless model. Encoder and
+# decoder share the layout, so every roundtrip (and q-suite oracle
+# match) pins the PAIR self-consistently; the reading would matter
+# only for interop with OTHER codecs' lossless-arithmetic streams — a
+# process no mainstream library (libjpeg, libjpeg-turbo, Pillow)
+# implements at all, so no external encoder exists to disagree with
+# in practice. cluster_smoke --codec-interop documents the gap.
+# ---------------------------------------------------------------------------
+
+LL_ARITH_BINS = 158
+_XA = 100  # X1 of magnitude set A (Db zero/small)
+_XB = 129  # X1 of magnitude set B (Db large)
+
+
+def _ll_classify(m: int, sign: int, L: int, U: int) -> int:
+    """Category of a just-coded NONZERO difference from the MSB ``m``
+    of its magnitude tree (0 when Sz == 0, i.e. |diff| == 1) and its
+    sign — the F.1.4.4.1.1 rule the sequential-DC model applies,
+    reused verbatim: 0 zero-ish, 1/2 small +/-, 3/4 large +/-. The
+    diff == 0 case never reaches here (the caller stores category 0
+    directly)."""
+    if m < (1 << L) >> 1:
+        return 0
+    if m > (1 << U) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def decode_scan_lossless_arith(
+    d, pos, frame, scan, cond_dc, restart_interval, samples, band, prec
+):
+    """Arithmetic lossless scan (SOF11): same MCU walk, prediction,
+    and modulo-65536 reconstruction as decode_scan_lossless; the
+    entropy layer is the QM decoder over the H.1.2.2 model. Returns
+    the payload position of the next marker."""
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+        ArithDecoder,
+        Stats,
+    )
+
+    fh, fw, comps, _prog = frame
+    sel, se, ah, al = band
+    if se != 0 or ah != 0:
+        raise ValueError("lossless scan must have Se=0 and Ah=0")
+    if not 1 <= sel <= 7:
+        raise ValueError(f"bad lossless predictor selector {sel}")
+    if al >= prec:
+        raise ValueError("lossless point transform exceeds precision")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    by_id = {c[0]: c for c in comps}
+    mcw = (fw + hmax - 1) // hmax
+    mch = (fh + vmax - 1) // vmax
+
+    order = []  # (cid, hs, vs, td, plane)
+    for cs, td, _ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        cid, hs, vs, _tq = by_id[cs]
+        if cid not in samples:
+            samples[cid] = np.zeros((mch * vs, mcw * hs), np.int32)
+        order.append((cid, hs, vs, td, samples[cid]))
+
+    default = 1 << (prec - 1 - al)
+    stats = {td: Stats(LL_ARITH_BINS) for _c, _h, _v, td, _p in order}
+    dec = ArithDecoder(d, pos)
+    # per-component difference-category planes for the Da/Db context
+    cats = [np.zeros(p.shape, np.int8) for _c, _h, _v, _t, p in order]
+
+    def read_diff(oi: int, r: int, c: int) -> int:
+        """One H.1.2.2 difference; updates the category plane. The
+        Da/Db context reads the neighbor categories directly — the
+        planes are ZEROED at restart, so positions coded before the
+        interval boundary read as the zero category (the reset the
+        spec requires) with no anchor bookkeeping."""
+        _cid, _hs, _vs, td, _p = order[oi]
+        st = stats[td]
+        L, U = cond_dc.get(td, (0, 1))
+        cat_a = int(cats[oi][r, c - 1]) if c > 0 else 0
+        cat_b = int(cats[oi][r - 1, c]) if r > 0 else 0
+        base = 4 * (5 * cat_a + cat_b)
+        if dec.decode(st, base) == 0:
+            cats[oi][r, c] = 0
+            return 0
+        sign = dec.decode(st, base + 1)
+        m = dec.decode(st, base + 2 + sign)
+        tree_m = 0
+        if m:
+            x = _XB if cat_b >= 3 else _XA
+            while dec.decode(st, x):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith lossless: magnitude overflow")
+                x += 1
+            tree_m = m  # MSB of Sz — what the classification keys on
+            v = m
+            x += 14
+            while m >> 1:
+                m >>= 1
+                if dec.decode(st, x):
+                    v |= m
+        else:
+            v = 0
+        v += 1
+        cats[oi][r, c] = _ll_classify(tree_m, sign, L, U)
+        return -v if sign else v
+
+    def restart(next_anchor):
+        nonlocal dec
+        # the QM decoder prefetches, so its pointer may rest before
+        # the marker: scan forward (safe — X'FF00' stuffing means
+        # X'FF' + RSTn cannot occur inside entropy data)
+        p2 = dec.marker_pos()
+        while p2 + 1 < len(d) and not (
+            d[p2] == 0xFF and 0xD0 <= d[p2 + 1] <= 0xD7
+        ):
+            p2 += 1
+        if p2 + 1 >= len(d):
+            raise ValueError("arith lossless: expected RSTn at restart")
+        dec = ArithDecoder(d, p2 + 2)
+        for st in stats.values():
+            st.reset()
+        for cp in cats:
+            cp[:] = 0
+        return next_anchor
+
+    mcu_count = 0
+    if len(order) > 1:
+        anchors = [(0, 0)] * len(order)
+        for my in range(mch):
+            for mx in range(mcw):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    anchors = restart(
+                        [(my * vs, mx * hs)
+                         for _c, hs, vs, _t, _p in order]
+                    )
+                for oi, (cid, hs, vs, _td, arr) in enumerate(order):
+                    a_r, a_c = anchors[oi]
+                    for v_ in range(vs):
+                        for h_ in range(hs):
+                            r, c = my * vs + v_, mx * hs + h_
+                            px = _predict(arr, r, c, sel, default, a_r, a_c)
+                            arr[r, c] = (
+                                px + read_diff(oi, r, c)
+                            ) & 0xFFFF
+                mcu_count += 1
+    else:
+        cid, hs, vs, _td, arr = order[0]
+        rows = (fh * vs + vmax - 1) // vmax
+        cols = (fw * hs + hmax - 1) // hmax
+        a_r, a_c = 0, 0
+        for r in range(rows):
+            for c in range(cols):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    (a_r, a_c) = restart((r, c))
+                px = _predict(arr, r, c, sel, default, a_r, a_c)
+                arr[r, c] = (px + read_diff(0, r, c)) & 0xFFFF
+                mcu_count += 1
+
+    for _cid, _hs, _vs, _t, arr in order:
+        arr <<= al
+    p2 = dec.marker_pos()
+    while p2 + 1 < len(d) and not (d[p2] == 0xFF and d[p2 + 1] != 0x00):
+        p2 += 1
+    return p2
+
+
+def _msb(v: int) -> int:
+    """Most-significant-bit power of a positive magnitude — the ``m``
+    the classification rule keys on."""
+    return 1 << (v.bit_length() - 1)
+
+
+def _encode_lossless_arith(
+    planes, h, w, precision, predictor, point_transform,
+    restart_interval, interleave, dc_cond,
+):
+    """SOF11 entropy emission: the Annex-H DPCM walked exactly as the
+    huffman encoder walks it, with each difference coded by the QM
+    encoder over the 158-bin H.1.2.2 model (mirror of
+    decode_scan_lossless_arith — category planes zero at restart, so
+    cross-boundary context reads are the reset the spec requires)."""
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+        ArithEncoder,
+        Stats,
+    )
+
+    L, U = dc_cond if dc_cond is not None else (0, 1)
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")  # SOI
+    if dc_cond is not None:
+        # DAC: DC-class conditioning for table 0 (B.2.4.3)
+        dac = bytes([0x00, (U << 4) | L])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for k in range(nc):
+        sof += bytes([k + 1, 0x11, 0])
+    out += b"\xff\xcb" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    default = 1 << (precision - 1 - point_transform)
+    ds_planes = [p.astype(np.int64) >> point_transform for p in planes]
+
+    def emit_scan(comp_idx: list[int]) -> bytes:
+        sos = bytes([len(comp_idx)])
+        for k in comp_idx:
+            sos += bytes([k + 1, 0x00])  # Td=0 (DC conditioning table)
+        sos += bytes([predictor, 0, point_transform])
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        )
+        enc = ArithEncoder()
+        st = Stats(LL_ARITH_BINS)
+        cats = [np.zeros((h, w), np.int8) for _ in comp_idx]
+
+        def put_diff(oi: int, r: int, c: int, x_val: int, px: int) -> None:
+            diff = (x_val - px) & 0xFFFF
+            if diff > 32768:
+                diff -= 65536
+            cat_a = int(cats[oi][r, c - 1]) if c > 0 else 0
+            cat_b = int(cats[oi][r - 1, c]) if r > 0 else 0
+            base = 4 * (5 * cat_a + cat_b)
+            if diff == 0:
+                enc.encode(st, base, 0)
+                cats[oi][r, c] = 0
+                return
+            enc.encode(st, base, 1)
+            sign = 1 if diff < 0 else 0
+            enc.encode(st, base + 1, sign)
+            v = -diff if sign else diff  # v in [1, 32768]
+            sz = v - 1
+            tree_m = 0
+            if sz == 0:
+                enc.encode(st, base + 2 + sign, 0)
+            else:
+                enc.encode(st, base + 2 + sign, 1)
+                m = 1
+                x = _XB if cat_b >= 3 else _XA
+                while sz >= 2 * m:
+                    enc.encode(st, x, 1)
+                    m <<= 1
+                    x += 1
+                enc.encode(st, x, 0)
+                tree_m = m
+                x += 14
+                mm = m
+                while mm >> 1:
+                    mm >>= 1
+                    enc.encode(st, x, 1 if (sz & mm) else 0)
+            cats[oi][r, c] = _ll_classify(tree_m, sign, L, U)
+
+        rst = 0
+        mcu_count = 0
+
+        def restart_flush():
+            nonlocal rst, enc
+            seg.extend(enc.flush())
+            seg.extend((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            enc = ArithEncoder()  # INITENC state, like the decoder's re-init
+            st.reset()
+            for cp in cats:
+                cp[:] = 0
+
+        if len(comp_idx) > 1:
+            anchors = [(0, 0)] * len(comp_idx)
+            for r in range(h):
+                for c in range(w):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        restart_flush()
+                        anchors = [(r, c)] * len(comp_idx)
+                    for oi, k in enumerate(comp_idx):
+                        arr = ds_planes[k]
+                        px = _predict(
+                            arr, r, c, predictor, default, *anchors[oi]
+                        )
+                        put_diff(oi, r, c, int(arr[r, c]), px)
+                    mcu_count += 1
+        else:
+            arr = ds_planes[comp_idx[0]]
+            a_r, a_c = 0, 0
+            for r in range(h):
+                for c in range(w):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        restart_flush()
+                        a_r, a_c = r, c
+                    px = _predict(arr, r, c, predictor, default, a_r, a_c)
+                    put_diff(0, r, c, int(arr[r, c]), px)
+                    mcu_count += 1
+        seg.extend(enc.flush())
+        return bytes(seg)
+
+    if nc > 1 and interleave:
+        out += emit_scan(list(range(nc)))
+    else:
+        for k in range(nc):
+            out += emit_scan([k])
+    out += b"\xff\xd9"
     return bytes(out)

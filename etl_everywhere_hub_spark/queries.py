@@ -22649,7 +22649,11 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
     All statistics are computed from the DECODED arrays, so the
     marker walk, DHT build, DPCM prediction (incl. the SSSS=16
     escape), restart resync, Pt shift, and plane assembly are all
-    load-bearing for the hash match.
+    load-bearing for the hash match. The gray-8 raster additionally
+    roundtrips through SOF11 (QM-ARITHMETIC lossless, the H.1.2.2
+    158-bin model with DAC conditioning cycled) and must decode
+    identically to the SOF3 stream — a failed arithmetic layer fails
+    the query loudly.
 
     Scale shape: identical to q331/q334/q336 — embarrassingly-parallel
     mapInPandas, codec worker-side per Arrow batch, no shuffle beyond
@@ -22693,6 +22697,16 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 assert dec8.dtype == np.uint8 and dec8.shape == (16, 16)
                 assert (dec8 == (img8 >> pt) << pt).all()
+                # same raster through SOF11 (QM-arithmetic entropy,
+                # later round 10): both entropy layers must agree
+                dec8a = decode_image(
+                    encode_jpeg_lossless(
+                        img8, predictor=pred, point_transform=pt,
+                        restart_interval=ri, arithmetic=True,
+                        dc_cond=[(0, 1), (1, 2), (0, 3)][mid % 3],
+                    )
+                )
+                assert (dec8a == dec8).all(), "SOF11 != SOF3 decode"
                 img16 = (v[None, :] * 257 + (rr * 31)[:, None]).astype(
                     np.uint16
                 )

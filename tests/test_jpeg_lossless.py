@@ -247,3 +247,113 @@ def test_malformed_streams_raise():
 def test_huffspec_is_kraft_valid():
     assert sum(LL_BITS) == len(LL_VALS) == 17
     assert sum(n * 2.0 ** -(i + 1) for i, n in enumerate(LL_BITS)) <= 1.0
+
+
+# ----------------------------------------------- arithmetic (SOF11)
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    pred=st.integers(1, 7),
+    pt=st.integers(0, 3),
+    ri=st.sampled_from([0, 1, 3, 8, 16]),
+)
+@settings(max_examples=200, deadline=None)
+def test_arith_gray8_roundtrip_exact(seed, h, w, pred, pt, ri):
+    """SOF11: the same Annex-H DPCM through the QM coder's 158-bin
+    H.1.2.2 model — exact for arbitrary images, every predictor,
+    point transform, and restart interval (incl. ri=1: restart after
+    every sample, the encoder-reinit worst case)."""
+    img = _img(seed, h, w)
+    jpg = encode_jpeg_lossless(
+        img, predictor=pred, point_transform=pt, restart_interval=ri,
+        arithmetic=True,
+    )
+    assert b"\xff\xcb" in jpg  # SOF11 marker
+    dec = decode_jpeg_baseline(jpg)
+    assert dec.dtype == np.uint8 and dec.shape == (h, w)
+    assert np.array_equal(dec, (img >> pt) << pt), (pred, pt, ri)
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    h=st.integers(1, 14),
+    w=st.integers(1, 14),
+    prec=st.integers(2, 16),
+    L=st.integers(0, 2),
+    du=st.integers(0, 3),
+)
+@settings(max_examples=200, deadline=None)
+def test_arith_full_precision_and_conditioning(seed, h, w, prec, L, du):
+    """2..16-bit precision with DAC conditioning bounds cycled — the
+    L/U classification drives context selection, so every (L, U)
+    reshapes the bin walk and must still roundtrip exactly."""
+    U = L + 1 + du
+    img = _img(seed, h, w, hi=1 << prec).astype(
+        np.uint8 if prec <= 8 else np.uint16
+    )
+    jpg = encode_jpeg_lossless(
+        img, precision=prec, arithmetic=True, dc_cond=(L, U)
+    )
+    assert b"\xff\xcc" in jpg  # DAC emitted
+    assert np.array_equal(decode_jpeg_baseline(jpg), img)
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    interleave=st.booleans(),
+    ri=st.sampled_from([0, 5]),
+)
+@settings(max_examples=60, deadline=None)
+def test_arith_rgb_both_layouts(seed, interleave, ri):
+    img = _img(seed, 9, 11, ch=3)
+    jpg = encode_jpeg_lossless(
+        img, predictor=6, interleave=interleave, restart_interval=ri,
+        arithmetic=True,
+    )
+    assert np.array_equal(decode_jpeg_baseline(jpg), img)
+
+
+def test_arith_equals_huffman_decode():
+    """Both entropy layers carry the identical DPCM stream — decodes
+    must agree bit-for-bit on the same source."""
+    img = _img(11, 17, 13)
+    for pred in range(1, 8):
+        a = decode_jpeg_baseline(
+            encode_jpeg_lossless(img, predictor=pred, arithmetic=True)
+        )
+        hh = decode_jpeg_baseline(encode_jpeg_lossless(img, predictor=pred))
+        assert np.array_equal(a, hh)
+
+
+def test_arith_max_magnitude_diff():
+    img = np.array([[0, 65535], [32768, 1]], np.uint16)
+    for pred in range(1, 8):
+        dec = decode_jpeg_baseline(
+            encode_jpeg_lossless(img, predictor=pred, arithmetic=True)
+        )
+        assert np.array_equal(dec, img), pred
+
+
+def test_arith_adapts_on_smooth_content():
+    """The context model must actually adapt: a smooth gradient's
+    arithmetic stream should be far smaller than the huffman one
+    (a broken estimator would code near-random bits)."""
+    r, c = np.mgrid[0:64, 0:64]
+    smooth = ((r + c) // 2).astype(np.uint8)
+    a = encode_jpeg_lossless(smooth, arithmetic=True)
+    hh = encode_jpeg_lossless(smooth)
+    assert len(a) * 5 < len(hh), (len(a), len(hh))
+
+
+def test_arith_validation():
+    with pytest.raises(ValueError, match="arithmetic"):
+        encode_jpeg_lossless(np.zeros((2, 2), np.uint8), dc_cond=(0, 1))
+    # differential arithmetic frame types still raise
+    jpg = encode_jpeg_lossless(_img(1, 4, 4), arithmetic=True)
+    k = jpg.index(b"\xff\xcb")
+    for m in (0xCD, 0xCE, 0xCF):
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_baseline(jpg[:k] + bytes([0xFF, m]) + jpg[k + 2 :])

@@ -757,13 +757,18 @@ def test_jpeg_baseline_codec():
         decode_jpeg_baseline(encode_jpeg_arith_progressive(img9, quant_scale=0)),
         img9,
     )
+    # SOF11 (lossless arithmetic) DECODES as of later round 10 — a
+    # frame with no scan fails loudly; differential frames still raise
     sof_ll = (
         b"\xff\xd8"
         + struct.pack(">BBH", 0xFF, 0xCB, 11)
         + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     )
-    with pytest.raises(NotImplementedError, match="lossless"):
+    with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg_baseline(sof_ll)
+    sof_diff = sof_ll.replace(b"\xcb", b"\xcd", 1)
+    with pytest.raises(NotImplementedError, match="differential"):
+        decode_jpeg_baseline(sof_diff)
     # bad payloads fail loudly
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"\x00\x01\x02")
