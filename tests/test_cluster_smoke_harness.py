@@ -37,7 +37,10 @@ def test_codec_interop_skips_cleanly_without_tools():
     lines = cluster_smoke.smoke_codec_interop()
     subs = {ln.split("codec-interop/")[1].split(":")[0].split(" ")[0]: ln
             for ln in lines}
-    assert set(subs) == {"png16", "adam7", "jpeg", "jpeg-arith", "vp8l", "vp8"}
+    assert set(subs) == {
+        "png16", "adam7", "jpeg", "jpeg-arith", "vp8l", "vp8",
+        "jpeg-lossless", "vp8x-alph", "vp8x-anim",  # round 10
+    }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):
             continue

@@ -40,6 +40,10 @@ SECTIONS = [
     ("Streaming proximity", "etl_everywhere_hub_spark.streaming.proximity"),
     ("Multimodal columns", "etl_everywhere_hub_spark.multimodal"),
     ("Baseline JPEG codec", "etl_everywhere_hub_spark.multimodal.jpeg"),
+    ("Arithmetic JPEG codec", "etl_everywhere_hub_spark.multimodal.jpeg_arith"),
+    ("Lossless JPEG codec", "etl_everywhere_hub_spark.multimodal.jpeg_lossless"),
+    ("WebP VP8L + VP8X container", "etl_everywhere_hub_spark.multimodal.webp"),
+    ("Lossy VP8 codec", "etl_everywhere_hub_spark.multimodal.vp8"),
 ]
 
 HEADER = '''# API — public operator surface
