@@ -23,10 +23,14 @@ EOBRUN (DC/AC x first/refinement, spec G.1.2/G.2) — for any
 JFIF YCbCr->RGB. Arithmetic-coded frames — sequential SOF9 AND
 progressive SOFA (round 10) — dispatch to multimodal/jpeg_arith.py;
 LOSSLESS frames — huffman SOF3 AND QM-arithmetic SOF11 (Annex H,
-round 10) — dispatch to multimodal/jpeg_lossless.py; only
-differential (hierarchical-only) frames raise NotImplementedError;
-12-bit precision raises ValueError for DCT processes (lossless
-carries the full 2..16-bit range per H.1).
+round 10) — dispatch to multimodal/jpeg_lossless.py; HIERARCHICAL
+lossless pyramids (Annex J, later round 10) decode via the DHP/EXP
+frame-fold state machine in decode_jpeg_baseline plus differential
+SOF7/SOF15 scans (Ss=0) in jpeg_lossless.py; only differential DCT
+frames (SOF5/6/13/14 — the lossy-pyramid variant with no mainstream
+encoder) raise NotImplementedError; 12-bit precision raises
+ValueError for DCT processes (lossless carries the full 2..16-bit
+range per H.1).
 
 Encoder (``encode_jpeg_baseline``): JFIF APP0, Annex-K quantization
 tables scaled by libjpeg's quality curve (or caller-supplied tables —
@@ -705,6 +709,23 @@ def _comp_blocks(fh, fw, hs, vs, hmax, vmax):
     return bh, bw, ph, pw
 
 
+def _expand_axis(a: "np.ndarray", axis: int) -> "np.ndarray":
+    """Annex J.1.1.2 reference-doubling filter along one axis:
+    P(2i) = R(i), P(2i+1) = (R(i) + R(i+1) + 1) >> 1, with the last
+    odd output repeating R(n-1) (R(n) := R(n-1))."""
+    a = a.astype(np.int32)
+    n = a.shape[axis]
+    nxt = np.concatenate(
+        [a.take(range(1, n), axis=axis), a.take([n - 1], axis=axis)],
+        axis=axis,
+    )
+    odd = (a + nxt + 1) >> 1
+    out = np.stack([a, odd], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
 def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     """Decode a baseline OR progressive (huffman) JPEG/JFIF payload to
     a uint8 ndarray — (h, w) for single-component streams, (h, w, 3)
@@ -733,6 +754,46 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     lossless_prec: int | None = None  # SOF3 (Annex H via jpeg_lossless)
     cond_dc: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
     cond_ac: dict[int, int] = {}  # DAC: table -> Kx
+    # hierarchical (Annex J, round 10 — LOSSLESS pyramids only):
+    hier = None  # DHP: (fh, fw, comps, prec)
+    ref: dict[int, np.ndarray] = {}  # accumulated reference planes
+    exp_pending = (0, 0)  # EXP Eh/Ev awaiting the next differential SOF
+    frame_exp = (0, 0)  # the EXP captured by the CURRENT frame
+    differential = False  # current frame is SOF7/SOF15
+
+    def _fold_frame():
+        """Finish the just-decoded hierarchical frame: crop each
+        component plane to the frame's true dims, expand the reference
+        by the frame's captured EXP (J.1.1.2 doubling filter), and
+        either install (non-differential) or add modulo 65536
+        (differential, J lossless)."""
+        fh_f, fw_f, comps_f, _ = frame
+        hx = max(c[1] for c in comps_f)
+        vx = max(c[2] for c in comps_f)
+        for cid, hs, vs, _tq in comps_f:
+            rows = (fh_f * vs + vx - 1) // vx
+            cols = (fw_f * hs + hx - 1) // hx
+            if cid not in samples:
+                raise ValueError(f"hierarchical frame: component {cid} "
+                                 "never scanned")
+            plane = samples[cid][:rows, :cols].astype(np.int32)
+            if differential:
+                if cid not in ref:
+                    raise ValueError(
+                        "differential frame before a reference frame"
+                    )
+                base = ref[cid]
+                eh, ev = frame_exp
+                if eh:
+                    base = _expand_axis(base, axis=1)
+                if ev:
+                    base = _expand_axis(base, axis=0)
+                if base.shape[0] < rows or base.shape[1] < cols:
+                    raise ValueError("EXP reference smaller than frame")
+                ref[cid] = (base[:rows, :cols] + plane) & 0xFFFF
+            else:
+                ref[cid] = plane
+        samples.clear()
 
     while pos + 2 <= len(d):
         if d[pos] != 0xFF:
@@ -780,6 +841,8 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             frame = (fh, fw, comps, marker in (0xC2, 0xCA))
             arith = marker in (0xC9, 0xCA)
         elif marker == 0xCB:  # SOF11 — lossless arithmetic (Annex H)
+            if hier is not None and samples:
+                _fold_frame()
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if not 2 <= prec <= 16:
                 raise ValueError(f"bad lossless precision {prec}")
@@ -790,9 +853,13 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             frame = (fh, fw, comps, False)
             lossless_prec = prec
             arith = True
-        elif marker in (0xCD, 0xCE, 0xCF):
+            differential = False
+            frame_exp = exp_pending
+            exp_pending = (0, 0)
+        elif marker in (0xCD, 0xCE):
             raise NotImplementedError(
-                "differential (hierarchical-only) arithmetic JPEG frame type"
+                "differential DCT (hierarchical) arithmetic JPEG frame "
+                "type — hierarchical LOSSLESS pyramids decode"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             if len(body) % 2:
@@ -806,7 +873,18 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 else:
                     cond_ac[tb] = cs  # Kx
                 at += 2
+        elif marker == 0xDE:  # DHP — hierarchical progression (Annex J)
+            prec, fh_h, fw_h, nc = struct.unpack(">BHHB", body[:6])
+            comps_h = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps_h.append((cid, hv >> 4, hv & 0x0F, tq))
+            hier = (fh_h, fw_h, comps_h, prec)
+        elif marker == 0xDF:  # EXP — expand reference (B.3.3)
+            exp_pending = (body[0] >> 4, body[0] & 0x0F)
         elif marker == 0xC3:  # SOF3 — lossless huffman (Annex H)
+            if hier is not None and samples:
+                _fold_frame()
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if not 2 <= prec <= 16:  # H.1: lossless allows the full range
                 raise ValueError(f"bad lossless precision {prec}")
@@ -816,9 +894,34 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps, False)
             lossless_prec = prec
-        elif marker in (0xC5, 0xC6, 0xC7):
+            arith = False
+            differential = False
+            frame_exp = exp_pending
+            exp_pending = (0, 0)
+        elif marker in (0xC7, 0xCF):  # SOF7/SOF15 — differential lossless
+            if hier is None:
+                raise ValueError(
+                    "differential frame outside a hierarchical (DHP) stream"
+                )
+            if samples:
+                _fold_frame()
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps, False)
+            lossless_prec = prec
+            arith = marker == 0xCF
+            differential = True
+            frame_exp = exp_pending
+            exp_pending = (0, 0)
+        elif marker in (0xC5, 0xC6):
             raise NotImplementedError(
-                "differential (hierarchical-only) JPEG frame type"
+                "differential DCT (hierarchical) JPEG frame type — "
+                "hierarchical LOSSLESS pyramids decode"
             )
         elif marker == 0xC4:  # DHT — possibly several tables
             at = 0
@@ -850,7 +953,7 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 pos = decode_scan_lossless_arith(
                     d, pos + 2 + ln, frame, scan, cond_dc,
                     restart_interval, samples, (ss, se, ah, al),
-                    lossless_prec,
+                    lossless_prec, differential=differential,
                 )
             elif lossless_prec is not None:
                 from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
@@ -860,7 +963,7 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 pos = decode_scan_lossless(
                     d, pos + 2 + ln, frame, scan, huff,
                     restart_interval, samples, (ss, se, ah, al),
-                    lossless_prec,
+                    lossless_prec, differential=differential,
                 )
             elif arith:
                 from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
@@ -883,6 +986,34 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
     if frame is None:
         raise ValueError("no SOF segment found")
     fh, fw, comps, _prog = frame
+    if hier is not None:
+        # Annex-J assembly: fold the last frame, then emit the
+        # accumulated reference planes at the DHP canvas dims
+        if lossless_prec is None:
+            raise ValueError(
+                "hierarchical stream without lossless frames"
+            )
+        if not samples:
+            raise ValueError("no SOS segment found")
+        _fold_frame()
+        fh_h, fw_h, comps_h, prec_h = hier
+        hx = max(c[1] for c in comps_h)
+        vx = max(c[2] for c in comps_h)
+        dt = np.uint8 if prec_h <= 8 else np.uint16
+        planes = []
+        for cid, hs, vs, _tq in comps_h:
+            if cid not in ref:
+                raise ValueError(f"component {cid} never scanned")
+            plane = ref[cid]
+            ry, rx = vx // vs, hx // hs
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            planes.append(plane[:fh_h, :fw_h].astype(dt))
+        if len(planes) == 1:
+            return planes[0]
+        if len(planes) == 3:
+            return np.stack(planes, axis=2)
+        raise ValueError(f"unsupported component count {len(planes)}")
     if lossless_prec is not None:
         # Annex-H assembly: samples are spatial already — no IDCT, no
         # color transform (T.81 defines none for lossless; planes are

@@ -93,6 +93,8 @@ def _predict(arr, r: int, c: int, sel: int, default: int, a_r: int, a_c: int):
     the 1-D predictor Ra, later lines take Rb at the line start and
     the selected predictor elsewhere. ``>> 1`` in predictors 5-7 is
     the spec's arithmetic shift (floor division)."""
+    if sel == 0:  # differential frame (Annex J): no prediction
+        return 0
     if r == a_r:
         if c == a_c:
             return default
@@ -123,7 +125,7 @@ def _predict(arr, r: int, c: int, sel: int, default: int, a_r: int, a_c: int):
 
 
 def decode_scan_lossless(
-    d, pos, frame, scan, huff, restart_interval, samples, band, prec
+    d, pos, frame, scan, huff, restart_interval, samples, band, prec, differential=False
 ):
     """Decode one lossless scan's entropy data into per-component
     sample planes (``samples[cid]`` — int32, padded to MCU multiples;
@@ -134,7 +136,9 @@ def decode_scan_lossless(
     sel, se, ah, al = band  # Ss = predictor selector, Al = Pt (H.1)
     if se != 0 or ah != 0:
         raise ValueError("lossless scan must have Se=0 and Ah=0")
-    if not 1 <= sel <= 7:
+    if not (0 if differential else 1) <= sel <= 7 or (
+        sel == 0 and not differential
+    ):
         raise ValueError(f"bad lossless predictor selector {sel}")
     if al >= prec:
         raise ValueError("lossless point transform exceeds precision")
@@ -405,7 +409,7 @@ def _ll_classify(m: int, sign: int, L: int, U: int) -> int:
 
 
 def decode_scan_lossless_arith(
-    d, pos, frame, scan, cond_dc, restart_interval, samples, band, prec
+    d, pos, frame, scan, cond_dc, restart_interval, samples, band, prec, differential=False
 ):
     """Arithmetic lossless scan (SOF11): same MCU walk, prediction,
     and modulo-65536 reconstruction as decode_scan_lossless; the
@@ -420,7 +424,9 @@ def decode_scan_lossless_arith(
     sel, se, ah, al = band
     if se != 0 or ah != 0:
         raise ValueError("lossless scan must have Se=0 and Ah=0")
-    if not 1 <= sel <= 7:
+    if not (0 if differential else 1) <= sel <= 7 or (
+        sel == 0 and not differential
+    ):
         raise ValueError(f"bad lossless predictor selector {sel}")
     if al >= prec:
         raise ValueError("lossless point transform exceeds precision")
@@ -690,5 +696,197 @@ def _encode_lossless_arith(
     else:
         for k in range(nc):
             out += emit_scan([k])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# HIERARCHICAL lossless pyramids (Annex J, round 10): DHP + an initial
+# SOF3/SOF11 frame at the coarsest resolution + EXP-expanded
+# differential SOF7/SOF15 frames, each coding (target - expanded
+# reference) mod 65536 with NO prediction (Ss=0). Because every level
+# reconstructs exactly (lossless differences over a deterministic
+# J.1.1.2 doubling filter), the full-resolution output equals the
+# source bit-for-bit at every level count — the q340 oracle contract.
+# Differential DCT frames (SOF5/6/13/14) remain the one documented
+# raise: they are the lossy-pyramid variant with no mainstream
+# encoder or corpus presence.
+# ---------------------------------------------------------------------------
+
+
+def _huff_scan_entropy(planes, sel: int, default: int) -> bytes:
+    """Huffman entropy bytes for one lossless scan over all-1-sampling
+    planes (interleaved when >1) — the hierarchical encoder's frame
+    body (no Pt, no restarts; the single-frame encoder keeps those)."""
+    codes = _canonical_codes(LL_BITS)
+    code_of = {LL_VALS[i]: codes[i] for i in range(len(LL_VALS))}
+    wtr = _BitWriter()
+    h, w = planes[0].shape
+
+    def put(x_val: int, px: int) -> None:
+        diff = (x_val - px) & 0xFFFF
+        if diff > 32768:
+            diff -= 65536
+        if diff == 32768:
+            cd, ln = code_of[16]
+            wtr.put(cd, ln)
+            return
+        s_, bits = _encode_coef_bits(diff)
+        cd, ln = code_of[s_]
+        wtr.put(cd, ln)
+        if s_:
+            wtr.put(bits, s_)
+
+    for r in range(h):
+        for c in range(w):
+            for arr in planes:
+                put(int(arr[r, c]), _predict(arr, r, c, sel, default, 0, 0))
+    wtr.pad_to_byte()
+    return bytes(wtr.out)
+
+
+def _arith_scan_entropy(planes, sel: int, default: int) -> bytes:
+    """QM-arithmetic twin of _huff_scan_entropy (H.1.2.2 model,
+    default L/U conditioning)."""
+    from etl_everywhere_hub_spark.multimodal.jpeg_arith import (
+        ArithEncoder,
+        Stats,
+    )
+
+    enc = ArithEncoder()
+    st = Stats(LL_ARITH_BINS)
+    h, w = planes[0].shape
+    cats = [np.zeros((h, w), np.int8) for _ in planes]
+    L, U = 0, 1
+
+    def put(oi: int, r: int, c: int, x_val: int, px: int) -> None:
+        diff = (x_val - px) & 0xFFFF
+        if diff > 32768:
+            diff -= 65536
+        cat_a = int(cats[oi][r, c - 1]) if c > 0 else 0
+        cat_b = int(cats[oi][r - 1, c]) if r > 0 else 0
+        base = 4 * (5 * cat_a + cat_b)
+        if diff == 0:
+            enc.encode(st, base, 0)
+            cats[oi][r, c] = 0
+            return
+        enc.encode(st, base, 1)
+        sign = 1 if diff < 0 else 0
+        enc.encode(st, base + 1, sign)
+        v = -diff if sign else diff
+        sz = v - 1
+        tree_m = 0
+        if sz == 0:
+            enc.encode(st, base + 2 + sign, 0)
+        else:
+            enc.encode(st, base + 2 + sign, 1)
+            m = 1
+            x = _XB if cat_b >= 3 else _XA
+            while sz >= 2 * m:
+                enc.encode(st, x, 1)
+                m <<= 1
+                x += 1
+            enc.encode(st, x, 0)
+            tree_m = m
+            x += 14
+            mm = m
+            while mm >> 1:
+                mm >>= 1
+                enc.encode(st, x, 1 if (sz & mm) else 0)
+        cats[oi][r, c] = _ll_classify(tree_m, sign, L, U)
+
+    for r in range(h):
+        for c in range(w):
+            for oi, arr in enumerate(planes):
+                put(oi, r, c, int(arr[r, c]), _predict(arr, r, c, sel, default, 0, 0))
+    return enc.flush()
+
+
+def encode_jpeg_hierarchical(
+    img,
+    levels: int = 2,
+    predictor: int = 4,
+    arithmetic: bool = False,
+) -> bytes:
+    """Annex-J hierarchical LOSSLESS pyramid: ``levels`` differential
+    refinements above a decimated initial frame (levels=0 degenerates
+    to a DHP-wrapped single frame). Roundtrip contract:
+    decode(encode(img)) == img exactly at any level count."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        split = lambda x: [x]  # noqa: E731
+    elif a.ndim == 3 and a.shape[2] == 3:
+        split = lambda x: [x[:, :, k] for k in range(3)]  # noqa: E731
+    else:
+        raise ValueError(f"encode_jpeg_hierarchical: bad shape {a.shape}")
+    if a.size == 0:
+        raise ValueError("empty image")
+    if not 0 <= levels <= 8:
+        raise ValueError("levels must be in [0, 8]")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    precision = 8 if a.dtype == np.uint8 else 16
+    if int(a.max()) >> precision:
+        raise ValueError("sample out of range for precision")
+    h, w = a.shape[:2]
+    nc = len(split(a))
+
+    pyramid = [a]
+    for _ in range(levels):
+        prev = pyramid[-1]
+        if prev.shape[0] == 1 and prev.shape[1] == 1:
+            raise ValueError("too many levels for image size")
+        pyramid.append(prev[::2, ::2])
+
+    def comps_bytes() -> bytes:
+        return b"".join(bytes([k + 1, 0x11, 0]) for k in range(nc))
+
+    def sof(marker: int, fh: int, fw: int) -> bytes:
+        body = struct.pack(">BHHB", precision, fh, fw, nc) + comps_bytes()
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(sel: int) -> bytes:
+        body = bytes([nc])
+        for k in range(nc):
+            body += bytes([k + 1, 0x00])
+        body += bytes([sel, 0, 0])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    entropy = _arith_scan_entropy if arithmetic else _huff_scan_entropy
+    out = bytearray(b"\xff\xd8")
+    if not arithmetic:
+        dht = bytes([0x00] + LL_BITS + LL_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += bytes([0xFF, 0xDE]) + struct.pack(
+        ">H", 8 + 3 * nc
+    ) + struct.pack(">BHHB", precision, h, w, nc) + comps_bytes()
+
+    from etl_everywhere_hub_spark.multimodal.jpeg import _expand_axis
+
+    base = pyramid[-1]
+    bh, bw = base.shape[:2]
+    out += sof(0xCB if arithmetic else 0xC3, bh, bw)
+    out += sos(predictor)
+    recon = [p.astype(np.int32) for p in split(base)]
+    out += entropy(recon, predictor, 1 << (precision - 1))
+
+    for k in range(levels - 1, -1, -1):
+        target = pyramid[k]
+        th, tw = target.shape[:2]
+        out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
+        # horizontal then vertical — the rounding is NOT commutative
+        # across axes, and the decoder folds in this order
+        expanded = [
+            _expand_axis(_expand_axis(p, 1), 0)[:th, :tw] for p in recon
+        ]
+        tplanes = [p.astype(np.int32) for p in split(target)]
+        diffs = [
+            (t - e) & 0xFFFF for t, e in zip(tplanes, expanded)
+        ]
+        out += sof(0xCF if arithmetic else 0xC7, th, tw)
+        out += sos(0)
+        out += entropy(diffs, 0, 0)
+        recon = tplanes  # exact reconstruction at every level
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -23023,3 +23023,109 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canvas_sum0 long, canvas_sum1 long, canvas_sum2 long, "
         "first_px long, last_f2_px long",
     )
+
+
+@query(
+    "q340_jpeg_hierarchical_decode",
+    """
+    WITH px AS (
+        SELECT doc_id, r.r AS r, c.c AS c,
+               ascii(substr(text,
+                     (((r.r + c.c) % 16) % length(text)) + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN range(16) AS r(r)
+        CROSS JOIN range(16) AS c(c)
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 16 AS h, 16 AS w,
+           CAST(doc_id % 3 AS INT) AS levels,
+           CAST(doc_id % 2 AS INT) AS arith,
+           CAST(SUM((v + r) % 256) AS BIGINT) AS pix_sum,
+           CAST(SUM((r * 16 + c + 1) * ((v + r) % 256)) AS BIGINT) AS wsum,
+           CAST(MIN(CASE WHEN r = 0 AND c = 0 THEN v END) AS BIGINT)
+               AS first_px,
+           CAST(MIN(CASE WHEN r = 15 AND c = 15 THEN (v + 15) % 256 END)
+               AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL lossless JPEG (Annex J) decode under oracle (round
+    10) — the pyramid form that completes the JPEG decode matrix:
+    DHP canvas declaration, an initial SOF3/SOF11 frame at decimated
+    resolution, then EXP reference-doubling (the J.1.1.2 filter,
+    horizontal-then-vertical — the rounding is axis-order-sensitive
+    and pinned by test) and differential SOF7/SOF15 frames coding
+    (target - expanded reference) mod 65536 with no prediction (Ss=0).
+    Every differential level is an exact lossless correction, so the
+    full-resolution decode equals the source bit-for-bit at ANY level
+    count and the oracle recomputes source statistics with integer
+    SQL. Level count cycles 0-2 per document (0 = DHP-wrapped single
+    frame) and the entropy layer alternates huffman/QM-arithmetic, so
+    the frame-fold state machine, EXP capture ordering, and both
+    differential scan decoders are all load-bearing for the hash.
+
+    Scale shape: identical to the other codec queries —
+    embarrassingly-parallel mapInPandas, codec worker-side."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_hierarchical,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        rr = np.arange(16)
+        widx = (rr[:, None] * 16 + rr[None, :] + 1).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                v = np.frombuffer((buf * reps)[:16], np.uint8).astype(np.int64)
+                img = (
+                    (v[(rr[:, None] + rr[None, :]) % 16] + rr[:, None]) % 256
+                ).astype(np.uint8)
+                jpg = encode_jpeg_hierarchical(
+                    img,
+                    levels=mid % 3,
+                    predictor=1 + mid % 7,
+                    arithmetic=bool(mid % 2),
+                )
+                assert jpg[:2] == b"\xff\xd8" and b"\xff\xde" in jpg
+                dec = decode_image(jpg)
+                assert dec.dtype == np.uint8 and dec.shape == (16, 16)
+                assert (dec == img).all(), "hierarchical roundtrip broken"
+                d = dec.astype(np.int64)
+                rows.append(
+                    (
+                        mid, 16, 16, mid % 3, mid % 2,
+                        int(d.sum()),
+                        int((widx * d).sum()),
+                        int(d[0, 0]),
+                        int(d[15, 15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "levels", "arith",
+                    "pix_sum", "wsum", "first_px", "last_px",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, levels int, arith int, "
+        "pix_sum long, wsum long, first_px long, last_px long",
+    )

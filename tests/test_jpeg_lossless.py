@@ -237,11 +237,15 @@ def test_malformed_streams_raise():
     bad = jpg[: end - 2] + b"\x07" + jpg[end - 1 :]
     with pytest.raises(ValueError):
         decode_jpeg_baseline(bad)
-    # differential frame types still raise NotImplementedError
-    for m in (0xC5, 0xC6, 0xC7):
+    # differential DCT frames raise NotImplementedError; a
+    # differential LOSSLESS frame outside a DHP stream fails loudly
+    for m in (0xC5, 0xC6):
         k = jpg.index(b"\xff\xc3")
         with pytest.raises(NotImplementedError):
             decode_jpeg_baseline(jpg[:k] + bytes([0xFF, m]) + jpg[k + 2 :])
+    k = jpg.index(b"\xff\xc3")
+    with pytest.raises(ValueError, match="hierarchical"):
+        decode_jpeg_baseline(jpg[:k] + bytes([0xFF, 0xC7]) + jpg[k + 2 :])
 
 
 def test_huffspec_is_kraft_valid():
@@ -351,9 +355,110 @@ def test_arith_adapts_on_smooth_content():
 def test_arith_validation():
     with pytest.raises(ValueError, match="arithmetic"):
         encode_jpeg_lossless(np.zeros((2, 2), np.uint8), dc_cond=(0, 1))
-    # differential arithmetic frame types still raise
+    # differential arithmetic DCT frames still raise; differential
+    # arithmetic LOSSLESS outside a DHP stream fails loudly
     jpg = encode_jpeg_lossless(_img(1, 4, 4), arithmetic=True)
     k = jpg.index(b"\xff\xcb")
-    for m in (0xCD, 0xCE, 0xCF):
+    for m in (0xCD, 0xCE):
         with pytest.raises(NotImplementedError):
+            decode_jpeg_baseline(jpg[:k] + bytes([0xFF, m]) + jpg[k + 2 :])
+    with pytest.raises(ValueError, match="hierarchical"):
+        decode_jpeg_baseline(jpg[:k] + bytes([0xFF, 0xCF]) + jpg[k + 2 :])
+
+
+# --------------------------------------------- hierarchical (Annex J)
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    h=st.integers(2, 33),
+    w=st.integers(2, 33),
+    levels=st.integers(0, 3),
+    pred=st.integers(1, 7),
+    arith=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_hierarchical_roundtrip_exact(seed, h, w, levels, pred, arith):
+    """DHP + initial frame + EXP-expanded differential frames: the
+    pyramid reconstructs the source EXACTLY at every level count,
+    with either entropy layer, because every differential frame is a
+    lossless modulo-65536 correction over the deterministic J.1.1.2
+    doubling filter."""
+    from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_hierarchical,
+    )
+
+    img = _img(seed, h, w)
+    try:
+        jpg = encode_jpeg_hierarchical(
+            img, levels=levels, predictor=pred, arithmetic=arith
+        )
+    except ValueError as e:
+        assert "too many levels" in str(e)
+        return
+    assert b"\xff\xde" in jpg  # DHP
+    assert (b"\xff\xc7" in jpg or b"\xff\xcf" in jpg) == (levels > 0)
+    dec = decode_jpeg_baseline(jpg)
+    assert dec.shape == (h, w) and np.array_equal(dec, img)
+
+
+def test_hierarchical_rgb_and_16bit():
+    from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_hierarchical,
+    )
+
+    rgb = _img(5, 19, 23, ch=3)
+    for ar in (False, True):
+        dec = decode_jpeg_baseline(
+            encode_jpeg_hierarchical(rgb, levels=2, arithmetic=ar)
+        )
+        assert np.array_equal(dec, rgb), ar
+    img16 = _img(6, 14, 11, hi=65536)
+    dec = decode_jpeg_baseline(
+        encode_jpeg_hierarchical(img16, levels=2, arithmetic=True)
+    )
+    assert dec.dtype == np.uint16 and np.array_equal(dec, img16)
+
+
+def test_hierarchical_expand_filter_order():
+    """The J.1.1.2 doubling is NOT commutative across axes (rounding);
+    both sides apply horizontal-then-vertical. A checker image that
+    rounds differently per order pins the convention."""
+    from etl_everywhere_hub_spark.multimodal.jpeg import _expand_axis
+
+    a = np.array(
+        [[130, 69, 78], [10, 19, 4], [44, 208, 166], [233, 128, 155]],
+        np.int32,
+    )
+    hv = _expand_axis(_expand_axis(a, 1), 0)
+    vh = _expand_axis(_expand_axis(a, 0), 1)
+    assert not np.array_equal(hv, vh)  # the pin is meaningful
+    from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_hierarchical,
+    )
+
+    img = ((np.arange(9)[:, None] * 3 + np.arange(11)[None, :] * 7) % 256
+           ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_baseline(encode_jpeg_hierarchical(img, levels=2)), img
+    )
+
+
+def test_hierarchical_errors():
+    from etl_everywhere_hub_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_hierarchical,
+    )
+
+    with pytest.raises(ValueError, match="levels"):
+        encode_jpeg_hierarchical(np.zeros((4, 4), np.uint8), levels=9)
+    jpg = encode_jpeg_hierarchical(_img(1, 8, 8), levels=1)
+    # a differential frame without DHP must fail loudly: strip DHP
+    i = jpg.index(b"\xff\xde")
+    ln = struct.unpack(">H", jpg[i + 2 : i + 4])[0]
+    with pytest.raises(ValueError, match="hierarchical"):
+        decode_jpeg_baseline(jpg[:i] + jpg[i + 2 + ln :])
+    # differential DCT frames still raise
+    for m in (0xC5, 0xC6, 0xCD, 0xCE):
+        k = jpg.index(b"\xff\xc3")
+        with pytest.raises(NotImplementedError, match="differential DCT"):
             decode_jpeg_baseline(jpg[:k] + bytes([0xFF, m]) + jpg[k + 2 :])
