@@ -76,7 +76,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     progressive SOFA in round 10; LOSSLESS spatial DPCM — huffman
     SOF3 and QM-arithmetic SOF11 — with all seven Annex-H predictors
     and 2..16-bit precision via multimodal/jpeg_lossless.py, round
-    10) — returning a uint8
+    10; HIERARCHICAL Annex-J lossless pyramids — DHP/EXP +
+    differential SOF7/SOF15 frames — later round 10) — returning a
+    uint8
     (uint16 for 16-bit sources) ndarray of shape (h, w) for grayscale
     or (h, w, 3) for RGB. WebP decode covers the full container
     matrix: the LOSSLESS VP8L form (multimodal/webp.py, round 8), the
@@ -88,9 +90,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     first frame in the RGB schema; frame-sampling pipelines call
     decode_webp_frames for all of them. Exercised on real pixel bytes
     under oracle by q231 (PPM), q329 (PNG through every filter type),
-    q331/q334/q336/q337 (JPEG huffman / arithmetic /
-    progressive-arithmetic / lossless), q333 (VP8L), q335 (lossy
-    VP8), q338 (VP8X still + alpha), and q339 (animation
+    q331/q334/q336/q337/q340 (JPEG huffman / arithmetic /
+    progressive-arithmetic / lossless / hierarchical), q333 (VP8L),
+    q335 (lossy VP8), q338 (VP8X still + alpha), and q339 (animation
     compositing)."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
