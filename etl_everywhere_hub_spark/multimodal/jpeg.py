@@ -1008,7 +1008,16 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             ry, rx = vx // vs, hx // hs
             if ry > 1 or rx > 1:
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-            planes.append(plane[:fh_h, :fw_h].astype(dt))
+            crop = plane[:fh_h, :fw_h]
+            # DPCM only masks mod 65536 — validate against the declared
+            # precision so a corrupt 8-bit stream raises instead of
+            # silently wrapping through the uint8 cast (ADVICE r10).
+            if crop.size and int(crop.max()) > (1 << prec_h) - 1:
+                raise ValueError(
+                    f"component {cid} sample {int(crop.max())} exceeds "
+                    f"{prec_h}-bit precision"
+                )
+            planes.append(crop.astype(dt))
         if len(planes) == 1:
             return planes[0]
         if len(planes) == 3:
@@ -1032,7 +1041,14 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
             ry, rx = vmax // vs, hmax // hs
             if ry > 1 or rx > 1:  # box-replicate subsampled components
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-            planes.append(plane[:fh, :fw].astype(dt))
+            crop = plane[:fh, :fw]
+            # same precision guard as the hierarchical branch above
+            if crop.size and int(crop.max()) > (1 << lossless_prec) - 1:
+                raise ValueError(
+                    f"component {cid} sample {int(crop.max())} exceeds "
+                    f"{lossless_prec}-bit precision"
+                )
+            planes.append(crop.astype(dt))
         if len(planes) == 1:
             return planes[0]
         if len(planes) == 3:

@@ -21900,8 +21900,10 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate + unfilter path in multimodal._decode_png and checksummed
     per image. The oracle reproduces the tiling with pure character
     arithmetic (identical to q231's — filtering/compression must be
-    exactly invertible or the hash diverges). Closes VERDICT r5 #3:
-    NotImplementedError is now narrowed to JPEG/WebP/interlaced.
+    exactly invertible or the hash diverges). Closed VERDICT r5 #3 at
+    the time by narrowing the raise set; rounds 6-10 since closed
+    JPEG (all frame types), WebP (VP8L/VP8/VP8X) and Adam7 interlace
+    too — see decode_image's codec inventory for the current set.
 
     Scale shape: identical to q231 — embarrassingly-parallel
     mapInPandas, codec runs worker-side per Arrow batch; the driver
@@ -22638,7 +22640,7 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM((r * 16 + c + 1)
                     * CAST(floor(((v + r * c) % 256) / ptd) AS BIGINT) * ptd)
                 AS BIGINT) AS wsum8,
-           CAST(SUM(v * 257 + r * 31) AS BIGINT) AS pix_sum16,
+           CAST(SUM((v * 257 + r * 31) % 65536) AS BIGINT) AS pix_sum16,
            CAST(SUM(((v + r * c) % 256) + ((v + r * c + 37) % 256)
                     + ((v + r * c + 74) % 256)) AS BIGINT) AS rgb_sum,
            CAST(MIN(CASE WHEN r = 0 AND c = 0

@@ -13,9 +13,11 @@ rejection, same policy as bench.py).
     SPARK_GRAFT_CPUS=32 PYTHONPATH=. python tools/bench_pair.py
       [--sf /root/testdata/sf0.1] [--only q37,q41,...]
 
-``--only`` restricts to a comma-separated prefix list (e.g.
-``--only q37,q39,q41,q116,q136,q156`` for the data-term six at
-sf≥1 scaling points — VERDICT r9 item #5).
+``--only`` restricts to a comma-separated query-id list, matched
+against the EXACT query-number prefix (the token before the first
+``_`` in the registry name), so ``--only q34`` selects q34 only —
+never q340 (ADVICE r10). E.g. ``--only q37,q39,q41,q116,q136,q156``
+for the data-term six at sf≥1 scaling points — VERDICT r9 item #5.
 
 Prints a per-query table plus ONE JSON line:
 {"spark_total", "duckdb_total", "ratio", "queries": {name:
@@ -74,7 +76,7 @@ def main() -> None:
 
     rows = []
     for name, q in sorted(headline_queries().items()):
-        if only is not None and not name.startswith(only):
+        if only is not None and name.split("_")[0] not in only:
             continue
         s_best = float("inf")
         for _ in range(2):

@@ -10,6 +10,7 @@ match/mismatch. Usage:
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 
@@ -88,8 +89,18 @@ def main() -> int:
     ]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # selection: an arg that looks like a query id (q\d+) matches that
+    # exact id only (so "q34" never selects q340 — ADVICE r10); any
+    # other arg is a substring match over the registry name.
+    def _selects(n: str, a: str) -> bool:
+        if re.fullmatch(r"q\d+", a):
+            return n.split("_")[0] == a
+        return a in n
+
     selected = {
-        n: q for n, q in REGISTRY.items() if not args or any(a in n for a in args)
+        n: q
+        for n, q in REGISTRY.items()
+        if not args or any(_selects(n, a) for a in args)
     }
     n_pass = n_fail = n_skip = 0
     results: dict[str, dict] = {}
