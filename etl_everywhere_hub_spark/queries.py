@@ -6610,13 +6610,15 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     three iterations bit-exact against the oracle's unrolled CTEs;
     both engines compute identical floor divisions (non-negative
     operands). Per iteration the plan is join + groupBy + left join —
-    bounded, AQE-sized shuffles. The out-degree join is folded into
-    edge prep once (iteration-invariant) and, because the iteration
-    count is small and FIXED, intermediate lineage truncation is off
-    (checkpoint_every=0): three rounds of joins is a shallow plan,
-    Spark reuses the materialized edge exchange across rounds, and
-    each eager checkpoint would be a blocking job of pure scheduling
-    floor (VERDICT r7 item #2 — measured 1.2 s -> 0.8 s at sf0.1)."""
+    bounded, AQE-sized shuffles. Out-degree is iteration-invariant and
+    folded into edge prep once as a COUNT window keyed on src (one
+    exchange, no prep join — round 11), lazily checkpointed so the
+    materialization rides the first iteration's job; because the
+    iteration count is small and FIXED, intermediate lineage
+    truncation is off (checkpoint_every=0): three rounds of joins is
+    a shallow plan and each eager checkpoint would be a blocking job
+    of pure scheduling floor (VERDICT r7 item #2 measured
+    1.2 s -> 0.8 s; the round-11 window+lazy prep -> 0.63 s)."""
     from etl_everywhere_hub_spark.operators.graph import pagerank_exact
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -8116,15 +8118,19 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
        same or adjacent cells. Centroids are compared via their exact
        integer coordinate SUMS (cell scaled by 8) so no float rounding
        can misplace a boundary centroid;
-    3. one side explodes to its 3x3 cell neighborhood (the q127
-       pattern, queries.py:q127) and the pair join is an EQUI join on
-       the cell key — shuffle parallelism scales with the number of
-       occupied cells, never capped at the 8 sample indexes like the
-       oracle twin's join, and cost is O(n * cell density), not O(n^2);
+    3. one side explodes to its 5-cell HALF neighborhood (the q127
+       round-10/11 plane-sweep halving: {self, E, NE, N, NW}) and the
+       pair join is an EQUI join on the cell key — shuffle parallelism
+       scales with the number of occupied cells, never capped at the 8
+       sample indexes like the oracle twin's join, and cost is
+       O(n * cell density), not O(n^2). A cross-cell r-close pair's
+       cells differ by at most 1 per axis and exactly one displacement
+       direction lies in the half set, so it matches ONCE; same-cell
+       pairs match twice and the user_a < user_b filter keeps one;
+       least/greatest re-orients the output so results are
+       bit-identical to the 3x3 form (d2 is symmetric);
     4. exact L2^2 over the 8-point signatures (zip_with/aggregate,
-       all codegen) filters collision pairs to true neighbors. Each
-       qualifying pair is found exactly once (the unexploded side
-       owns one cell; user_a < user_b orients the pair).
+       all codegen) filters collision pairs to true neighbors.
 
     At 100 TB the signature shuffle is the only full-data pass;
     candidate volume is bounded by spatial density exactly like the
@@ -8161,15 +8167,19 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan + window resample + signature groupBy runs twice (measured
     # 3.0 s -> 1.1-1.8 s warm at sf0.1; at 100 TB it halves the only
     # full-data pass)
+    half = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
+    ])
     neighborhood = (
-        sig.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        sig.select("user_id", "xs", "ys", "gx", "gy", F.explode(half).alias("d"))
         .select(
             F.col("user_id").alias("user_a"),
             F.col("xs").alias("xs_a"),
             F.col("ys").alias("ys_a"),
-            (F.col("gx") + F.col("dx")).alias("jx"),
-            (F.col("gy") + F.col("dy")).alias("jy"),
+            (F.col("gx") + F.col("d.dx")).alias("jx"),
+            (F.col("gy") + F.col("d.dy")).alias("jy"),
+            ((F.col("d.dx") == 0) & (F.col("d.dy") == 0)).alias("same_cell"),
         )
     )
     anchors = sig.select(
@@ -8189,12 +8199,19 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    keep = F.when(
+        F.col("same_cell"), F.col("user_a") < F.col("user_b")
+    ).otherwise(F.col("user_a") != F.col("user_b"))
     return (
         neighborhood.join(anchors, ["jx", "jy"])
-        .filter(F.col("user_a") < F.col("user_b"))
+        .filter(keep)
         .withColumn("d2_micro", d2)
         .filter(F.col("d2_micro") <= F.lit(D2))
-        .select("user_a", "user_b", "d2_micro")
+        .select(
+            F.least("user_a", "user_b").alias("user_a"),
+            F.greatest("user_a", "user_b").alias("user_b"),
+            "d2_micro",
+        )
     )
 
 

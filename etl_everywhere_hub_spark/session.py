@@ -47,6 +47,21 @@ _RUNTIME_CONFS = {
     # Arrow for pandas UDF / toPandas boundaries (the only sanctioned
     # Python touchpoints).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Skip Catalyst's constraint inference (round 11). The pass is
+    # O(expressions^2) per plan node and dominates DRIVER time on deep
+    # plans (measured at sf0.1: q139's 3-iteration join chain plans in
+    # 0.57 s vs 2.17 s with it on; q105 0.09 s vs 0.55 s; end-to-end
+    # exec mins −10-20% across the headline set). What it buys —
+    # inferred IS NOT NULL / transitively-copied predicates on join
+    # inputs — is redundant for this engine's surface: every registry
+    # query states its scan-side filters explicitly (the oracle
+    # contract forces explicit null semantics), so the inferred
+    # duplicates only cost planning time. Inner-join null-key rows
+    # never match regardless, so results are identical; this is the
+    # standard production knob for wide/iterative plans. A cluster
+    # deployment that relies on inferred cross-side pushdown can
+    # re-enable per-session.
+    "spark.sql.constraintPropagation.enabled": "false",
 }
 
 
