@@ -77,7 +77,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
     SOF3 and QM-arithmetic SOF11 — with all seven Annex-H predictors
     and 2..16-bit precision via multimodal/jpeg_lossless.py, round
     10; HIERARCHICAL Annex-J lossless pyramids — DHP/EXP +
-    differential SOF7/SOF15 frames — later round 10) — returning a
+    differential SOF7/SOF15 frames — later round 10), GIF 87a/89a
+    (LZW, interlace, animation compositing with all disposal methods
+    — multimodal/gif.py, round 11) and baseline TIFF (both byte
+    orders, strips, none/PackBits/LZW-with-early-change, horizontal
+    predictor, gray8/gray16/RGB/palette, WhiteIsZero —
+    multimodal/tiff.py, round 11) — returning a
     uint8
     (uint16 for 16-bit sources) ndarray of shape (h, w) for grayscale
     or (h, w, 3) for RGB. WebP decode covers the full container
@@ -110,10 +115,19 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from etl_everywhere_hub_spark.multimodal.webp import decode_vp8l
 
         return decode_vp8l(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from etl_everywhere_hub_spark.multimodal.gif import decode_gif
+
+        return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from etl_everywhere_hub_spark.multimodal.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "unrecognized image container; PPM/PGM/BMP/PNG/JPEG "
-        "(huffman/arithmetic/lossless) and WebP (VP8L/VP8/VP8X) "
-        "decode natively"
+        "(huffman/arithmetic/lossless), WebP (VP8L/VP8/VP8X), GIF "
+        "(87a/89a, LZW/interlace/animation) and baseline TIFF "
+        "(none/PackBits/LZW, both endians) decode natively"
     )
 
 

@@ -23148,3 +23148,328 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, h int, w int, levels int, arith int, "
         "pix_sum long, wsum long, first_px long, last_px long",
     )
+
+
+@query(
+    "q341_gif_decode_animation",
+    """
+    WITH px AS (
+        SELECT doc_id, r.r AS r, c.c AS c,
+               ascii(substr(text, (c.c % length(text)) + 1, 1)) AS v,
+               ascii(substr(text, 1, 1)) AS v0,
+               ascii(substr(text, (1 % length(text)) + 1, 1)) AS v1,
+               CAST(1 + doc_id % 3 AS BIGINT) AS d1,
+               CAST(1 + (doc_id + 1) % 3 AS BIGINT) AS d2,
+               CAST(doc_id % 8 AS BIGINT) AS fl,
+               CAST((doc_id * 3) % 8 AS BIGINT) AS ft,
+               ascii(substr(text,
+                   (((c.c - doc_id % 8) % length(text))
+                    + length(text)) % length(text) + 1, 1)) AS v2i,
+               ascii(substr(text,
+                   (((c.c - 10) % length(text))
+                    + length(text)) % length(text) + 1, 1)) AS v3i
+        FROM documents
+        CROSS JOIN range(16) AS r(r)
+        CROSS JOIN range(16) AS c(c)
+        WHERE length(text) > 0
+    ), comp AS (
+        SELECT doc_id, r, c, v, v1,
+               (v + r) % 256 AS base,
+               CASE WHEN d1 = 1 THEN (v + r) % 256 ELSE v0 END AS under2,
+               (r BETWEEN ft AND ft + 7 AND c BETWEEN fl AND fl + 7)
+                   AS in2,
+               (v2i + 5 * (r - ft)) % 256 AS p2,
+               (r BETWEEN 2 AND 5 AND c BETWEEN 10 AND 13) AS in3,
+               (v3i + 7 * (r - 2)) % 256 AS p3,
+               v0, d2
+        FROM px
+    ), canv AS (
+        SELECT doc_id, r, c,
+               (v + r * c) % 256 AS still,
+               CASE WHEN in2 THEN p2 ELSE under2 END AS c2,
+               CASE WHEN in3 AND (p3 <> v1)
+                    THEN p3
+                    ELSE CASE WHEN in2
+                              THEN CASE WHEN d2 = 1 THEN p2
+                                        WHEN d2 = 2 THEN v0
+                                        ELSE under2 END
+                              ELSE under2 END
+               END AS c3
+        FROM comp
+    )
+    SELECT doc_id AS media_id, 3 AS n_frames,
+           CAST(SUM(still) AS BIGINT) AS still_sum,
+           CAST(SUM((r * 16 + c + 1) * still) AS BIGINT) AS still_w,
+           CAST(SUM(c2) AS BIGINT) AS c2_sum,
+           CAST(SUM(c3) AS BIGINT) AS c3_sum,
+           CAST(SUM((r * 16 + c + 1) * c3) AS BIGINT) AS c3_w,
+           CAST(MIN(CASE WHEN r = 15 AND c = 15 THEN c3 END)
+                AS BIGINT) AS c3_last
+    FROM canv GROUP BY doc_id
+    """,
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode under oracle (round 11, VERDICT r10 item #2) — the
+    most common animated raster format in real crawls, previously
+    raising in decode_image. Two streams per document, both decoded
+    by the dependency-free multimodal/gif.py (CompuServe GIF87a/89a
+    spec):
+
+      - a STILL 16x16 grayscale GIF87a, px[r,c] = (v[c] + r*c) % 256
+        (256-gray implicit palette is lossless for 8-bit gray),
+        interlaced for odd doc_ids — the 4-pass row schedule must
+        de-interlace exactly or still_w diverges;
+      - a 3-frame GIF89a ANIMATION on a 16x16 screen (global 256-gray
+        palette, background index v[0]): full-screen base frame
+        (interlaced for even doc_ids) with disposal 1 + doc_id % 3,
+        an 8x8 patch at (doc_id % 8, (3*doc_id) % 8) with disposal
+        1 + (doc_id+1) % 3, and a 4x4 patch at (10, 2) carrying a
+        TRANSPARENT index v[1]. The oracle recomputes the composited
+        SECOND and THIRD canvases with pure CASE arithmetic — all
+        three disposal methods (keep / restore-background /
+        restore-previous), placement rectangles, transparency
+        skipping, LZW decompression and both interlace phases are
+        load-bearing for the hash match.
+
+    Scale shape: identical to q331/q337 — embarrassingly-parallel
+    mapInPandas, codec worker-side per Arrow batch, no shuffle beyond
+    the small-fixture spread_for_codec guard."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.gif import (
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        from etl_everywhere_hub_spark.multimodal import decode_image
+
+        rr = np.arange(16)
+        rc = np.outer(rr, rr)
+        widx = (rr[:, None] * 16 + rr[None, :] + 1).astype(np.int64)
+        gray_pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                v = np.frombuffer((buf * reps)[:16], np.uint8).astype(np.int64)
+                # still (dispatched through decode_image: container
+                # sniffing is part of the contract)
+                still = ((v[None, :] + rc) % 256).astype(np.uint8)
+                dec = decode_image(encode_gif(still, interlace=bool(mid % 2)))
+                assert dec.shape == (16, 16, 3)
+                assert (dec == dec[:, :, :1]).all(), "gray channels differ"
+                s = dec[:, :, 0].astype(np.int64)
+                # animation
+                base = ((v[None, :] + rr[:, None]) % 256).astype(np.uint8)
+                fl, ft = mid % 8, (mid * 3) % 8
+                p2 = (
+                    (v[None, :8] + 5 * rr[:8, None]) % 256
+                ).astype(np.uint8)
+                p3 = (
+                    (v[None, :4] + 7 * rr[:4, None]) % 256
+                ).astype(np.uint8)
+                gif = encode_gif_animation(
+                    (16, 16),
+                    [
+                        {"indexes": base, "disposal": 1 + mid % 3,
+                         "interlace": mid % 2 == 0},
+                        {"indexes": p2, "left": fl, "top": ft,
+                         "disposal": 1 + (mid + 1) % 3},
+                        {"indexes": p3, "left": 10, "top": 2,
+                         "transparent": int(v[1])},
+                    ],
+                    global_palette=gray_pal,
+                    background_index=int(v[0]),
+                )
+                frames = decode_gif_frames(gif)
+                assert len(frames) == 3
+                for fcanvas in frames:
+                    assert (fcanvas == fcanvas[:, :, :1]).all()
+                c2 = frames[1][:, :, 0].astype(np.int64)
+                c3 = frames[2][:, :, 0].astype(np.int64)
+                rows.append(
+                    (
+                        mid, 3,
+                        int(s.sum()), int((widx * s).sum()),
+                        int(c2.sum()), int(c3.sum()),
+                        int((widx * c3).sum()), int(c3[15, 15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "still_sum", "still_w",
+                    "c2_sum", "c3_sum", "c3_w", "c3_last",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, n_frames int, still_sum long, still_w long, "
+        "c2_sum long, c3_sum long, c3_w long, c3_last long",
+    )
+
+
+@query(
+    "q342_tiff_decode",
+    """
+    WITH px AS (
+        SELECT doc_id, r.r AS r, c.c AS c,
+               ascii(substr(text, (c.c % length(text)) + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN range(16) AS r(r)
+        CROSS JOIN range(16) AS c(c)
+        WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id, 16 AS h, 16 AS w,
+           CAST(doc_id % 3 AS INT) AS comp_cycle,
+           CAST(SUM((v + r * c) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((r * 16 + c + 1) * ((v + r * c) % 256))
+                AS BIGINT) AS g_w,
+           CAST(SUM((v * 257 + r * 31) % 65536) AS BIGINT) AS g16_sum,
+           CAST(SUM(((v + r * c) % 256) + ((v + r * c + 37) % 256)
+                    + ((v + r * c + 74) % 256)) AS BIGINT) AS rgb_sum,
+           CAST(SUM((((v + r) % 64) * 5) % 256
+                    + (((v + r) % 64) * 11) % 256
+                    + (((v + r) % 64) * 17) % 256)
+                AS BIGINT) AS pal_sum,
+           CAST(MIN(CASE WHEN r = 15 AND c = 15
+                    THEN (v + 225) % 256 END) AS BIGINT) AS g_last
+    FROM px GROUP BY doc_id
+    """,
+)
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode under oracle (round 11, VERDICT r10 item
+    #2) — four rasters per document through the dependency-free
+    multimodal/tiff.py (TIFF 6.0 spec), cycling every container axis:
+
+      - gray8  (v[c] + r*c) % 256: compression cycles none/PackBits/
+        LZW by doc_id % 3, byte order II/MM by doc_id % 2, horizontal
+        Predictor 2 for even doc_ids, RowsPerStrip 1 + doc_id % 5
+        (multi-strip reassembly), and WhiteIsZero photometric for
+        doc_id % 4 == 1 (the raster is inverted on disk and must
+        invert back);
+      - gray16 (v[c]*257 + r*31) % 65536 (uint16 strips in the
+        OPPOSITE byte order, LZW/PackBits alternating, its own
+        predictor phase);
+      - RGB    plane k = (v[c] + r*c + 37k) % 256, PackBits +
+        Predictor 2 (per-channel differencing);
+      - PALETTE idx = (v[c] + r) % 64 with ColorMap entry i =
+        (5i, 11i, 17i) mod 256 stored as 16-bit c*257 values — the
+        >>8 expansion must invert exactly.
+
+    All sums are over DECODED arrays, so IFD walk (inline + offset
+    values, both endiannesses), strip assembly, both compressions,
+    the TIFF-LZW early-change rule, predictor undo, photometric
+    inversion and palette expansion are load-bearing for the hash.
+
+    Scale shape: identical to q331/q337/q341 — embarrassingly-parallel
+    mapInPandas, codec worker-side per Arrow batch, no shuffle beyond
+    the small-fixture spread_for_codec guard."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.tiff import encode_tiff
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        from etl_everywhere_hub_spark.multimodal import decode_image
+
+        rr = np.arange(16)
+        rc = np.outer(rr, rr)
+        widx = (rr[:, None] * 16 + rr[None, :] + 1).astype(np.int64)
+        pal = np.stack(
+            [
+                (np.arange(64) * 5) % 256,
+                (np.arange(64) * 11) % 256,
+                (np.arange(64) * 17) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                v = np.frombuffer((buf * reps)[:16], np.uint8).astype(np.int64)
+                comp = ["none", "packbits", "lzw"][mid % 3]
+                endian = "<" if mid % 2 == 0 else ">"
+                other = ">" if endian == "<" else "<"
+                g8 = ((v[None, :] + rc) % 256).astype(np.uint8)
+                dec8 = decode_image(
+                    encode_tiff(
+                        g8, comp, endian,
+                        rows_per_strip=1 + mid % 5,
+                        predictor=mid % 2 == 0,
+                        white_is_zero=mid % 4 == 1,
+                    )
+                )
+                assert dec8.dtype == np.uint8 and (dec8 == g8).all()
+                g16 = ((v[None, :] * 257 + (rr * 31)[:, None]) % 65536).astype(
+                    np.uint16
+                )
+                dec16 = decode_image(
+                    encode_tiff(
+                        g16, "lzw" if mid % 2 else "packbits", other,
+                        rows_per_strip=3, predictor=mid % 2 == 1,
+                    )
+                )
+                assert dec16.dtype == np.uint16 and (dec16 == g16).all()
+                rgb = np.stack(
+                    [(v[None, :] + rc + 37 * k) % 256 for k in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                decc = decode_image(
+                    encode_tiff(rgb, "packbits", endian, predictor=True)
+                )
+                assert (decc == rgb).all()
+                idx = ((v[None, :] + rr[:, None]) % 64).astype(np.uint8)
+                decp = decode_image(
+                    encode_tiff(idx, comp, endian, palette=pal)
+                )
+                assert (decp == pal[idx]).all()
+                rows.append(
+                    (
+                        mid, 16, 16, mid % 3,
+                        int(dec8.astype(np.int64).sum()),
+                        int((widx * dec8.astype(np.int64)).sum()),
+                        int(dec16.astype(np.int64).sum()),
+                        int(decc.astype(np.int64).sum()),
+                        int(decp.astype(np.int64).sum()),
+                        int(dec8[15, 15]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "h", "w", "comp_cycle", "g_sum", "g_w",
+                    "g16_sum", "rgb_sum", "pal_sum", "g_last",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, h int, w int, comp_cycle int, g_sum long, "
+        "g_w long, g16_sum long, rgb_sum long, pal_sum long, g_last long",
+    )

@@ -40,6 +40,7 @@ def test_codec_interop_skips_cleanly_without_tools():
     assert set(subs) == {
         "png16", "adam7", "jpeg", "jpeg-arith", "vp8l", "vp8",
         "jpeg-lossless", "vp8x-alph", "vp8x-anim",  # round 10
+        "gif", "tiff",  # round 11
     }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):

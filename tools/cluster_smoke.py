@@ -642,6 +642,126 @@ def smoke_codec_interop() -> list[str]:
             out.append(f"FAIL codec-interop/vp8x-anim: {type(e).__name__}: {e}")
     else:
         out.append("SKIP(env) codec-interop/vp8x-anim: Pillow absent")
+
+    # --- gif: foreign (Pillow) stills + animation -> our decoder,
+    #     and our streams read back in Pillow (round 11) ---
+    if has_pil:
+        try:
+            import io
+
+            from etl_everywhere_hub_spark.multimodal.gif import (
+                decode_gif,
+                decode_gif_frames,
+                encode_gif,
+                encode_gif_animation,
+            )
+
+            # foreign still (paletted gradient), plus Pillow's own
+            # interlaced writer against our 4-pass de-interlacer
+            for interlace in (False, True):
+                buf = io.BytesIO()
+                Image.fromarray(grad_gray).convert("P").save(
+                    buf, format="GIF", interlace=interlace
+                )
+                ours = decode_gif(buf.getvalue())
+                theirs = np.asarray(
+                    Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+                )
+                assert np.array_equal(ours, theirs), (
+                    f"foreign GIF still (interlace={interlace}) mismatch"
+                )
+            # our still reads back in Pillow
+            back = np.asarray(
+                Image.open(io.BytesIO(encode_gif(grad_gray))).convert("L")
+            )
+            assert np.array_equal(back, grad_gray), "Pillow GIF readback"
+            # foreign animation: frame COUNT + first frame (compositing
+            # conventions for disposal differ renderer-to-renderer, so
+            # only spec-unambiguous properties are compared)
+            tiles = [
+                Image.fromarray(np.full((16, 16), 60 * (k + 1), np.uint8))
+                for k in range(3)
+            ]
+            buf = io.BytesIO()
+            tiles[0].save(
+                buf, format="GIF", save_all=True,
+                append_images=tiles[1:], duration=50,
+            )
+            frames = decode_gif_frames(buf.getvalue())
+            assert len(frames) == 3, f"{len(frames)} frames, want 3"
+            assert (frames[0][:, :, 0] == 60).all(), "frame-0 mismatch"
+            # our animation reads back in Pillow frame-exact
+            gpal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+            anim = encode_gif_animation(
+                (16, 16),
+                [
+                    {"indexes": np.full((16, 16), 70, np.uint8)},
+                    {"indexes": np.full((8, 8), 140, np.uint8),
+                     "left": 4, "top": 4, "disposal": 1},
+                ],
+                global_palette=gpal,
+            )
+            im = Image.open(io.BytesIO(anim))
+            assert getattr(im, "n_frames", 1) == 2
+            im.seek(1)
+            f1 = np.asarray(im.convert("L"))
+            assert f1[0, 0] == 70 and f1[8, 8] == 140, "anim readback"
+            out.append(
+                "PASS codec-interop/gif (foreign stills incl. interlace + "
+                "animation; ours read back in Pillow)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/gif: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/gif: Pillow absent")
+
+    # --- tiff: foreign (Pillow) raw/packbits/lzw strips -> our
+    #     decoder; our streams (both endians) read back (round 11) ---
+    if has_pil:
+        try:
+            import io
+
+            from etl_everywhere_hub_spark.multimodal.tiff import (
+                decode_tiff,
+                encode_tiff,
+            )
+
+            for compression in (None, "packbits", "tiff_lzw"):
+                for img in (grad_gray, grad_rgb):
+                    buf = io.BytesIO()
+                    Image.fromarray(img).save(
+                        buf, format="TIFF", compression=compression
+                    )
+                    ours = decode_tiff(buf.getvalue())
+                    assert np.array_equal(ours, img), (
+                        f"foreign TIFF ({compression}) mismatch"
+                    )
+            # foreign 16-bit
+            buf = io.BytesIO()
+            Image.fromarray(gray16, mode="I;16").save(buf, format="TIFF")
+            ours16 = decode_tiff(buf.getvalue())
+            assert ours16.dtype == np.uint16 and np.array_equal(
+                ours16, gray16
+            ), "foreign 16-bit TIFF mismatch"
+            # ours read back in Pillow, both endians, all compressions
+            for endian in ("<", ">"):
+                for comp in ("none", "packbits", "lzw"):
+                    payload = encode_tiff(
+                        grad_rgb, comp, endian, rows_per_strip=11,
+                        predictor=(comp == "lzw"),
+                    )
+                    back = np.asarray(Image.open(io.BytesIO(payload)))
+                    assert np.array_equal(back, grad_rgb), (
+                        f"Pillow TIFF readback ({endian}{comp})"
+                    )
+            out.append(
+                "PASS codec-interop/tiff (foreign raw/packbits/lzw + 16-bit; "
+                "ours read back both endians)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/tiff: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/tiff: Pillow absent")
     return out
 
 
