@@ -1,0 +1,487 @@
+"""Dependency-free MP4 / ISO-BMFF demuxer — box walk, track tables,
+keyframe byte ranges. NO codec decode (H.264/AAC stay out of scope;
+VERDICT r10 item #4 asks for demux-to-keyframe-ranges, the container
+step a 100 TB multimodal crawl needs before any frame-sampling or
+ffmpeg-fleet stage).
+
+Implements the public ISO/IEC 14496-12 (ISO Base Media File Format)
+box grammar the same way multimodal/jpeg.py implements T.81: pure
+stdlib + numpy. Reference parity target: ``dfpc-coe/
+etl-everywhere-hub`` has no media handling at all (``task.ts`` is a
+connector); this is the multimodal ingest surface's own gap list.
+
+Demuxer coverage:
+- box walk: 32-bit sizes, size==1 -> 64-bit largesize, size==0 ->
+  extends to end of enclosing container; unknown boxes skipped by
+  size (the format's forward-compat contract)
+- ftyp (major brand), mvhd/mdhd version 0 AND 1 (32/64-bit times),
+  tkhd (track id), hdlr (handler fourcc)
+- the full sample-table quartet+: stsd (codec fourcc), stts (decode
+  deltas, run-length), stss (sync samples; absent => all sync, per
+  spec), stsc (sample-to-chunk runs), stsz (fixed or per-sample
+  sizes), stco AND co64 chunk offsets, multi-track moov
+- per-sample byte ranges reconstructed from stsc x stsz x stco:
+  offset(sample) = chunk_offset + sum(sizes of earlier samples in
+  the same chunk) — the arithmetic every demuxer must get right and
+  the part q343's oracle pins
+
+Builder coverage (exercises every demux path under property test):
+``build_mp4`` writes a spec-valid ftyp + moov(mvhd, trak(tkhd, mdia(
+mdhd, hdlr, minf(stbl(stsd stts stss stsc stsz stco|co64))))) + mdat
+file from declarative track dicts — version-1 time boxes, co64,
+largesize mdat, fixed-size stsz, and multi-run stts/stsc are all
+reachable through its options.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+def _u32(b: bytes, off: int) -> int:
+    return struct.unpack_from(">I", b, off)[0]
+
+
+def _u64(b: bytes, off: int) -> int:
+    return struct.unpack_from(">Q", b, off)[0]
+
+
+def walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, header_size, body_start, body_end) for each box
+    in [start, end). Validates sizes; raises on truncation."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"box header truncated at {pos}")
+        size = _u32(payload, pos)
+        fourcc = payload[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("largesize header truncated")
+            size = _u64(payload, pos + 8)
+            hdr = 16
+        elif size == 0:  # box extends to the end of the container
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"box {fourcc!r} size {size} overruns container at {pos}"
+            )
+        yield fourcc.decode("latin-1"), hdr, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("container underrun")
+
+
+def _find(payload: bytes, start: int, end: int, fourcc: str):
+    for fc, _h, b0, b1 in walk_boxes(payload, start, end):
+        if fc == fourcc:
+            return b0, b1
+    return None
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    handler: str          # 'vide' / 'soun' / ...
+    codec: str            # stsd entry fourcc, e.g. 'avc1'
+    timescale: int
+    duration: int
+    n_samples: int
+    # per-sample arrays (python lists of ints)
+    sizes: list = field(default_factory=list)
+    offsets: list = field(default_factory=list)      # absolute in file
+    times: list = field(default_factory=list)        # decode timestamps
+    sync: list = field(default_factory=list)         # 1-based indexes
+
+
+@dataclass
+class Mp4File:
+    major_brand: str
+    timescale: int
+    duration: int
+    mdat_start: int       # first payload byte of the (first) mdat
+    tracks: list
+
+
+def _parse_stbl(payload: bytes, b0: int, b1: int):
+    codec = None
+    stts_runs: list[tuple[int, int]] = []
+    stss: list[int] | None = None
+    stsc_runs: list[tuple[int, int]] = []  # (first_chunk, samples/chunk)
+    sizes: list[int] = []
+    fixed_size = 0
+    n_samples = 0
+    chunk_offsets: list[int] = []
+    for fc, _h, c0, c1 in walk_boxes(payload, b0, b1):
+        if fc == "stsd":
+            n_entries = _u32(payload, c0 + 4)
+            if n_entries < 1:
+                raise ValueError("empty stsd")
+            codec = payload[c0 + 12 : c0 + 16].decode("latin-1")
+        elif fc == "stts":
+            n = _u32(payload, c0 + 4)
+            for i in range(n):
+                cnt = _u32(payload, c0 + 8 + 8 * i)
+                delta = _u32(payload, c0 + 12 + 8 * i)
+                stts_runs.append((cnt, delta))
+        elif fc == "stss":
+            n = _u32(payload, c0 + 4)
+            stss = [_u32(payload, c0 + 8 + 4 * i) for i in range(n)]
+        elif fc == "stsc":
+            n = _u32(payload, c0 + 4)
+            for i in range(n):
+                first = _u32(payload, c0 + 8 + 12 * i)
+                per = _u32(payload, c0 + 12 + 12 * i)
+                stsc_runs.append((first, per))
+        elif fc == "stsz":
+            fixed_size = _u32(payload, c0 + 4)
+            n_samples = _u32(payload, c0 + 8)
+            if fixed_size == 0:
+                sizes = [
+                    _u32(payload, c0 + 12 + 4 * i) for i in range(n_samples)
+                ]
+            else:
+                sizes = [fixed_size] * n_samples
+        elif fc == "stco":
+            n = _u32(payload, c0 + 4)
+            chunk_offsets = [_u32(payload, c0 + 8 + 4 * i) for i in range(n)]
+        elif fc == "co64":
+            n = _u32(payload, c0 + 4)
+            chunk_offsets = [_u64(payload, c0 + 8 + 8 * i) for i in range(n)]
+    if codec is None or not stts_runs or not stsc_runs or not chunk_offsets:
+        raise ValueError("stbl missing a mandatory sample-table box")
+    # decode timestamps from stts runs
+    times: list[int] = []
+    t = 0
+    for cnt, delta in stts_runs:
+        for _ in range(cnt):
+            times.append(t)
+            t += delta
+    if len(times) != n_samples:
+        raise ValueError(
+            f"stts covers {len(times)} samples, stsz declares {n_samples}"
+        )
+    # samples-per-chunk schedule from stsc runs (first_chunk is 1-based;
+    # a run extends to the next run's first_chunk - 1, last run to the
+    # end of the chunk list)
+    per_chunk: list[int] = []
+    for ri, (first, per) in enumerate(stsc_runs):
+        last = (
+            stsc_runs[ri + 1][0] - 1
+            if ri + 1 < len(stsc_runs)
+            else len(chunk_offsets)
+        )
+        if first < 1 or last < first - 1:
+            raise ValueError("stsc run ordering invalid")
+        per_chunk.extend([per] * (last - first + 1))
+    if len(per_chunk) != len(chunk_offsets):
+        raise ValueError("stsc schedule does not cover the chunk list")
+    # absolute per-sample offsets
+    offsets: list[int] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offsets):
+        run = coff
+        for _ in range(per_chunk[ci]):
+            if si >= n_samples:
+                raise ValueError("stsc schedule exceeds sample count")
+            offsets.append(run)
+            run += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"chunk schedule places {si} samples, stsz declares {n_samples}"
+        )
+    sync = stss if stss is not None else list(range(1, n_samples + 1))
+    return codec, times, sizes, offsets, sync, n_samples
+
+
+def demux_mp4(payload: bytes) -> Mp4File:
+    """Parse an ISO-BMFF file into track tables with absolute
+    per-sample byte ranges and sync-sample (keyframe) indexes."""
+    major = None
+    mvhd_ts = mvhd_dur = None
+    mdat_start = None
+    tracks: list[Mp4Track] = []
+    for fc, hdr, b0, b1 in walk_boxes(payload, 0, len(payload)):
+        if fc == "ftyp":
+            major = payload[b0 : b0 + 4].decode("latin-1")
+        elif fc == "mdat" and mdat_start is None:
+            mdat_start = b0
+        elif fc == "moov":
+            for fc2, _h2, c0, c1 in walk_boxes(payload, b0, b1):
+                if fc2 == "mvhd":
+                    ver = payload[c0]
+                    if ver == 1:
+                        mvhd_ts = _u32(payload, c0 + 20)
+                        mvhd_dur = _u64(payload, c0 + 24)
+                    else:
+                        mvhd_ts = _u32(payload, c0 + 12)
+                        mvhd_dur = _u32(payload, c0 + 16)
+                elif fc2 == "trak":
+                    tkhd = None
+                    mdia = _find(payload, c0, c1, "mdia")
+                    t = _find(payload, c0, c1, "tkhd")
+                    if t is None or mdia is None:
+                        raise ValueError("trak missing tkhd/mdia")
+                    ver = payload[t[0]]
+                    tkhd = _u32(payload, t[0] + (20 if ver == 1 else 12))
+                    mdhd = _find(payload, mdia[0], mdia[1], "mdhd")
+                    hdlr = _find(payload, mdia[0], mdia[1], "hdlr")
+                    minf = _find(payload, mdia[0], mdia[1], "minf")
+                    if mdhd is None or hdlr is None or minf is None:
+                        raise ValueError("mdia missing mdhd/hdlr/minf")
+                    ver = payload[mdhd[0]]
+                    if ver == 1:
+                        ts = _u32(payload, mdhd[0] + 20)
+                        dur = _u64(payload, mdhd[0] + 24)
+                    else:
+                        ts = _u32(payload, mdhd[0] + 12)
+                        dur = _u32(payload, mdhd[0] + 16)
+                    handler = payload[hdlr[0] + 8 : hdlr[0] + 12].decode(
+                        "latin-1"
+                    )
+                    stbl = _find(payload, minf[0], minf[1], "stbl")
+                    if stbl is None:
+                        raise ValueError("minf missing stbl")
+                    codec, times, sizes, offsets, sync, n = _parse_stbl(
+                        payload, stbl[0], stbl[1]
+                    )
+                    tracks.append(
+                        Mp4Track(
+                            track_id=tkhd,
+                            handler=handler,
+                            codec=codec,
+                            timescale=ts,
+                            duration=dur,
+                            n_samples=n,
+                            sizes=sizes,
+                            offsets=offsets,
+                            times=times,
+                            sync=sync,
+                        )
+                    )
+    if major is None:
+        raise ValueError("no ftyp box")
+    if mvhd_ts is None:
+        raise ValueError("no moov/mvhd box")
+    if not tracks:
+        raise ValueError("no demuxable tracks")
+    if mdat_start is None:
+        raise ValueError("no mdat box")
+    return Mp4File(
+        major_brand=major,
+        timescale=mvhd_ts,
+        duration=mvhd_dur,
+        mdat_start=mdat_start,
+        tracks=tracks,
+    )
+
+
+def keyframe_ranges(f: Mp4File) -> list[tuple[int, int, int, int, int]]:
+    """(track_id, sample_index_1based, time, abs_offset, size) for
+    every sync sample of every track — the row shape the demux query
+    emits and the frame-sampling / transcode-fleet stage consumes."""
+    out = []
+    for tr in f.tracks:
+        for s in tr.sync:
+            i = s - 1
+            if not 0 <= i < tr.n_samples:
+                raise ValueError(f"stss index {s} out of range")
+            out.append((tr.track_id, s, tr.times[i], tr.offsets[i], tr.sizes[i]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, body: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return struct.pack(">I", 1) + fourcc + struct.pack(
+            ">Q", 16 + len(body)
+        ) + body
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _full(fourcc: bytes, version: int, body: bytes) -> bytes:
+    return _box(fourcc, bytes([version, 0, 0, 0]) + body)
+
+
+def build_mp4(
+    tracks: list[dict],
+    timescale: int = 1000,
+    version1: bool = False,
+    co64: bool = False,
+    largesize_mdat: bool = False,
+    brand: str = "isom",
+    chunk_gap: int = 0,
+) -> bytes:
+    """Build a spec-valid single-mdat MP4. Each track dict:
+    ``handler`` ('vide'/'soun'), ``codec`` fourcc, ``timescale``,
+    ``sample_sizes`` list, ``stts_runs`` [(count, delta), ...] summing
+    to len(sample_sizes), ``samples_per_chunk`` int or stsc run list
+    [(first_chunk_1based, per), ...], optional ``sync`` 1-based list
+    (omitted => no stss => all samples sync), optional ``payload_byte``
+    fill value. Chunks are laid in one mdat in track order, each
+    chunk preceded by ``chunk_gap`` unreferenced filler bytes (legal
+    per spec — mdat bytes are only reachable through stco) so a
+    demuxer that cumsums sample sizes instead of honoring stsc x stco
+    produces WRONG offsets (q343's oracle pins this)."""
+    ftyp = _box(b"ftyp", brand.encode() + struct.pack(">I", 0) + b"isom")
+    # plan chunk layout: per track, chunk schedule from samples_per_chunk
+    plans = []
+    mdat_payload = bytearray()
+    for ti, tr in enumerate(tracks):
+        sizes = list(tr["sample_sizes"])
+        spc = tr.get("samples_per_chunk", len(sizes) or 1)
+        if isinstance(spc, int):
+            stsc_runs = [(1, spc)]
+            per_chunk = []
+            left = len(sizes)
+            while left > 0:
+                per_chunk.append(min(spc, left))
+                left -= min(spc, left)
+            # a short FINAL chunk needs its own stsc run per spec
+            if per_chunk and per_chunk[-1] != spc:
+                stsc_runs.append((len(per_chunk), per_chunk[-1]))
+        else:
+            stsc_runs = list(spc)
+            per_chunk = []
+            for ri, (first, per) in enumerate(stsc_runs):
+                last = (
+                    stsc_runs[ri + 1][0] - 1
+                    if ri + 1 < len(stsc_runs)
+                    else None
+                )
+                if last is None:
+                    # extend until samples are exhausted
+                    while sum(per_chunk) < len(sizes):
+                        per_chunk.append(
+                            min(per, len(sizes) - sum(per_chunk))
+                        )
+                    break
+                per_chunk.extend([per] * (last - first + 1))
+        chunk_rel_offsets = []
+        si = 0
+        fill = tr.get("payload_byte", 0xA0 + ti)
+        for n_in_chunk in per_chunk:
+            mdat_payload += b"\x00" * chunk_gap
+            chunk_rel_offsets.append(len(mdat_payload))
+            for _ in range(n_in_chunk):
+                mdat_payload += bytes([fill]) * sizes[si]
+                si += 1
+        if si != len(sizes):
+            raise ValueError("chunk schedule does not cover all samples")
+        plans.append((tr, sizes, stsc_runs, chunk_rel_offsets))
+
+    # header size must be known before absolute stco offsets: build moov
+    # with zero offsets first to measure, then rebuild with real ones
+    def build_moov(mdat_data_start: int) -> bytes:
+        tboxes = b""
+        total_dur = 0
+        for ti, (tr, sizes, stsc_runs, rel) in enumerate(plans):
+            ts = tr.get("timescale", timescale)
+            stts_runs = tr["stts_runs"]
+            n = len(sizes)
+            dur = sum(c * d for c, d in stts_runs)
+            total_dur = max(total_dur, dur)
+            if version1:
+                mdhd = _full(
+                    b"mdhd", 1,
+                    struct.pack(">QQIQ", 0, 0, ts, dur)
+                    + struct.pack(">HH", 0x55C4, 0),
+                )
+                tkhd = _full(
+                    b"tkhd", 1,
+                    struct.pack(">QQI", 0, 0, ti + 1)
+                    + b"\x00" * 4 + struct.pack(">Q", dur) + b"\x00" * 52,
+                )
+            else:
+                mdhd = _full(
+                    b"mdhd", 0,
+                    struct.pack(">IIII", 0, 0, ts, dur)
+                    + struct.pack(">HH", 0x55C4, 0),
+                )
+                tkhd = _full(
+                    b"tkhd", 0,
+                    struct.pack(">III", 0, 0, ti + 1)
+                    + b"\x00" * 4 + struct.pack(">I", dur) + b"\x00" * 52,
+                )
+            hdlr = _full(
+                b"hdlr", 0,
+                b"\x00" * 4 + tr["handler"].encode() + b"\x00" * 12 + b"\x00",
+            )
+            stsd = _full(
+                b"stsd", 0,
+                struct.pack(">I", 1)
+                + _box(tr["codec"].encode(), b"\x00" * 6 + struct.pack(">H", 1)
+                       + b"\x00" * 70),
+            )
+            stts = _full(
+                b"stts", 0,
+                struct.pack(">I", len(stts_runs))
+                + b"".join(struct.pack(">II", c, d) for c, d in stts_runs),
+            )
+            stsz = _full(
+                b"stsz", 0,
+                struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", s) for s in sizes),
+            )
+            stsc = _full(
+                b"stsc", 0,
+                struct.pack(">I", len(stsc_runs))
+                + b"".join(
+                    struct.pack(">III", f, p, 1) for f, p in stsc_runs
+                ),
+            )
+            if co64:
+                stco = _full(
+                    b"co64", 0,
+                    struct.pack(">I", len(rel))
+                    + b"".join(
+                        struct.pack(">Q", mdat_data_start + r) for r in rel
+                    ),
+                )
+            else:
+                stco = _full(
+                    b"stco", 0,
+                    struct.pack(">I", len(rel))
+                    + b"".join(
+                        struct.pack(">I", mdat_data_start + r) for r in rel
+                    ),
+                )
+            stbl_body = stsd + stts + stsc + stsz + stco
+            if tr.get("sync") is not None:
+                stbl_body += _full(
+                    b"stss", 0,
+                    struct.pack(">I", len(tr["sync"]))
+                    + b"".join(struct.pack(">I", s) for s in tr["sync"]),
+                )
+            stbl = _box(b"stbl", stbl_body)
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            tboxes += _box(b"trak", tkhd + mdia)
+        if version1:
+            mvhd = _full(
+                b"mvhd", 1,
+                struct.pack(">QQIQ", 0, 0, timescale, total_dur)
+                + b"\x00" * 80,
+            )
+        else:
+            mvhd = _full(
+                b"mvhd", 0,
+                struct.pack(">IIII", 0, 0, timescale, total_dur)
+                + b"\x00" * 80,
+            )
+        return _box(b"moov", mvhd + tboxes)
+
+    moov_probe = build_moov(0)
+    mdat_hdr = 16 if largesize_mdat else 8
+    data_start = len(ftyp) + len(moov_probe) + mdat_hdr
+    moov = build_moov(data_start)
+    assert len(moov) == len(moov_probe), "moov size must be offset-invariant"
+    mdat = _box(b"mdat", bytes(mdat_payload), largesize=largesize_mdat)
+    return ftyp + moov + mdat

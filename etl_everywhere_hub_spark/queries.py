@@ -23473,3 +23473,160 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, h int, w int, comp_cycle int, g_sum long, "
         "g_w long, g16_sum long, rgb_sum long, pal_sum long, g_last long",
     )
+
+
+@query(
+    "q343_mp4_demux_keyframes",
+    """
+    WITH cfg AS (
+        SELECT doc_id, text,
+               CAST(8 + doc_id % 9 AS BIGINT) AS n,
+               CAST(100 + doc_id % 50 AS BIGINT) AS d1,
+               CAST(200 + doc_id % 30 AS BIGINT) AS d2,
+               CAST(1 + doc_id % 4 AS BIGINT) AS spc,
+               CAST(1 + doc_id % 3 AS BIGINT) AS k,
+               CAST(3 + doc_id % 5 AS BIGINT) AS g
+        FROM documents WHERE length(text) > 0
+    ), samp AS (
+        SELECT doc_id, n, d1, d2, spc, k, g, i.i AS i,
+               16 + (ascii(substr(text,
+                    ((i.i % 16) % length(text)) + 1, 1)) + i.i) % 32 AS sz,
+               CASE WHEN i.i < (n + 1) // 2 THEN i.i * d1
+                    ELSE ((n + 1) // 2) * d1 + (i.i - (n + 1) // 2) * d2
+               END AS t
+        FROM cfg CROSS JOIN range(17) AS i(i)
+        WHERE i.i < n
+    ), pos AS (
+        SELECT doc_id, n, k, i, sz, t, d1, d2,
+               COALESCE(SUM(sz) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + g * (i // spc + 1) AS rel_off
+        FROM samp
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN i % k = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sync,
+           CAST(SUM(CASE WHEN i % k = 0 THEN sz END)
+                AS BIGINT) AS sync_size_sum,
+           CAST(SUM(CASE WHEN i % k = 0 THEN t END)
+                AS BIGINT) AS sync_time_sum,
+           CAST(SUM(CASE WHEN i % k = 0 THEN rel_off END)
+                AS BIGINT) AS sync_reloff_sum,
+           CAST(SUM(CASE WHEN i = n - 1 THEN t + (CASE WHEN i <
+                    (n + 1) // 2 THEN d1 ELSE d2 END) END)
+                AS BIGINT) AS duration
+    FROM pos GROUP BY doc_id
+    """,
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO-BMFF demux under oracle (round 11, VERDICT r10 item
+    #4) — the container step before any frame-sampling or transcode
+    stage in a multimodal crawl: box walk to codec metadata plus
+    KEYFRAME BYTE RANGES as rows, no H.264/AAC decode.
+
+    Per document, multimodal/mp4.py builds a spec-valid single-track
+    video MP4 whose every container axis cycles with doc_id:
+    8..16 samples with per-sample sizes from payload bytes, a TWO-RUN
+    stts (two different deltas), samples-per-chunk 1..4 with
+    ``chunk_gap`` filler bytes before every chunk (so offsets are only
+    right if stsc x stco x stsz are honored — a naive size cumsum
+    diverges), sync samples every 1..3rd sample via stss, and the
+    64-bit variants (version-1 mvhd/mdhd, co64, largesize mdat) on
+    doc_id cycles. The demuxer re-derives per-sample byte ranges and
+    the oracle recomputes the sync-sample statistics (sizes, stts
+    decode times, RELATIVE offsets incl. the per-chunk gap term, total
+    duration) with window-function SQL. The engine additionally
+    asserts each keyframe range points at real payload bytes (the
+    fill byte) — absolute-offset arithmetic is checked in-task, the
+    relative form under oracle.
+
+    Scale shape: identical to the codec queries — embarrassingly-
+    parallel mapInPandas over payload batches; at crawl scale the
+    demuxer runs per file split and only (track, keyframe, offset,
+    size) rows shuffle onward, never media bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.mp4 import (
+        build_mp4,
+        demux_mp4,
+        keyframe_ranges,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def demux(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                v = np.frombuffer((buf * reps)[:16], np.uint8).astype(np.int64)
+                n = 8 + mid % 9
+                sizes = [int(16 + (v[i % 16] + i) % 32) for i in range(n)]
+                half = (n + 1) // 2
+                d1, d2 = 100 + mid % 50, 200 + mid % 30
+                k = 1 + mid % 3
+                sync = list(range(1, n + 1, k))
+                mp4 = build_mp4(
+                    [
+                        dict(
+                            handler="vide",
+                            codec="avc1",
+                            timescale=1000 + mid % 100,
+                            sample_sizes=sizes,
+                            stts_runs=[(half, d1), (n - half, d2)],
+                            samples_per_chunk=1 + mid % 4,
+                            sync=sync,
+                            payload_byte=0xB7,
+                        )
+                    ],
+                    version1=mid % 3 == 0,
+                    co64=mid % 2 == 1,
+                    largesize_mdat=mid % 5 == 0,
+                    chunk_gap=3 + mid % 5,
+                )
+                f = demux_mp4(mp4)
+                tr = f.tracks[0]
+                assert tr.codec == "avc1" and tr.n_samples == n
+                assert tr.timescale == 1000 + mid % 100
+                kr = keyframe_ranges(f)
+                assert len(kr) == len(sync)
+                rel_sum = 0
+                for _tid, s, _t, off, sz in kr:
+                    # absolute offsets must land on real payload bytes
+                    assert mp4[off : off + sz] == bytes([0xB7]) * sz, (
+                        "keyframe range does not cover payload"
+                    )
+                    rel_sum += off - f.mdat_start
+                rows.append(
+                    (
+                        mid, n, len(kr),
+                        int(sum(tr.sizes[s - 1] for s in sync)),
+                        int(sum(tr.times[s - 1] for s in sync)),
+                        int(rel_sum),
+                        int(tr.duration),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_sync", "sync_size_sum",
+                    "sync_time_sum", "sync_reloff_sum", "duration",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        demux,
+        "media_id long, n_samples long, n_sync long, sync_size_sum long, "
+        "sync_time_sum long, sync_reloff_sum long, duration long",
+    )
