@@ -23630,3 +23630,244 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, n_samples long, n_sync long, sync_size_sum long, "
         "sync_time_sum long, sync_reloff_sum long, duration long",
     )
+
+
+@query(
+    "q344_ima_adpcm_decode",
+    """
+    WITH nib AS (
+        SELECT doc_id, j.j AS j0,
+               (j.j % 32) % 3 AS phase,
+               j.j // 32 AS blk,
+               ascii(substr(text,
+                   ((j.j % 32) % 16 % length(text)) + 1, 1)) AS v,
+               (j.j % 32) % 8 AS bitpos
+        FROM documents CROSS JOIN range(64) AS j(j)
+        WHERE length(text) > 0
+    ), step AS (
+        SELECT doc_id, j0, blk,
+               (CASE WHEN (v // CAST(power(2, bitpos) AS BIGINT)) % 2 = 1
+                     THEN -1 ELSE 1 END)
+               * (CASE phase WHEN 0 THEN 11 WHEN 1 THEN 1 ELSE 3 END)
+                   AS d
+        FROM nib
+    ), pcm AS (
+        SELECT doc_id, j0,
+               SUM(d) OVER (PARTITION BY doc_id, blk ORDER BY j0
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s
+        FROM step
+    )
+    SELECT doc_id AS media_id, 66 AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_pcm,
+           CAST(SUM((j0 + 1) * s) AS BIGINT) AS wsum_pcm,
+           CAST(MIN(s) AS BIGINT) AS min_pcm,
+           CAST(MAX(s) AS BIGINT) AS max_pcm,
+           CAST(MAX(CASE WHEN j0 = 63 THEN s END) AS BIGINT) AS last_pcm
+    FROM pcm GROUP BY doc_id
+    """,
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA-ADPCM decode under oracle (round 11, VERDICT r10 item #7)
+    — WAV beyond PCM, so the audio surface matches the image
+    surface's container realism. ADPCM is an adaptive-step state
+    machine, not SQL, so the fixture pins the state path instead of
+    simulating it: nibble magnitudes cycle [4, 0, 1], whose index
+    deltas (+2, -1, -1) return the step index to its start every 3
+    samples — from initial index 3 the step sequence is exactly
+    (10, 12, 11) and the reconstruction diffs are the CONSTANTS
+    (11, 1, 3). Sign bits come from payload bits, so the decoded PCM
+    is a per-block prefix sum of signed known diffs — pure window SQL
+    — while the ENGINE runs the real decoder (multimodal/audio.py:
+    wav_decode_ima_adpcm) over a genuine two-block fmt-0x11 WAV
+    (4-byte block headers re-initializing predictor/index per the
+    spec, low-nibble-first packing, fact-chunk sample count). Any
+    drift in the step table walk, index clamping arithmetic, nibble
+    order, or block re-init diverges the hash. The general
+    (clamping, arbitrary-step) paths are pinned by the property and
+    error-bound suites in tests/test_audio_codecs.py.
+
+    Scale shape: identical to the codec queries — embarrassingly-
+    parallel mapInPandas; only per-track stats leave the task."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.audio import (
+        wav_decode_ima_adpcm,
+        wav_encode_ima_adpcm,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def render_decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                v = np.frombuffer((buf * reps)[:16], np.uint8).astype(np.int64)
+                blocks = []
+                for _b in range(2):
+                    codes = []
+                    for l in range(32):
+                        mag = [4, 0, 1][l % 3]
+                        sign = (int(v[l % 16]) >> (l % 8)) & 1
+                        codes.append(mag | (8 if sign else 0))
+                    body = bytes(
+                        lo | (hi << 4)
+                        for lo, hi in zip(codes[::2], codes[1::2])
+                    )
+                    blocks.append((0, 3, body))
+                wav = wav_encode_ima_adpcm(blocks, sample_rate=8000)
+                rate, samples = wav_decode_ima_adpcm(wav)
+                assert rate == 8000 and len(samples) == 66
+                assert samples[0] == 0 and samples[33] == 0  # headers
+                pcm = np.concatenate(
+                    [samples[1:33], samples[34:66]]
+                ).astype(np.int64)
+                j = np.arange(1, 65)
+                rows.append(
+                    (
+                        mid, 66,
+                        int(pcm.sum()), int((j * pcm).sum()),
+                        int(pcm.min()), int(pcm.max()), int(pcm[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sum_pcm", "wsum_pcm",
+                    "min_pcm", "max_pcm", "last_pcm",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        render_decode,
+        "media_id long, n_samples int, sum_pcm long, wsum_pcm long, "
+        "min_pcm long, max_pcm long, last_pcm long",
+    )
+
+
+@query(
+    "q345_mp3_frame_walk",
+    """
+    WITH fr AS (
+        SELECT doc_id, j.j AS j,
+               CAST(6 + doc_id % 7 AS BIGINT) AS nf,
+               CAST(doc_id % 7 AS BIGINT) AS junk,
+               1 + ascii(substr(text,
+                   ((j.j % 16) % length(text)) + 1, 1)) % 14 AS bi,
+               CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS sr,
+               ascii(substr(text,
+                   (((j.j + 3) % 16) % length(text)) + 1, 1)) % 2 AS pad
+        FROM documents CROSS JOIN range(13) AS j(j)
+        WHERE length(text) > 0
+    ), sz AS (
+        SELECT doc_id, j, nf, junk, sr, pad,
+               CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                    WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                    WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                    WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                    WHEN 13 THEN 256 ELSE 320 END AS br
+        FROM fr WHERE j < nf
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(junk) AS BIGINT) AS first_off,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(SUM((144000 * br) // sr + pad) AS BIGINT) AS total_bytes,
+           CAST(SUM(br) AS BIGINT) AS br_sum,
+           CAST(SUM(pad) AS BIGINT) AS pad_cnt,
+           CAST(SUM((j + 1) * ((144000 * br) // sr + pad))
+                AS BIGINT) AS wsize,
+           CAST(MAX(nf) * 1152 * 1000 // MAX(sr) AS BIGINT) AS duration_ms
+    FROM sz GROUP BY doc_id
+    """,
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header walk under oracle (round 11, VERDICT r10 item
+    #7) — demux only, no synthesis: the sample-rate/bitrate/duration
+    extraction a crawl-audit stage needs from raw MP3 bytes. Per
+    document, multimodal/audio.py builds an MPEG1-Layer-III stream of
+    6..12 frames whose bitrate index, padding bit, and sample rate
+    all cycle with payload bytes, preceded by 0..6 junk bytes the
+    walker must scan past (the ID3/garbage prefix of real files).
+    The walker re-derives every frame boundary from the header
+    arithmetic (size = 144*bitrate/samplerate + padding) — the oracle
+    recomputes sizes from the spec's bitrate table as a 14-arm CASE,
+    so a single mis-decoded header bit or off-by-one in the skip
+    arithmetic diverges total_bytes/wsize. Truncation and lost-sync
+    are hard errors (no silent resync), pinned in
+    tests/test_audio_codecs.py.
+
+    Scale shape: identical to the codec queries — embarrassingly-
+    parallel mapInPandas; only per-file frame stats leave the task."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import (
+        documents_as_media,
+        spread_for_codec,
+    )
+    from etl_everywhere_hub_spark.multimodal.audio import (
+        build_mp3,
+        mp3_frame_walk,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                buf = bytes(payload)
+                reps = -(-16 // len(buf))
+                v = np.frombuffer((buf * reps)[:16], np.uint8).astype(np.int64)
+                nf = 6 + mid % 7
+                ri = mid % 3
+                frames = [
+                    (
+                        1 + int(v[j % 16]) % 14,
+                        ri,
+                        bool(int(v[(j + 3) % 16]) % 2),
+                    )
+                    for j in range(nf)
+                ]
+                junk = bytes(mid % 7)  # zero bytes: never a syncword
+                mp3 = build_mp3(frames, junk=junk)
+                first, walked = mp3_frame_walk(mp3)
+                assert first == mid % 7 and len(walked) == nf
+                sr = walked[0][2]
+                rows.append(
+                    (
+                        mid, first, nf,
+                        int(sum(w[4] for w in walked)),
+                        int(sum(w[1] for w in walked)),
+                        int(sum(w[3] for w in walked)),
+                        int(sum((k + 1) * w[4] for k, w in enumerate(walked))),
+                        int(nf * 1152 * 1000 // sr),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "first_off", "n_frames", "total_bytes",
+                    "br_sum", "pad_cnt", "wsize", "duration_ms",
+                ],
+            )
+
+    return spread_for_codec(media.select("media_id", "payload")).mapInPandas(
+        walk,
+        "media_id long, first_off long, n_frames long, total_bytes long, "
+        "br_sum long, pad_cnt long, wsize long, duration_ms long",
+    )
