@@ -3059,10 +3059,19 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.doc_id % 7 <> 0
     ), sym AS (
         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-    ), reach(id, other) AS (
-        SELECT src, src FROM sym
-        UNION
-        SELECT r.id, s.dst FROM reach r JOIN sym s ON r.other = s.src
+    ), reach(id, other, depth) AS (
+        -- depth-capped UNION ALL walk (round 11): the chain fixture
+        -- breaks at doc_id % 7 = 0, so every component is a sub-chain
+        -- of <= 7 nodes (diameter <= 6); walks of length <= 7 reach
+        -- the full closure EXACTLY, the MIN aggregate collapses walk
+        -- multiplicity (bounded by 2^8 per start in a path graph),
+        -- and UNION ALL recursion is the form BOTH engines accept
+        -- (Spark rejects only the UNION-distinct fixpoint)
+        SELECT src, src, 0 FROM sym
+        UNION ALL
+        SELECT r.id, s.dst, r.depth + 1
+        FROM reach r JOIN sym s ON r.other = s.src
+        WHERE r.depth < 7
     )
     SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc
     FROM (SELECT id, MIN(other) AS component FROM reach GROUP BY id)
@@ -6936,10 +6945,19 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.doc_id % 7 <> 0
     ), sym AS (
         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-    ), reach(id, other) AS (
-        SELECT src, src FROM sym
-        UNION
-        SELECT r.id, s.dst FROM reach r JOIN sym s ON r.other = s.src
+    ), reach(id, other, depth) AS (
+        -- depth-capped UNION ALL walk (round 11): the chain fixture
+        -- breaks at doc_id % 7 = 0, so every component is a sub-chain
+        -- of <= 7 nodes (diameter <= 6); walks of length <= 7 reach
+        -- the full closure EXACTLY, the MIN aggregate collapses walk
+        -- multiplicity (bounded by 2^8 per start in a path graph),
+        -- and UNION ALL recursion is the form BOTH engines accept
+        -- (Spark rejects only the UNION-distinct fixpoint)
+        SELECT src, src, 0 FROM sym
+        UNION ALL
+        SELECT r.id, s.dst, r.depth + 1
+        FROM reach r JOIN sym s ON r.other = s.src
+        WHERE r.depth < 7
     ), comp AS (
         SELECT d.doc_id,
                COALESCE(c.component, d.doc_id) AS component
