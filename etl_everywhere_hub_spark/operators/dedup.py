@@ -112,6 +112,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    oversized_star_pairs: bool = False,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands) and self-join on
     (band, band_key). Returns distinct candidate (a < b) pairs.
@@ -128,9 +129,26 @@ def lsh_candidate_pairs(
     log with bucket/row counts — never a silent truncation). Exact
     duplicates should be pre-collapsed first (``minhash_near_dup``'s
     ``collapse_exact``), which is lossless; the cap then only fires on
-    adversarial NEAR-identical clusters, trading bounded recall loss
-    (the cluster's other bands still collide) for bounded task size.
-    Default None preserves exact oracle semantics.
+    adversarial NEAR-identical clusters. Default None preserves exact
+    oracle semantics.
+
+    Recall under the cap (measured, round 11 — LSHCAP_r11.json): a
+    cluster big enough to flood a bucket floods EVERY band's bucket
+    (the docs are near-identical), so the "remaining bands" recover
+    only stragglers whose doc-unique shingle won a band minimum —
+    pair-level recall on the adversarial fixture is ~1e-3, NOT the
+    comfortable fraction the round-8 docstring implied.
+    ``oversized_star_pairs=True`` is the production fix: each
+    oversized bucket's members are emitted as a STAR around the
+    bucket's minimum id (O(m) pairs instead of the suppressed O(m^2)),
+    so downstream exact-Jaccard verification + connected-components
+    still merge the whole cluster — CONNECTIVITY recall returns to
+    100% on the adversarial fixture (asserted in tests/test_lsh_cap.py)
+    while emission stays linear. A false-positive bucket member only
+    costs its own O(m) verification rows; a member whose star edge
+    fails verification drops out exactly as a banding miss would.
+    Default False preserves the oracle contract (q41 pins capped ==
+    uncapped on organic fixtures).
     """
     rows_per_band = num_hashes // bands
     # Band key = md5 of the band's minhashes in SEED order, computed
@@ -159,6 +177,7 @@ def lsh_candidate_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.band_key").alias("band_key"),
     )
+    star = None
     if max_bucket_size is not None:
         # one aggregate pass yields BOTH the oversized-bucket list and
         # the drop accounting (never a silent truncation). Oversized
@@ -183,10 +202,33 @@ def lsh_candidate_pairs(
         if dropped["nb"]:
             logging.getLogger(__name__).warning(
                 "lsh_candidate_pairs: dropping %d band bucket(s) over "
-                "cap=%d (%d member rows, largest bucket=%d); near-dup "
-                "recall for those clusters falls to the remaining bands",
+                "cap=%d (%d member rows, largest bucket=%d); %s",
                 dropped["nb"], max_bucket_size, dropped["nrows"], dropped["mx"],
+                "emitting star pairs for their members"
+                if oversized_star_pairs
+                else "near-dup recall for those clusters falls to the "
+                "remaining bands (straggler-level — see docstring)",
             )
+            if oversized_star_pairs:
+                # O(m) star per oversized bucket: every member pairs
+                # with the bucket's min id. The groupBy is over the
+                # FEW oversized keys (map-side partial min, no skew in
+                # the agg), mins broadcast back onto the member rows.
+                members = band_keys.join(
+                    F.broadcast(oversized.select("band", "band_key")),
+                    ["band", "band_key"],
+                )
+                mins = members.groupBy("band", "band_key").agg(
+                    F.min(id_col).alias("__c")
+                )
+                star = (
+                    members.join(F.broadcast(mins), ["band", "band_key"])
+                    .filter(F.col(id_col) != F.col("__c"))
+                    .select(
+                        F.least(F.col(id_col), F.col("__c")).alias("a"),
+                        F.greatest(F.col(id_col), F.col("__c")).alias("b"),
+                    )
+                )
             band_keys = band_keys.join(
                 F.broadcast(oversized.select("band", "band_key")),
                 ["band", "band_key"],
@@ -194,12 +236,14 @@ def lsh_candidate_pairs(
             )
     a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
     b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
-    return (
+    pairs = (
         a.join(b, on=["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def exact_jaccard(
@@ -255,6 +299,7 @@ def minhash_near_dup(
     threshold: float = 0.8,
     collapse_exact: bool = False,
     max_bucket_size: int | None = None,
+    oversized_star_pairs: bool = False,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline.
 
@@ -356,7 +401,8 @@ def minhash_near_dup(
         ],
     )
     cands = lsh_candidate_pairs(
-        sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+        sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size,
+        oversized_star_pairs=oversized_star_pairs,
     )
     # Verification is MAP-SIDE set intersection (round-9, VERDICT r8
     # item #4): docs already holds each doc's DISTINCT shingle array,
