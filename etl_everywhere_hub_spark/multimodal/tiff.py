@@ -123,6 +123,8 @@ _EOI = 257
 
 
 def lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW compress (MSB-first, 9-bit start, CLEAR=256,
+    EOI=257, early-change width bumps, reset before the table fills)."""
     out = bytearray()
     acc = 0
     nbits = 0
@@ -168,6 +170,9 @@ def lzw_encode_tiff(data: bytes) -> bytes:
 
 
 def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
+    """TIFF-variant LZW decompress to exactly ``n_expected`` bytes
+    (early-change rule: the code width grows one code earlier than
+    GIF's — see the module docstring); truncation raises."""
     out = bytearray()
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)

@@ -44,6 +44,10 @@ SECTIONS = [
     ("Lossless JPEG codec", "etl_everywhere_hub_spark.multimodal.jpeg_lossless"),
     ("WebP VP8L + VP8X container", "etl_everywhere_hub_spark.multimodal.webp"),
     ("Lossy VP8 codec", "etl_everywhere_hub_spark.multimodal.vp8"),
+    ("GIF codec", "etl_everywhere_hub_spark.multimodal.gif"),
+    ("Baseline TIFF codec", "etl_everywhere_hub_spark.multimodal.tiff"),
+    ("MP4/ISO-BMFF demux", "etl_everywhere_hub_spark.multimodal.mp4"),
+    ("Audio codecs (WAV/ADPCM/MP3)", "etl_everywhere_hub_spark.multimodal.audio"),
 ]
 
 HEADER = '''# API — public operator surface
