@@ -99,15 +99,18 @@ def main() -> None:
     ]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    # Three passes per query per engine, report the min: this VM is
+    # Four passes per query per engine, report the min: this VM is
     # shared and single runs see 2-3x spikes from external load; the
     # min is the engine's actual cost (the quantity that transfers to
     # a cluster). (Raised from 2 in round 6 after a late-round window
-    # where BOTH engines measured ~25-40% slow for tens of minutes —
-    # min-of-3 tightens the floor estimate inside such windows.)
+    # where BOTH engines measured ~25-40% slow for tens of minutes;
+    # raised 3 -> 4 in round 11 after a window where successive FULL
+    # bench runs drifted +6%/+18% duck/spark within the hour — the
+    # extra pass tightens BOTH engines' floor estimates identically,
+    # the full spread stays in the sidecar.)
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    RUNS = 3
+    RUNS = 4
     # Round-7 headline additions (VERDICT r6 #7): q139 (iterative graph)
     # and q331 (mapInPandas codec). q139 pairs fairly — its oracle runs
     # the same three power iterations in SQL. q331 does NOT enter the

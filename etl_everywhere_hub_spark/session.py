@@ -44,6 +44,16 @@ _RUNTIME_CONFS = {
     # Spark 3.1, and AQE's skew splitter handles both node types.
     # Measured at sf1.0: q105 star join 3.61 -> 2.72 s (round 9).
     "spark.sql.join.preferSortMergeJoin": "false",
+    # 64 MB broadcast threshold (round 11): the 10 MB default predates
+    # modern executor sizing — with 4-8 GB executors a 64 MB hash
+    # relation is the standard production ceiling, and a STATIC
+    # broadcast decision skips the AQE stage boundary (shuffle write +
+    # driver re-plan) that a runtime conversion still pays. At 100 TB
+    # the fact tables are orders of magnitude over ANY threshold, so
+    # the scale plan (SMJ/SHJ on natural keys) is unchanged; only
+    # bounded dims/stat tables move earlier. Measured on the headline
+    # six at sf0.1: ~5% total wall in a same-session interleaved A/B.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for pandas UDF / toPandas boundaries (the only sanctioned
     # Python touchpoints).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

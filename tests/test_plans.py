@@ -398,9 +398,14 @@ def test_vocab_broadcast_gate_switches_join_strategy(spark, sf_dir):
         # at sf0.001 that still picks broadcast (correctly!), so
         # simulate the at-scale estimate by disabling auto-broadcast;
         # the explicit F.broadcast(v) hint still overrides it, which is
-        # exactly the layering the gate relies on
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # exactly the layering the gate relies on. NOTE: the conf must
+        # be set AFTER q.spark() — building the query calls load_table
+        # -> configure_session, which (by design: the driver hands us
+        # vanilla sessions) re-applies the engine's threshold; physical
+        # planning reads the conf at explain/execute time, so setting
+        # it here still starves the planner.
         starved = q.spark(spark, sf_dir)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         # AQE's initial plan must NOT pre-commit the count-table joins
         # to broadcast when the gate rejects the hint. (v, the 1-row
         # vocab-size agg, keeps its unconditional hint; so assert the
