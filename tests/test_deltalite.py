@@ -1,0 +1,322 @@
+"""Deltalite table-format tests (VERDICT r10 missing #4): ACID log
+commits, snapshot replay, checkpoints, time travel, stats pruning,
+pruned MERGE, OCC conflict matrix, vacuum, streaming exactly-once."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.sources.deltalite import (
+    ConcurrentModification,
+    DeltaliteTable,
+    deltalite_append_sink,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="deltalite_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, tdir, name="t", **kw):
+    return DeltaliteTable(spark, os.path.join(tdir, name), **kw)
+
+
+def _df(spark, rows, cols=("k", "v", "seg")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def test_create_read_roundtrip(spark, tdir):
+    t = _mk(spark, tdir)
+    df = _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 30, "a")])
+    assert t.create(df, partition_by=["seg"]) == 0
+    got = sorted(t.read().collect(), key=lambda r: r.k)
+    assert [(r.k, r.v, r.seg) for r in got] == [(1, 10, "a"), (2, 20, "b"), (3, 30, "a")]
+    # schema/order stabilized to metadata
+    assert t.read().columns == ["k", "v", "seg"]
+    with pytest.raises(FileExistsError):
+        t.create(df)
+
+
+def test_append_and_time_travel(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 10, "a")]))
+    t.append(_df(spark, [(2, 20, "b")]))
+    t.append(_df(spark, [(3, 30, "a")]))
+    assert t.read(version=0).count() == 1
+    assert t.read(version=1).count() == 2
+    assert t.read().count() == 3
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["APPEND", "APPEND", "CREATE"]
+    # deterministic timestamps: version number, not wall time
+    assert all(h["timestamp"] == h["version"] for h in hist)
+
+
+def test_append_schema_mismatch_raises(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 10, "a")]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(1, 2)], ["k", "v"]))
+
+
+def test_overwrite_keeps_history(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 10, "a"), (2, 20, "b")]))
+    t.overwrite(_df(spark, [(9, 90, "z")]))
+    assert [(r.k, r.v) for r in t.read().collect()] == [(9, 90)]
+    assert t.read(version=0).count() == 2  # time travel across overwrite
+
+
+def test_checkpoint_replay_equivalence(spark, tdir):
+    t = _mk(spark, tdir, checkpoint_interval=3)
+    t.create(_df(spark, [(0, 0, "a")]))
+    for i in range(1, 8):
+        t.append(_df(spark, [(i, i * 10, "a" if i % 2 else "b")]))
+    ckpts = [
+        f for f in os.listdir(t.log_path) if f.endswith(".checkpoint.parquet")
+    ]
+    assert ckpts, "checkpoint interval 3 over 8 commits must checkpoint"
+    snap = t.snapshot()
+    # replay from checkpoint must equal replay from scratch
+    full = DeltaliteTable(spark, t.path, checkpoint_interval=10 ** 9)
+    os.rename(
+        os.path.join(t.log_path, "_last_checkpoint"),
+        os.path.join(t.log_path, "_last_checkpoint.bak"),
+    )
+    for f in ckpts:
+        os.rename(os.path.join(t.log_path, f), os.path.join(t.log_path, f + ".bak"))
+    scratch = full.snapshot()
+    assert scratch.files == snap.files and scratch.txns == snap.txns
+    assert t.read().count() == 8
+
+
+def test_stats_pruning_skips_files(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(
+        _df(spark, [(i, i * 10, "a") for i in range(0, 100)]).repartition(1),
+        partition_by=["seg"],
+    )
+    t.append(_df(spark, [(i, i * 10, "b") for i in range(100, 200)]).repartition(1))
+    t.append(_df(spark, [(i, i * 10, "a") for i in range(200, 300)]).repartition(1))
+    df = t.read(filters=[("k", ">=", 250)])
+    audit = t.last_scan
+    assert audit.files_total == 3
+    assert audit.files_scanned == 1 and audit.pruned_by_stats == 2
+    assert df.filter(F.col("k") >= 250).count() == 50
+    # partition pruning
+    t.read(filters=[("seg", "=", "b")])
+    assert t.last_scan.pruned_by_partition == 2
+    # conservative: un-stated column keeps everything
+    t.read(filters=[("nope", "=", 1)])
+    assert t.last_scan.files_scanned == 3
+
+
+def test_pruning_never_changes_results(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(i, i, "a") for i in range(50)]).repartition(1))
+    t.append(_df(spark, [(i, i, "a") for i in range(50, 100)]).repartition(1))
+    pred = F.col("k").between(40, 60)
+    pruned = t.read(filters=[("k", ">=", 40), ("k", "<=", 60)]).filter(pred)
+    full = t.read().filter(pred)
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+
+
+def test_merge_upsert_delete_and_file_pruning(spark, tdir):
+    t = _mk(spark, tdir)
+    # two disjoint key-range files
+    t.create(_df(spark, [(i, i * 10, "a") for i in range(10)]).repartition(1))
+    t.append(_df(spark, [(i, i * 10, "b") for i in range(1000, 1010)]).repartition(1))
+    src = spark.createDataFrame(
+        [(3, 999, "a", "U"), (12, 120, "a", "U"), (5, 0, "a", "D"),
+         (7777, 0, "z", "D")],
+        ["k", "v", "seg", "op"],
+    )
+    t.merge(src, keys=["k"], op_col="op")
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[3] == 999  # matched update
+    assert rows[12] == 120  # unmatched insert
+    assert 5 not in rows  # matched delete
+    assert 7777 not in rows  # delete of absent key = no-op
+    assert rows[1000] == 10000  # carried-forward file untouched
+    info = t.history()[0]
+    assert info["operation"] == "MERGE"
+    # the 1000..1009 file's key range doesn't overlap [3, 7777]? it does
+    # (3 <= 1000 <= 7777) — range pruning is conservative here; verify
+    # the accounting fields exist and sum correctly instead
+    assert (
+        info["operationParameters"]["touchedFiles"]
+        + info["operationParameters"]["carriedFiles"]
+        == 2
+    )
+
+
+def test_merge_prunes_disjoint_files(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(i, i, "a") for i in range(10)]).repartition(1))
+    t.append(_df(spark, [(i, i, "b") for i in range(1000, 1010)]).repartition(1))
+    src = spark.createDataFrame([(3, 99, "a", "U")], ["k", "v", "seg", "op"])
+    t.merge(src, keys=["k"], op_col="op")
+    info = t.history()[0]["operationParameters"]
+    assert info["touchedFiles"] == 1 and info["carriedFiles"] == 1
+
+
+def test_merge_empty_source_is_noop(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1, "a")]))
+    src = spark.createDataFrame([], "k int, v int, seg string, op string")
+    v = t.merge(src, keys=["k"], op_col="op")
+    assert v == 0 and t.latest_version() == 0
+
+
+def test_delete_predicate(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(i, i, "a") for i in range(20)]))
+    t.delete("k % 2 = 0")
+    assert sorted(r.k for r in t.read().collect()) == list(range(1, 20, 2))
+    assert t.read(version=0).count() == 20
+
+
+def test_concurrent_appends_all_land(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(0, 0, "a")]))
+    # pre-write the files serially (Spark jobs don't race well inside
+    # one local JVM), then race ONLY the log commits — the contended path
+    adds = [
+        t._write_files(_df(spark, [(100 + i, i, "x")]), [], 100 + i)
+        for i in range(6)
+    ]
+    errs = []
+    barrier = threading.Barrier(6)
+
+    def commit(a):
+        try:
+            barrier.wait()
+            t._commit_blind_append(
+                [{"add": x} for x in a],
+                {"operation": "APPEND", "operationParameters": {}},
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=commit, args=(a,)) for a in adds]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    assert t.latest_version() == 6  # versions 1..6, no gaps, no clobbers
+    assert t.read().count() == 7
+
+
+def test_rmw_conflict_detected(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(i, i, "a") for i in range(10)]))
+    snap_v = t.latest_version()
+    # concurrent append lands AFTER the delete's snapshot read
+    adds = t._write_files(_df(spark, [(50, 50, "b")]), [], 99)
+    kept_adds = t._write_files(_df(spark, [(1, 1, "a")]), [], 98)
+    t._commit_blind_append(
+        [{"add": a} for a in adds], {"operation": "APPEND",
+                                     "operationParameters": {}}
+    )
+    with pytest.raises(ConcurrentModification):
+        t._commit_rmw(
+            snap_v,
+            [{"add": a} for a in kept_adds],
+            {"operation": "DELETE", "operationParameters": {}},
+        )
+
+
+def test_vacuum_respects_horizon(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1, "a")]))
+    for i in range(2, 6):
+        t.overwrite(_df(spark, [(i, i, "a")]))  # tombstones prior file
+    n_before = sum(
+        1 for _r, _d, fs in os.walk(t.path) for f in fs if f.endswith(".parquet")
+        and "_delta_log" not in _r
+    )
+    deleted = t.vacuum(retain_versions=2)
+    assert deleted, "old tombstoned files must be deleted"
+    # current snapshot unaffected; recent time travel still works
+    assert t.read().count() == 1
+    assert t.read(version=t.latest_version() - 1).count() == 1
+    n_after = sum(
+        1 for _r, _d, fs in os.walk(t.path) for f in fs if f.endswith(".parquet")
+        and "_delta_log" not in _r
+    )
+    assert n_after < n_before
+
+
+def test_log_is_newline_json_actions(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1, "a")]), partition_by=["seg"])
+    p = os.path.join(t.log_path, "0" * 20 + ".json")
+    actions = [json.loads(x) for x in open(p) if x.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo" and "metaData" in kinds and "add" in kinds
+    add = next(a for a in actions if "add" in a)["add"]
+    assert add["partitionValues"] == {"seg": "a"}
+    st = json.loads(add["stats"])
+    assert st["numRecords"] == 1 and st["minValues"]["k"] == 1
+
+
+def test_streaming_append_exactly_once(spark, tdir):
+    # batch twin of the foreachBatch body: replaying a batch id must no-op
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(0, 0, "a")]))
+    app = "app1"
+    df = _df(spark, [(1, 1, "a")])
+    last = t.last_txn_version(app)
+    assert last is None
+    t.append(df, txn=(app, 0))
+    assert t.last_txn_version(app) == 0
+    # crash-replay of batch 0: sink guard sees committed txn and skips.
+    # NOTE the guard must be an explicit None check — `(last or -1)`
+    # turns the legitimate batch id 0 into -1 and double-appends
+    # (this exact bug was caught by an earlier draft of this test).
+    last = t.last_txn_version(app)
+    if not (last is not None and last >= 0):
+        t.append(df, txn=(app, 0))
+    assert t.read().count() == 2  # not 3
+
+
+def test_streaming_sink_end_to_end(spark, tdir, sf_dir):
+    from etl_everywhere_hub_spark.streaming import jobs as stream_jobs
+
+    table = os.path.join(tdir, "events_t")
+    ckpt = os.path.join(tdir, "ckpt")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    t = DeltaliteTable(spark, table)
+    t.create(base.limit(0))
+    s = stream_jobs.stream_events(spark, sf_dir).select("event_id", "user_id")
+    q = deltalite_append_sink(s, table, ckpt, app_id="e2e")
+    q.awaitTermination(120)
+    assert t.read().count() == base.count()
+    # re-run the same stream + checkpoint: all batches replay as no-ops
+    s2 = stream_jobs.stream_events(spark, sf_dir).select("event_id", "user_id")
+    q2 = deltalite_append_sink(s2, table, ckpt, app_id="e2e")
+    q2.awaitTermination(120)
+    assert t.read().count() == base.count()
+
+
+def test_vacuumed_time_travel_raises(spark, tdir):
+    t = _mk(spark, tdir, checkpoint_interval=2)
+    t.create(_df(spark, [(1, 1, "a")]))
+    for i in range(2, 7):
+        t.overwrite(_df(spark, [(i, i, "a")]))
+    t.vacuum(retain_versions=1)
+    with pytest.raises(Exception):
+        t.read(version=0).collect()
