@@ -94,6 +94,7 @@ class Mp4Track:
     offsets: list = field(default_factory=list)      # absolute in file
     times: list = field(default_factory=list)        # decode timestamps
     sync: list = field(default_factory=list)         # 1-based indexes
+    avcc: bytes | None = None  # raw AVCDecoderConfigurationRecord (avc1/avc3)
 
 
 @dataclass
@@ -107,6 +108,7 @@ class Mp4File:
 
 def _parse_stbl(payload: bytes, b0: int, b1: int):
     codec = None
+    avcc = None
     stts_runs: list[tuple[int, int]] = []
     stss: list[int] | None = None
     stsc_runs: list[tuple[int, int]] = []  # (first_chunk, samples/chunk)
@@ -120,6 +122,15 @@ def _parse_stbl(payload: bytes, b0: int, b1: int):
             if n_entries < 1:
                 raise ValueError("empty stsd")
             codec = payload[c0 + 12 : c0 + 16].decode("latin-1")
+            if codec in ("avc1", "avc3"):
+                # child boxes of the VisualSampleEntry start after its
+                # fixed 78-byte body (ISO 14496-12 sect. 12.1.3)
+                entry_end = c0 + 8 + _u32(payload, c0 + 8)
+                kids = c0 + 8 + 8 + 78
+                if kids < entry_end:
+                    hit = _find(payload, kids, entry_end, "avcC")
+                    if hit is not None:
+                        avcc = payload[hit[0] : hit[1]]
         elif fc == "stts":
             n = _u32(payload, c0 + 4)
             for i in range(n):
@@ -194,7 +205,7 @@ def _parse_stbl(payload: bytes, b0: int, b1: int):
             f"chunk schedule places {si} samples, stsz declares {n_samples}"
         )
     sync = stss if stss is not None else list(range(1, n_samples + 1))
-    return codec, times, sizes, offsets, sync, n_samples
+    return codec, times, sizes, offsets, sync, n_samples, avcc
 
 
 def demux_mp4(payload: bytes) -> Mp4File:
@@ -245,8 +256,8 @@ def demux_mp4(payload: bytes) -> Mp4File:
                     stbl = _find(payload, minf[0], minf[1], "stbl")
                     if stbl is None:
                         raise ValueError("minf missing stbl")
-                    codec, times, sizes, offsets, sync, n = _parse_stbl(
-                        payload, stbl[0], stbl[1]
+                    codec, times, sizes, offsets, sync, n, avcc = (
+                        _parse_stbl(payload, stbl[0], stbl[1])
                     )
                     tracks.append(
                         Mp4Track(
@@ -260,6 +271,7 @@ def demux_mp4(payload: bytes) -> Mp4File:
                             offsets=offsets,
                             times=times,
                             sync=sync,
+                            avcc=avcc,
                         )
                     )
     if major is None:
@@ -414,11 +426,14 @@ def build_mp4(
                 b"hdlr", 0,
                 b"\x00" * 4 + tr["handler"].encode() + b"\x00" * 12 + b"\x00",
             )
+            entry_kids = b""
+            if tr.get("avcc"):
+                entry_kids = _box(b"avcC", tr["avcc"])
             stsd = _full(
                 b"stsd", 0,
                 struct.pack(">I", 1)
                 + _box(tr["codec"].encode(), b"\x00" * 6 + struct.pack(">H", 1)
-                       + b"\x00" * 70),
+                       + b"\x00" * 70 + entry_kids),
             )
             stts = _full(
                 b"stts", 0,

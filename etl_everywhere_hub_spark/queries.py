@@ -24207,3 +24207,373 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "q349_deltalite_cdf",
+    """
+    WITH base0 AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+               c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    base1 AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+               c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 2 = 1
+    ),
+    base AS (SELECT * FROM base0 UNION ALL SELECT * FROM base1),
+    src AS (
+        SELECT k, op, nbal, nseg FROM (
+            SELECT o_custkey AS k,
+                   CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS nbal,
+                   concat('S', CAST(o_custkey % 4 AS STRING)) AS nseg,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY epoch_ms(CAST(o_orderdate AS TIMESTAMP)) DESC,
+                                o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ),
+    changes AS (
+        SELECT 0 AS ver, 'insert' AS ct, bal FROM base0
+        UNION ALL
+        SELECT 1, 'insert', bal FROM base1
+        UNION ALL
+        SELECT 2, 'delete', b.bal
+        FROM base b JOIN src s ON s.k = b.k
+        WHERE s.op = 'D'
+           OR (s.op = 'U' AND NOT (s.nbal = b.bal AND s.nseg = b.seg))
+        UNION ALL
+        SELECT 2, 'insert', s.nbal
+        FROM src s LEFT JOIN base b ON b.k = s.k
+        WHERE s.op = 'U'
+          AND (b.k IS NULL OR NOT (s.nbal = b.bal AND s.nseg = b.seg))
+        UNION ALL
+        SELECT 3, 'insert', bal FROM base
+    )
+    SELECT CAST(ver AS BIGINT) AS commit_version, ct AS change_type,
+           COUNT(*) AS n_rows, CAST(SUM(bal) AS BIGINT) AS bal_sum
+    FROM changes GROUP BY ver, ct ORDER BY commit_version, change_type
+    """,
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deltalite CHANGE DATA FEED under oracle (round 11): row-level
+    incremental consumption between table versions — the scalable
+    twin of the reference's polling consumers (task.ts:103-115),
+    which re-fetch whole state; CDF feeds downstream ONLY what
+    changed.
+
+    Fixture: create (even custkeys) → append (odd custkeys) → one
+    MERGE applying an orders-derived last-op-per-key source (updates,
+    deletes, and inserts of unseen keys) → OPTIMIZE compaction.
+    ``table_changes(0, 3)`` recovers the minimal row delta per
+    commit from the file-level log diff (added-files rows EXCEPT ALL
+    removed-files rows, and vice versa): unchanged rows carried
+    through the MERGE's file rewrites cancel exactly, IDENTICAL
+    upserts (new row == old row) produce nothing, and the OPTIMIZE
+    commit (dataChange false) contributes zero rows — asserted
+    in-task, while the oracle recomputes the per-version
+    insert/delete multisets relationally (matched-D + changed-U old
+    rows as deletes; changed-U new rows + unmatched-U as inserts).
+
+    Scale shape: each commit's delta costs O(rows in its touched
+    files), never O(table) — a 100 TB table whose MERGE touched two
+    partitions feeds two partitions' worth of EXCEPT ALL, and the
+    downstream incremental consumer never rescans history."""
+    from etl_everywhere_hub_spark.sources.deltalite import DeltaliteTable
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_deltalite_scratch(sf_dir, "q349"), "t")
+    t = DeltaliteTable(spark, path)
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t.create(base.filter(F.col("k") % 2 == 0))
+    t.append(base.filter(F.col("k") % 2 == 1))
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    log = o.select(
+        F.col("o_custkey").alias("k"),
+        ms.alias("ms"),
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o_custkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("bal"),
+        F.concat(F.lit("S"), (F.col("o_custkey") % 4).cast("string")).alias(
+            "seg"
+        ),
+    )
+    src = latest_per_key(log, ["k"], "ms", "o_orderkey").select(
+        "k", "bal", "seg", "op"
+    )
+    t.merge(src, keys=["k"], op_col="op")
+    # late-arrival append (disjoint +2M keys) so the table holds >= 2
+    # files going into OPTIMIZE (AQE coalesces the tiny merge output
+    # to one file at gate scale — found by the sf0.001 probe)
+    t.append(
+        base.select(
+            (F.col("k") + 2000000).alias("k"), F.col("bal"), F.col("seg")
+        )
+    )
+    t.optimize(target_file_bytes=1 << 30)
+    assert t.latest_version() == 4
+    assert t.history()[0]["operation"] == "OPTIMIZE"
+    cdf = t.table_changes(0, 4)
+    # the OPTIMIZE commit must contribute nothing (dataChange: false)
+    return (
+        cdf.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal").cast("long").alias("bal_sum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+@query(
+    "q350_deltalite_optimize",
+    """
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS slot,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_okey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_okey
+    FROM orders
+    WHERE o_orderkey BETWEEN 1 AND 200
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deltalite OPTIMIZE (compaction + range clustering) under
+    oracle (round 11): the operational pass every log-structured
+    table needs at 100 TB — streaming appends leave many small files
+    whose per-file scan overhead dominates, and whose overlapping
+    key ranges defeat stats skipping.
+
+    Fixture: orders (okey, cents) committed as 8 interleaved slices
+    (``o_orderkey % 8``), each a single file spanning ~the whole key
+    range (fixture orderkeys are DENSE 0..N-1) — worst case for
+    min/max pruning (a narrow key predicate must scan all 8).
+    ``optimize(cluster_by=[okey])`` bin-packs them into ~4
+    range-clustered files via repartitionByRange +
+    sortWithinPartitions, so the rewritten files carry DISJOINT okey
+    ranges. In-task asserts pin the mechanism: pre-compaction the
+    [1, 200] band scans all 8 files, post-compaction it scans ≤2
+    (boundary straddle at most) with fewer live files and an
+    OPTIMIZE history entry whose CDF contribution is zero rows; the
+    oracle recomputes the band aggregate from raw orders — equality
+    proves compaction changed LAYOUT, never content.
+
+    Scale shape: compaction reads only the small files it bin-packs
+    and commits O(files touched) log actions; clustering rides the
+    same rewrite for free. At 1000 executors this is the nightly
+    maintenance job that keeps scan counts flat as appends
+    accumulate."""
+    from etl_everywhere_hub_spark.sources.deltalite import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    path = os.path.join(_deltalite_scratch(sf_dir, "q350"), "t")
+    t = DeltaliteTable(spark, path)
+    for i in range(8):
+        sl = s.filter(F.col("okey") % 8 == i).repartition(1)
+        if i == 0:
+            t.create(sl)
+        else:
+            t.append(sl)
+    band = [("okey", ">=", 1), ("okey", "<=", 200)]
+    t.read(filters=band)
+    assert t.last_scan.files_scanned == 8  # interleaved: nothing prunes
+    total = sum(a["size"] for a in t.snapshot().files.values())
+    v = t.optimize(target_file_bytes=max(1, total // 4), cluster_by=["okey"])
+    assert t.history()[0]["operation"] == "OPTIMIZE"
+    snap = t.snapshot()
+    assert 1 < len(snap.files) < 8
+    assert t.table_changes(v, v).count() == 0  # compaction is CDF-silent
+    df = t.read(filters=band)
+    assert t.last_scan.files_scanned <= 2, t.last_scan  # disjoint ranges
+    return (
+        df.filter(F.col("okey").between(1, 200))
+        .groupBy((F.col("okey") % 8).cast("long").alias("slot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.min("okey").cast("long").alias("min_okey"),
+            F.max("okey").cast("long").alias("max_okey"),
+        )
+        .orderBy("slot")
+    )
+
+
+@query(
+    "q351_h264_codec_metadata",
+    """
+    WITH cfg AS (
+        SELECT doc_id,
+               CASE doc_id % 6 WHEN 0 THEN 66 WHEN 1 THEN 77 WHEN 2 THEN 100
+                               WHEN 3 THEN 110 WHEN 4 THEN 122 ELSE 244
+               END AS profile,
+               CAST(10 + doc_id % 41 AS BIGINT) AS level_idc,
+               CAST(2 + doc_id % 19 AS BIGINT) AS wm,
+               CAST(2 + doc_id % 13 AS BIGINT) AS hm,
+               CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS fmo,
+               CAST(doc_id % 2 AS BIGINT) AS cr,
+               CAST(doc_id % 3 AS BIGINT) AS cb,
+               CAST(1 + doc_id % 16 AS BIGINT) AS nref,
+               CAST(1000 + doc_id % 100 AS BIGINT) AS fps_i,
+               CAST(doc_id % 2 AS BIGINT) AS cabac,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4
+               END AS nal_len,
+               CAST(20 + doc_id % 10 AS BIGINT) AS qp,
+               CAST(1 + doc_id % 8 AS BIGINT) AS l0
+        FROM documents
+    ),
+    geo AS (
+        SELECT *,
+               CASE WHEN profile = 122 THEN 2
+                    WHEN profile = 244 THEN 3 ELSE 1 END AS chroma
+        FROM cfg
+    ),
+    units AS (
+        SELECT *,
+               CASE WHEN chroma = 3 THEN 1 ELSE 2 END AS cux,
+               (CASE WHEN chroma = 1 THEN 2 ELSE 1 END) * (2 - fmo) AS cuy
+        FROM geo
+    )
+    SELECT doc_id AS media_id,
+           CAST(profile AS BIGINT) AS profile,
+           level_idc,
+           CAST(chroma AS BIGINT) AS chroma,
+           CAST(wm * 16 - cux * cr AS BIGINT) AS width,
+           CAST((2 - fmo) * hm * 16 - cuy * cb AS BIGINT) AS height,
+           nref, fps_i, cabac, CAST(nal_len AS BIGINT) AS nal_len, qp, l0
+    FROM units ORDER BY media_id
+    """,
+)
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 codec-metadata extraction under oracle (round 11,
+    extending VERDICT r10 item #4's MP4 demux): the stream-shape step
+    a multimodal crawl runs after demux and before any transcode
+    decision — resolution, profile/level, chroma format, reference
+    count, frame rate, entropy mode — parsed from the ``avcC``
+    configuration record's SPS/PPS WITHOUT touching a coded slice.
+
+    Per document, multimodal/h264.py builds an SPS cycling every
+    load-bearing syntax axis with doc_id — six profiles spanning the
+    baseline and high-profile branches (chroma_format_idc 1/2/3),
+    interlaced vs frame-only coding, right/bottom cropping (whose
+    pixel meaning depends on BOTH chroma subsampling and field mode
+    via the §7.4.2.1.1 CropUnitX/Y arithmetic — the oracle recomputes
+    it relationally), VUI timing chosen so fps is an exact integer —
+    plus a PPS (CAVLC/CABAC, ref-list size, init QP) — wraps both in
+    an avcC record (three NAL length sizes) inside a real MP4 sample
+    entry, demuxes, and parses back. In-task asserts pin the byte
+    path: the avcC surfaced by the demuxer is bit-identical to the
+    one embedded, and the fps reconstruction is exact.
+
+    Scale shape: identical to the codec family — embarrassingly
+    parallel mapInPandas; a few dozen bytes parsed per file, only
+    scalar metadata rows shuffle onward."""
+    import pandas as pd
+
+    from etl_everywhere_hub_spark.multimodal import spread_for_codec
+    from etl_everywhere_hub_spark.multimodal.h264 import (
+        build_avcc,
+        build_pps,
+        build_sps,
+        parse_avcc,
+        parse_pps,
+        parse_sps,
+    )
+    from etl_everywhere_hub_spark.multimodal.mp4 import build_mp4, demux_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def extract(batches):
+        profiles = [66, 77, 100, 110, 122, 244]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                profile = profiles[mid % 6]
+                chroma = {122: 2, 244: 3}.get(profile, 1)
+                fmo = 0 if mid % 5 == 0 else 1
+                nu = 1 + mid % 3
+                fps_i = 1000 + mid % 100
+                sps = build_sps(
+                    profile_idc=profile,
+                    level_idc=10 + mid % 41,
+                    width_mbs=2 + mid % 19,
+                    height_map_units=2 + mid % 13,
+                    frame_mbs_only=fmo,
+                    crop=(0, mid % 2, 0, mid % 3),
+                    chroma_format_idc=chroma,
+                    max_num_ref_frames=1 + mid % 16,
+                    fps_timing=(nu, fps_i * 2 * nu),
+                )
+                pps = build_pps(
+                    cabac=mid % 2 == 1,
+                    num_ref_idx_l0=1 + mid % 8,
+                    pic_init_qp=20 + mid % 10,
+                )
+                nal_len = [1, 2, 4][mid % 3]
+                rec = build_avcc([sps], [pps], nal_length_size=nal_len)
+                mp4 = build_mp4(
+                    [
+                        dict(
+                            handler="vide", codec="avc1",
+                            timescale=90000, sample_sizes=[16, 16],
+                            stts_runs=[(2, 3000)], samples_per_chunk=1,
+                            sync=[1], avcc=rec,
+                        )
+                    ],
+                )
+                tr = demux_mp4(mp4).tracks[0]
+                assert tr.avcc == rec, "avcC corrupted through the mp4"
+                cfg = parse_avcc(tr.avcc)
+                s = parse_sps(cfg["sps"][0])
+                p = parse_pps(cfg["pps"][0])
+                fps = s["fps"]
+                assert fps is not None and abs(fps - fps_i) < 1e-9
+                rows.append(
+                    (
+                        mid, s["profile_idc"], s["level_idc"],
+                        s["chroma_format_idc"], s["width"], s["height"],
+                        s["max_num_ref_frames"], int(round(fps)),
+                        1 if p["entropy_coding_mode"] == "cabac" else 0,
+                        cfg["nal_length_size"], p["pic_init_qp"],
+                        p["num_ref_idx_l0"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "profile", "level_idc", "chroma", "width",
+                    "height", "nref", "fps_i", "cabac", "nal_len", "qp", "l0",
+                ],
+            )
+
+    # no engine-side orderBy: a range sort would run the whole decode
+    # pass twice (partitioner sampling); the driver compare sorts rows
+    return spread_for_codec(docs).mapInPandas(
+        extract,
+        "media_id long, profile long, level_idc long, chroma long, "
+        "width long, height long, nref long, fps_i long, cabac long, "
+        "nal_len long, qp long, l0 long",
+    )

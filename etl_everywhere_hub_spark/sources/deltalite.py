@@ -725,6 +725,157 @@ class DeltaliteTable:
             {"operation": "DELETE", "operationParameters": {"predicate": predicate}},
         )
 
+    # ------------------------------------------------- optimize / cdf
+
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list | None = None,
+        min_files: int = 2,
+    ) -> int:
+        """Small-file compaction — the operational necessity of any
+        log-structured table at 100 TB (streaming appends produce
+        thousands of KB-sized files; scan cost is per-file).
+
+        Bin-packs every live file smaller than ``target_file_bytes``
+        into ``ceil(total/target)`` rewritten files; with
+        ``cluster_by`` the rewrite is ``repartitionByRange`` +
+        ``sortWithinPartitions`` so the output files carry DISJOINT
+        min/max ranges on those columns — compaction doubles as a
+        clustering pass that makes stats file-skipping surgical
+        (q350 pins this: a narrow key predicate scans exactly one
+        file afterwards).
+
+        The commit marks every add/remove ``dataChange: false``:
+        readers see identical rows, CDF consumers (``table_changes``)
+        skip the commit entirely, and the OCC rule is relaxed —
+        concurrent APPENDS are compatible (their files aren't
+        touched) and only a concurrent remove of a file being
+        rewritten raises ``ConcurrentModification``."""
+        snap = self.snapshot()
+        small = [
+            rel
+            for rel in sorted(snap.files)
+            if snap.files[rel]["size"] < target_file_bytes
+        ]
+        if len(small) < min_files:
+            return snap.version
+        total = sum(snap.files[r]["size"] for r in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, r) for r in small]
+        )
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in snap.schema.fields]
+        )
+        if cluster_by:
+            df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(max(1, n_out))
+        adds = self._write_files(df, snap.partition_columns, snap.version + 1)
+        actions = [
+            {"remove": {"path": p, "deletionTimestamp": snap.version + 1,
+                        "dataChange": False}}
+            for p in small
+        ] + [{"add": {**a, "dataChange": False}} for a in adds]
+        version = snap.version + 1
+        rewritten = set(small)
+        for _ in range(self.max_commit_retries):
+            info = {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "filesIn": len(small),
+                        "filesOut": len(adds),
+                        "clusterBy": list(cluster_by or []),
+                    },
+                    "timestamp": version,
+                    "readVersion": snap.version,
+                }
+            }
+            if self._try_commit(version, [info] + actions):
+                return version
+            for a in self._read_commit(version):
+                if "remove" in a and a["remove"]["path"] in rewritten:
+                    raise ConcurrentModification(
+                        f"file {a['remove']['path']} removed under compaction"
+                    )
+            version += 1
+        raise ConcurrentModification("optimize exhausted retries")
+
+    def table_changes(self, from_version: int, to_version: int | None = None):
+        """Row-level change feed over [from_version, to_version]: the
+        table's columns plus ``_change_type`` ('insert' | 'delete')
+        and ``_commit_version``.
+
+        Per data-changing commit, the minimal row delta is recovered
+        from the file-level log diff: rows of added files EXCEPT ALL
+        rows of removed files are the inserts, the reverse are the
+        deletes — unchanged rows carried through a MERGE rewrite
+        cancel exactly (multiset semantics), so a rewrite of a
+        100-row file that updated 2 rows feeds 2 inserts + 2 deletes
+        downstream, not 200. OPTIMIZE commits (``dataChange: false``)
+        contribute nothing by construction.
+
+        Cost is O(rows in files touched by each commit), never
+        O(table) — the property that makes incremental downstream
+        consumption (the reference's polling consumers,
+        task.ts:103-115) viable at 100 TB. Valid within the vacuum
+        retention horizon (removed files must still exist)."""
+        from functools import reduce
+
+        latest = self.latest_version()
+        to_version = latest if to_version is None else to_version
+        parts = []
+        for v in range(max(0, from_version), to_version + 1):
+            acts = self._read_commit(v)
+            added = [
+                a["add"]["path"]
+                for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removed = [
+                a["remove"]["path"]
+                for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if not added and not removed:
+                continue
+            schema = self.snapshot(v).schema
+            cols = [f.name for f in schema.fields]
+
+            def _read(rels, schema=schema, cols=cols):
+                if not rels:
+                    return self.spark.createDataFrame([], schema).select(*cols)
+                d = self.spark.read.option("basePath", self.path).parquet(
+                    *[os.path.join(self.path, r) for r in rels]
+                )
+                return d.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name)
+                      for f in schema.fields]
+                )
+
+            a_df, r_df = _read(added), _read(removed)
+            ins = a_df.exceptAll(r_df).withColumn("_change_type", F.lit("insert"))
+            dels = r_df.exceptAll(a_df).withColumn("_change_type", F.lit("delete"))
+            parts.append(
+                ins.unionByName(dels).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+        if not parts:
+            schema = self.snapshot(to_version).schema
+            return (
+                self.spark.createDataFrame([], schema)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+                .limit(0)
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     # -------------------------------------------------------- vacuum
 
     def vacuum(self, retain_versions: int = 7) -> list:

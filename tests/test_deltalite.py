@@ -320,3 +320,107 @@ def test_vacuumed_time_travel_raises(spark, tdir):
     t.vacuum(retain_versions=1)
     with pytest.raises(Exception):
         t.read(version=0).collect()
+
+
+def test_optimize_compacts_and_preserves_rows(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(0, 0, "a")]))
+    for i in range(1, 8):
+        t.append(_df(spark, [(i, i * 10, "a" if i % 2 else "b")]))
+    before = t.read()
+    rows_before = sorted((r.k, r.v, r.seg) for r in before.collect())
+    n_files_before = len(t.snapshot().files)
+    v = t.optimize(target_file_bytes=1 << 20)
+    assert v == t.latest_version()
+    n_files_after = len(t.snapshot().files)
+    assert n_files_after < n_files_before
+    assert n_files_after == 1  # everything fits one 1MB bin
+    rows_after = sorted((r.k, r.v, r.seg) for r in t.read().collect())
+    assert rows_after == rows_before
+    # time travel across the compaction still sees the old layout
+    assert t.read(version=v - 1).count() == 8
+    assert t.history()[0]["operation"] == "OPTIMIZE"
+
+
+def test_optimize_cluster_by_tightens_skipping(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(0, 0, "a")]))
+    # interleaved appends: every file spans nearly the full k range
+    for i in range(1, 7):
+        t.append(
+            _df(spark, [(k, k, "a") for k in range(i, 600, 7)]).repartition(1)
+        )
+    t.read(filters=[("k", ">=", 10), ("k", "<=", 20)])
+    assert t.last_scan.files_scanned > 1  # pre-compaction: no skipping
+    # tiny target forces multiple output files; range-clustered by k
+    t.optimize(target_file_bytes=4096, cluster_by=["k"])
+    snap = t.snapshot()
+    assert len(snap.files) > 1
+    # disjoint k-ranges across compacted files
+    import json as _json
+
+    ranges = sorted(
+        (
+            _json.loads(a["stats"])["minValues"]["k"],
+            _json.loads(a["stats"])["maxValues"]["k"],
+        )
+        for a in snap.files.values()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    t.read(filters=[("k", ">=", 10), ("k", "<=", 20)])
+    assert t.last_scan.files_scanned == 1
+
+
+def test_optimize_noop_below_min_files(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1, "a")]).repartition(1))
+    v = t.optimize()
+    assert v == t.latest_version() == 0  # nothing to do, no commit
+
+
+def test_table_changes_create_append_merge(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 10, "a"), (2, 20, "a"), (3, 30, "a")]))
+    t.append(_df(spark, [(4, 40, "b")]))
+    src = spark.createDataFrame(
+        [(2, 99, "a", "U"),  # update: changes v 20 -> 99
+         (3, 30, "a", "U"),  # no-op update: identical row, must cancel
+         (5, 50, "b", "U"),  # insert
+         (1, 0, "a", "D")],  # delete
+        ["k", "v", "seg", "op"],
+    )
+    t.merge(src, keys=["k"], op_col="op")
+    cdf = t.table_changes(0).collect()
+    by = {}
+    for r in cdf:
+        by.setdefault((r._commit_version, r._change_type), set()).add((r.k, r.v))
+    assert by[(0, "insert")] == {(1, 10), (2, 20), (3, 30)}
+    assert by[(1, "insert")] == {(4, 40)}
+    # row-level minimality: no-op update of k=3 produces NO change rows
+    assert by[(2, "insert")] == {(2, 99), (5, 50)}
+    assert by[(2, "delete")] == {(2, 20), (1, 10)}
+    assert (2, "delete") in by and (3, 30) not in by[(2, "delete")]
+
+
+def test_table_changes_skips_optimize(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1, "a")]))
+    t.append(_df(spark, [(2, 2, "a")]))
+    t.optimize(target_file_bytes=1 << 20)
+    cdf = t.table_changes(0)
+    assert cdf.filter(F.col("_commit_version") == t.latest_version()).count() == 0
+    assert cdf.count() == 2  # just the two genuine inserts
+    # windowed feed: only the append
+    w = t.table_changes(1, 1)
+    assert [(r.k, r._change_type) for r in w.collect()] == [(2, "insert")]
+
+
+def test_table_changes_delete_commit(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(i, i, "a") for i in range(6)]))
+    t.delete("k >= 4")
+    cdf = t.table_changes(1, 1).collect()
+    assert sorted((r.k, r._change_type) for r in cdf) == [
+        (4, "delete"), (5, "delete")
+    ]
