@@ -29,6 +29,8 @@ SECTIONS = [
     ("Sources", "etl_everywhere_hub_spark.sources.readers"),
     ("Physical layout", "etl_everywhere_hub_spark.sources.layout"),
     ("Python DataSource", "etl_everywhere_hub_spark.sources.python_datasource"),
+    ("Deltalite table format", "etl_everywhere_hub_spark.sources.deltalite"),
+    ("Deltalite DataSource (batch + streaming)", "etl_everywhere_hub_spark.sources.deltalite_source"),
     ("Kafka-shaped source shim", "etl_everywhere_hub_spark.sources.kafka_shim"),
     ("Reference tracks pipeline", "etl_everywhere_hub_spark.pipeline.tracks"),
     ("CoT XML codec", "etl_everywhere_hub_spark.pipeline.cot"),
@@ -48,6 +50,9 @@ SECTIONS = [
     ("Baseline TIFF codec", "etl_everywhere_hub_spark.multimodal.tiff"),
     ("MP4/ISO-BMFF demux", "etl_everywhere_hub_spark.multimodal.mp4"),
     ("Audio codecs (WAV/ADPCM/MP3)", "etl_everywhere_hub_spark.multimodal.audio"),
+    ("H.264 parameter sets (SPS/PPS/avcC)", "etl_everywhere_hub_spark.multimodal.h264"),
+    ("DEFLATE + gzip codec", "etl_everywhere_hub_spark.multimodal.deflate"),
+    ("WARC record codec", "etl_everywhere_hub_spark.multimodal.warc"),
 ]
 
 HEADER = '''# API — public operator surface
