@@ -124,13 +124,19 @@ def lsh_candidate_pairs(
     a real crawl has boilerplate clusters of 1e4-1e6 near-identical
     docs, which land in ONE (band, band_key) bucket and would shuffle
     m^2 candidate pairs into a single task. With the cap set, buckets
-    larger than the cap are EXCLUDED from the self-join and the drop
-    is accounted eagerly (one vocabulary-sized aggregate + a WARNING
-    log with bucket/row counts — never a silent truncation). Exact
+    larger than the cap are EXCLUDED from the self-join IN-PLAN: a
+    window count over the same (band, band_key) partitioning the join
+    shuffles on anyway (no extra exchange, nothing on the critical
+    path — round 11; the previous eager accounting collect serialized
+    a whole extra pipeline materialization, ~30% of q41's bench
+    wall). The drop accounting is still NEVER silent: the exact
+    bucket/row aggregate runs as a CONCURRENT background job and
+    WARNs the moment it lands — ``await_cap_accounting()`` joins it
+    (tests; production log ordering is best-effort by design). Exact
     duplicates should be pre-collapsed first (``minhash_near_dup``'s
-    ``collapse_exact``), which is lossless; the cap then only fires on
-    adversarial NEAR-identical clusters. Default None preserves exact
-    oracle semantics.
+    ``collapse_exact``), which is lossless; the cap then only fires
+    on adversarial NEAR-identical clusters. Default None preserves
+    exact oracle semantics.
 
     Recall under the cap (measured, round 11 — LSHCAP_r11.json): a
     cluster big enough to flood a bucket floods EVERY band's bucket
@@ -179,63 +185,48 @@ def lsh_candidate_pairs(
     )
     star = None
     if max_bucket_size is not None:
-        # one aggregate pass yields BOTH the oversized-bucket list and
-        # the drop accounting (never a silent truncation). Oversized
-        # buckets are by definition few (each holds >cap near-identical
-        # docs), so the exclusion join broadcasts — no extra shuffle in
-        # the candidate plan. band_keys is persisted FIRST so the
-        # accounting collect materializes the shingle->signature->band
-        # pipeline once and the candidate self-join below reuses the
-        # cache instead of recomputing it (cache is cleared between
-        # queries by the harness, same as minhash_near_dup's persists).
-        band_keys = band_keys.persist(StorageLevel.MEMORY_AND_DISK)
-        oversized = (
-            band_keys.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_bucket_size)
+        # in-plan capping (round 11): the bucket size is a window
+        # count over EXACTLY the keys the self-join shuffles on, so
+        # capping and star construction ride the pipeline pass the
+        # join needs anyway — no persist, no accounting job on the
+        # CRITICAL PATH (the previous eager collect serialized a
+        # whole extra pipeline materialization in front of every
+        # capped query, ~30% of q41's bench wall). The drop
+        # accounting is still never silent: the same aggregate runs
+        # as a CONCURRENT background job (same CPU the old eager form
+        # spent, now overlapped) and emits the WARNING the moment it
+        # lands — ``await_cap_accounting()`` joins it (tests;
+        # production ordering is best-effort by design, the numbers
+        # are exact). An ``observe()`` node would be free-er still,
+        # but Spark 4.1.2's Observation breaks when the observed
+        # subtree feeds a self-join (toPyRow assertion on the
+        # twice-collected metrics row) — probed round 11.
+        w = Window.partitionBy("band", "band_key")
+        bkw = band_keys.withColumn("__bn", F.count(F.lit(1)).over(w))
+        if oversized_star_pairs:
+            bkw = bkw.withColumn("__c", F.min(id_col).over(w))
+            # O(m) star per oversized bucket around its min id:
+            # downstream verify + connected components re-merge the
+            # whole cluster while emission stays linear
+            star = (
+                bkw.filter(
+                    (F.col("__bn") > max_bucket_size)
+                    & (F.col(id_col) != F.col("__c"))
+                )
+                .select(
+                    F.least(F.col(id_col), F.col("__c")).alias("a"),
+                    F.greatest(F.col(id_col), F.col("__c")).alias("b"),
+                )
+            )
+        _spawn_cap_accounting_logger(
+            band_keys, max_bucket_size, oversized_star_pairs
         )
-        dropped = oversized.agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.sum("__bn").alias("nrows"),
-            F.max("__bn").alias("mx"),
-        ).collect()[0]
-        if dropped["nb"]:
-            logging.getLogger(__name__).warning(
-                "lsh_candidate_pairs: dropping %d band bucket(s) over "
-                "cap=%d (%d member rows, largest bucket=%d); %s",
-                dropped["nb"], max_bucket_size, dropped["nrows"], dropped["mx"],
-                "emitting star pairs for their members"
-                if oversized_star_pairs
-                else "near-dup recall for those clusters falls to the "
-                "remaining bands (straggler-level — see docstring)",
-            )
-            if oversized_star_pairs:
-                # O(m) star per oversized bucket: every member pairs
-                # with the bucket's min id. The groupBy is over the
-                # FEW oversized keys (map-side partial min, no skew in
-                # the agg), mins broadcast back onto the member rows.
-                members = band_keys.join(
-                    F.broadcast(oversized.select("band", "band_key")),
-                    ["band", "band_key"],
-                )
-                mins = members.groupBy("band", "band_key").agg(
-                    F.min(id_col).alias("__c")
-                )
-                star = (
-                    members.join(F.broadcast(mins), ["band", "band_key"])
-                    .filter(F.col(id_col) != F.col("__c"))
-                    .select(
-                        F.least(F.col(id_col), F.col("__c")).alias("a"),
-                        F.greatest(F.col(id_col), F.col("__c")).alias("b"),
-                    )
-                )
-            band_keys = band_keys.join(
-                F.broadcast(oversized.select("band", "band_key")),
-                ["band", "band_key"],
-                "left_anti",
-            )
-    a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
-    b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
+        kept = bkw.filter(F.col("__bn") <= max_bucket_size)
+        a = kept.select(F.col(id_col).alias("a"), "band", "band_key")
+        b = kept.select(F.col(id_col).alias("b"), "band", "band_key")
+    else:
+        a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
+        b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
     pairs = (
         a.join(b, on=["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
@@ -244,6 +235,59 @@ def lsh_candidate_pairs(
     if star is not None:
         pairs = pairs.unionByName(star)
     return pairs.distinct()
+
+
+_CAP_LOG_THREADS: list = []
+
+
+def _spawn_cap_accounting_logger(
+    band_keys: DataFrame, cap: int, star_mode: bool
+) -> None:
+    """Run the drop-accounting aggregate as a CONCURRENT Spark job
+    (same CPU the old serialized-eager form spent, now overlapped
+    with the caller's main action) and WARN with exact bucket/row
+    counts if anything was dropped. Daemon thread; concurrent jobs in
+    one session are a supported Spark pattern (FIFO scheduler)."""
+    import threading
+
+    def _log() -> None:
+        try:
+            dropped = (
+                band_keys.groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") > cap)
+                .agg(
+                    F.count(F.lit(1)).alias("nb"),
+                    F.sum("__bn").alias("nrows"),
+                    F.max("__bn").alias("mx"),
+                )
+                .collect()[0]
+            )
+        except Exception:  # noqa: BLE001 — session torn down first
+            return
+        if dropped["nb"]:
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping %d band bucket(s) over "
+                "cap=%d (%d member rows, largest bucket=%d); %s",
+                dropped["nb"], cap, dropped["nrows"], dropped["mx"],
+                "emitting star pairs for their members"
+                if star_mode
+                else "near-dup recall for those clusters falls to the "
+                "remaining bands (straggler-level — see docstring)",
+            )
+
+    t = threading.Thread(target=_log, daemon=True, name="lsh-cap-accounting")
+    t.start()
+    _CAP_LOG_THREADS.append(t)
+
+
+def await_cap_accounting(timeout: float = 30.0) -> None:
+    """Join pending cap-accounting logger threads (tests call this
+    inside their caplog context; production ordering is best-effort)."""
+    for t in list(_CAP_LOG_THREADS):
+        t.join(timeout)
+        if not t.is_alive():
+            _CAP_LOG_THREADS.remove(t)
 
 
 def exact_jaccard(
