@@ -17,6 +17,8 @@ SECTIONS = [
     ("Portable hashing", "etl_everywhere_hub_spark.functions.hashing"),
     ("Time functions", "etl_everywhere_hub_spark.functions.timeutil"),
     ("Geometry functions", "etl_everywhere_hub_spark.functions.geo"),
+    ("HTML extraction", "etl_everywhere_hub_spark.functions.html"),
+    ("URL canonicalization", "etl_everywhere_hub_spark.functions.url"),
     ("Keyed-window operators", "etl_everywhere_hub_spark.operators.windows"),
     ("As-of / range joins", "etl_everywhere_hub_spark.operators.asof"),
     ("Deduplication", "etl_everywhere_hub_spark.operators.dedup"),
