@@ -150,12 +150,57 @@ def _parse_attrs(s: str) -> list:
     return attrs
 
 
-def tokenize(html: str):
+def _find_tag_end(html: str, start: int, bare_quotes: bool = False) -> int:
+    """Index of the '>' closing the tag opened at ``html[start] ==
+    '<'``, skipping quoted attribute values — per the HTML5 tokenizer
+    (WHATWG §13.2.5.36/38), a '>' inside ``href="a>b"`` does NOT end
+    the tag. A quote begins a quoted span only directly after '='
+    (optionally whitespace-separated), matching the spec's
+    before-attribute-value state; quotes elsewhere in the tag are
+    ordinary characters. ``bare_quotes=True`` (the ``<!`` declaration
+    path) instead treats ANY quote as opening a quoted literal —
+    DOCTYPE public/system identifiers are quoted without '='.
+    Returns -1 if no closing '>' exists."""
+    i, n = start + 1, len(html)
+    while i < n:
+        c = html[i]
+        if c == ">":
+            return i
+        if bare_quotes and c in "\"'":
+            q = html.find(c, i + 1)
+            if q < 0:
+                return -1
+            i = q + 1
+            continue
+        if c == "=":
+            j = i + 1
+            while j < n and html[j] in " \t\r\n":
+                j += 1
+            if j < n and html[j] in "\"'":
+                q = html.find(html[j], j + 1)
+                if q < 0:
+                    return -1
+                i = q + 1
+                continue
+            i = j
+            continue
+        i += 1
+    return -1
+
+
+def tokenize(html: str, lenient: bool = False):
     """Yield (kind, payload) events: ('text', str) — entity-decoded;
     ('open', (tag, attrs, self_closing)); ('close', tag);
     ('comment', str); ('cdata', str); ('doctype', str).
     Script/style content is emitted as ONE ('rawtext', (tag, str))
-    event, never tokenized."""
+    event, never tokenized. A '>' inside a quoted attribute value
+    does not end the tag (see _find_tag_end).
+
+    ``lenient=True`` (what the crawl-facing extract_* wrappers use)
+    recovers from unterminated constructs the way browsers do —
+    comment/CDATA/rawtext run to EOF, a dangling '<tag' or '<>'
+    becomes literal text — instead of raising ValueError and failing
+    the worker task on one malformed document."""
     i, n = 0, len(html)
     while i < n:
         lt = html.find("<", i)
@@ -168,6 +213,9 @@ def tokenize(html: str):
         if html.startswith("<!--", lt):
             end = html.find("-->", lt + 4)
             if end < 0:
+                if lenient:
+                    yield ("comment", html[lt + 4 :])
+                    return
                 raise ValueError("unterminated comment")
             yield ("comment", html[lt + 4 : end])
             i = end + 3
@@ -175,19 +223,29 @@ def tokenize(html: str):
         if html.startswith("<![CDATA[", lt):
             end = html.find("]]>", lt + 9)
             if end < 0:
+                if lenient:
+                    yield ("cdata", html[lt + 9 :])
+                    return
                 raise ValueError("unterminated CDATA section")
             yield ("cdata", html[lt + 9 : end])
             i = end + 3
             continue
         if html.startswith("<!", lt):
-            end = html.find(">", lt)
+            end = _find_tag_end(html, lt, bare_quotes=True)
             if end < 0:
+                if lenient:
+                    yield ("doctype", html[lt + 2 :])
+                    return
                 raise ValueError("unterminated declaration")
             yield ("doctype", html[lt + 2 : end])
             i = end + 1
             continue
-        end = html.find(">", lt)
+        end = _find_tag_end(html, lt)
         if end < 0:
+            if lenient:
+                # HTML5 "EOF in tag" parse error: discard the partial
+                # tag, emit nothing
+                return
             raise ValueError("unterminated tag")
         inner = html[lt + 1 : end]
         if inner.startswith("/"):
@@ -202,6 +260,11 @@ def tokenize(html: str):
             k += 1
         tag = inner[:k].lower()
         if not tag:
+            if lenient:
+                # '<>' / '< p>' — browsers emit the '<' as text
+                yield ("text", decode_entities(html[lt : end + 1]))
+                i = end + 1
+                continue
             raise ValueError(f"empty tag at offset {lt}")
         attrs = _parse_attrs(inner[k:])
         if tag in RAWTEXT_TAGS and not self_closing:
@@ -209,10 +272,18 @@ def tokenize(html: str):
             low = html.lower()
             close = low.find(f"</{tag}", end + 1)
             if close < 0:
+                if lenient:
+                    yield ("open", (tag, attrs, False))
+                    yield ("rawtext", (tag, html[end + 1 :]))
+                    yield ("close", tag)
+                    return
                 raise ValueError(f"unterminated <{tag}> raw content")
             gt = html.find(">", close)
             if gt < 0:
-                raise ValueError(f"unterminated </{tag}> tag")
+                if lenient:
+                    gt = n - 1
+                else:
+                    raise ValueError(f"unterminated </{tag}> tag")
             yield ("open", (tag, attrs, False))
             yield ("rawtext", (tag, html[end + 1 : close]))
             yield ("close", tag)
@@ -229,13 +300,15 @@ BLOCK_TAGS = frozenset(
 )
 
 
-def extract_text(html: str, separator: str = "") -> str:
+def extract_text(html: str, separator: str = "", lenient: bool = True) -> str:
     """Concatenate text nodes (entity-decoded), skipping script/style
     raw content and comments; ``separator`` is inserted at block-tag
     boundaries (default '' — exact concatenation, the q355 md5
-    contract)."""
+    contract). Lenient by default: real crawl HTML is routinely
+    truncated mid-tag, and one malformed document must not fail the
+    worker task (pass lenient=False to re-enable strict errors)."""
     parts: list = []
-    for kind, payload in tokenize(html):
+    for kind, payload in tokenize(html, lenient=lenient):
         if kind == "text":
             parts.append(payload)
         elif kind == "cdata":
@@ -247,14 +320,15 @@ def extract_text(html: str, separator: str = "") -> str:
     return "".join(parts)
 
 
-def extract_links(html: str) -> list:
+def extract_links(html: str, lenient: bool = True) -> list:
     """(href, anchor_text) per <a href=...>; nested markup inside the
     anchor flattens into the text, nested <a> is treated as a new
-    anchor (browser-like recovery)."""
+    anchor (browser-like recovery). Lenient by default, like
+    extract_text."""
     links = []
     cur_href = None
     cur_text: list = []
-    for kind, payload in tokenize(html):
+    for kind, payload in tokenize(html, lenient=lenient):
         if kind == "open" and payload[0] == "a":
             if cur_href is not None:
                 links.append((cur_href, "".join(cur_text)))

@@ -263,7 +263,17 @@ def _spawn_cap_accounting_logger(
                 )
                 .collect()[0]
             )
-        except Exception:  # noqa: BLE001 — session torn down first
+        except Exception as exc:  # noqa: BLE001 — e.g. session torn down
+            # Never swallow silently: the whole point of this job is
+            # that a cap drop is never unaccounted. If the accounting
+            # itself fails, say so.
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: cap drop-accounting job failed "
+                "(%s: %s); over-cap buckets this call were still %s, "
+                "but exact drop counts are unavailable",
+                type(exc).__name__, exc,
+                "star-repaired" if star_mode else "truncated",
+            )
             return
         if dropped["nb"]:
             logging.getLogger(__name__).warning(
@@ -276,6 +286,9 @@ def _spawn_cap_accounting_logger(
                 "remaining bands (straggler-level — see docstring)",
             )
 
+    # prune finished threads so a long-lived session never accumulates
+    # dead Thread objects
+    _CAP_LOG_THREADS[:] = [t for t in _CAP_LOG_THREADS if t.is_alive()]
     t = threading.Thread(target=_log, daemon=True, name="lsh-cap-accounting")
     t.start()
     _CAP_LOG_THREADS.append(t)

@@ -36,6 +36,9 @@ a commit costs O(files it touches), never O(table):
 - **MERGE** prunes the base side to key-range-overlapping files and
   rewrites ONLY those — O(touched + source), the lakehouse MERGE
   bound — carrying every untouched file forward by reference.
+  **DELETE** gets the same bound when the caller passes structured
+  ``filters`` triples; with only a SQL predicate string it is an
+  honest full rewrite (we don't parse SQL into prune triples).
 - **Time travel**: any retained version replays exactly.
 - **Streaming exactly-once**: ``txn`` actions (appId, version) make
   foreachBatch appends idempotent under micro-batch replay.
@@ -59,6 +62,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from dataclasses import dataclass
@@ -698,14 +702,25 @@ class DeltaliteTable:
         )
         return v
 
-    def delete(self, predicate: str) -> int:
-        """Delete rows matching a SQL predicate: stats-prune to files
-        that MAY contain matches, rewrite only those with the
-        predicate inverted, carry the rest forward by reference."""
+    def delete(self, predicate: str, filters: list | None = None) -> int:
+        """Delete rows matching a SQL ``predicate``. When ``filters``
+        (the same conjunctive ``(col, op, value)`` triples ``read``
+        takes; they must be implied by the predicate) are given, the
+        log's partition values + min/max stats prune to the files
+        that MAY contain matches — only those are rewritten, the
+        rest carry forward by reference, so the commit costs
+        O(files touched). Without ``filters`` every live file is
+        rewritten (a full-table rewrite): stats pruning needs
+        structured triples, and this module deliberately does not
+        parse SQL strings into them."""
         snap = self.snapshot()
         live = sorted(snap.files)
         if not live:
             return snap.version
+        if filters:
+            live = self._prune(snap, filters)
+            if not live:
+                return snap.version  # stats prove nothing matches
         paths = [os.path.join(self.path, r) for r in live]
         df = self.spark.read.option("basePath", self.path).parquet(*paths)
         df = df.select(
@@ -878,12 +893,20 @@ class DeltaliteTable:
 
     # -------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_versions: int = 7) -> list:
+    def vacuum(
+        self,
+        retain_versions: int = 7,
+        staging_ttl_seconds: float = 3600.0,
+    ) -> list:
         """Physically delete data files tombstoned at or below
         ``latest - retain_versions`` (time travel below that horizon
         becomes invalid, exactly Delta's retention contract). Returns
         the deleted relative paths. Also sweeps abandoned staging
-        dirs from crashed writers."""
+        token dirs from crashed writers — but ONLY those whose mtime
+        is older than ``staging_ttl_seconds``, so a vacuum running
+        concurrently with a live writer (which stages parquet under
+        ``_staging/<token>`` before renaming into the table) can
+        never delete an in-flight write."""
         latest = self.latest_version()
         horizon = latest - retain_versions
         removed_at: dict = {}
@@ -902,7 +925,17 @@ class DeltaliteTable:
                 if os.path.exists(p):
                     os.unlink(p)
                 deleted.append(rel)
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        staging_root = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging_root):
+            now = time.time()
+            for tok in os.listdir(staging_root):
+                d = os.path.join(staging_root, tok)
+                try:
+                    if now - os.path.getmtime(d) < staging_ttl_seconds:
+                        continue  # possibly a live writer — leave it
+                except OSError:
+                    continue  # raced with its own writer's rename
+                shutil.rmtree(d, ignore_errors=True)
         return deleted
 
 
@@ -911,6 +944,21 @@ def _value_passes(pv: str, op: str, val) -> bool:
     compares in the value's natural domain by passing val as str for
     string partitions — numeric partition columns compare as
     numbers when both sides parse)."""
+    if op == "in":
+        # Coerce pv per ELEMENT type — `type(val)(pv)` on the
+        # list/tuple itself would explode pv into characters and
+        # wrongly prune every file.
+        for item in val:
+            if isinstance(item, str):
+                if pv == item:
+                    return True
+                continue
+            try:
+                if type(item)(pv) == item:
+                    return True
+            except (TypeError, ValueError):
+                return True  # un-comparable element → conservative keep
+        return False
     v: object = pv
     if not isinstance(val, str):
         try:
@@ -927,8 +975,6 @@ def _value_passes(pv: str, op: str, val) -> bool:
         return v > val
     if op == ">=":
         return v >= val
-    if op == "in":
-        return v in val
     raise ValueError(f"unsupported filter op: {op}")
 
 

@@ -424,3 +424,65 @@ def test_table_changes_delete_commit(spark, tdir):
     assert sorted((r.k, r._change_type) for r in cdf) == [
         (4, "delete"), (5, "delete")
     ]
+
+
+def test_partition_in_pruning(spark, tdir):
+    # ADVICE r11: 'in' with non-string values used to coerce the
+    # partition value with type(val)(pv) — list('S1') -> ['S','1'] —
+    # wrongly pruning every file. Element-typed coercion now.
+    t = _mk(spark, tdir)
+    t.create(
+        _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]).repartition(1),
+        partition_by=["seg"],
+    )
+    # string elements
+    got = t.read(filters=[("seg", "in", ["a", "c"])])
+    assert sorted(r.k for r in got.collect()) == [1, 3]
+    assert t.last_scan.pruned_by_partition == 1
+    # numeric elements against a numeric partition column
+    t2 = _mk(spark, tdir, name="t2")
+    t2.create(
+        _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]).repartition(1),
+        partition_by=["v"],
+    )
+    got2 = t2.read(filters=[("v", "in", [10, 30])])
+    assert sorted(r.k for r in got2.collect()) == [1, 3]
+    assert t2.last_scan.pruned_by_partition == 1
+    # empty membership prunes everything (vacuously false)
+    assert t2.read(filters=[("v", "in", [])]).count() == 0
+
+
+def test_delete_with_filters_prunes(spark, tdir):
+    # ADVICE r11: delete() used to rewrite every live file; with
+    # structured filters it now touches only candidate files.
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(i, i, "a") for i in range(100)]).repartition(1))
+    t.append(_df(spark, [(i, i, "a") for i in range(100, 200)]).repartition(1))
+    t.append(_df(spark, [(i, i, "a") for i in range(200, 300)]).repartition(1))
+    v = t.delete("k >= 250", filters=[("k", ">=", 250)])
+    # correctness
+    assert t.read().count() == 250
+    # minimality: the commit removed exactly ONE file (the k>=200 one)
+    acts = t._read_commit(v)
+    removes = [a for a in acts if "remove" in a]
+    assert len(removes) == 1
+    # filters proving nothing matches -> no commit at all
+    v2 = t.delete("k >= 9999", filters=[("k", ">=", 9999)])
+    assert v2 == v and t.latest_version() == v
+
+
+def test_vacuum_spares_live_staging(spark, tdir):
+    # ADVICE r11: vacuum used to rmtree the whole _staging root,
+    # racing concurrent writers. It now only sweeps token dirs older
+    # than staging_ttl_seconds.
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1, "a")]))
+    fresh = os.path.join(t.path, "_staging", "live-writer")
+    stale = os.path.join(t.path, "_staging", "crashed-writer")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    past = 10_000.0  # epoch 1970 — definitely past any TTL
+    os.utime(stale, (past, past))
+    t.vacuum(retain_versions=2, staging_ttl_seconds=3600.0)
+    assert os.path.isdir(fresh), "fresh staging dir must survive vacuum"
+    assert not os.path.exists(stale), "abandoned staging dir must be swept"

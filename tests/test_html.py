@@ -92,6 +92,35 @@ def test_error_paths():
         list(tokenize("<![CDATA[never"))
 
 
+def test_gt_inside_quoted_attribute():
+    # HTML5 §13.2.5.36: '>' inside a quoted attribute value does not
+    # end the tag (ADVICE r11 — previously leaked `b">` into text)
+    html = '<a href="a>b">link</a> tail'
+    assert extract_text(html) == "link tail"
+    assert extract_links(html) == [("a>b", "link")]
+    # single-quoted, and '>' in an unquoted context after '='
+    assert extract_text("<p title='x>y'>T</p>") == "T"
+    # doctype with quoted public identifier containing '>'
+    evs = list(tokenize('<!DOCTYPE html PUBLIC "a>b"><i>Q</i>'))
+    assert evs[0][0] == "doctype" and 'a>b' in evs[0][1]
+    # a quote NOT after '=' is an ordinary char, not a quoted span
+    assert extract_text("<p data-x>it's</p>") == "it's"
+
+
+def test_lenient_mode_recovers_malformed():
+    # extract_text/_links default lenient: truncated crawl documents
+    # must not raise (ADVICE r11)
+    assert extract_text("before<p never closed") == "before"
+    assert extract_text("ok<!-- trailing comment") == "ok"
+    assert extract_text("x<script>dangling") == "x"
+    assert extract_text("a<>b") == "a<>b"
+    assert extract_text("c<![CDATA[tail") == "ctail"
+    assert extract_links('pre <a href="/k">anch') == [("/k", "anch")]
+    # strict mode still raises for callers that want the error
+    with pytest.raises(ValueError):
+        extract_text("before<p never closed", lenient=False)
+
+
 def test_build_html_exact_text_recovery():
     text = "The quick & brown <fox> jumps 'over' the \"lazy\" dog 123"
     for k in (0, 3, 7):

@@ -73,8 +73,8 @@ def _pairs(sigs, cap):
 def test_cap_triggers_and_accounting_matches(sigs, caplog):
     with caplog.at_level(logging.WARNING):
         capped_n = _pairs(sigs, CAP).count()
-        # accounting rides the action via observe() and logs from a
-        # completion thread (round 11) — drain it before asserting
+        # accounting runs as a separate concurrent Spark job in a
+        # daemon thread (round 11) — drain it before asserting
         dedup_ops.await_cap_accounting()
     msgs = [r for r in caplog.records if "dropping" in r.getMessage()]
     assert msgs, "cap never triggered on a 1200-doc near-identical cluster"
