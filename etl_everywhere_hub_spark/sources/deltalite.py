@@ -89,6 +89,7 @@ class Snapshot:
     files: dict  # relative path -> add action dict
     txns: dict  # appId -> highest committed txn version
     n_log_actions: int = 0
+    protocol: dict | None = None
 
     @property
     def schema(self) -> StructType:
@@ -108,6 +109,13 @@ class ScanAudit:
     files_scanned: int = 0
     pruned_by_partition: int = 0
     pruned_by_stats: int = 0
+
+
+# Delta-shaped protocol gate: a reader must refuse logs demanding a
+# capability level it does not implement (delta PROTOCOL.md "Reader
+# Requirements"); replaying anyway risks silently-wrong snapshots.
+_READER_VERSION = 1
+_WRITER_VERSION = 2
 
 
 def _fmt_version(v: int) -> str:
@@ -270,6 +278,12 @@ class DeltaliteTable:
         target = latest if version is None else version
         if target > latest or target < 0:
             raise ValueError(f"version {target} out of range 0..{latest}")
+        vh = self._vacuum_horizon()
+        if target < vh:
+            raise ValueError(
+                f"version {target} predates the vacuum horizon {vh}: its "
+                "data files have been physically deleted"
+            )
         snap = Snapshot(version=target, metadata={}, files={}, txns={})
         start = 0
         ckpt = self._last_checkpoint_version(target)
@@ -287,7 +301,16 @@ class DeltaliteTable:
                     f"state is the checkpoint at {ckpt}"
                 ) from None
         for a in actions:
-            if "metaData" in a:
+            if "protocol" in a:
+                mrv = a["protocol"].get("minReaderVersion", 1)
+                if mrv > _READER_VERSION:
+                    raise ValueError(
+                        f"table requires reader version {mrv}; this "
+                        f"implementation supports {_READER_VERSION} — "
+                        "refusing to replay a log it cannot honor"
+                    )
+                snap.protocol = a["protocol"]
+            elif "metaData" in a:
                 snap.metadata = a["metaData"]
             elif "add" in a:
                 snap.files[a["add"]["path"]] = a["add"]
@@ -330,7 +353,10 @@ class DeltaliteTable:
         import pyarrow.parquet as pq
 
         snap = self.snapshot(version)
-        actions = [{"metaData": snap.metadata}]
+        actions = []
+        if snap.protocol is not None:
+            actions.append({"protocol": snap.protocol})
+        actions.append({"metaData": snap.metadata})
         actions += [{"add": a} for a in snap.files.values()]
         actions += [
             {"txn": {"appId": k, "version": v}} for k, v in sorted(snap.txns.items())
@@ -473,6 +499,8 @@ class DeltaliteTable:
         actions = [
             {"commitInfo": {"operation": "CREATE", "operationParameters": {},
                             "timestamp": 0, "readVersion": -1}},
+            {"protocol": {"minReaderVersion": _READER_VERSION,
+                          "minWriterVersion": _WRITER_VERSION}},
             self._metadata_action(df, partition_by),
         ] + [{"add": a} for a in adds]
         # CREATE claims version 0 exactly once — a lost race means a
@@ -587,13 +615,13 @@ class DeltaliteTable:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, r) for r in rels]
         reader = self.spark.read.option("basePath", self.path)
-        df = reader.parquet(*paths)
-        # stabilize column order + partition-column types to metadata
-        cols = []
-        for f in schema.fields:
-            if f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        return df.select(*cols)
+        # EXPLICIT schema from the log metadata: pins column order and
+        # partition-column types, and — after add_columns evolution —
+        # makes old-generation files null-fill the new columns per
+        # row (name-based parquet resolution), instead of inheriting
+        # whichever file Spark would have sampled for inference.
+        df = reader.schema(schema).parquet(*paths)
+        return df.select(*[F.col(f.name) for f in schema.fields])
 
     # --------------------------------------------------------- merge
 
@@ -649,13 +677,10 @@ class DeltaliteTable:
                     break
             (touched if overlap else carried).append(rel)
         if touched:
-            base = self.spark.read.option("basePath", self.path).parquet(
-                *[os.path.join(self.path, r) for r in touched]
-            )
-            base = base.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name)
-                  for f in snap.schema.fields]
-            )
+            base = self.spark.read.option("basePath", self.path).schema(
+                snap.schema
+            ).parquet(*[os.path.join(self.path, r) for r in touched])
+            base = base.select(*[F.col(f.name) for f in snap.schema.fields])
         else:
             base = self.spark.createDataFrame([], snap.schema)
         src = source
@@ -722,11 +747,10 @@ class DeltaliteTable:
             if not live:
                 return snap.version  # stats prove nothing matches
         paths = [os.path.join(self.path, r) for r in live]
-        df = self.spark.read.option("basePath", self.path).parquet(*paths)
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name)
-              for f in snap.schema.fields]
-        )
+        df = self.spark.read.option("basePath", self.path).schema(
+            snap.schema
+        ).parquet(*paths)
+        df = df.select(*[F.col(f.name) for f in snap.schema.fields])
         kept = df.filter(f"NOT ({predicate})")
         adds = self._write_files(kept, snap.partition_columns, snap.version + 1)
         actions = [
@@ -738,6 +762,41 @@ class DeltaliteTable:
             snap.version,
             actions,
             {"operation": "DELETE", "operationParameters": {"predicate": predicate}},
+        )
+
+    def add_columns(self, new_fields: list) -> int:
+        """Schema evolution: append NULLABLE columns to the table
+        schema (the metadata-only evolution Delta permits without a
+        rewrite). Old-generation files null-fill the new columns on
+        read (see ``read``'s explicit-schema scan); no data file is
+        touched — the commit is one ``metaData`` action.
+
+        ``new_fields``: (name, DataType) tuples or StructFields.
+        Columns are forced nullable — an old file HAS no value for
+        them, so a non-null contract would be a lie."""
+        from pyspark.sql.types import StructField
+
+        snap = self.snapshot()
+        schema = snap.schema
+        names = {f.name for f in schema.fields}
+        added = []
+        for f in new_fields:
+            if isinstance(f, tuple):
+                f = StructField(f[0], f[1], True)
+            if f.name in names:
+                # covers partition columns too: they are always
+                # existing columns
+                raise ValueError(f"column {f.name!r} already exists")
+            schema = schema.add(f.name, f.dataType, True)
+            names.add(f.name)
+            added.append(f.name)
+        md = dict(snap.metadata)
+        md["schemaString"] = schema.json()
+        return self._commit_rmw(
+            snap.version,
+            [{"metaData": md}],
+            {"operation": "ADD COLUMNS",
+             "operationParameters": {"columns": added}},
         )
 
     # ------------------------------------------------- optimize / cdf
@@ -777,13 +836,10 @@ class DeltaliteTable:
             return snap.version
         total = sum(snap.files[r]["size"] for r in small)
         n_out = max(1, -(-total // target_file_bytes))
-        df = self.spark.read.option("basePath", self.path).parquet(
-            *[os.path.join(self.path, r) for r in small]
-        )
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name)
-              for f in snap.schema.fields]
-        )
+        df = self.spark.read.option("basePath", self.path).schema(
+            snap.schema
+        ).parquet(*[os.path.join(self.path, r) for r in small])
+        df = df.select(*[F.col(f.name) for f in snap.schema.fields])
         if cluster_by:
             df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
                 *cluster_by
@@ -865,11 +921,11 @@ class DeltaliteTable:
             def _read(rels, schema=schema, cols=cols):
                 if not rels:
                     return self.spark.createDataFrame([], schema).select(*cols)
-                d = self.spark.read.option("basePath", self.path).parquet(
-                    *[os.path.join(self.path, r) for r in rels]
-                )
+                d = self.spark.read.option("basePath", self.path).schema(
+                    schema
+                ).parquet(*[os.path.join(self.path, r) for r in rels])
                 return d.select(
-                    *[F.col(f.name).cast(f.dataType).alias(f.name)
+                    *[F.col(f.name)
                       for f in schema.fields]
                 )
 
@@ -892,6 +948,16 @@ class DeltaliteTable:
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     # -------------------------------------------------------- vacuum
+
+    def _vacuum_horizon(self) -> int:
+        """Lowest version whose data files are all guaranteed present
+        (-inf as -1 when no vacuum ever deleted anything)."""
+        marker = os.path.join(self.log_path, "_last_vacuum")
+        try:
+            with open(marker) as fh:
+                return int(json.load(fh)["horizon"])
+        except FileNotFoundError:
+            return -1
 
     def vacuum(
         self,
@@ -925,6 +991,16 @@ class DeltaliteTable:
                 if os.path.exists(p):
                     os.unlink(p)
                 deleted.append(rel)
+        if deleted:
+            # record the horizon so time travel BELOW it fails with a
+            # clear replay-time error instead of a mid-action Spark
+            # missing-file error. Versions >= horizon only reference
+            # files tombstoned AFTER it, all retained.
+            marker = os.path.join(self.log_path, "_last_vacuum")
+            prev = self._vacuum_horizon()
+            with open(marker + ".tmp", "w") as fh:
+                json.dump({"horizon": max(horizon, prev)}, fh)
+            os.replace(marker + ".tmp", marker)
         staging_root = os.path.join(self.path, "_staging")
         if os.path.isdir(staging_root):
             now = time.time()

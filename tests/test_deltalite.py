@@ -486,3 +486,75 @@ def test_vacuum_spares_live_staging(spark, tdir):
     t.vacuum(retain_versions=2, staging_ttl_seconds=3600.0)
     assert os.path.isdir(fresh), "fresh staging dir must survive vacuum"
     assert not os.path.exists(stale), "abandoned staging dir must be swept"
+
+
+def test_add_columns_evolution(spark, tdir):
+    from pyspark.sql.types import LongType, StringType
+
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 10, "a"), (2, 20, "b")]), partition_by=["seg"])
+    v1 = t.latest_version()
+    t.add_columns([("score", LongType()), ("lang", StringType())])
+    # metadata-only: no data file was touched
+    acts = t._read_commit(t.latest_version())
+    assert not any("add" in a or "remove" in a for a in acts)
+    # old files null-fill
+    got = {(r.k, r.score, r.lang) for r in t.read().collect()}
+    assert got == {(1, None, None), (2, None, None)}
+    # new-generation append carries values; both generations coexist
+    new = spark.createDataFrame(
+        [(3, 30, "a", 7, "en")], ["k", "v", "seg", "score", "lang"]
+    )
+    t.append(new)
+    got = {(r.k, r.score, r.lang) for r in t.read().collect()}
+    assert got == {(1, None, None), (2, None, None), (3, 7, "en")}
+    # pruning on the evolved column: old-generation files carry no
+    # stats for it, so they are kept CONSERVATIVELY (pruning may only
+    # skip provably-empty files) — results stay correct
+    pruned = t.read(filters=[("score", ">=", 5)])
+    assert t.last_scan.files_scanned == t.last_scan.files_total
+    assert [r.k for r in pruned.filter(F.col("score") >= 5).collect()] == [3]
+    # time travel BELOW the evolution sees the old schema
+    assert "score" not in t.read(version=v1).columns
+    # duplicates refuse (partition columns are existing columns too)
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns([("score", LongType())])
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns([("seg", LongType())])
+
+
+def test_protocol_gating(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1, "a")]))
+    snap = t.snapshot()
+    assert snap.protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # a log demanding a higher reader version must refuse to replay
+    t2 = _mk(spark, tdir, name="t2")
+    t2.create(_df(spark, [(1, 1, "a")]))
+    t2._try_commit(1, [
+        {"commitInfo": {"operation": "UPGRADE", "operationParameters": {},
+                        "timestamp": 1, "readVersion": 0}},
+        {"protocol": {"minReaderVersion": 9, "minWriterVersion": 9}},
+    ])
+    with pytest.raises(ValueError, match="reader version 9"):
+        t2.read()
+    # time travel BELOW the upgrade still replays
+    assert t2.read(version=0).count() == 1
+
+
+def test_checkpoint_carries_protocol_and_evolved_schema(spark, tdir):
+    from pyspark.sql.types import LongType
+
+    t = _mk(spark, tdir, checkpoint_interval=4)
+    t.create(_df(spark, [(0, 0, "a")]))
+    t.add_columns([("extra", LongType())])
+    for i in range(1, 6):
+        t.append(spark.createDataFrame([(i, i, "a", i * 100)],
+                                       ["k", "v", "seg", "extra"]))
+    # a fresh handle replays from the checkpoint, not version 0
+    t2 = DeltaliteTable(spark, t.path)
+    snap = t2.snapshot()
+    assert snap.protocol is not None
+    assert "extra" in [f.name for f in snap.schema.fields]
+    got = sorted((r.k, r.extra) for r in t2.read().collect())
+    assert got == [(0, None)] + [(i, i * 100) for i in range(1, 6)]
