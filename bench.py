@@ -54,6 +54,40 @@ def main() -> None:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count().collect()
 
+    # Machine fingerprint + calibration pair (VERDICT r11 #4: the
+    # sf0.1 ratio went environment-hostage across a host change, and
+    # cross-round comparisons needed prose archaeology). Fixed
+    # synthetic microbenchmarks — no data dependence, min-of-3 on a
+    # warm JVM — so any BENCH artifact states how fast THIS host runs
+    # each engine; two artifacts are comparable by their calibration
+    # ratio without re-running anything.
+    def _fingerprint(con) -> dict:
+        cpu = ""
+        try:
+            for line in open("/proc/cpuinfo"):
+                if line.lower().startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+        except OSError:
+            pass
+        jvm_runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(40_000_000).selectExpr("sum(id * 2 + 1)").collect()
+            jvm_runs.append(time.time() - t0)
+        duck_runs = []
+        for _ in range(3):
+            t0 = time.time()
+            con.sql("SELECT sum(i * 2 + 1) FROM range(100000000) t(i)").df()
+            duck_runs.append(time.time() - t0)
+        return {
+            "cpu": cpu,
+            "cores": os.cpu_count(),
+            "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            "jvm_cal_s": round(min(jvm_runs), 3),
+            "duck_cal_s": round(min(duck_runs), 3),
+        }
+
     # Per-round diffability (VERDICT r4 #8, r5 #1): per-query paired
     # DuckDB timing and the PREVIOUS round's spark number live in the
     # BENCH_DETAIL.json sidecar (committed each round) — NOT in the
@@ -224,12 +258,14 @@ def main() -> None:
     # driver's bounded tail capture always holds the complete object.
     # SPARK_GRAFT_DETAIL_OUT redirects the sidecar (the sf1.0 pairing
     # writes BENCH_DETAIL_SF1.json without clobbering the sf0.1 one)
+    fingerprint = _fingerprint(con)
     detail_name = os.environ.get("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     try:
         with open(os.path.join(repo_dir, detail_name), "w") as fh:
             json.dump(
                 {
                     "sf": sf_val,
+                    "fingerprint": fingerprint,
                     "queries_detail": detail,
                     "duckdb_total_paired": duck_total,
                     "spark_total_paired": paired_spark,
@@ -253,6 +289,7 @@ def main() -> None:
                 "ratio_paired": ratio,
                 "duckdb_total_paired": duck_total,
                 "sf": sf_val,
+                "fingerprint": fingerprint,
             }
         )
     )
