@@ -19,6 +19,7 @@ SECTIONS = [
     ("Geometry functions", "etl_everywhere_hub_spark.functions.geo"),
     ("HTML extraction", "etl_everywhere_hub_spark.functions.html"),
     ("URL canonicalization", "etl_everywhere_hub_spark.functions.url"),
+    ("Charset sniffing / transcoding", "etl_everywhere_hub_spark.functions.charset"),
     ("Keyed-window operators", "etl_everywhere_hub_spark.operators.windows"),
     ("As-of / range joins", "etl_everywhere_hub_spark.operators.asof"),
     ("Deduplication", "etl_everywhere_hub_spark.operators.dedup"),
@@ -55,6 +56,8 @@ SECTIONS = [
     ("H.264 parameter sets (SPS/PPS/avcC)", "etl_everywhere_hub_spark.multimodal.h264"),
     ("DEFLATE + gzip codec", "etl_everywhere_hub_spark.multimodal.deflate"),
     ("WARC record codec", "etl_everywhere_hub_spark.multimodal.warc"),
+    ("Zstandard codec (RFC 8878)", "etl_everywhere_hub_spark.multimodal.zstd"),
+    ("PDF text extraction", "etl_everywhere_hub_spark.multimodal.pdf"),
 ]
 
 HEADER = '''# API — public operator surface
