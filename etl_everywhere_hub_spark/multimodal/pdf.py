@@ -616,11 +616,28 @@ def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early_change: bool = True) -> bytes:
+    """LZWDecode (§7.4.4) IS the TIFF 6.0 LZW variant — reuse the
+    from-spec core in multimodal/tiff.py (MSB-first, 9-bit start,
+    CLEAR=256/EOI=257, early-change width bumps; EarlyChange=0
+    defers the bump by one code)."""
+    from etl_everywhere_hub_spark.multimodal.tiff import lzw_decode_tiff
+
+    return lzw_decode_tiff(data, None, early_change=early_change)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    from etl_everywhere_hub_spark.multimodal.tiff import lzw_encode_tiff
+
+    return lzw_encode_tiff(data)
+
+
 _FILTERS = {
     "FlateDecode": _flate_decode,
     "ASCIIHexDecode": _ahx_decode,
     "ASCII85Decode": _a85_decode,
     "RunLengthDecode": _rl_decode,
+    "LZWDecode": _lzw_decode,
 }
 
 
@@ -639,8 +656,12 @@ def _apply_filters(raw: bytes, sdict: dict, doc) -> bytes:
         name = f.name if isinstance(f, Name) else str(f)
         if name not in _FILTERS:
             raise ValueError(f"pdf: unsupported filter /{name}")
-        data = _FILTERS[name](data)
         pm = doc.resolve(pm)
+        if name == "LZWDecode":
+            ec = doc.resolve((pm or {}).get("EarlyChange", 1))
+            data = _lzw_decode(data, early_change=ec != 0)
+        else:
+            data = _FILTERS[name](data)
         if pm:
             pred = doc.resolve(pm.get("Predictor", 1))
             if pred and pred >= 10:
@@ -1149,8 +1170,11 @@ _FILTER_BUILD = {
     "ahx": (Name("ASCIIHexDecode"), lambda d: _ahx_encode(d)),
     "a85": (Name("ASCII85Decode"), _a85_encode),
     "rl": (Name("RunLengthDecode"), _rl_encode),
+    "lzw": (Name("LZWDecode"), lambda d: _lzw_encode(d)),
     "chain": ([Name("ASCII85Decode"), Name("FlateDecode")],
               lambda d: _a85_encode(_flate_encode(d))),
+    "lzwchain": ([Name("ASCIIHexDecode"), Name("LZWDecode")],
+                 lambda d: _ahx_encode(_lzw_encode(d))),
 }
 
 
@@ -1172,7 +1196,8 @@ def _stream_obj(content: bytes, fmode: str, extra: dict | None = None) -> bytes:
 def build_pdf(
     paragraphs: list,
     xref_mode: str = "classic",
-    filter_cycle: tuple = ("flate", "plain", "ahx", "a85", "rl", "chain"),
+    filter_cycle: tuple = ("flate", "plain", "ahx", "a85", "rl", "chain",
+                           "lzw", "lzwchain"),
     op_salt: int = 0,
     aggressive_every: int = 0,
 ) -> bytes:

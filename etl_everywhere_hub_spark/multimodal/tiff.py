@@ -169,10 +169,17 @@ def lzw_encode_tiff(data: bytes) -> bytes:
     return bytes(out)
 
 
-def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
+def lzw_decode_tiff(
+    data: bytes, n_expected: int | None, early_change: bool = True
+) -> bytes:
     """TIFF-variant LZW decompress to exactly ``n_expected`` bytes
     (early-change rule: the code width grows one code earlier than
-    GIF's — see the module docstring); truncation raises."""
+    GIF's — see the module docstring); truncation raises.
+
+    ``n_expected=None`` decodes until EOI / end of data with no
+    length contract — the PDF LZWDecode form (PDF 32000-1 §7.4.4 is
+    this exact codec; its EarlyChange=0 variant defers the width
+    bump by one code, selected via ``early_change=False``)."""
     out = bytearray()
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)
@@ -185,7 +192,7 @@ def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
     while True:
         while nbits < width:
             if pos >= ln:
-                if len(out) != n_expected:
+                if n_expected is not None and len(out) != n_expected:
                     raise ValueError(
                         f"TIFF LZW truncated: {len(out)}/{n_expected} bytes"
                     )
@@ -201,7 +208,7 @@ def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
             prev = None
             continue
         if code == _EOI:
-            if len(out) != n_expected:
+            if n_expected is not None and len(out) != n_expected:
                 raise ValueError(
                     f"TIFF LZW EOI at {len(out)}/{n_expected} bytes"
                 )
@@ -221,10 +228,12 @@ def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
                 f"TIFF LZW code {code} beyond table {len(table)}"
             )
         # early change: decoder grows one code EARLIER than GIF's rule
-        if len(table) == (1 << width) - 1 and width < 12:
+        # (PDF EarlyChange=0 defers it by that one code)
+        grow_at = (1 << width) - 1 if early_change else (1 << width)
+        if len(table) == grow_at and width < 12:
             width += 1
         out += entry
-        if len(out) > n_expected:
+        if n_expected is not None and len(out) > n_expected:
             raise ValueError("TIFF LZW output exceeds strip size")
         prev = entry
     raise AssertionError("unreachable")

@@ -159,7 +159,8 @@ def test_update_shadows_decoy():
 
 
 def test_every_filter_mode():
-    for f in ("plain", "flate", "ahx", "a85", "rl", "chain"):
+    for f in ("plain", "flate", "ahx", "a85", "rl", "chain", "lzw",
+              "lzwchain"):
         pdf = build_pdf(["only one page here"], filter_cycle=(f,))
         assert extract_pdf_text(pdf) == "only one page here", f
         info = pdf_info(pdf)
@@ -208,10 +209,28 @@ def test_error_paths():
     pdf = build_pdf(["x"])
     with pytest.raises(ValueError, match="startxref"):
         PdfDocument(pdf[: pdf.rindex(b"startxref")])
-    # unsupported filter raises loudly
-    bad = pdf.replace(b"/FlateDecode", b"/LZWDecode\x20\x20")
+    # unsupported filter raises loudly (same byte length keeps offsets)
+    bad = pdf.replace(b"/FlateDecode", b"/DCTDecode\x20\x20")
     with pytest.raises(ValueError, match="unsupported filter"):
         extract_pdf_text(bad)
+
+
+def test_lzw_earlychange_zero():
+    # EarlyChange=0 (§7.4.4.2): the width bump defers by one code;
+    # build such a stream with a deferred-bump encoder twin and pin
+    # the DecodeParms dispatch
+    from etl_everywhere_hub_spark.multimodal.pdf import _lzw_decode
+    from etl_everywhere_hub_spark.multimodal.tiff import lzw_encode_tiff
+
+    data = bytes(range(256)) * 40  # forces width growth through 9->12
+    enc = lzw_encode_tiff(data)
+    assert _lzw_decode(enc, early_change=True) == data
+    # the early-change stream mis-decodes (or errors) under the
+    # deferred rule — the two variants are genuinely different codes
+    try:
+        assert _lzw_decode(enc, early_change=False) != data
+    except ValueError:
+        pass
 
 
 def test_unencodable_char_raises():
