@@ -762,6 +762,42 @@ def smoke_codec_interop() -> list[str]:
             out.append(f"FAIL codec-interop/tiff: {type(e).__name__}: {e}")
     else:
         out.append("SKIP(env) codec-interop/tiff: Pillow absent")
+
+    # --- zstd: the reference CLI as foreign encoder AND decoder
+    #     (round 12; the deep matrix lives in tests/test_zstd.py —
+    #     this is the cluster-environment spot check) ---
+    zstd_cli = shutil.which("zstd")
+    if zstd_cli:
+        try:
+            import subprocess
+
+            from etl_everywhere_hub_spark.multimodal.zstd import (
+                decompress,
+                zstd_compress,
+            )
+
+            payload = (b"cluster smoke zstd payload " * 512) + bytes(
+                range(256)
+            )
+            for lvl in ("-1", "-19"):
+                comp = subprocess.run(
+                    ["zstd", "-q", lvl, "-c"], input=payload,
+                    capture_output=True,
+                ).stdout
+                assert decompress(comp) == payload, f"decode at {lvl}"
+            ours = zstd_compress(payload, mode="auto")
+            r = subprocess.run(
+                ["zstd", "-d", "-q", "-c"], input=ours, capture_output=True
+            )
+            assert r.returncode == 0 and r.stdout == payload, "CLI readback"
+            out.append(
+                "PASS codec-interop/zstd (CLI levels 1/19 decoded; our "
+                "frames accepted by the CLI)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/zstd: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/zstd: zstd CLI absent")
     return out
 
 
