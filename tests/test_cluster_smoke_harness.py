@@ -41,6 +41,7 @@ def test_codec_interop_skips_cleanly_without_tools():
         "png16", "adam7", "jpeg", "jpeg-arith", "vp8l", "vp8",
         "jpeg-lossless", "vp8x-alph", "vp8x-anim",  # round 10
         "gif", "tiff",  # round 11
+        "zstd",  # round 12 (the one tool this container DOES have)
     }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):
