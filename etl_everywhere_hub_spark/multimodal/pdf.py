@@ -920,16 +920,109 @@ class PdfDocument:
 
 
 # ------------------------------------------------ text interpretation
+def parse_tounicode(cmap: bytes) -> dict:
+    """Parse a /ToUnicode CMap (§9.10.3) into {code int → str}:
+    bfchar pairs, bfrange with incrementing-destination hex strings
+    (the integer value of the destination advances with the range —
+    the convention every mainstream extractor implements), and
+    bfrange with explicit destination ARRAYS. Destinations are
+    UTF-16BE. codespacerange sections are skipped (Identity-H fixes
+    the code width at 2 bytes)."""
+    lex = _Lexer(cmap, 0)
+    out: dict = {}
+
+    def _u(b: bytes) -> str:
+        return b.decode("utf-16-be")
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            return out
+        if tok == ("kw", b"beginbfchar"):
+            while True:
+                save = lex.pos
+                t = lex.next_token()
+                if t == ("kw", b"endbfchar"):
+                    break
+                lex.pos = save
+                src = _parse_object(lex)
+                dst = _parse_object(lex)
+                if not isinstance(src, bytes) or not isinstance(dst, bytes):
+                    raise ValueError("pdf: bfchar operands must be strings")
+                out[int.from_bytes(src, "big")] = _u(dst)
+        elif tok == ("kw", b"beginbfrange"):
+            while True:
+                save = lex.pos
+                t = lex.next_token()
+                if t == ("kw", b"endbfrange"):
+                    break
+                lex.pos = save
+                lo = _parse_object(lex)
+                hi = _parse_object(lex)
+                dst = _parse_object(lex)
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                if isinstance(dst, list):
+                    if len(dst) != hi_i - lo_i + 1:
+                        raise ValueError("pdf: bfrange array length mismatch")
+                    for k, d in enumerate(dst):
+                        out[lo_i + k] = _u(d)
+                else:
+                    base = int.from_bytes(dst, "big")
+                    for k in range(hi_i - lo_i + 1):
+                        out[lo_i + k] = _u(
+                            (base + k).to_bytes(len(dst), "big")
+                        )
+        # every other token (codespacerange contents, CIDInit
+        # boilerplate, numbers) is ignored
+
+
 def _font_decoder(doc: PdfDocument, font_obj):
+    """String decoder for a font dict: returns fn(bytes) -> str.
+    Simple fonts decode per byte through their encoding; /Type0
+    composite fonts require /Encoding /Identity-H (2-byte codes) and
+    a /ToUnicode CMap — the shape real-crawl PDFs with embedded
+    TrueType subsets actually use."""
     fo = doc.resolve(font_obj)
+    if fo.get("Subtype") == Name("Type0"):
+        enc = doc.resolve(fo.get("Encoding"))
+        if enc != Name("Identity-H"):
+            raise ValueError(
+                f"pdf: Type0 font with unsupported /Encoding {enc!r} "
+                "(only Identity-H)"
+            )
+        tu = doc.resolve(fo.get("ToUnicode"))
+        if not isinstance(tu, Stream):
+            raise ValueError(
+                "pdf: Type0 font without a /ToUnicode CMap — text is "
+                "unrecoverable without the font program"
+            )
+        cmap = parse_tounicode(tu.data(doc))
+
+        def decode_cid(s: bytes) -> str:
+            if len(s) % 2:
+                raise ValueError("pdf: odd-length Identity-H string")
+            parts = []
+            for i in range(0, len(s), 2):
+                code = (s[i] << 8) | s[i + 1]
+                if code not in cmap:
+                    raise ValueError(
+                        f"pdf: CID {code:#06x} not in ToUnicode CMap"
+                    )
+                parts.append(cmap[code])
+            return "".join(parts)
+
+        return decode_cid
     enc = doc.resolve(fo.get("Encoding"))
     if enc is None:
-        return make_decoder("StandardEncoding")
-    if isinstance(enc, Name):
-        return make_decoder(enc.name)
-    base = doc.resolve(enc.get("BaseEncoding"))
-    base_name = base.name if isinstance(base, Name) else "StandardEncoding"
-    return make_decoder(base_name, doc.resolve(enc.get("Differences")))
+        per_byte = make_decoder("StandardEncoding")
+    elif isinstance(enc, Name):
+        per_byte = make_decoder(enc.name)
+    else:
+        base = doc.resolve(enc.get("BaseEncoding"))
+        base_name = base.name if isinstance(base, Name) else "StandardEncoding"
+        per_byte = make_decoder(base_name, doc.resolve(enc.get("Differences")))
+    return lambda s: "".join(per_byte(b) for b in s)
 
 
 def _interpret_text(content: bytes, fonts: dict, line_sep: str) -> str:
@@ -951,7 +1044,7 @@ def _interpret_text(content: bytes, fonts: dict, line_sep: str) -> str:
             raise ValueError("pdf: show operand is not a string")
         if cur is None:
             raise ValueError("pdf: show operator before Tf")
-        out.append("".join(cur(b) for b in s))
+        out.append(cur(s))
 
     while True:
         save = lex.pos
@@ -1109,7 +1202,63 @@ _FONT_SPECS = [
     ("F2", "StandardEncoding", None),
     ("F3", "WinAnsiEncoding",
      [1, Name("e"), Name("t"), Name("a"), Name("o")]),
+    ("F4", "Type0", None),  # Identity-H + ToUnicode (2-byte codes)
 ]
+
+
+def build_tounicode(charset: set) -> tuple:
+    """(inverse ch→2-byte code, CMap stream bytes) for a Type0 font
+    covering ``charset`` — deliberately exercising all three CMap
+    constructs: one incrementing bfrange (a-z at 0xE000+), one
+    ARRAY-destination bfrange (three chars at 0xE100+), and chunked
+    bfchar sections (<=100 pairs each, the spec bound) for the rest."""
+    inv: dict = {}
+    lower = [c for c in "abcdefghijklmnopqrstuvwxyz"]
+    for k, c in enumerate(lower):
+        inv[c] = 0xE000 + k
+    rest = sorted(c for c in charset if c not in inv)
+    arr = rest[:3]
+    for k, c in enumerate(arr):
+        inv[c] = 0xE100 + k
+    chars = rest[3:]
+    for k, c in enumerate(chars):
+        inv[c] = 0xE200 + k
+        if 0xE200 + k > 0xFFFF:
+            raise ValueError("pdf: Type0 charset exceeds the code space")
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /EEH-UCS2 def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+        "1 beginbfrange",
+        "<E000> <E019> <0061>",
+        "endbfrange",
+    ]
+    if arr:
+        dsts = " ".join(
+            "<" + c.encode("utf-16-be").hex().upper() + ">" for c in arr
+        )
+        lines += [
+            "1 beginbfrange",
+            f"<E100> <{0xE100 + len(arr) - 1:04X}> [{dsts}]",
+            "endbfrange",
+        ]
+    for i in range(0, len(chars), 100):
+        chunk = chars[i : i + 100]
+        lines.append(f"{len(chunk)} beginbfchar")
+        for k, c in enumerate(chunk):
+            code = 0xE200 + i + k
+            lines.append(
+                f"<{code:04X}> <{c.encode('utf-16-be').hex().upper()}>"
+            )
+        lines.append("endbfchar")
+    lines += ["endcmap", "CMapName currentdict /CMap defineresource pop",
+              "end", "end"]
+    return inv, "\n".join(lines).encode("latin-1")
 
 
 def _font_object(base: str, diffs) -> dict:
@@ -1127,27 +1276,28 @@ def _font_object(base: str, diffs) -> dict:
 def _page_stream(text: str, gi: int, op_salt: int, aggressive_every: int,
                  invs: list) -> bytes:
     """One page's content: the text split into 1-4 pieces, each shown
-    through a cycling (font, operator, string-form) triple."""
+    through a cycling (font, operator, string-form) triple. ``invs``
+    entries are (ch→code map, code byte width) — width 2 for the
+    Type0/Identity-H font."""
     m = 1 + (len(text) + gi) % 4
     L = len(text)
     pieces = [text[i * L // m : (i + 1) * L // m] for i in range(m)]
     out = bytearray(b"BT\n1 0 0 1 72 720 Tm\n14 TL\n")
     for i, piece in enumerate(pieces):
-        f_ix = (i + gi + op_salt) % 3
-        fname, inv = _FONT_SPECS[f_ix][0], invs[f_ix]
+        f_ix = (i + gi + op_salt) % len(invs)
+        fname, (inv, cw) = _FONT_SPECS[f_ix][0], invs[f_ix]
         out += b"/%s 12 Tf\n" % fname.encode()
         try:
-            codes = bytes(inv[ch] for ch in piece)
+            codes = b"".join(inv[ch].to_bytes(cw, "big") for ch in piece)
         except KeyError as exc:
             raise ValueError(
                 f"pdf: char {exc} not encodable in {_FONT_SPECS[f_ix][1]}"
             ) from exc
         use_hex = (i + op_salt) % 5 == 2
+        h = (len(codes) // 2 // cw) * cw  # cut on a code boundary
         if use_hex:
-            h = len(codes) // 2
             s1, s2 = _hex_string(codes[:h]), _hex_string(codes[h:])
         else:
-            h = len(codes) // 2
             s1 = _lit_string(codes[:h], aggressive_every, gi + i)
             s2 = _lit_string(codes[h:], aggressive_every, gi + i + 1)
         op_ix = (i + op_salt) % 4
@@ -1203,19 +1353,26 @@ def build_pdf(
 ) -> bytes:
     """Spec-valid PDF whose extracted text (line_sep='') is EXACTLY
     ''.join(paragraphs): one page per paragraph, cycling content
-    filters, fonts (WinAnsi / Standard / WinAnsi+Differences),
-    operators (Tj / TJ / ' / \") and string forms (literal+octal /
-    hex). ``xref_mode``: 'classic' table, 'stream' (xref stream +
-    object streams + PNG Up predictor), or 'update' (incremental
-    update overriding page 0's content — base holds decoy text the
-    extractor must NOT see)."""
-    invs = [inverse_encoder(b, d) for _n, b, d in _FONT_SPECS]
+    filters, fonts (WinAnsi / Standard / WinAnsi+Differences /
+    Type0-Identity-H-with-ToUnicode), operators (Tj / TJ / ' / \")
+    and string forms (literal+octal / hex — Type0 pieces carry
+    2-byte codes). ``xref_mode``: 'classic' table, 'stream' (xref
+    stream + object streams + PNG Up predictor), or 'update'
+    (incremental update overriding page 0's content — base holds
+    decoy text the extractor must NOT see)."""
+    decoy_text = "DECOY TEXT MUST NOT SURFACE"
+    charset = set("".join(paragraphs)) | set(decoy_text)
+    inv4, cmap = build_tounicode(charset)
+    invs = [
+        (inverse_encoder(b, d), 1) for _n, b, d in _FONT_SPECS[:3]
+    ] + [(inv4, 2)]
     n = len(paragraphs)
     # object numbers: 1 Catalog, 2 Pages, 3..2+n Page, 3+n..2+2n
-    # Content, 3+2n..5+2n Fonts F1..F3
+    # Content, 3+2n..6+2n Fonts F1..F4, 7+2n ToUnicode CMap stream
     page_nums = [3 + i for i in range(n)]
     content_nums = [3 + n + i for i in range(n)]
-    font_nums = [3 + 2 * n + i for i in range(3)]
+    font_nums = [3 + 2 * n + i for i in range(4)]
+    tounicode_num = 7 + 2 * n
     font_res = {spec[0]: Ref(font_nums[k], 0)
                 for k, spec in enumerate(_FONT_SPECS)}
     bodies: dict = {}
@@ -1238,13 +1395,30 @@ def build_pdf(
         bodies[page_nums[i]] = _ser(page)
     decoy = xref_mode == "update"
     for i, para in enumerate(paragraphs):
-        text = ("DECOY TEXT MUST NOT SURFACE" if (decoy and i == 0) else para)
+        text = decoy_text if (decoy and i == 0) else para
         content = _page_stream(text, i, op_salt, aggressive_every, invs)
         bodies[content_nums[i]] = _stream_obj(
             content, filter_cycle[i % len(filter_cycle)]
         )
-    for k, (_nm, base, diffs) in enumerate(_FONT_SPECS):
+    for k, (_nm, base, diffs) in enumerate(_FONT_SPECS[:3]):
         bodies[font_nums[k]] = _ser(_font_object(base, diffs))
+    bodies[font_nums[3]] = _ser({
+        "Type": Name("Font"),
+        "Subtype": Name("Type0"),
+        "BaseFont": Name("EEH-Identity"),
+        "Encoding": Name("Identity-H"),
+        "DescendantFonts": [{
+            "Type": Name("Font"),
+            "Subtype": Name("CIDFontType2"),
+            "BaseFont": Name("EEH-Identity"),
+            "CIDSystemInfo": {
+                "Registry": b"Adobe", "Ordering": b"Identity",
+                "Supplement": 0,
+            },
+        }],
+        "ToUnicode": Ref(tounicode_num, 0),
+    })
+    bodies[tounicode_num] = _stream_obj(cmap, "flate")
 
     if xref_mode in ("classic", "update"):
         data = _emit_classic(bodies, root=1)

@@ -246,3 +246,47 @@ def test_show_before_tf_raises():
 
     with pytest.raises(ValueError, match="before Tf"):
         _interpret_text(content, {}, "")
+
+
+def test_type0_identity_h_tounicode():
+    from etl_everywhere_hub_spark.multimodal.pdf import (
+        build_tounicode,
+        parse_tounicode,
+    )
+
+    # the builder's CMap covers bfrange-increment (a-z), the
+    # array-destination bfrange, and chunked bfchar; the parser must
+    # invert it exactly
+    charset = set("The quick brown Fox! 0123 éß€")
+    inv, cmap = build_tounicode(charset)
+    fwd = parse_tounicode(cmap)
+    for ch, code in inv.items():
+        assert fwd[code] == ch, ch
+    # lowercase rides the incrementing bfrange block
+    assert inv["a"] == 0xE000 and inv["z"] == 0xE019
+    # a document whose pieces land on F4 recovers exactly (salt 3
+    # starts the font cycle on F4)
+    text = "Type zero fonts carry the crawl's actual PDFs."
+    pdf = build_pdf([text], op_salt=3)
+    assert extract_pdf_text(pdf) == text
+
+
+def test_type0_error_paths():
+    from etl_everywhere_hub_spark.multimodal.pdf import (
+        _font_decoder,
+        parse_tounicode,
+    )
+
+    pdf = build_pdf(["abc"], op_salt=3)
+    doc = PdfDocument(pdf)
+    fdict = doc.resolve(doc.pages()[0]["resources"]["Font"])
+    dec = _font_decoder(doc, fdict["F4"])
+    with pytest.raises(ValueError, match="odd-length"):
+        dec(b"\xe0")
+    with pytest.raises(ValueError, match="not in ToUnicode"):
+        dec(b"\xff\xff")
+    # bfrange array length mismatch is loud
+    with pytest.raises(ValueError, match="array length"):
+        parse_tounicode(
+            b"1 beginbfrange <E000> <E002> [<0041> <0042>] endbfrange"
+        )
