@@ -42,6 +42,7 @@ def test_codec_interop_skips_cleanly_without_tools():
         "jpeg-lossless", "vp8x-alph", "vp8x-anim",  # round 10
         "gif", "tiff",  # round 11
         "zstd",  # round 12 (the one tool this container DOES have)
+        "bzip2",  # round 12 (stdlib libbzip2 always present)
     }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):

@@ -798,6 +798,38 @@ def smoke_codec_interop() -> list[str]:
             out.append(f"FAIL codec-interop/zstd: {type(e).__name__}: {e}")
     else:
         out.append("SKIP(env) codec-interop/zstd: zstd CLI absent")
+
+    # --- bzip2: the bzip2 CLI as foreign encoder, plus our decoder
+    #     against whatever libbzip2 the cluster's Python links (round
+    #     12; the deep matrix lives in tests/test_bzip2.py) ---
+    try:
+        import bz2 as _bz2
+        import subprocess
+
+        from etl_everywhere_hub_spark.multimodal.bzip2 import (
+            decompress as bz_decompress,
+        )
+
+        payload = (b"cluster smoke bzip2 payload " * 512) + bytes(range(256))
+        assert bz_decompress(_bz2.compress(payload, 9)) == payload, (
+            "stdlib libbzip2 decode"
+        )
+        bzip2_cli = shutil.which("bzip2")
+        if bzip2_cli:
+            comp = subprocess.run(
+                ["bzip2", "-1", "-c"], input=payload, capture_output=True
+            ).stdout
+            assert bz_decompress(comp) == payload, "CLI decode at -1"
+            out.append(
+                "PASS codec-interop/bzip2 (stdlib libbzip2 + CLI -1 decoded)"
+            )
+        else:
+            out.append(
+                "PASS codec-interop/bzip2 (stdlib libbzip2 decoded; "
+                "CLI absent)"
+            )
+    except Exception as e:  # noqa: BLE001
+        out.append(f"FAIL codec-interop/bzip2: {type(e).__name__}: {e}")
     return out
 
 
