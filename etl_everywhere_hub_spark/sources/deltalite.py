@@ -68,7 +68,7 @@ import uuid
 from dataclasses import dataclass
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -199,6 +199,62 @@ def _cmp_key(v):
     """Totally-ordered comparison key across the JSON-safe value
     domain (numbers with numbers, strings with strings)."""
     return v
+
+
+def zorder_key(df: DataFrame, cols: list, bits: int = 8) -> Column:
+    """Morton (Z-order) key Column for ``cols`` over ``df``'s data.
+
+    Per column: 255 quantile cut points via ``approxQuantile`` (a
+    BOUNDED driver collect — ≤255 doubles per column, the same ≤256
+    stats budget operators/similarity.py holds itself to), then the
+    row's bucket id (0..255) is computed JVM-side as a fold over the
+    literal cut-point array (``F.aggregate`` — no UDF, no join).
+    Quantile buckets, not equal-width: skewed columns still spread
+    across all 2^bits buckets, which is what keeps per-file min/max
+    tight under skew. Bucket bits interleave column-major (column k
+    owns bit positions i*ncols+k), the classic Morton layout: a box
+    predicate on ANY subset of the z columns maps to contiguous-ish
+    z runs, so range-partitioning + sorting on this key tightens
+    every column's per-file stats at once.
+
+    Nulls bucket to 0 (approxQuantile ignores them; the fold's
+    ``when`` treats a null comparison as not-greater), i.e. they
+    cluster low instead of poisoning file ranges.
+
+    Scale shape: one pass for the quantiles (Greenwald-Khanna
+    sketch, executor-side merge), one map-side expression for the
+    key — no shuffle beyond the rewrite's own repartitionByRange."""
+    if not cols:
+        raise ValueError("zorder_key: need at least one column")
+    if bits < 1 or bits > 16:
+        raise ValueError("zorder_key: bits out of 1..16")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    quantiles = df.approxQuantile([str(c) for c in cols], probs, 0.001)
+    z = F.lit(0).cast("long")
+    ncols = len(cols)
+    for k, (c, cuts) in enumerate(zip(cols, quantiles)):
+        if not cuts:
+            raise ValueError(
+                f"zorder_key: column {c} has no numeric quantiles "
+                "(empty input or non-numeric column)"
+            )
+        # dedupe preserves order; fold counts cut points <= value
+        uniq = sorted(set(cuts))
+        v = F.col(str(c)).cast("double")
+        bucket = F.aggregate(
+            F.array(*[F.lit(float(b)) for b in uniq]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+        ).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * ncols + k,
+                )
+            )
+    return z
 
 
 class DeltaliteTable:
@@ -806,6 +862,7 @@ class DeltaliteTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: list | None = None,
         min_files: int = 2,
+        zorder_by: list | None = None,
     ) -> int:
         """Small-file compaction — the operational necessity of any
         log-structured table at 100 TB (streaming appends produce
@@ -820,12 +877,28 @@ class DeltaliteTable:
         (q350 pins this: a narrow key predicate scans exactly one
         file afterwards).
 
+        ``zorder_by`` (mutually exclusive with ``cluster_by``) is the
+        MULTI-dimensional variant: linear clustering makes only its
+        FIRST column's ranges disjoint, so a predicate on the second
+        column still scans everything. The rewrite instead sorts on a
+        Morton (Z-order) key — per-column quantile bucket ids
+        (bounded 255-cut approxQuantile collect, the house ≤256-row
+        stats budget) with their bits interleaved by a pure-Column
+        expression — so EVERY z column's min/max tightens per file
+        and a k-dimensional box predicate prunes on all k columns at
+        once (q364 pins the scan counts; tests pin z-vs-linear on the
+        2-D box workload).
+
         The commit marks every add/remove ``dataChange: false``:
         readers see identical rows, CDF consumers (``table_changes``)
         skip the commit entirely, and the OCC rule is relaxed —
         concurrent APPENDS are compatible (their files aren't
         touched) and only a concurrent remove of a file being
         rewritten raises ``ConcurrentModification``."""
+        if cluster_by and zorder_by:
+            raise ValueError(
+                "optimize: cluster_by and zorder_by are mutually exclusive"
+            )
         snap = self.snapshot()
         small = [
             rel
@@ -840,7 +913,15 @@ class DeltaliteTable:
             snap.schema
         ).parquet(*[os.path.join(self.path, r) for r in small])
         df = df.select(*[F.col(f.name) for f in snap.schema.fields])
-        if cluster_by:
+        if zorder_by:
+            z = zorder_key(df, zorder_by)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .select(*[F.col(f.name) for f in snap.schema.fields])
+            )
+        elif cluster_by:
             df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )
@@ -862,6 +943,7 @@ class DeltaliteTable:
                         "filesIn": len(small),
                         "filesOut": len(adds),
                         "clusterBy": list(cluster_by or []),
+                        "zorderBy": list(zorder_by or []),
                     },
                     "timestamp": version,
                     "readVersion": snap.version,

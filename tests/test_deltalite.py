@@ -558,3 +558,74 @@ def test_checkpoint_carries_protocol_and_evolved_schema(spark, tdir):
     assert "extra" in [f.name for f in snap.schema.fields]
     got = sorted((r.k, r.extra) for r in t2.read().collect())
     assert got == [(0, None)] + [(i, i * 100) for i in range(1, 6)]
+
+
+# ------------------------------------------------------- Z-order
+def _grid_table(spark, tdir, name):
+    """4096 rows on a 64x64 (x, y) grid committed as 32 interleaved
+    single-file slices — every file spans ~the full range of BOTH
+    columns, the worst case for min/max skipping."""
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    t = _mk(spark, tdir, name)
+    for i in range(32):
+        sl = df.filter((F.col("x") + 2 * F.col("y")) % 32 == i).repartition(1)
+        t.create(sl) if i == 0 else t.append(sl)
+    return t
+
+
+def test_zorder_prunes_boxes_and_second_column(spark, tdir):
+    box = [("x", ">=", 8), ("x", "<=", 15), ("y", ">=", 8), ("y", "<=", 15)]
+    y_only = [("y", ">=", 0), ("y", "<=", 15)]
+
+    tz = _grid_table(spark, tdir, "z")
+    tz.read(filters=box)
+    assert tz.last_scan.files_scanned == 32  # interleaved: nothing prunes
+    total = sum(a["size"] for a in tz.snapshot().files.values())
+    tz.optimize(target_file_bytes=total // 8, zorder_by=["x", "y"])
+    assert tz.history()[0]["operationParameters"]["zorderBy"] == ["x", "y"]
+    n_files = len(tz.snapshot().files)
+
+    df = tz.read(filters=box)
+    z_box = tz.last_scan.files_scanned
+    assert z_box <= n_files // 2, tz.last_scan
+    # content unchanged by the rewrite
+    got = df.filter(
+        (F.col("x").between(8, 15)) & (F.col("y").between(8, 15))
+    ).count()
+    assert got == 64
+
+    tz.read(filters=y_only)
+    z_y = tz.last_scan.files_scanned
+    assert z_y < n_files, "z-order must prune on the SECOND column too"
+
+    # linear clustering on x, same workload: y-only predicates
+    # cannot prune (every file still spans all of y)
+    tl = _grid_table(spark, tdir, "linear")
+    total = sum(a["size"] for a in tl.snapshot().files.values())
+    tl.optimize(target_file_bytes=total // 8, cluster_by=["x"])
+    tl.read(filters=y_only)
+    assert tl.last_scan.files_scanned == len(tl.snapshot().files)
+    tl.read(filters=box)
+    # the box prune under linear clustering is x-only; z-order pays at
+    # most a small quadrant-straddle tax there (the price of pruning
+    # on EVERY column instead of just the first)
+    assert z_box <= tl.last_scan.files_scanned + 2
+
+
+def test_zorder_argument_errors(spark, tdir):
+    t = _mk(spark, tdir)
+    t.create(_df(spark, [(1, 1.0, "a"), (2, 2.0, "b")]))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.optimize(cluster_by=["k"], zorder_by=["v"])
+    from etl_everywhere_hub_spark.sources.deltalite import zorder_key
+
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key(t.read(), [])
+    with pytest.raises(ValueError, match="bits out of"):
+        zorder_key(t.read(), ["k"], bits=0)
+    with pytest.raises(Exception):  # non-numeric column
+        zorder_key(t.read(), ["seg"])
