@@ -43,6 +43,7 @@ def test_codec_interop_skips_cleanly_without_tools():
         "gif", "tiff",  # round 11
         "zstd",  # round 12 (the one tool this container DOES have)
         "bzip2",  # round 12 (stdlib libbzip2 always present)
+        "lz4",  # round 12 (CLI present in this container)
     }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):

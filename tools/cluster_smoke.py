@@ -830,6 +830,38 @@ def smoke_codec_interop() -> list[str]:
             )
     except Exception as e:  # noqa: BLE001
         out.append(f"FAIL codec-interop/bzip2: {type(e).__name__}: {e}")
+
+    # --- lz4: the reference CLI as foreign encoder AND decoder
+    #     (round 12; deep matrix in tests/test_lz4.py) ---
+    lz4_cli = shutil.which("lz4")
+    if lz4_cli:
+        try:
+            import subprocess
+
+            from etl_everywhere_hub_spark.multimodal.lz4 import (
+                decompress as lz4_decompress,
+            )
+            from etl_everywhere_hub_spark.multimodal.lz4 import lz4_compress
+
+            payload = (b"cluster smoke lz4 payload " * 512) + bytes(range(256))
+            for lvl in ("-1", "-9"):
+                comp = subprocess.run(
+                    ["lz4", lvl, "-c"], input=payload, capture_output=True
+                ).stdout
+                assert lz4_decompress(comp) == payload, f"decode at {lvl}"
+            ours = lz4_compress(payload, block_checksum=True)
+            r = subprocess.run(
+                ["lz4", "-d", "-c"], input=ours, capture_output=True
+            )
+            assert r.returncode == 0 and r.stdout == payload, "CLI readback"
+            out.append(
+                "PASS codec-interop/lz4 (CLI levels 1/9 decoded; our "
+                "frames accepted by the CLI)"
+            )
+        except Exception as e:  # noqa: BLE001
+            out.append(f"FAIL codec-interop/lz4: {type(e).__name__}: {e}")
+    else:
+        out.append("SKIP(env) codec-interop/lz4: lz4 CLI absent")
     return out
 
 
