@@ -1135,3 +1135,152 @@ def stateful_misra_gries(toks: DataFrame, k_counters: int = 256) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- near-dup
+NEAR_DUP_SCHEMA = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("band_key", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("owner", LongType()),
+    ]
+)
+
+_NEAR_DUP_STATE_SCHEMA = StructType([StructField("min_doc", LongType())])
+
+
+def streaming_band_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash band keys computed ROW-LOCALLY (streaming-safe): the
+    batch operator's signature needs a groupBy over exploded shingles
+    (operators/dedup.py:minhash_signatures), which inside a streaming
+    query would be a second stateful operator; here the same numbers
+    — m_s = min over shingles of (A[s]·(md5int(sh) mod P) + B[s]) mod
+    P, band_key = md5 of the '|'-joined band run — come from
+    higher-order functions over the per-row shingle array (transform
+    + array_min), so byte-identical band keys to the batch path and
+    q41's oracle with ZERO shuffles and no extra state. Docs with no
+    shingles (under k tokens) are filtered, matching the oracle's
+    shingle universe."""
+    from etl_everywhere_hub_spark.functions.text import shingles
+    from etl_everywhere_hub_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    rows_per_band = num_hashes // bands
+    with_h0 = docs.withColumn(
+        "__h0",
+        F.transform(
+            shingles(F.col(text_col), k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("bigint") % MINHASH_P,
+        ),
+    ).filter(F.size("__h0") > 0)
+    def _min_sig(s: int):
+        # NB: a plain `lambda h, s=s:` would be mistaken for the
+        # (element, index) transform form — close over s instead
+        return F.array_min(
+            F.transform(
+                F.col("__h0"),
+                lambda h: (h * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P,
+            )
+        ).alias(f"m{s}")
+
+    sig = with_h0.select(
+        F.col(id_col), *[_min_sig(s) for s in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{s}").cast("string")
+                        for s in range(
+                            b * rows_per_band, (b + 1) * rows_per_band
+                        )
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+
+
+def _near_dup_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    ids: list = []
+    for pdf in pdfs:
+        ids.extend(int(d) for d in pdf["doc_id"])
+    ids.sort()
+    prev = int(state.get[0]) if state.exists else None
+    running = prev
+    owners = []
+    for d in ids:
+        owners.append(running)
+        if running is None or d < running:
+            running = d
+    state.update((running,))
+    yield pd.DataFrame(
+        {
+            "band": [int(key[0])] * len(ids),
+            "band_key": [str(key[1])] * len(ids),
+            "doc_id": ids,
+            "owner": pd.array(owners, dtype="Int64"),
+        }
+    )
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: the online twin of
+    operators/dedup.py:minhash_near_dup's banding stage, for the
+    ingest-time "have we seen this before?" gate a 100 TB pipeline
+    runs on arriving documents instead of re-running corpus-wide
+    batch dedup.
+
+    Shape: band keys row-locally JVM-side (streaming_band_keys),
+    then ONE stateful operator — applyInPandasWithState keyed on
+    (band, band_key), state = the smallest doc id that ever claimed
+    the bucket (one long per live bucket, the minimal state that
+    answers membership). Each emitted row carries the bucket owner
+    BEFORE the doc's own claim, so with in-order arrival (the
+    replayed-table sources here; a real deployment keys arrival
+    order however it defines precedence) a doc is a near-dup
+    candidate iff some emitted owner < its id — exactly q41's
+    band-collision semantics, restated per-doc.
+
+    State scale: one row per DISTINCT band bucket = bands ×
+    #distinct signatures — bounded by corpus size, not stream
+    length; boilerplate clusters of any size cost ONE bucket row.
+    Emission is linear in arriving docs (bands rows each); no
+    candidate-pair blowup ever materializes in the stream."""
+    bk = streaming_band_keys(docs, text_col, id_col, k, num_hashes, bands)
+    return bk.groupBy("band", "band_key").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=NEAR_DUP_SCHEMA,
+        stateStructType=_NEAR_DUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

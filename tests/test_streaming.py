@@ -1186,3 +1186,68 @@ def test_populate_events_broker_atomic_and_crash_safe(sf_dir):
     assert os.path.exists(live), "live writer's scratch was destroyed"
     shutil.rmtree(live)
     assert line_counts() == baseline
+
+
+def test_streaming_near_dup_multi_batch_state(spark, sf_dir, tmp_path):
+    """Cross-micro-batch bucket state: documents arrive in THREE
+    doc_id-ordered file chunks (maxFilesPerTrigger=1 → three
+    batches); a doc must be flagged against buckets claimed in
+    EARLIER batches, and the result must equal the batch-side
+    formulation (exists an earlier doc sharing a band bucket)."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length("text") > 0
+    )
+    n = docs.count()
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n + 10**9)]):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.parquet(f"{src}/c{i}"))
+        # one file per chunk dir -> move up with a stable name
+        part = [f for f in os.listdir(f"{src}/c{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{src}/c{i}/{part}", f"{src}/chunk-{i}.parquet")
+        import shutil as _sh
+        _sh.rmtree(f"{src}/c{i}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = jobs.run_to_table(
+        jobs.streaming_near_dup(stream), output_mode="update"
+    )
+    got = {
+        r["doc_id"]: (r["is_dup"], r["first_owner"])
+        for r in emitted.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("owner").isNotNull(), 1).otherwise(0)).alias("is_dup"),
+            F.min("owner").alias("first_owner"),
+        )
+        .collect()
+    }
+
+    # batch truth: exists an earlier doc sharing a (band, band_key)
+    bk = jobs.streaming_band_keys(docs)
+    truth = {
+        r["doc_id"]: (r["is_dup"], r["first_owner"])
+        for r in bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.band_key") == F.col("a.band_key"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "left",
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.max(F.when(F.col("b.doc_id").isNotNull(), 1).otherwise(0)).alias("is_dup"),
+            F.min("b.doc_id").alias("first_owner"),
+        )
+        .collect()
+    }
+    assert got == truth
+    assert sum(v[0] for v in truth.values()) > 0, "fixture has no near-dups"
