@@ -44,6 +44,7 @@ def test_codec_interop_skips_cleanly_without_tools():
         "zstd",  # round 12 (the one tool this container DOES have)
         "bzip2",  # round 12 (stdlib libbzip2 always present)
         "lz4",  # round 12 (CLI present in this container)
+        "xz",  # round 12 (stdlib liblzma always present)
     }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):

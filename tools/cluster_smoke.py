@@ -862,6 +862,39 @@ def smoke_codec_interop() -> list[str]:
             out.append(f"FAIL codec-interop/lz4: {type(e).__name__}: {e}")
     else:
         out.append("SKIP(env) codec-interop/lz4: lz4 CLI absent")
+
+    # --- xz: liblzma (stdlib) + the xz CLI as foreign encoders
+    #     (round 12; deep matrix in tests/test_xz.py) ---
+    try:
+        import lzma as _lzma
+        import subprocess
+
+        from etl_everywhere_hub_spark.multimodal.xz import (
+            decompress as xz_decompress,
+        )
+
+        payload = (b"cluster smoke xz payload " * 512) + bytes(range(256))
+        for check in (_lzma.CHECK_CRC32, _lzma.CHECK_CRC64,
+                      _lzma.CHECK_SHA256):
+            assert xz_decompress(
+                _lzma.compress(payload, check=check)
+            ) == payload, f"liblzma decode, check {check}"
+        xz_cli = shutil.which("xz")
+        if xz_cli:
+            comp = subprocess.run(
+                ["xz", "-c", "-6"], input=payload, capture_output=True
+            ).stdout
+            assert xz_decompress(comp) == payload, "CLI decode at -6"
+            out.append(
+                "PASS codec-interop/xz (liblzma all checks + CLI -6 decoded)"
+            )
+        else:
+            out.append(
+                "PASS codec-interop/xz (liblzma all checks decoded; "
+                "CLI absent)"
+            )
+    except Exception as e:  # noqa: BLE001
+        out.append(f"FAIL codec-interop/xz: {type(e).__name__}: {e}")
     return out
 
 
