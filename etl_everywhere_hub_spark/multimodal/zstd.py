@@ -54,10 +54,17 @@ tests/test_zstd.py (and raises loudly on inputs it cannot express:
 Huffman literals whose max symbol exceeds 127 fall back to raw, by
 the direct-weight header's own 127-weight bound).
 
-Dictionaries: frames declaring a Dictionary_ID raise
-NotImplementedError — corpus distributions ship dictionary-less
-standard frames; this is a stated boundary, not a silent wrong
-answer.
+Dictionaries (§5, round 12 — the round-11 boundary removed): both
+structured dictionaries (magic 0xEC30A437: Dictionary_ID, literals
+Huffman table, OF/ML/LL FSE tables in that order, three initial
+repeat offsets, window-seeding content) and raw-content fallbacks
+are supported on DECODE — ``decode_frame(..., dictionary=...)`` —
+with the ID handshake enforced (a frame declaring a Dictionary_ID
+refuses to decode without a matching dictionary; wrong-dict decodes
+are corruption, never silent). Fixtures come from ``zstd --train``
+as a FOREIGN dictionary builder. The ENCODER still does not emit
+dictionary frames (it emits no LZ sequences at all) — that remains
+the stated boundary.
 
 Scale shape: like gzip members (deflate.py), the FRAME is the
 parallel unit — corpus releases shard into many .zst files/frames; a
@@ -642,14 +649,73 @@ def _execute_sequences(out: bytearray, lits: bytes, seqs: list,
     out += lits[lpos:]  # last literals after the final sequence
 
 
+# ------------------------------------------------------ dictionaries
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_dictionary(data: bytes) -> dict:
+    """Parse a zstd dictionary (RFC 8878 §5). Structured dictionaries
+    (magic 0xEC30A437) carry a Dictionary_ID, entropy tables — one
+    Huffman_Tree_Description for literals, then FSE tables for
+    OFFSETS, MATCH LENGTHS and LITERALS LENGTHS in that exact order —
+    three 4-byte initial repeat offsets, and the content that seeds
+    the window. Anything without the magic is a RAW-content
+    dictionary (id 0, default tables/offsets), which the reference
+    CLI also accepts — same fallback here."""
+    if len(data) >= 8 and struct.unpack_from("<I", data, 0)[0] == _DICT_MAGIC:
+        did = struct.unpack_from("<I", data, 4)[0]
+        pos = 8
+        weights, pos = _huf_read_weights(data, pos)
+        huf = huf_build_dtable(weights)
+        fse = {}
+        for cat, max_al, max_sym in (
+            ("of", _MAX_OF_AL, _MAX_OF_SYM),
+            ("ml", _MAX_ML_AL, _MAX_ML_SYM),
+            ("ll", _MAX_LL_AL, _MAX_LL_SYM),
+        ):
+            counts, al, pos = fse_read_ncount(data, pos, max_al)
+            if len(counts) - 1 > max_sym:
+                raise ValueError(f"zstd: dict {cat} ncount exceeds max symbol")
+            fse[cat] = (fse_build_dtable(counts, al), al)
+        reps = list(struct.unpack_from("<III", data, pos))
+        pos += 12
+        if any(r == 0 for r in reps):
+            raise ValueError("zstd: dictionary repeat offset of 0 (corrupt)")
+        return {
+            "dict_id": did,
+            "content": bytes(data[pos:]),
+            "huf": huf,
+            "fse": fse,
+            "reps": reps,
+        }
+    return {
+        "dict_id": 0,
+        "content": bytes(data),
+        "huf": None,
+        "fse": {},
+        "reps": [1, 4, 8],
+    }
+
+
 # ----------------------------------------------------------- frames
-def decode_frame(data: bytes, pos: int = 0) -> dict:
+def decode_frame(data: bytes, pos: int = 0, dictionary=None) -> dict:
     """Decode ONE frame starting at ``pos``. Returns a dict with
     frame_start / frame_end / kind ('zstd' | 'skippable') / payload
     (decoded bytes; skippable frames carry their raw user data) plus,
     for zstd frames: window_size, content_size (declared, or None),
     checksum_present, checksum_ok (None when absent), n_blocks,
-    single_segment."""
+    single_segment.
+
+    ``dictionary`` (RFC 8878 §5): raw bytes or a parse_dictionary
+    dict. When supplied, its content seeds the window (back-
+    references reach into it), its entropy tables become the initial
+    repeat tables (a first block may use Treeless literals / Repeat
+    sequence modes), and its repeat offsets replace the 1/4/8 init.
+    A frame DECLARING a Dictionary_ID refuses to decode without a
+    matching dictionary — wrong-dict decodes are corruption, never
+    silent."""
+    if isinstance(dictionary, (bytes, bytearray)):
+        dictionary = parse_dictionary(bytes(dictionary))
     start = pos
     (magic,) = struct.unpack_from("<I", data, pos)
     pos += 4
@@ -688,10 +754,16 @@ def decode_frame(data: bytes, pos: int = 0) -> dict:
         dict_id = int.from_bytes(data[pos : pos + did_len], "little")
         pos += did_len
         if dict_id != 0:
-            raise NotImplementedError(
-                f"zstd: dictionary {dict_id} required — dictionary frames "
-                "are out of scope (corpus releases ship standard frames)"
-            )
+            if dictionary is None:
+                raise ValueError(
+                    f"zstd: frame requires dictionary {dict_id} — pass "
+                    "dictionary= (decoding without it is corruption)"
+                )
+            if dictionary["dict_id"] not in (0, dict_id):
+                raise ValueError(
+                    f"zstd: frame requires dictionary {dict_id}, got "
+                    f"{dictionary['dict_id']}"
+                )
     fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     content_size = None
     if fcs_len:
@@ -705,6 +777,14 @@ def decode_frame(data: bytes, pos: int = 0) -> dict:
     huf_ctx: dict = {}
     fse_ctx: dict = {}
     rep = [1, 4, 8]  # repeat-offset history is frame-scoped (§3.1.1.5)
+    prefix_len = 0
+    if dictionary is not None:
+        out += dictionary["content"]
+        prefix_len = len(out)
+        if dictionary["huf"] is not None:
+            huf_ctx["table"] = dictionary["huf"]
+        fse_ctx.update(dictionary["fse"])
+        rep = list(dictionary["reps"])
     n_blocks = 0
     while True:
         bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
@@ -724,8 +804,10 @@ def decode_frame(data: bytes, pos: int = 0) -> dict:
             lits, lpos = _decode_literals(data, pos, huf_ctx)
             seqs = _decode_sequences(data, lpos, bend, fse_ctx)
             if seqs:
+                # the dict prefix is addressable beyond the window
                 _execute_sequences(
-                    out, lits, seqs, window_size or len(out) + 1, rep
+                    out, lits, seqs,
+                    (window_size or len(out) + 1) + prefix_len, rep,
                 )
             else:
                 out += lits
@@ -734,22 +816,24 @@ def decode_frame(data: bytes, pos: int = 0) -> dict:
             raise ValueError("zstd: reserved block type")
         if last:
             break
+    payload = bytes(out[prefix_len:])
     checksum_ok = None
     if checksum_present:
         (want,) = struct.unpack_from("<I", data, pos)
         pos += 4
-        checksum_ok = (xxh64(bytes(out)) & 0xFFFFFFFF) == want
+        checksum_ok = (xxh64(payload) & 0xFFFFFFFF) == want
         if not checksum_ok:
             raise ValueError("zstd: content checksum mismatch")
-    if content_size is not None and len(out) != content_size:
+    if content_size is not None and len(payload) != content_size:
         raise ValueError(
-            f"zstd: declared content size {content_size} != decoded {len(out)}"
+            f"zstd: declared content size {content_size} != decoded "
+            f"{len(payload)}"
         )
     return {
         "frame_start": start,
         "frame_end": pos,
         "kind": "zstd",
-        "payload": bytes(out),
+        "payload": payload,
         "window_size": window_size,
         "content_size": content_size,
         "checksum_present": checksum_present,
@@ -759,25 +843,33 @@ def decode_frame(data: bytes, pos: int = 0) -> dict:
     }
 
 
-def zstd_frames(data: bytes) -> list:
+def zstd_frames(data: bytes, dictionary=None) -> list:
     """Multi-frame walk: decode every frame (zstd + skippable) in a
     concatenated stream, returning per-frame dicts with exact byte
     ranges — the split points a distributed reader fans out on, the
-    same role gunzip_members plays for WARC.gz."""
+    same role gunzip_members plays for WARC.gz. ``dictionary``
+    applies to every zstd frame (corpus shards trained against one
+    dictionary share it across all their frames)."""
+    if isinstance(dictionary, (bytes, bytearray)):
+        dictionary = parse_dictionary(bytes(dictionary))
     frames = []
     pos = 0
     while pos < len(data):
-        f = decode_frame(data, pos)
+        f = decode_frame(data, pos, dictionary=dictionary)
         frames.append(f)
         pos = f["frame_end"]
     return frames
 
 
-def decompress(data: bytes) -> bytes:
+def decompress(data: bytes, dictionary=None) -> bytes:
     """Concatenated-frame decompress (what `zstd -d` does): zstd
     frame payloads concatenate, skippable frames contribute
     nothing."""
-    return b"".join(f["payload"] for f in zstd_frames(data) if f["kind"] == "zstd")
+    return b"".join(
+        f["payload"]
+        for f in zstd_frames(data, dictionary=dictionary)
+        if f["kind"] == "zstd"
+    )
 
 
 def jsonl_zst_records(data: bytes) -> list:
