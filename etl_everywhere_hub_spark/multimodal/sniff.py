@@ -15,7 +15,11 @@ modules): gzip 1F 8B, zstd standard frame 28 B5 2F FD (LE
 0xFD2FB528) and skippable 5x 2A 4D 18, bzip2 'BZh' + level digit,
 LZ4 frame 04 22 4D 18 and its skippable range, xz FD '7zXZ' 00.
 ``tar`` is also recognized (ustar magic at offset 257) because
-corpus tarballs appear UNcompressed on fast object stores.
+corpus tarballs appear UNcompressed on fast object stores, and the
+snappy FRAMING format by its sNaPpY stream identifier. Hadoop
+.snappy block files carry NO magic at all (a documented boundary:
+they are extension-routed in every Hadoop tool too — route them to
+multimodal/snappy.py:hadoop_snappy_decompress by name).
 
 The sniff is decisive or loud: unknown leading bytes raise with a
 hexdump prefix — silently treating compressed bytes as text is how
@@ -53,6 +57,8 @@ def sniff_codec(data: bytes) -> str:
         return "lz4"
     if data[:6] == b"\xfd7zXZ\x00":
         return "xz"
+    if data[:10] == b"\xff\x06\x00\x00sNaPpY":
+        return "snappy-framed"
     if data[257:263] in (b"ustar\x00", b"ustar "):
         return "tar"
     raise ValueError(
@@ -86,4 +92,10 @@ def decode_auto(data: bytes) -> tuple:
         from etl_everywhere_hub_spark.multimodal.xz import decompress
 
         return codec, decompress(data)
+    if codec == "snappy-framed":
+        from etl_everywhere_hub_spark.multimodal.snappy import (
+            framed_snappy_decompress,
+        )
+
+        return codec, framed_snappy_decompress(data)
     return codec, data  # tar

@@ -45,6 +45,7 @@ def test_codec_interop_skips_cleanly_without_tools():
         "bzip2",  # round 12 (stdlib libbzip2 always present)
         "lz4",  # round 12 (CLI present in this container)
         "xz",  # round 12 (stdlib liblzma always present)
+        "snappy",  # round 12 (Spark's JVM codec is the pin)
     }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):

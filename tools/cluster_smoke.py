@@ -895,6 +895,40 @@ def smoke_codec_interop() -> list[str]:
             )
     except Exception as e:  # noqa: BLE001
         out.append(f"FAIL codec-interop/xz: {type(e).__name__}: {e}")
+
+    # --- snappy: Spark's own JVM SnappyCodec as the foreign pin,
+    #     both directions (round 12; deep matrix in tests/test_snappy.py) ---
+    try:
+        import glob
+        import tempfile
+
+        from pyspark.sql import SparkSession
+
+        from etl_everywhere_hub_spark.multimodal.snappy import (
+            hadoop_snappy_compress,
+            hadoop_snappy_decompress,
+        )
+
+        spark = SparkSession.builder.master("local[2]").getOrCreate()
+        d = tempfile.mkdtemp(prefix="smoke_snappy_")
+        lines = [f"smoke line {i} payload" for i in range(500)]
+        (spark.createDataFrame([(ln,) for ln in lines], "value string")
+         .coalesce(1).write.option("compression", "snappy")
+         .text(d + "/out"))
+        f = glob.glob(d + "/out/*.snappy")[0]
+        with open(f, "rb") as fh:
+            assert hadoop_snappy_decompress(fh.read()).decode().splitlines() \
+                == lines, "JVM->ours"
+        os.makedirs(d + "/in")
+        with open(d + "/in/part-0.txt.snappy", "wb") as fh:
+            fh.write(hadoop_snappy_compress(("\n".join(lines) + "\n").encode()))
+        back = [r.value for r in spark.read.text(d + "/in").collect()]
+        assert back == lines, "ours->JVM"
+        out.append(
+            "PASS codec-interop/snappy (Spark JVM codec both directions)"
+        )
+    except Exception as e:  # noqa: BLE001
+        out.append(f"FAIL codec-interop/snappy: {type(e).__name__}: {e}")
     return out
 
 
