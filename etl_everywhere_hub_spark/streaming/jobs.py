@@ -1158,67 +1158,24 @@ def streaming_band_keys(
     num_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """MinHash band keys computed ROW-LOCALLY (streaming-safe): the
-    batch operator's signature needs a groupBy over exploded shingles
-    (operators/dedup.py:minhash_signatures), which inside a streaming
-    query would be a second stateful operator; here the same numbers
-    — m_s = min over shingles of (A[s]·(md5int(sh) mod P) + B[s]) mod
-    P, band_key = md5 of the '|'-joined band run — come from
-    higher-order functions over the per-row shingle array (transform
-    + array_min), so byte-identical band keys to the batch path and
-    q41's oracle with ZERO shuffles and no extra state. Docs with no
-    shingles (under k tokens) are filtered, matching the oracle's
-    shingle universe."""
-    from etl_everywhere_hub_spark.functions.text import shingles
-    from etl_everywhere_hub_spark.operators.dedup import (
-        MINHASH_A,
-        MINHASH_B,
-        MINHASH_P,
+    """(doc_id, band, band_key) rows, streaming-safe. Thin shape
+    adapter over streaming/neardup.py's row-local LSH math
+    (rowwise_signatures + band_keys — ONE implementation of the
+    stream-side signature/banding, byte-identical to the batch
+    operator and q41's oracle); this module's bucket-claim state op
+    (streaming_near_dup) wants just the three key columns."""
+    from etl_everywhere_hub_spark.streaming.neardup import (
+        band_keys,
+        rowwise_signatures,
     )
 
-    rows_per_band = num_hashes // bands
-    with_h0 = docs.withColumn(
-        "__h0",
-        F.transform(
-            shingles(F.col(text_col), k),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-            .cast("bigint") % MINHASH_P,
-        ),
-    ).filter(F.size("__h0") > 0)
-    def _min_sig(s: int):
-        # NB: a plain `lambda h, s=s:` would be mistaken for the
-        # (element, index) transform form — close over s instead
-        return F.array_min(
-            F.transform(
-                F.col("__h0"),
-                lambda h: (h * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P,
-            )
-        ).alias(f"m{s}")
-
-    sig = with_h0.select(
-        F.col(id_col), *[_min_sig(s) for s in range(num_hashes)]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("long").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{s}").cast("string")
-                        for s in range(
-                            b * rows_per_band, (b + 1) * rows_per_band
-                        )
-                    ],
-                )
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    return sig.select(
+    sigs = rowwise_signatures(docs, text_col, id_col, k, num_hashes)
+    bk = band_keys(sigs, id_col, num_hashes, bands)
+    return bk.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array(*band_structs)).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_key")
+        F.col("band").cast("long").alias("band"),
+        "band_key",
+    )
 
 
 def _near_dup_fn(

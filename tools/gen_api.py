@@ -58,6 +58,14 @@ SECTIONS = [
     ("WARC record codec", "etl_everywhere_hub_spark.multimodal.warc"),
     ("Zstandard codec (RFC 8878)", "etl_everywhere_hub_spark.multimodal.zstd"),
     ("PDF text extraction", "etl_everywhere_hub_spark.multimodal.pdf"),
+    ("bzip2 decoder", "etl_everywhere_hub_spark.multimodal.bzip2"),
+    ("LZ4 codec", "etl_everywhere_hub_spark.multimodal.lz4"),
+    ("XZ/LZMA decoder", "etl_everywhere_hub_spark.multimodal.xz"),
+    ("ustar member walk", "etl_everywhere_hub_spark.multimodal.tar"),
+    ("Snappy codec", "etl_everywhere_hub_spark.multimodal.snappy"),
+    ("Codec sniffing", "etl_everywhere_hub_spark.multimodal.sniff"),
+    ("Wikipedia dump fixtures + wikitext strip",
+     "etl_everywhere_hub_spark.functions.wikitext"),
 ]
 
 HEADER = '''# API — public operator surface
