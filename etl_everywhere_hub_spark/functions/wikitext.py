@@ -111,3 +111,46 @@ def build_wiki_shard(mid: int, text: str) -> tuple:
         blob += bz2.compress(xml.encode(), level)
         streams.append((level, n_pages, xml))
     return bytes(blob), streams
+
+
+def build_wiki_index(blob: bytes) -> bytes:
+    """The dump's COMPANION INDEX, exactly as Wikimedia publishes it
+    (``...-multistream-index.txt.bz2``): one ``offset:page_id:title``
+    line per page, where offset is the byte position of the bzip2
+    stream CONTAINING the page — the seek table a distributed reader
+    fans out on without decompressing anything it doesn't need.
+    Built here by walking the shard with the engine's own decoder,
+    so the offsets are decode-verified, then bz2-compressed like the
+    real artifact. Titles may contain ':' (real ones do); parsers
+    must split on the FIRST TWO colons only."""
+    from etl_everywhere_hub_spark.multimodal.bzip2 import bzip2_streams
+
+    lines = []
+    for st in bzip2_streams(blob):
+        xml = st["data"].decode()
+        pos = 0
+        while True:
+            t0 = xml.find("<title>", pos)
+            if t0 < 0:
+                break
+            t1 = xml.index("</title>", t0)
+            title = xml[t0 + 7 : t1]
+            i0 = xml.index("<id>", t1)
+            i1 = xml.index("</id>", i0)
+            page_id = int(xml[i0 + 4 : i1])
+            lines.append(f"{st['offset']}:{page_id}:{title}")
+            pos = xml.index("</page>", i1)
+    return bz2.compress(("\n".join(lines) + "\n").encode(), 9)
+
+
+def parse_wiki_index(data: bytes) -> list:
+    """[(stream_offset, page_id, title)] from an index file —
+    splitting each line on the first two colons ONLY (titles contain
+    colons in every real dump)."""
+    from etl_everywhere_hub_spark.multimodal.bzip2 import decompress
+
+    out = []
+    for line in decompress(data).decode().splitlines():
+        off, pid, title = line.split(":", 2)
+        out.append((int(off), int(pid), title))
+    return out

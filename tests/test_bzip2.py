@@ -186,3 +186,34 @@ def test_wiki_page_ids_and_bytes_attr():
     assert "<id>4221</id>" in page
     assert f"<id>{4221 + 7777}</id>" in page
     assert "<title>Doc 42 part 2.1</title>" in page
+
+
+def test_wiki_index_roundtrip_and_seek_contract():
+    from etl_everywhere_hub_spark.functions.wikitext import (
+        build_wiki_index,
+        parse_wiki_index,
+    )
+    from etl_everywhere_hub_spark.multimodal.bzip2 import decode_stream
+
+    mid, text = 8, "words for the index layer of the multistream dump"
+    blob, specs = build_wiki_shard(mid, text)
+    idx = parse_wiki_index(build_wiki_index(blob))
+    # one line per page, offsets point at real stream starts
+    assert len(idx) == sum(np for _lv, np, _x in specs)
+    for off, page_id, title in idx:
+        st = decode_stream(blob, off)  # seek contract: decodable here
+        assert f"<id>{page_id}</id>" in st["data"].decode()
+        assert f"<title>{title}</title>" in st["data"].decode()
+    # page ids/titles match the builder arithmetic
+    assert idx[0][1] == mid * 100 and idx[0][2] == f"Doc {mid} part 0.0"
+
+
+def test_wiki_index_titles_with_colons():
+    import bz2 as _bz2
+
+    from etl_everywhere_hub_spark.functions.wikitext import parse_wiki_index
+
+    raw = b"123:45:Category:Physics: an overview\n0:1:plain\n"
+    got = parse_wiki_index(_bz2.compress(raw))
+    assert got == [(123, 45, "Category:Physics: an overview"),
+                   (0, 1, "plain")]
