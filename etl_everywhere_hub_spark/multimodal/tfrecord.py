@@ -1,0 +1,301 @@
+"""TFRecord container + tf.Example protobuf codec, dependency-free
+— round 12.
+
+Why this belongs in the engine: TFRecord is THE sharded training-data
+format of the TensorFlow ecosystem — image/text corpora ship as
+``train-00000-of-01024.tfrecord`` shards holding tf.Example protobuf
+messages — and a training-data pipeline engine that can't read or
+write them can't interoperate with half the published datasets.
+Reference analog: none (task.ts has no file formats) — north-star
+ingestion surface, same posture as sources/avro_ocf.py.
+
+Implemented from the public formats:
+- TFRecord framing (TensorFlow's riegeli/records + the format's
+  public description in tensorflow/core/lib/io/record_writer.h):
+  each record is ``uint64le length, uint32le masked-crc32c(length
+  bytes), data, uint32le masked-crc32c(data)``. The CRC is CRC-32C
+  (Castagnoli) under the SAME rotr15+0xA282EAD8 masking the sNaPpY
+  framing format uses — both routed through
+  multimodal/snappy.py:crc32c/_mask_crc (one implementation;
+  known-answer vector pinned in tests: crc32c("123456789") =
+  0xE3069283 from the public CRC catalog).
+- Protocol Buffers wire format (protobuf.dev/programming-guides/
+  encoding): varint base-128 little-endian, tag = (field<<3)|wire,
+  wire types 0 varint / 1 fixed64 / 2 length-delimited / 5 fixed32,
+  two's-complement 10-byte varints for negative int64, and PACKED
+  repeated scalars (wire 2 holding concatenated values). The decoder
+  accepts BOTH packed and expanded repeated encodings — the spec
+  requires parsers to, and real writers mix them.
+- tf.Example schema (tensorflow/core/example/example.proto +
+  feature.proto, a public fixed schema):
+  Example{features=1} / Features{map<string,Feature> feature=1}
+  (a protobuf map is wire-repeated entries {key=1, value=2}) /
+  Feature{oneof: bytes_list=1, float_list=2, int64_list=3} /
+  BytesList{repeated bytes value=1} / FloatList{repeated float,
+  packed} / Int64List{repeated int64, packed}.
+
+Honest pin boundary: this container has NO foreign encoder in this
+environment (no tensorflow, no protobuf runtime, no JVM TFRecord
+reader), so tests pin hand-derived golden bytes (each field's wire
+bytes written out from the spec in comments) plus both-direction
+roundtrips and the public CRC-32C known-answer vector — the same
+posture the format documents themselves enable, stated loudly rather
+than implied. RUNBOOK-style recipe: any environment with tensorflow
+can cross-check via ``tf.io.TFRecordWriter`` /
+``tf.train.Example.FromString`` on these exact bytes.
+
+Scale posture: TFRecord carries NO sync marker — unlike Avro
+(sources/avro_ocf.py), a reader cannot seek into the middle of a
+shard and resynchronize; that is exactly why the ecosystem ships
+corpora as MANY small shards and why this walk returns per-record
+offsets only for forward iteration. The parallel unit is the shard
+file (q373 builds per-document shards); decode runs worker-side per
+Arrow batch.
+"""
+from __future__ import annotations
+
+import struct
+
+from etl_everywhere_hub_spark.multimodal.snappy import _mask_crc, crc32c
+
+
+def masked_crc32c(data: bytes) -> int:
+    """TFRecord's masked CRC-32C — the identical mask the sNaPpY
+    framing format defines (one table, one mask, two public formats
+    agreeing)."""
+    return _mask_crc(crc32c(data))
+
+
+# ----------------------------------------------------------- container
+
+def tfrecord_write(records: list) -> bytes:
+    out = bytearray()
+    for rec in records:
+        rec = bytes(rec)
+        ln = struct.pack("<Q", len(rec))
+        out += ln
+        out += struct.pack("<I", masked_crc32c(ln))
+        out += rec
+        out += struct.pack("<I", masked_crc32c(rec))
+    return bytes(out)
+
+
+def tfrecord_records(data: bytes) -> list:
+    """Walk a TFRecord shard: [(offset, record_bytes)] with BOTH CRCs
+    verified per record. Truncation and CRC mismatch raise — a
+    training shard that half-reads is silent data loss."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 12 > n:
+            raise ValueError("tfrecord: truncated length header")
+        ln_bytes = data[pos:pos + 8]
+        (ln,) = struct.unpack("<Q", ln_bytes)
+        (want_len_crc,) = struct.unpack("<I", data[pos + 8:pos + 12])
+        if masked_crc32c(ln_bytes) != want_len_crc:
+            raise ValueError(
+                f"tfrecord: length CRC mismatch at offset {pos}")
+        if pos + 16 + ln > n:
+            raise ValueError("tfrecord: truncated record body")
+        rec = data[pos + 12:pos + 12 + ln]
+        (want_crc,) = struct.unpack(
+            "<I", data[pos + 12 + ln:pos + 16 + ln])
+        if masked_crc32c(rec) != want_crc:
+            raise ValueError(
+                f"tfrecord: data CRC mismatch at offset {pos}")
+        out.append((pos, rec))
+        pos += 16 + ln
+    return out
+
+
+# ------------------------------------------------------- protobuf wire
+
+def _varint_encode(n: int) -> bytes:
+    if n < 0:
+        # two's-complement 64-bit: negative int64 is a 10-byte varint
+        n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _varint_decode(data: bytes, pos: int) -> tuple:
+    shift = acc = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("protobuf: truncated varint")
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("protobuf: varint too long")
+
+
+def pb_fields(data: bytes):
+    """Generic wire walk: yields (field_number, wire_type, value)
+    where value is int (varint), bytes (len-delimited), or raw 4/8
+    little-endian bytes (fixed32/fixed64). Unknown wire types raise
+    (groups are long-deprecated and a skipped field here would be
+    silent data loss)."""
+    pos = 0
+    while pos < len(data):
+        tag, pos = _varint_decode(data, pos)
+        fid, wt = tag >> 3, tag & 0x07
+        if fid == 0:
+            raise ValueError("protobuf: field number 0 is reserved")
+        if wt == 0:
+            v, pos = _varint_decode(data, pos)
+        elif wt == 1:
+            v, pos = data[pos:pos + 8], pos + 8
+            if len(v) != 8:
+                raise ValueError("protobuf: truncated fixed64")
+        elif wt == 2:
+            ln, pos = _varint_decode(data, pos)
+            v, pos = data[pos:pos + ln], pos + ln
+            if len(v) != ln:
+                raise ValueError("protobuf: truncated length-delimited")
+        elif wt == 5:
+            v, pos = data[pos:pos + 4], pos + 4
+            if len(v) != 4:
+                raise ValueError("protobuf: truncated fixed32")
+        else:
+            raise ValueError(f"protobuf: unsupported wire type {wt}")
+        yield fid, wt, v
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+# ----------------------------------------------------------- tf.Example
+
+def example_encode(features: dict) -> bytes:
+    """Encode {name: list-of-values} into a tf.Example. The feature
+    kind is inferred from the FIRST value: bytes -> BytesList,
+    float -> FloatList (packed fixed32), int -> Int64List (packed
+    varints). Mixed-type lists raise."""
+    feat_entries = bytearray()
+    for name, values in features.items():
+        if not values:
+            raise ValueError(f"tf.Example: empty feature {name!r}")
+        v0 = values[0]
+        inner = bytearray()
+        if isinstance(v0, (bytes, bytearray)):
+            for v in values:
+                if not isinstance(v, (bytes, bytearray)):
+                    raise ValueError(f"tf.Example: mixed kinds in {name!r}")
+                inner += b"\x0a" + _varint_encode(len(v)) + bytes(v)
+            kind_fid = 1
+        elif isinstance(v0, float):
+            packed = bytearray()
+            for v in values:
+                if not isinstance(v, float):
+                    raise ValueError(f"tf.Example: mixed kinds in {name!r}")
+                packed += struct.pack("<f", v)
+            inner += b"\x0a" + _varint_encode(len(packed)) + packed
+            kind_fid = 2
+        elif isinstance(v0, int):
+            packed = bytearray()
+            for v in values:
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise ValueError(f"tf.Example: mixed kinds in {name!r}")
+                packed += _varint_encode(v)
+            inner += b"\x0a" + _varint_encode(len(packed)) + packed
+            kind_fid = 3
+        else:
+            raise ValueError(
+                f"tf.Example: unsupported value type {type(v0).__name__}")
+        feature_msg = (
+            _varint_encode((kind_fid << 3) | 2)
+            + _varint_encode(len(inner)) + bytes(inner)
+        )
+        key = name.encode("utf-8")
+        entry = (
+            b"\x0a" + _varint_encode(len(key)) + key
+            + b"\x12" + _varint_encode(len(feature_msg)) + feature_msg
+        )
+        feat_entries += (
+            b"\x0a" + _varint_encode(len(entry)) + entry
+        )
+    features_msg = bytes(feat_entries)
+    return b"\x0a" + _varint_encode(len(features_msg)) + features_msg
+
+
+def _decode_list(kind_fid: int, body: bytes) -> list:
+    values = []
+    for fid, wt, v in pb_fields(body):
+        if fid != 1:
+            raise ValueError(f"tf.Example: unexpected list field {fid}")
+        if kind_fid == 1:                       # BytesList
+            if wt != 2:
+                raise ValueError("tf.Example: BytesList wants bytes")
+            values.append(v)
+        elif kind_fid == 2:                     # FloatList
+            if wt == 5:
+                values.append(struct.unpack("<f", v)[0])
+            elif wt == 2:                       # packed
+                if len(v) % 4:
+                    raise ValueError("tf.Example: ragged packed floats")
+                values.extend(
+                    struct.unpack(f"<{len(v) // 4}f", v))
+            else:
+                raise ValueError("tf.Example: FloatList wire type")
+        else:                                   # Int64List
+            if wt == 0:
+                values.append(_signed64(v))
+            elif wt == 2:                       # packed
+                pos = 0
+                while pos < len(v):
+                    u, pos = _varint_decode(v, pos)
+                    values.append(_signed64(u))
+            else:
+                raise ValueError("tf.Example: Int64List wire type")
+    return values
+
+
+_KINDS = {1: "bytes", 2: "float", 3: "int64"}
+
+
+def example_decode(data: bytes) -> dict:
+    """Decode a tf.Example into {name: (kind, [values])} where kind
+    is 'bytes' | 'float' | 'int64'. Accepts packed AND expanded
+    repeated encodings; duplicate map keys follow protobuf's
+    last-wins map rule."""
+    out = {}
+    for fid, wt, features_msg in pb_fields(data):
+        if fid != 1 or wt != 2:
+            raise ValueError("tf.Example: expected Features at field 1")
+        for efid, ewt, entry in pb_fields(features_msg):
+            if efid != 1 or ewt != 2:
+                raise ValueError("tf.Example: expected map entry")
+            key = None
+            feature = b""
+            for mfid, mwt, mv in pb_fields(entry):
+                if mfid == 1:
+                    key = mv.decode("utf-8")
+                elif mfid == 2:
+                    feature = mv
+            if key is None:
+                raise ValueError("tf.Example: map entry without key")
+            kinds = list(pb_fields(feature))
+            if not kinds:
+                out[key] = ("int64", [])
+                continue
+            if len(kinds) != 1:
+                raise ValueError("tf.Example: multiple kinds in oneof")
+            kfid, kwt, body = kinds[0]
+            if kfid not in _KINDS or kwt != 2:
+                raise ValueError(
+                    f"tf.Example: unknown Feature kind field {kfid}")
+            out[key] = (_KINDS[kfid], _decode_list(kfid, body))
+    return out
