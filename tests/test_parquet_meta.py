@@ -215,3 +215,50 @@ def test_tail_range_request_shape(sf_dir):
     assert full == tail
     with pytest.raises(ValueError, match="widen the tail"):
         parse_footer(read_footer_tail(f, tail=16))
+
+
+def test_deltalite_logged_stats_match_our_footer_decode(spark, tmp_path):
+    """Three layers meet: deltalite harvests per-file stats through
+    pyarrow at commit time (sources/deltalite.py:_harvest_stats);
+    this reader decodes the SAME files from the raw footer bytes.
+    They must agree on every file — pyarrow acting as one more
+    foreign reader, and the engine's pruning metadata being provably
+    what the files actually say."""
+    import glob
+    import json as _json
+
+    from etl_everywhere_hub_spark.sources.deltalite import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(2000).selectExpr(
+        "id as k", "id * 7 % 1000 as v",
+        "concat('s', lpad(cast(id % 50 as string), 3, '0')) as s")
+    t.create(df.repartition(4))
+    checked = 0
+    for f in glob.glob(str(tmp_path / "tbl") + "/**/*.parquet",
+                       recursive=True):
+        if "_delta_log" in f or "_staging" in f:
+            continue
+        stats = footer_stats(read_footer_tail(f))
+        by_col = {}
+        for s in stats:
+            c = by_col.setdefault(s["path"], {
+                "n": 0, "nulls": 0, "min": None, "max": None})
+            c["n"] += s["num_values"]
+            c["nulls"] += s["null_count"] or 0
+            c["min"] = s["min"] if c["min"] is None else min(
+                c["min"], s["min"])
+            c["max"] = s["max"] if c["max"] is None else max(
+                c["max"], s["max"])
+        rel = f.split("tbl/")[-1]
+        snap = t.snapshot()
+        add = snap.files.get(rel)
+        assert add is not None, rel
+        logged = _json.loads(add["stats"])
+        assert logged["numRecords"] == by_col["k"]["n"]
+        for col in ("k", "v", "s"):
+            assert logged["minValues"][col] == by_col[col]["min"], col
+            assert logged["maxValues"][col] == by_col[col]["max"], col
+            assert logged["nullCount"][col] == by_col[col]["nulls"], col
+        checked += 1
+    assert checked == 4
