@@ -66,6 +66,12 @@ SECTIONS = [
     ("Codec sniffing", "etl_everywhere_hub_spark.multimodal.sniff"),
     ("Wikipedia dump fixtures + wikitext strip",
      "etl_everywhere_hub_spark.functions.wikitext"),
+    ("Avro Object Container Files",
+     "etl_everywhere_hub_spark.sources.avro_ocf"),
+    ("Parquet footer reader (thrift compact)",
+     "etl_everywhere_hub_spark.sources.parquet_meta"),
+    ("TFRecord + tf.Example",
+     "etl_everywhere_hub_spark.multimodal.tfrecord"),
 ]
 
 HEADER = '''# API — public operator surface
