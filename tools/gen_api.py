@@ -72,6 +72,10 @@ SECTIONS = [
      "etl_everywhere_hub_spark.sources.parquet_meta"),
     ("TFRecord + tf.Example",
      "etl_everywhere_hub_spark.multimodal.tfrecord"),
+    ("ORC tail reader",
+     "etl_everywhere_hub_spark.sources.orc_meta"),
+    ("Hadoop SequenceFile container",
+     "etl_everywhere_hub_spark.multimodal.seqfile"),
 ]
 
 HEADER = '''# API — public operator surface
