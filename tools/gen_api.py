@@ -76,6 +76,12 @@ SECTIONS = [
      "etl_everywhere_hub_spark.sources.orc_meta"),
     ("Hadoop SequenceFile container",
      "etl_everywhere_hub_spark.multimodal.seqfile"),
+    ("ZIP archive walk",
+     "etl_everywhere_hub_spark.multimodal.zip"),
+    ("CBOR codec (RFC 8949/8742)",
+     "etl_everywhere_hub_spark.multimodal.cbor"),
+    ("Catalog sweep + stats pruning",
+     "etl_everywhere_hub_spark.sources.catalog_sweep"),
 ]
 
 HEADER = '''# API — public operator surface
