@@ -929,6 +929,96 @@ def smoke_codec_interop() -> list[str]:
         )
     except Exception as e:  # noqa: BLE001
         out.append(f"FAIL codec-interop/snappy: {type(e).__name__}: {e}")
+
+    # --- tfrecord: tensorflow is the foreign encoder/decoder this
+    # container lacks (multimodal/tfrecord.py pins spec vectors
+    # instead); on a TF-provisioned host, both directions over the
+    # real library
+    try:
+        import tensorflow as tf  # noqa: F401
+
+        from etl_everywhere_hub_spark.multimodal.tfrecord import (
+            example_decode,
+            example_encode,
+            tfrecord_records,
+            tfrecord_write,
+        )
+
+        d = tempfile.mkdtemp(prefix="smoke_tfr_")
+        f = d + "/foreign.tfrecord"
+        with tf.io.TFRecordWriter(f) as w:
+            for i in range(200):
+                ex = tf.train.Example(features=tf.train.Features(feature={
+                    "i": tf.train.Feature(
+                        int64_list=tf.train.Int64List(value=[i, -i])),
+                    "b": tf.train.Feature(
+                        bytes_list=tf.train.BytesList(
+                            value=[b"p%d" % i])),
+                }))
+                w.write(ex.SerializeToString())
+        got = [example_decode(rec)
+               for _, rec in tfrecord_records(open(f, "rb").read())]
+        assert [g["i"][1] for g in got] == [[i, -i] for i in range(200)]
+        ours = d + "/ours.tfrecord"
+        with open(ours, "wb") as fh:
+            fh.write(tfrecord_write(
+                [example_encode({"i": [i]}) for i in range(50)]))
+        back = [
+            int(tf.train.Example.FromString(r.numpy())
+                .features.feature["i"].int64_list.value[0])
+            for r in tf.data.TFRecordDataset(ours)
+        ]
+        assert back == list(range(50)), "ours->TF"
+        out.append("PASS codec-interop/tfrecord (tensorflow both "
+                   "directions)")
+    except ImportError:
+        out.append("SKIP(env) codec-interop/tfrecord: tensorflow absent")
+    except Exception as e:  # noqa: BLE001
+        out.append(f"FAIL codec-interop/tfrecord: {type(e).__name__}: {e}")
+
+    # --- seqfile-zstd: Hadoop's ZStandardCodec needs a native
+    # libhadoop built with zstd (absent here — the one SequenceFile
+    # codec tests/test_seqfile.py cannot JVM-pin); both directions
+    # where the native lib exists
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[2]").getOrCreate()
+        jvm = spark._jvm
+        if not jvm.org.apache.hadoop.util.NativeCodeLoader \
+                .isNativeCodeLoaded():
+            raise ImportError("native libhadoop absent")
+        from etl_everywhere_hub_spark.multimodal.seqfile import (
+            TEXT,
+            ZSTD_CODEC,
+            seqfile_records,
+            seqfile_write,
+        )
+
+        sc = spark.sparkContext
+        pairs = [("k%03d" % i, "v%d" % i) for i in range(300)]
+        d = tempfile.mkdtemp(prefix="smoke_seqzstd_")
+        sc.parallelize(pairs, 1).saveAsSequenceFile(
+            d + "/jvm", ZSTD_CODEC)
+        import glob as _glob
+
+        f = _glob.glob(d + "/jvm/part-*")[0]
+        recs = seqfile_records(open(f, "rb").read())
+        assert [(k, v) for _, k, v in recs] == pairs, "JVM->ours"
+        os.makedirs(d + "/ours")
+        with open(d + "/ours/part-00000", "wb") as fh:
+            fh.write(seqfile_write(pairs, TEXT, TEXT,
+                                   codec=ZSTD_CODEC, block=True,
+                                   block_records=100))
+        assert sc.sequenceFile(d + "/ours").collect() == pairs, \
+            "ours->JVM"
+        out.append("PASS codec-interop/seqfile-zstd (Hadoop native "
+                   "codec both directions)")
+    except ImportError as e:
+        out.append(f"SKIP(env) codec-interop/seqfile-zstd: {e}")
+    except Exception as e:  # noqa: BLE001
+        out.append(
+            f"FAIL codec-interop/seqfile-zstd: {type(e).__name__}: {e}")
     return out
 
 
