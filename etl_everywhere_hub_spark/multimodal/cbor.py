@@ -61,6 +61,16 @@ class Tag:
         return (isinstance(other, Tag) and other.number == self.number
                 and other.value == self.value)
 
+    def __hash__(self):
+        # tags are legal CBOR map keys (round-12 review: __eq__
+        # without __hash__ made {Tag(1,0): 1} crash with TypeError);
+        # an unhashable tagged value falls back to the number alone —
+        # equality still discriminates
+        try:
+            return hash(("cbor-tag", self.number, self.value))
+        except TypeError:
+            return hash(("cbor-tag", self.number))
+
     def __repr__(self):  # pragma: no cover - debug aid
         return f"Tag({self.number}, {self.value!r})"
 
@@ -202,7 +212,6 @@ class _Decoder:
                     if k is _BREAK:
                         return out
                     out[_key(k)] = self.item()
-                return out
             for _ in range(n):
                 k = self.item()
                 out[_key(k)] = self.item()
@@ -238,8 +247,18 @@ class _Decoder:
 
 
 def _key(k):
-    """Map keys: hash lists as tuples; other CBOR keys pass through."""
-    return tuple(k) if isinstance(k, list) else k
+    """Map keys must be hashable: lists become tuples RECURSIVELY,
+    tagged keys keep their Tag wrapper with a hashable inner value,
+    and map-typed keys refuse loudly (a dict key has no faithful
+    hashable rendering; RFC 8949 permits them but the engine's
+    dict-based decode cannot represent them silently)."""
+    if isinstance(k, list):
+        return tuple(_key(x) for x in k)
+    if isinstance(k, Tag):
+        return Tag(k.number, _key(k.value))
+    if isinstance(k, dict):
+        raise ValueError("cbor: map-typed map key unsupported")
+    return k
 
 
 def cbor_decode(data: bytes) -> object:

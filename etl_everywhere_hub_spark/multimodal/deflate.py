@@ -580,3 +580,37 @@ def gunzip_members(data: bytes) -> list:
         out.append(m)
         pos = m["member_end"]
     return out
+
+
+def zlib_unwrap(data: bytes) -> bytes:
+    """RFC 1950: 2-byte header (CM/CINFO + FCHECK/FDICT/FLEVEL), raw
+    DEFLATE body, big-endian adler32 — the wrapping PDF FlateDecode
+    and Hadoop's DefaultCodec both use. One implementation (round-12
+    review: pdf.py and seqfile.py had drifted copies; the seqfile
+    copy had dropped the FDICT refusal). adler32 comes from the
+    stdlib as a checksum utility, like crc32 for gzip."""
+    import zlib as _stdzlib
+
+    if len(data) < 6:
+        raise ValueError("zlib: stream too short")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise ValueError("zlib: CM != deflate")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("zlib: header check failed")
+    if flg & 0x20:
+        raise ValueError("zlib: preset dictionary unsupported")
+    out, end = inflate(data, 2)
+    if end + 4 > len(data):
+        raise ValueError("zlib: truncated adler32 trailer")
+    (want,) = struct.unpack_from(">I", data, end)
+    if _stdzlib.adler32(bytes(out)) & 0xFFFFFFFF != want:
+        raise ValueError("zlib: adler32 mismatch")
+    return bytes(out)
+
+
+def zlib_wrap(data: bytes) -> bytes:
+    import zlib as _stdzlib
+
+    return (b"\x78\x01" + deflate(data)
+            + struct.pack(">I", _stdzlib.adler32(data) & 0xFFFFFFFF))

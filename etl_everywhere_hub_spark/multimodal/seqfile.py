@@ -59,7 +59,6 @@ sources/avro_ocf.py, stated against TFRecord's no-sync boundary.
 from __future__ import annotations
 
 import struct
-import zlib as _stdzlib  # adler32/crc32 checksum utility only
 
 _MAGIC = b"SEQ"
 
@@ -158,30 +157,6 @@ def _encode_writable(cls: str, v) -> bytes:
 
 # ----------------------------------------------------------- codecs
 
-def _zlib_unwrap(data: bytes) -> bytes:
-    """RFC 1950: 2-byte header, raw deflate, adler32 — same layout
-    multimodal/pdf.py decodes for FlateDecode."""
-    from etl_everywhere_hub_spark.multimodal.deflate import inflate
-
-    if len(data) < 6:
-        raise ValueError("seqfile: zlib stream too short")
-    cmf, flg = data[0], data[1]
-    if cmf & 0x0F != 8 or (cmf * 256 + flg) % 31 != 0:
-        raise ValueError("seqfile: bad zlib header")
-    out, end = inflate(data, 2)
-    (want,) = struct.unpack_from(">I", data, end)
-    if _stdzlib.adler32(bytes(out)) & 0xFFFFFFFF != want:
-        raise ValueError("seqfile: zlib adler32 mismatch")
-    return bytes(out)
-
-
-def _zlib_wrap(data: bytes) -> bytes:
-    from etl_everywhere_hub_spark.multimodal.deflate import deflate
-
-    return (b"\x78\x01" + deflate(data)
-            + struct.pack(">I", _stdzlib.adler32(data) & 0xFFFFFFFF))
-
-
 def _hadoop_lz4_decompress(data: bytes) -> bytes:
     """Hadoop BlockCompressorStream over raw LZ4 blocks: BE32
     uncompressed block size, then BE32-prefixed compressed chunks
@@ -198,8 +173,12 @@ def _hadoop_lz4_decompress(data: bytes) -> bytes:
         pos += 4
         got = 0
         while got < want:
+            if pos + 4 > len(data):
+                raise ValueError("seqfile: truncated lz4 chunk header")
             (cl,) = struct.unpack_from(">I", data, pos)
             pos += 4
+            if pos + cl > len(data):
+                raise ValueError("seqfile: truncated lz4 chunk body")
             chunk = lz4_block_decode(data[pos:pos + cl])
             pos += cl
             out += chunk
@@ -212,15 +191,19 @@ def _hadoop_lz4_decompress(data: bytes) -> bytes:
 def _hadoop_lz4_compress(data: bytes, block: int = 262144) -> bytes:
     from etl_everywhere_hub_spark.multimodal.lz4 import lz4_block_encode
 
+    if not data:
+        # one empty block: BE32 size 0, no chunks — the shape the
+        # decoder's `while got < want` loop reads back as b""
+        # (round-12 review: the old spelling emitted a stray chunk
+        # header its own decoder rejected)
+        return struct.pack(">I", 0)
     out = bytearray()
-    for start in range(0, len(data), block) or [0]:
+    for start in range(0, len(data), block):
         chunk = data[start:start + block]
         enc = lz4_block_encode(chunk)
         out += struct.pack(">I", len(chunk))
         out += struct.pack(">I", len(enc))
         out += enc
-    if not data:
-        out += struct.pack(">I", 0)
     return bytes(out)
 
 
@@ -228,7 +211,8 @@ def _codec_decompress(codec: str, data: bytes) -> bytes:
     if codec is None:
         return data
     if codec == DEFAULT_CODEC:
-        return _zlib_unwrap(data)
+        from etl_everywhere_hub_spark.multimodal.deflate import zlib_unwrap
+        return zlib_unwrap(data)
     if codec == GZIP_CODEC:
         from etl_everywhere_hub_spark.multimodal.deflate import (
             gunzip_member,
@@ -254,7 +238,8 @@ def _codec_compress(codec: str, data: bytes) -> bytes:
     if codec is None:
         return data
     if codec == DEFAULT_CODEC:
-        return _zlib_wrap(data)
+        from etl_everywhere_hub_spark.multimodal.deflate import zlib_wrap
+        return zlib_wrap(data)
     if codec == GZIP_CODEC:
         from etl_everywhere_hub_spark.multimodal.deflate import gzip_member
         return gzip_member(data)

@@ -137,7 +137,9 @@ def _varint_decode(data: bytes, pos: int) -> tuple:
         if not b & 0x80:
             return acc, pos
         shift += 7
-        if shift > 70:
+        if shift >= 70:
+            # 10 bytes max (70 bits covers 64): an 11th continuation
+            # byte is malformed, never a huge silent value
             raise ValueError("protobuf: varint too long")
 
 

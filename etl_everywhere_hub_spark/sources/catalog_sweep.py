@@ -70,8 +70,17 @@ def sweep_parquet_footers(spark: SparkSession, root: str) -> DataFrame:
             for path in pdf["path"]:
                 local = path.replace("file:", "", 1)
                 for s in footer_stats(read_footer_tail(local)):
-                    is_int = s["type"] in ("INT32", "INT64") and \
-                        s["logical"] is None
+                    # plain ints AND signed sized-int annotations
+                    # (INTEGER(n,signed)) order as longs; unsigned
+                    # 64-bit would mis-order under a signed decode,
+                    # so it stays render-only (conservative: the
+                    # pruner keeps files with NULL min/max)
+                    lg = s["logical"]
+                    is_int = s["type"] in ("INT32", "INT64") and (
+                        lg is None
+                        or (lg.startswith("INTEGER(")
+                            and lg.endswith(",signed)"))
+                    )
                     rows.append((
                         local, s["row_group"], s["path"], s["type"],
                         s["num_values"], s["null_count"],

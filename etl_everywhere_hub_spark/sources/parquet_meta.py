@@ -106,18 +106,30 @@ class ThriftCompactReader:
             if not b & 0x80:
                 return acc
             shift += 7
-            if shift > 70:
+            if shift >= 70:
+                # 10 groups carry 70 bits > 64 — an 11th byte is
+                # malformed (round-12 review: the old `> 70` let an
+                # 11-byte varint through)
                 raise ValueError("thrift: varint too long")
 
     def _zigzag(self) -> int:
         z = self._varint()
         return (z >> 1) ^ -(z & 1)
 
-    def _value(self, wt: int):
-        if wt == _TRUE:
-            return True
-        if wt == _FALSE:
-            return False
+    def _value(self, wt: int, in_field: bool = False):
+        if wt in (_TRUE, _FALSE):
+            # bools carry their value IN the field header only for
+            # struct fields; as list/set/map ELEMENTS each bool is
+            # one byte (round-12 review: the old code consumed zero
+            # bytes there and silently desynced)
+            if in_field:
+                return wt == _TRUE
+            b = self._take(1)[0]
+            if b == 1:
+                return True
+            if b in (0, 2):
+                return False
+            raise ValueError(f"thrift: invalid bool element {b}")
         if wt == _BYTE:
             return struct.unpack("b", self._take(1))[0]
         if wt in (_I16, _I32, _I64):
@@ -158,7 +170,7 @@ class ThriftCompactReader:
                 fid = self._zigzag()
             else:
                 fid = last_fid + delta
-            out[fid] = self._value(wt)
+            out[fid] = self._value(wt, in_field=True)
             last_fid = fid
 
 
@@ -226,11 +238,17 @@ def footer_stats(data: bytes) -> list:
     the file-skipping planner's input."""
     f = parse_footer(data)
     # flat-leaf logical annotation: SchemaElement field 10 is the
-    # LogicalType union (1 STRING, 5 DECIMAL, 6 DATE, 7 TIME,
-    # 8 TIMESTAMP, ...), field 6 the legacy ConvertedType enum
+    # LogicalType union per parquet.thrift — 1 STRING, 2 MAP, 3 LIST,
+    # 4 ENUM, 5 DECIMAL, 6 DATE, 7 TIME, 8 TIMESTAMP, 10 INTEGER
+    # (IntType{bitWidth=1, isSigned=2}), 11 UNKNOWN, 12 JSON,
+    # 13 BSON, 14 UUID, 15 FLOAT16 (round-12 review: 10/11 were
+    # previously mislabeled UUID/FLOAT16, which defeated the
+    # catalog-sweep prune gate for sized-int columns); field 6 is
+    # the legacy ConvertedType enum
     _LOGICAL = {1: "STRING", 2: "MAP", 3: "LIST", 4: "ENUM",
                 5: "DECIMAL", 6: "DATE", 7: "TIME", 8: "TIMESTAMP",
-                10: "UUID", 11: "FLOAT16"}
+                10: "INTEGER", 11: "UNKNOWN", 12: "JSON", 13: "BSON",
+                14: "UUID", 15: "FLOAT16"}
     _UNIT = {1: "MILLIS", 2: "MICROS", 3: "NANOS"}
     logical = {}
     for el in f["schema"][1:]:
@@ -244,6 +262,11 @@ def footer_stats(data: bytes) -> list:
                 u = next(iter(unit)) if isinstance(unit, dict) and unit \
                     else None
                 tag = f"{tag}({_UNIT.get(u, '?')})"
+            elif tag == "INTEGER":
+                it = lt[fid]
+                tag = "INTEGER(%s,%s)" % (
+                    it.get(1, "?"),
+                    "signed" if it.get(2, True) else "unsigned")
             logical[name] = tag
         elif 6 in el:
             logical[name] = f"CONVERTED:{el[6]}"

@@ -151,3 +151,16 @@ def test_half_float_subnormal_sweep():
         assert cbor_encode(v) == blob, hex(bits)
         neg = b"\xf9" + _s.pack(">H", 0x8000 | bits)
         assert cbor_encode(cbor_decode(neg)) == neg, hex(bits)
+
+
+def test_tagged_and_nested_list_map_keys():
+    """Round-12 review regression: Tag and nested-list map keys are
+    legal CBOR; they must decode (hashable), and map-typed keys must
+    refuse with ValueError, not crash with TypeError."""
+    got = cbor_decode(h("a1c10001"))   # {Tag(1, 0): 1}
+    assert got == {Tag(1, 0): 1}
+    # [[1]] as a key: 0x81 0x81 0x01
+    got2 = cbor_decode(h("a1818101f5"))
+    assert got2 == {((1,),): True}
+    with pytest.raises(ValueError, match="map-typed map key"):
+        cbor_decode(h("a1a0f5"))       # {{}: true}

@@ -262,3 +262,40 @@ def test_deltalite_logged_stats_match_our_footer_decode(spark, tmp_path):
             assert logged["nullCount"][col] == by_col[col]["nulls"], col
         checked += 1
     assert checked == 4
+
+
+def test_thrift_bool_list_elements():
+    """Round-12 review regression: bools as list ELEMENTS are one
+    byte each (the in-header trick is struct-field-only); the old
+    decode consumed zero bytes and silently desynced."""
+    # fid 1: list of 3 bools [true, false, true], then fid 2 i32 7
+    blob = bytes([0x19, 0x31, 0x01, 0x02, 0x01, 0x15, 0x0E, 0x00])
+    s = ThriftCompactReader(blob).read_struct()
+    assert s[1] == [True, False, True]
+    assert s[2] == 7
+    with pytest.raises(ValueError, match="invalid bool element"):
+        ThriftCompactReader(
+            bytes([0x19, 0x11, 0x07, 0x00])).read_struct()
+    with pytest.raises(ValueError, match="varint too long"):
+        ThriftCompactReader(bytes([0x15]) + b"\x80" * 10 + b"\x01"
+                            + b"\x00").read_struct()
+
+
+def test_sized_int_logical_annotation(tmp_path):
+    """Round-12 review regression: LogicalType union id 10 is
+    INTEGER (IntType), not UUID; sized signed ints must stay
+    prunable in the catalog sweep, unsigned must not decode as
+    signed longs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "i16": pa.array([-5, 0, 7], type=pa.int16()),
+        "u32": pa.array([1, 2, 3], type=pa.uint32()),
+    })
+    f = str(tmp_path / "sized.parquet")
+    pq.write_table(tbl, f)
+    stats = {s["path"]: s for s in footer_stats(read_footer_tail(f))}
+    assert stats["i16"]["logical"] == "INTEGER(16,signed)"
+    assert stats["u32"]["logical"] == "INTEGER(32,unsigned)"
+    assert stats["i16"]["min"] == -5 and stats["i16"]["max"] == 7

@@ -206,3 +206,49 @@ def test_bytes_writable_and_metadata_roundtrip():
     hdr = seqfile_header(blob)
     assert hdr["metadata"] == {"origin": "unit", "n": "40"}
     assert [(k, v) for _, k, v in seqfile_records(blob)] == pairs
+
+
+def test_empty_values_every_codec_both_modes():
+    """Round-12 review regression: the lz4 empty-block framing
+    double-emitted a chunk header its own decoder rejected; every
+    codec must round-trip empty values in record AND block modes."""
+    pairs = [("k", ""), ("k2", "v"), ("k3", "")]
+    from etl_everywhere_hub_spark.multimodal.seqfile import ZSTD_CODEC
+    for codec in (None, DEFAULT_CODEC, GZIP_CODEC, SNAPPY_CODEC,
+                  LZ4_CODEC, ZSTD_CODEC):
+        modes = [(False, 0)] if codec is None else [(False, 0),
+                                                   (True, 1)]
+        for block, br in modes:
+            blob = seqfile_write(pairs, codec=codec, block=block,
+                                 block_records=max(br, 1))
+            assert [(k, v) for _, k, v in seqfile_records(blob)] \
+                == pairs, (codec, block)
+
+
+def test_lz4_truncation_is_valueerror():
+    """Round-12 review regression: truncated lz4 framing must raise
+    ValueError (the module's contract), never struct.error."""
+    from etl_everywhere_hub_spark.multimodal.seqfile import (
+        _hadoop_lz4_compress,
+        _hadoop_lz4_decompress,
+    )
+    blob = _hadoop_lz4_compress(b"payload " * 200, block=256)
+    for cut in (2, 6, len(blob) - 3):
+        with pytest.raises(ValueError, match="truncated lz4"):
+            _hadoop_lz4_decompress(blob[:cut])
+
+
+def test_zlib_preset_dictionary_refuses():
+    """Round-12 review regression: the seqfile zlib path (now the
+    shared deflate.zlib_unwrap) must refuse FDICT streams loudly."""
+    from etl_everywhere_hub_spark.multimodal.deflate import zlib_unwrap
+    # header with FDICT set and a valid FCHECK: 0x78 0x7D has
+    # (0x78*256+0x7D) % 31 == 0 and bit 0x20 set
+    hdr = None
+    for flg in range(256):
+        if flg & 0x20 and (0x78 * 256 + flg) % 31 == 0:
+            hdr = bytes([0x78, flg])
+            break
+    assert hdr is not None
+    with pytest.raises(ValueError, match="preset dictionary"):
+        zlib_unwrap(hdr + b"\x00" * 16)

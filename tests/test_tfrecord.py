@@ -139,3 +139,17 @@ def test_tfrecord_corruption_every_region_is_loud():
         tfrecord_records(bytes(shard[:-2]))
     with pytest.raises(ValueError, match="truncated length header"):
         tfrecord_records(b"\x01\x02\x03")
+
+
+def test_varint_eleven_bytes_is_loud():
+    """Round-12 review regression: an 11-byte varint (malformed —
+    protobuf caps at 10) must raise, never decode to a bogus huge
+    value."""
+    from etl_everywhere_hub_spark.multimodal.tfrecord import (
+        _varint_decode,
+    )
+    ok = b"\xff" * 9 + b"\x01"          # legal 10-byte varint (-1)
+    v, pos = _varint_decode(ok, 0)
+    assert pos == 10
+    with pytest.raises(ValueError, match="varint too long"):
+        _varint_decode(b"\xff" * 10 + b"\x01", 0)
