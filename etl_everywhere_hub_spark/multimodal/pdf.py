@@ -53,7 +53,6 @@ from __future__ import annotations
 
 import re
 import struct
-import zlib as _stdzlib  # adler32 only (stdlib checksum, like crc32 in deflate.py)
 
 from etl_everywhere_hub_spark.multimodal.deflate import deflate, inflate
 
@@ -444,28 +443,22 @@ def _parse_object(lex: _Lexer):
 
 # ---------------------------------------------------------- filters
 def _flate_decode(data: bytes) -> bytes:
-    """FlateDecode = RFC 1950 zlib wrapping of RFC 1951 deflate; the
-    inflate core is OURS (multimodal/deflate.py), adler32 verified
-    via the stdlib checksum (hash utility, like crc32 in gzip)."""
-    if len(data) < 6:
-        raise ValueError("pdf: flate stream too short")
-    cmf, flg = data[0], data[1]
-    if cmf & 0x0F != 8:
-        raise ValueError("pdf: zlib CM != deflate")
-    if (cmf * 256 + flg) % 31 != 0:
-        raise ValueError("pdf: zlib header check failed")
-    if flg & 0x20:
-        raise ValueError("pdf: zlib preset dictionary unsupported")
-    out, end = inflate(data, 2)
-    (want,) = struct.unpack_from(">I", data, end)
-    if _stdzlib.adler32(out) & 0xFFFFFFFF != want:
-        raise ValueError("pdf: zlib adler32 mismatch")
-    return out
+    """FlateDecode = RFC 1950 zlib wrapping of RFC 1951 deflate — the
+    shared deflate.zlib_unwrap (one implementation with seqfile's
+    DefaultCodec path; inflate core ours, adler32 via the stdlib
+    checksum utility), re-raised with the pdf context."""
+    from etl_everywhere_hub_spark.multimodal.deflate import zlib_unwrap
+
+    try:
+        return zlib_unwrap(data)
+    except ValueError as exc:
+        raise ValueError(f"pdf: {exc}") from exc
 
 
 def _flate_encode(data: bytes) -> bytes:
-    return (b"\x78\x01" + deflate(data)
-            + struct.pack(">I", _stdzlib.adler32(data) & 0xFFFFFFFF))
+    from etl_everywhere_hub_spark.multimodal.deflate import zlib_wrap
+
+    return zlib_wrap(data)
 
 
 def _ahx_decode(data: bytes) -> bytes:
