@@ -46,6 +46,8 @@ def test_codec_interop_skips_cleanly_without_tools():
         "lz4",  # round 12 (CLI present in this container)
         "xz",  # round 12 (stdlib liblzma always present)
         "snappy",  # round 12 (Spark's JVM codec is the pin)
+        "seqfile-zstd",  # round 12 format wave (Spark JVM SequenceFile pin)
+        "tfrecord",  # round 12 format wave (tensorflow is the foreign coder)
     }
     for name, ln in subs.items():
         if ln.startswith("SKIP(env)"):

@@ -1,4 +1,4 @@
-"""ZIP archive walk (multimodal/zip.py) pinned BOTH DIRECTIONS
+"""ZIP archive walk (multimodal/ziparchive.py) pinned BOTH DIRECTIONS
 against stdlib zipfile (the in-container foreign implementation):
 stored + deflated + unicode names + ZIP64 (per-entry extras AND the
 saturated-EOCD path), directory-only listing vs per-member decode,
@@ -11,7 +11,7 @@ import zipfile
 
 import pytest
 
-from etl_everywhere_hub_spark.multimodal.zip import (
+from etl_everywhere_hub_spark.multimodal.ziparchive import (
     zip_entries,
     zip_extract_all,
     zip_member,
@@ -150,3 +150,22 @@ def test_truncated_member_and_eocd_comment():
         z.comment = b"trailing archive comment bytes"
     data = buf.getvalue()
     assert zip_extract_all(data) == [("c.txt", b"with comment")]
+
+
+def test_no_multimodal_submodule_shadows_a_builtin():
+    """Importing a package submodule binds its name in the package
+    namespace, so a submodule named after a builtin silently shadows
+    that builtin for every function defined in __init__.py — the
+    round-12 'zip.py' bug (frame_sampling/resize_images crashed with
+    "'module' object is not callable" once multimodal.zip had been
+    imported anywhere in the process). The module is now
+    ziparchive.py; this pins the whole class of failure."""
+    import builtins
+    import pkgutil
+
+    import etl_everywhere_hub_spark.multimodal as mm
+
+    for info in pkgutil.iter_modules(mm.__path__):
+        assert not hasattr(builtins, info.name), (
+            f"multimodal submodule {info.name!r} shadows builtins.{info.name}"
+        )

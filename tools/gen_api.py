@@ -77,7 +77,7 @@ SECTIONS = [
     ("Hadoop SequenceFile container",
      "etl_everywhere_hub_spark.multimodal.seqfile"),
     ("ZIP archive walk",
-     "etl_everywhere_hub_spark.multimodal.zip"),
+     "etl_everywhere_hub_spark.multimodal.ziparchive"),
     ("CBOR codec (RFC 8949/8742)",
      "etl_everywhere_hub_spark.multimodal.cbor"),
     ("Catalog sweep + stats pruning",
