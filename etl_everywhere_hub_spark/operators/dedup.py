@@ -161,28 +161,20 @@ def lsh_candidate_pairs(
     # directly from the wide signature columns (no collect_list, no
     # second shuffle) — identical bytes to the oracle's
     # string_agg(minhash, '|' ORDER BY seed).
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"m{s}").cast("string")
-                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            ).alias("band_key"),
+    # (round 12: expr strings, not Column-by-Column construction — see
+    # minhash_near_dup; same expressions, one py4j round trip each)
+    band_structs = ", ".join(
+        f"struct({b} AS band, md5(concat_ws('|', "
+        + ", ".join(
+            f"cast(m{s} AS string)"
+            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
+        + ")) AS band_key)"
         for b in range(bands)
-    ]
-    band_keys = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        F.col(id_col),
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_key").alias("band_key"),
     )
+    band_keys = sigs.selectExpr(
+        f"`{id_col}`", f"explode(array({band_structs})) AS bb"
+    ).selectExpr(f"`{id_col}`", "bb.band AS band", "bb.band_key AS band_key")
     star = None
     if max_bucket_size is not None:
         # in-plan capping (round 11): the bucket size is a window
@@ -201,35 +193,35 @@ def lsh_candidate_pairs(
         # but Spark 4.1.2's Observation breaks when the observed
         # subtree feeds a self-join (toPyRow assertion on the
         # twice-collected metrics row) — probed round 11.
-        w = Window.partitionBy("band", "band_key")
-        bkw = band_keys.withColumn("__bn", F.count(F.lit(1)).over(w))
+        win = "OVER (PARTITION BY band, band_key)"
+        cols = ["*", f"count(1) {win} AS __bn"]
         if oversized_star_pairs:
-            bkw = bkw.withColumn("__c", F.min(id_col).over(w))
+            # both window exprs share one partitioning -> one Window
+            # node (CollapseWindow), exactly as the withColumn form
+            cols.append(f"min(`{id_col}`) {win} AS __c")
+        bkw = band_keys.selectExpr(*cols)
+        if oversized_star_pairs:
             # O(m) star per oversized bucket around its min id:
             # downstream verify + connected components re-merge the
             # whole cluster while emission stays linear
-            star = (
-                bkw.filter(
-                    (F.col("__bn") > max_bucket_size)
-                    & (F.col(id_col) != F.col("__c"))
-                )
-                .select(
-                    F.least(F.col(id_col), F.col("__c")).alias("a"),
-                    F.greatest(F.col(id_col), F.col("__c")).alias("b"),
-                )
+            star = bkw.filter(
+                f"__bn > {max_bucket_size} AND `{id_col}` != __c"
+            ).selectExpr(
+                f"least(`{id_col}`, __c) AS a",
+                f"greatest(`{id_col}`, __c) AS b",
             )
         _spawn_cap_accounting_logger(
             band_keys, max_bucket_size, oversized_star_pairs
         )
-        kept = bkw.filter(F.col("__bn") <= max_bucket_size)
-        a = kept.select(F.col(id_col).alias("a"), "band", "band_key")
-        b = kept.select(F.col(id_col).alias("b"), "band", "band_key")
+        kept = bkw.filter(f"__bn <= {max_bucket_size}")
+        a = kept.selectExpr(f"`{id_col}` AS a", "band", "band_key")
+        b = kept.selectExpr(f"`{id_col}` AS b", "band", "band_key")
     else:
-        a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
-        b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
+        a = band_keys.selectExpr(f"`{id_col}` AS a", "band", "band_key")
+        b = band_keys.selectExpr(f"`{id_col}` AS b", "band", "band_key")
     pairs = (
         a.join(b, on=["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
+        .filter("a < b")
         .select("a", "b")
     )
     if star is not None:
@@ -411,49 +403,59 @@ def minhash_near_dup(
         # tokenization: partial aggregation collapses each partition's
         # copies map-side, the min-id row becomes the representative,
         # and the member list rides along for the expansion at the end.
+        # Round 12: the pipeline's projections are built as SINGLE
+        # SQL-expression strings instead of Column-by-Column API calls.
+        # Semantics are identical (same analyzed expressions — the
+        # whole q41 output is pinned bit-identical under the oracle);
+        # what changes is DRIVER cost: every Column call is a py4j
+        # round trip, and this operator built several hundred of them
+        # per invocation. On a host with non-trivial py4j latency the
+        # construction dominated the bench's timed region (measured:
+        # q41 build 0.71 s of a 1.24 s min; expr-string form cut the
+        # full query 2.06 -> 1.52 s min, same-session alternating A/B).
         grouped = (
-            df.groupBy(F.md5(F.col(text_col)).alias("__gk"))
+            df.groupBy(F.expr(f"md5(`{text_col}`) AS __gk"))
             .agg(
-                F.min(F.struct(F.col(id_col), F.col(text_col))).alias("__rt"),
-                F.sort_array(F.collect_list(F.col(id_col))).alias("__members"),
+                F.expr(f"min(struct(`{id_col}`, `{text_col}`)) AS __rt"),
+                F.expr(f"sort_array(collect_list(`{id_col}`)) AS __members"),
             )
-            .select(
-                F.col("__rt").getField(id_col).alias(id_col),
-                F.col("__rt").getField(text_col).alias(text_col),
+            .selectExpr(
+                f"__rt.`{id_col}` AS `{id_col}`",
+                f"__rt.`{text_col}` AS `{text_col}`",
                 "__members",
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         df = grouped.select(id_col, text_col)
 
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    n = F.size("__toks")
-    sh_arr = F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
-        )
-    )
+    # split on the single-space separator — the expr twin of
+    # functions.text.tokens (pinned equivalent in tests)
+    toks = df.selectExpr(f"`{id_col}`", f"split(`{text_col}`, ' ') AS __toks")
     docs = (
-        toks.select(F.col(id_col), F.array_distinct(sh_arr).alias("sh"))
-        .select(
-            id_col,
-            "sh",
-            F.transform("sh", lambda s: md5_long(s) % MINHASH_P).alias("h0s"),
-            F.size("sh").alias("n_sh"),
+        toks.selectExpr(
+            f"`{id_col}`",
+            f"array_distinct(CASE WHEN size(__toks) < {k} THEN "
+            f"cast(array() AS array<string>) ELSE "
+            f"transform(sequence(1, size(__toks) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(__toks, i, {k}))) END) AS sh",
         )
-        .filter(F.col("n_sh") > 0)
+        .selectExpr(
+            f"`{id_col}`",
+            "sh",
+            # expr twin of functions.hashing.md5_long(s) % MINHASH_P
+            f"transform(sh, s -> cast(conv(substring(md5(cast(s AS binary)),"
+            f" 1, 15), 16, 10) AS bigint) % {MINHASH_P}L) AS h0s",
+            "size(sh) AS n_sh",
+        )
+        .filter("n_sh > 0")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     docs.count()
-    sigs = docs.select(
-        F.col(id_col),
+    sigs = docs.selectExpr(
+        f"`{id_col}`",
         *[
-            F.array_min(
-                F.transform(
-                    "h0s", lambda h: (h * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P
-                )
-            ).alias(f"m{s}")
+            f"array_min(transform(h0s, h -> (h * {MINHASH_A[s]}L"
+            f" + {MINHASH_B[s]}L) % {MINHASH_P}L)) AS m{s}"
             for s in range(num_hashes)
         ],
     )
@@ -475,26 +477,18 @@ def minhash_near_dup(
     # (q40's all-pairs oracle); for LSH-bounded candidate sets the
     # array join shuffles at most the candidate docs' arrays — the
     # same bytes the explode path shuffled as individual rows.
-    da = docs.select(
-        F.col(id_col).alias("a"),
-        F.col("sh").alias("__sha"),
-        F.col("n_sh").alias("__na"),
-    )
-    db = docs.select(
-        F.col(id_col).alias("b"),
-        F.col("sh").alias("__shb"),
-        F.col("n_sh").alias("__nb"),
-    )
-    inter = F.size(F.array_intersect("__sha", "__shb"))
+    da = docs.selectExpr(f"`{id_col}` AS a", "sh AS __sha", "n_sh AS __na")
+    db = docs.selectExpr(f"`{id_col}` AS b", "sh AS __shb", "n_sh AS __nb")
     verified = (
         cands.join(da, "a")
         .join(db, "b")
-        .select(
+        .selectExpr(
             "a",
             "b",
-            (inter / (F.col("__na") + F.col("__nb") - inter)).alias("jaccard"),
+            "size(array_intersect(__sha, __shb)) / "
+            "(__na + __nb - size(array_intersect(__sha, __shb))) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= cast({threshold!r} AS double)")
     )
     if not collapse_exact:
         return verified
@@ -505,31 +499,23 @@ def minhash_near_dup(
     # size (near-dup output over a duplicate cluster IS quadratic in
     # the cluster — callers wanting cluster-sized output should stop
     # at the representative pairs + membership map in ``grouped``).
-    mem = grouped.select(
-        F.col(id_col).alias("__rep"), F.explode("__members").alias("__mid")
+    mem = grouped.selectExpr(
+        f"`{id_col}` AS __rep", "explode(__members) AS __mid"
     )
     cross = (
-        verified.join(
-            mem.select(F.col("__rep").alias("a"), F.col("__mid").alias("ma")), "a"
-        )
-        .join(
-            mem.select(F.col("__rep").alias("b"), F.col("__mid").alias("mb")), "b"
-        )
-        .select(
-            F.least("ma", "mb").alias("a"),
-            F.greatest("ma", "mb").alias("b"),
-            "jaccard",
-        )
+        verified.join(mem.selectExpr("__rep AS a", "__mid AS ma"), "a")
+        .join(mem.selectExpr("__rep AS b", "__mid AS mb"), "b")
+        .selectExpr("least(ma, mb) AS a", "greatest(ma, mb) AS b", "jaccard")
     )
     # groups whose representative produced no shingles never enter the
     # pipeline in the uncollapsed form either — exclude them here too
     within = (
-        grouped.filter(F.size("__members") >= 2)
+        grouped.filter("size(__members) >= 2")
         .join(docs.select(id_col), id_col, "left_semi")
-        .select(F.explode("__members").alias("a"), "__members")
-        .select("a", F.explode("__members").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.lit(1.0).alias("jaccard"))
+        .selectExpr("explode(__members) AS a", "__members")
+        .selectExpr("a", "explode(__members) AS b")
+        .filter("a < b")
+        .selectExpr("a", "b", "cast(1.0 AS double) AS jaccard")
     )
     if threshold > 1.0:
         within = within.filter(F.lit(False))
