@@ -16,7 +16,6 @@ is a handful of shuffles, each AQE-sized.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as SWindow
 from pyspark.sql import functions as F
 
 
@@ -208,29 +207,29 @@ def pagerank_exact(
     bound. Sink nodes leak rank (no redistribution) — a defined,
     engine-independent contract.
     """
-    edeg = edges.withColumn(
-        "out_deg", F.count(F.lit(1)).over(SWindow.partitionBy("src"))
+    # expr-string projections (round 12): identical expressions, one
+    # py4j round trip per projection instead of one per Column — the
+    # loop rebuilds this DAG every call and construction showed up as
+    # 0.43 s of q139's bench min (see OPTIMIZATION_r12.md).
+    edeg = edges.selectExpr(
+        "*", "count(1) OVER (PARTITION BY src) AS out_deg"
     ).localCheckpoint(eager=False)
-    ranks = nodes.select("id", F.lit(1_000_000).cast("bigint").alias("r"))
+    ranks = nodes.selectExpr("id", "cast(1000000 AS bigint) AS r")
+    rank_expr = (
+        f"cast({base_micro} + ({damp_num} * coalesce(in_sum, 0L))"
+        f" div {damp_den} AS bigint) AS r"
+    )
     for it in range(1, iters + 1):
         contrib = (
             edeg.join(ranks, edeg.src == ranks.id)
-            .select("dst", F.expr("r div out_deg").alias("c"))
+            .selectExpr("dst", "r div out_deg AS c")
             .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
+            .agg(F.expr("sum(c) AS in_sum"))
         )
         ranks = (
             ranks.select("id")
             .join(contrib, F.col("id") == contrib.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(base_micro)
-                    + F.expr(f"({damp_num} * coalesce(in_sum, 0L)) div {damp_den}")
-                )
-                .cast("bigint")
-                .alias("r"),
-            )
+            .selectExpr("id", rank_expr)
         )
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             ranks = ranks.localCheckpoint(eager=True)

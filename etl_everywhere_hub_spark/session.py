@@ -75,8 +75,20 @@ _RUNTIME_CONFS = {
 }
 
 
+# Sessions already configured by configure_session, keyed like
+# catalog._TABLE_MEMO (id is stable for the session object's lifetime;
+# a rebuilt session gets a fresh id and re-applies). Round 12: every
+# load_table call re-ran the 13 conf.set py4j round trips — on a host
+# with ms-scale py4j latency that was 30-100 ms of pure driver chatter
+# PER TABLE LOAD inside the bench's timed region.
+_CONFIGURED_SESSIONS: set[int] = set()
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply oracle/scale hygiene to an existing session (idempotent)."""
+    """Apply oracle/scale hygiene to an existing session (idempotent,
+    memoized per session object)."""
+    if id(spark) in _CONFIGURED_SESSIONS:
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -84,6 +96,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # Non-fatal: a locked-down conf just means the session owner
             # already chose a value.
             pass
+    _CONFIGURED_SESSIONS.add(id(spark))
     return spark
 
 
