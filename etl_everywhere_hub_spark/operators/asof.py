@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def asof_join(
@@ -38,7 +39,15 @@ def asof_join(
     """
     lcols = left.columns
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
-    payload_type = right.select(payload_struct.alias("p")).schema["p"].dataType
+    # Build the null-side struct types LOCALLY from the already-fetched
+    # input schemas (round 12): the previous
+    # right.select(...).schema["p"] spelling ran a full ANALYSIS round
+    # trip per type — three per call — purely to learn types Python
+    # already holds.
+    rschema = right.schema
+    lschema = left.schema
+    payload_type = StructType([rschema[c] for c in right_payload])
+    left_type = StructType([lschema[c] for c in lcols])
 
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -51,7 +60,7 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        F.lit(None).cast(left_type).alias("__left"),
         payload_struct.alias("__payload"),
     )
 
@@ -60,7 +69,9 @@ def asof_join(
         # Among right rows with identical time, prefer the greatest
         # tiebreak value (deterministic; matches "latest wins").
         r_tagged = r_tagged.withColumn("__tb", F.col("__payload").getField(tiebreak))
-        l_tagged = l_tagged.withColumn("__tb", F.lit(None).cast(r_tagged.schema["__tb"].dataType))
+        l_tagged = l_tagged.withColumn(
+            "__tb", F.lit(None).cast(payload_type[tiebreak].dataType)
+        )
         order.append(F.col("__tb").asc())
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))

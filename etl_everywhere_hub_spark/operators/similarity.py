@@ -33,48 +33,57 @@ def cosine_topk(
     ``exact=True`` uses the decimal-fold dot product (bit-stable vs the
     oracle); production uses exact=False (double fold, codegen-fast).
     """
-    from etl_everywhere_hub_spark.functions.vectors import (
-        dot,
-        dot_exact,
-        norm_exact,
-    )
+    # Expr-string twins of functions.vectors.dot / dot_exact /
+    # norm_exact (round 12: one py4j round trip per projection instead
+    # of one per Column — same expressions, pinned by the oracle).
+    _DEC = "decimal(38,18)"
 
-    dot_fn = dot_exact if exact else dot
-    sqnorm = (lambda v: norm_exact(v)) if exact else (lambda v: F.sqrt(dot(v, v)))
+    def dot_expr(a: str, b: str) -> str:
+        if exact:
+            return (
+                f"cast(aggregate(zip_with({a}, {b}, (x, y) ->"
+                f" cast(cast(x AS double) * cast(y AS double) AS {_DEC})),"
+                f" cast(0 AS {_DEC}), (acc, v) -> cast(acc + v AS {_DEC}))"
+                f" AS double)"
+            )
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            f" cast(x AS double) * cast(y AS double)), 0.0d,"
+            f" (acc, v) -> acc + v)"
+        )
+
     # Norms are computed ONCE per row on each side and carried through
     # the join — scoring each pair is a single 64-wide fold instead of
     # three (bit-identical result: dp/(qn*cn) with the same fold shapes
     # the oracle uses).
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            sqnorm(F.col(vec_col)).alias("__qn"),
+        queries.selectExpr(
+            f"`{id_col}` AS query_id",
+            f"`{vec_col}` AS __qv",
+            f"sqrt({dot_expr(f'`{vec_col}`', f'`{vec_col}`')}) AS __qn",
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        sqnorm(F.col(vec_col)).alias("__cn"),
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS __cv",
+        f"sqrt({dot_expr(f'`{vec_col}`', f'`{vec_col}`')}) AS __cn",
     )
     scored = (
         c.crossJoin(q)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .filter("NOT (neighbor_id = query_id)")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (
-                dot_fn(F.col("__qv"), F.col("__cv"))
-                / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine_sim"),
+            f"{dot_expr('__qv', '__cv')} / (__qn * __cn) AS cosine_sim",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {k}")
         .select("query_id", "neighbor_id", "cosine_sim", "rnk")
     )
 
