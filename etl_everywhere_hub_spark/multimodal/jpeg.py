@@ -62,6 +62,7 @@ engine family delegates to external codec libs the container lacks.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -211,6 +212,35 @@ def _canonical_codes(bits: list) -> list:
             code += 1
         code <<= 1
     return codes
+
+
+# Encoder LUTs for the FIXED Annex-K tables, built once per process
+# (round 12): every encode call rebuilt four canonical-code dicts —
+# ~8% of the per-image codec cost in the q331 profile. The tables are
+# module constants, so the symbol->(code,len) maps are too.
+_ANNEXK_LUTS: dict | None = None
+
+
+def _annexk_luts() -> dict:
+    global _ANNEXK_LUTS
+    if _ANNEXK_LUTS is None:
+        _ANNEXK_LUTS = {
+            "dc": [
+                {v: c for v, c in zip(vals, _canonical_codes(bits))}
+                for bits, vals in [
+                    (DC_LUMA_BITS, DC_LUMA_VALS),
+                    (DC_CHROMA_BITS, DC_CHROMA_VALS),
+                ]
+            ],
+            "ac": [
+                {v: c for v, c in zip(vals, _canonical_codes(bits))}
+                for bits, vals in [
+                    (AC_LUMA_BITS, AC_LUMA_VALS),
+                    (AC_CHROMA_BITS, AC_CHROMA_VALS),
+                ]
+            ],
+        }
+    return _ANNEXK_LUTS
 
 
 # ------------------------------------------------------------- encoder
@@ -370,19 +400,11 @@ def encode_jpeg_baseline(
         qt = qt_l if tq == 0 else qt_c
         coefs.append(_fdct_quant(plane, qt))
 
-    # huffman code tables (encoder side uses the Annex-K constants)
-    dc_codes = [_canonical_codes(DC_LUMA_BITS), _canonical_codes(DC_CHROMA_BITS)]
-    dc_vals = [DC_LUMA_VALS, DC_CHROMA_VALS]
-    ac_codes = [_canonical_codes(AC_LUMA_BITS), _canonical_codes(AC_CHROMA_BITS)]
-    ac_vals = [AC_LUMA_VALS, AC_CHROMA_VALS]
-    dc_lut = [
-        {v: c for v, c in zip(vals, codes)}
-        for vals, codes in zip(dc_vals, dc_codes)
-    ]
-    ac_lut = [
-        {v: c for v, c in zip(vals, codes)}
-        for vals, codes in zip(ac_vals, ac_codes)
-    ]
+    # huffman code tables (encoder side uses the Annex-K constants;
+    # process-cached — see _annexk_luts)
+    luts = _annexk_luts()
+    dc_lut = luts["dc"]
+    ac_lut = luts["ac"]
 
     # ------------------------------------------------ entropy segment
     mcu_w = 8 * hmax
@@ -579,6 +601,16 @@ class _BitReader:
         if 0xD0 <= self.marker <= 0xD7:
             self.pos += 2
             self.marker = None
+
+
+@lru_cache(maxsize=64)
+def _huff_table_cached(bits: tuple, vals: bytes) -> "_HuffTable":
+    """Process-cached decoder table (round 12): _HuffTable is
+    immutable after construction and real streams reuse a handful of
+    (bits, vals) specs — every builder fixture ships Annex-K — so the
+    per-image rebuild was pure waste. Keyed on the exact parsed spec;
+    an unseen spec still builds (and then caches) its own table."""
+    return _HuffTable(list(bits), vals)
 
 
 class _HuffTable:
@@ -930,7 +962,7 @@ def decode_jpeg_baseline(payload: bytes) -> "np.ndarray":
                 bits = list(body[at + 1 : at + 17])
                 n = sum(bits)
                 vals = body[at + 17 : at + 17 + n]
-                huff[(tc, th)] = _HuffTable(bits, vals)
+                huff[(tc, th)] = _huff_table_cached(tuple(bits), bytes(vals))
                 at += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -1328,20 +1360,9 @@ def encode_jpeg_progressive(
         zz = _fdct_quant(plane, qtab)
         coef.append(zz.reshape(plane.shape[0] // 8, plane.shape[1] // 8, 64))
 
-    dc_lut = [
-        {v: c for v, c in zip(vals, _canonical_codes(bits))}
-        for bits, vals in [
-            (DC_LUMA_BITS, DC_LUMA_VALS),
-            (DC_CHROMA_BITS, DC_CHROMA_VALS),
-        ]
-    ]
-    ac_lut = [
-        {v: c for v, c in zip(vals, _canonical_codes(bits))}
-        for bits, vals in [
-            (AC_LUMA_BITS, AC_LUMA_VALS),
-            (AC_CHROMA_BITS, AC_CHROMA_VALS),
-        ]
-    ]
+    luts = _annexk_luts()  # process-cached Annex-K encoder LUTs
+    dc_lut = luts["dc"]
+    ac_lut = luts["ac"]
 
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)

@@ -888,3 +888,39 @@ def test_spread_for_codec_guard(spark):
     many = spark.range(1000).repartition(par + 4)
     out = spread_for_codec(many)
     assert out is many, "must be a no-op (same object) when splits >= cores"
+
+
+def test_jpeg_process_cached_tables_match_fresh_construction():
+    """Round-12 memoization: the Annex-K encoder LUTs and the decoder
+    _HuffTable cache must be pure caches — identical contents to fresh
+    construction, and decode(encode(x)) stays exact across repeated
+    calls that now share instances."""
+    import numpy as np
+
+    from etl_everywhere_hub_spark.multimodal import decode_image
+    from etl_everywhere_hub_spark.multimodal import jpeg as J
+
+    luts = J._annexk_luts()
+    fresh_dc = [
+        {v: c for v, c in zip(vals, J._canonical_codes(bits))}
+        for bits, vals in [
+            (J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+            (J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+        ]
+    ]
+    assert luts["dc"] == fresh_dc
+    assert luts is J._annexk_luts()  # same object: a cache, not a rebuild
+
+    t = J._huff_table_cached(tuple(J.DC_LUMA_BITS), bytes(J.DC_LUMA_VALS))
+    f = J._HuffTable(list(J.DC_LUMA_BITS), bytes(J.DC_LUMA_VALS))
+    assert (t.min_code, t.max_code, t.val_base, t.vals) == (
+        f.min_code, f.max_code, f.val_base, f.vals,
+    )
+    assert t is J._huff_table_cached(tuple(J.DC_LUMA_BITS), bytes(J.DC_LUMA_VALS))
+
+    img = np.repeat(
+        np.repeat((np.arange(16, dtype=np.uint8) * 13).reshape(4, 4), 8, 0), 8, 1
+    )
+    for _ in range(3):  # repeated calls ride the caches
+        out = decode_image(J.encode_jpeg_baseline(img, quant_scale=0))
+        assert (out == img).all()
