@@ -294,6 +294,16 @@ def test_lsh_identical_cluster_is_bounded_and_lossless(spark, caplog):
     with caplog.at_level(logging.WARNING):
         capped = lsh_candidate_pairs(sigs_all, max_bucket_size=100)
         assert capped.count() == 0  # the only bucket exceeded the cap
+        # the accounting WARNING rides a CONCURRENT job (round 11);
+        # join it inside the caplog context — the round-12 speedups
+        # made the main action finish first, exposing this test's race
+        # (production ordering is best-effort by the operator's
+        # documented contract; test_lsh_cap.py already awaits)
+        from etl_everywhere_hub_spark.operators.dedup import (
+            await_cap_accounting,
+        )
+
+        await_cap_accounting()
     assert any(
         "dropping" in r.message and "cap=100" in r.message
         for r in caplog.records
