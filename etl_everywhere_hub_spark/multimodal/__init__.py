@@ -619,10 +619,15 @@ def spread_for_codec(df: DataFrame) -> DataFrame:
     few MBs, trivially cheap next to the codec CPU — restores
     parallelism. The guard keeps the scale story intact: when the scan
     already has >= defaultParallelism splits, NO exchange is added and
-    the plan stays the pure map pipeline."""
+    the plan stays the pure map pipeline. (Split count is the
+    driver-side estimate — catalog.estimated_scan_splits — not a
+    plan→RDD conversion; non-file-scan inputs count as at-scale and
+    pass through untouched.)"""
+    from etl_everywhere_hub_spark.catalog import estimated_scan_splits
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if estimated_scan_splits(df) >= target:
         return df
     return df.repartition(target)
 

@@ -43,11 +43,23 @@ def asof_join(
     # input schemas (round 12): the previous
     # right.select(...).schema["p"] spelling ran a full ANALYSIS round
     # trip per type — three per call — purely to learn types Python
-    # already holds.
+    # already holds. Name lookup is case-INSENSITIVE like the analyzer
+    # that resolves the matching F.col references (ADVICE r12: an
+    # exact-case StructType index would KeyError on a differently-cased
+    # payload arg that Spark itself resolves fine), and the schema's
+    # own casing wins so the null literal's field names match the real
+    # payload struct feeding unionByName.
     rschema = right.schema
     lschema = left.schema
-    payload_type = StructType([rschema[c] for c in right_payload])
-    left_type = StructType([lschema[c] for c in lcols])
+
+    def _field(schema: StructType, name: str):
+        try:
+            return schema[name]
+        except KeyError:
+            return {f.name.lower(): f for f in schema.fields}[name.lower()]
+
+    payload_type = StructType([_field(rschema, c) for c in right_payload])
+    left_type = StructType([_field(lschema, c) for c in lcols])
 
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -70,7 +82,7 @@ def asof_join(
         # tiebreak value (deterministic; matches "latest wins").
         r_tagged = r_tagged.withColumn("__tb", F.col("__payload").getField(tiebreak))
         l_tagged = l_tagged.withColumn(
-            "__tb", F.lit(None).cast(payload_type[tiebreak].dataType)
+            "__tb", F.lit(None).cast(_field(payload_type, tiebreak).dataType)
         )
         order.append(F.col("__tb").asc())
 

@@ -392,9 +392,14 @@ def minhash_near_dup(
     # is map-side, so its parallelism equals the SCAN's partition count.
     # A small corpus arrives as one parquet split — spread it across
     # the cluster first. At scale the scan already has >= cores
-    # partitions and this is a no-op (no shuffle inserted).
+    # partitions and this is a no-op (no shuffle inserted). Split
+    # count is the driver-side estimate (catalog.estimated_scan_splits,
+    # round 13) — not a plan→RDD conversion; non-file-scan inputs
+    # count as at-scale and skip the spread.
+    from etl_everywhere_hub_spark.catalog import estimated_scan_splits
+
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    if estimated_scan_splits(df) < cores:
         df = df.repartition(cores, id_col)
 
     grouped = None

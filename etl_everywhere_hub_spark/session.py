@@ -17,6 +17,7 @@ on Spark. These settings are the scale posture (SURVEY.md §4, §6):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -75,19 +76,22 @@ _RUNTIME_CONFS = {
 }
 
 
-# Sessions already configured by configure_session, keyed like
-# catalog._TABLE_MEMO (id is stable for the session object's lifetime;
-# a rebuilt session gets a fresh id and re-applies). Round 12: every
+# Sessions already configured by configure_session. Round 12: every
 # load_table call re-ran the 13 conf.set py4j round trips — on a host
 # with ms-scale py4j latency that was 30-100 ms of pure driver chatter
-# PER TABLE LOAD inside the bench's timed region.
-_CONFIGURED_SESSIONS: set[int] = set()
+# PER TABLE LOAD inside the bench's timed region. Round 13 (ADVICE
+# r12): a WeakSet instead of a bare id() set — a stopped, GC'd
+# session's address can be reused by a new SparkSession object, which
+# would then silently skip the correctness-relevant confs (UTC tz,
+# nanosAsLong); holding weak references makes the memo track object
+# LIFETIME, not address, with zero py4j traffic on the hot path.
+_CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply oracle/scale hygiene to an existing session (idempotent,
     memoized per session object)."""
-    if id(spark) in _CONFIGURED_SESSIONS:
+    if spark in _CONFIGURED_SESSIONS:
         return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
@@ -96,7 +100,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # Non-fatal: a locked-down conf just means the session owner
             # already chose a value.
             pass
-    _CONFIGURED_SESSIONS.add(id(spark))
+    _CONFIGURED_SESSIONS.add(spark)
     return spark
 
 

@@ -1,0 +1,106 @@
+"""Round-13 infra guards: the driver-side scan-split estimate that
+replaced df.rdd.getNumPartitions() in every spread guard (VERDICT r12
+#2/#6), the WeakSet configure_session memo (ADVICE r12), and the
+case-insensitive asof_join payload lookup (ADVICE r12)."""
+
+from __future__ import annotations
+
+import gc
+
+from pyspark.sql import functions as F
+
+from etl_everywhere_hub_spark.catalog import estimated_scan_splits, load_table
+
+
+def test_estimate_matches_rdd_on_single_split_fixture(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    est = estimated_scan_splits(df)
+    assert est == df.rdd.getNumPartitions() == 1
+
+
+def test_estimate_matches_rdd_on_multi_file_input(spark, tmp_path):
+    # 8 files >= the test session's parallelism (SPARK_GRAFT_CPUS=8):
+    # the guard must see a multi-split scan and no-op.
+    out = str(tmp_path / "multi.parquet")
+    spark.range(0, 10_000).withColumn("k", F.col("id") % 97).repartition(
+        8
+    ).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(out)
+    est = estimated_scan_splits(df)
+    actual = df.rdd.getNumPartitions()
+    assert est == actual
+    assert est >= spark.sparkContext.defaultParallelism
+
+    from etl_everywhere_hub_spark.queries import _spread_scan
+
+    assert _spread_scan(df, "k") is df  # pass-through, no exchange added
+
+
+def test_spread_fires_on_single_split_scan(spark, sf_dir):
+    from etl_everywhere_hub_spark.queries import _spread_scan
+
+    df = load_table(spark, sf_dir, "documents")
+    spread = _spread_scan(df, "doc_id")
+    assert spread is not df
+    assert "REPARTITION" in spread._jdf.queryExecution().toString()
+
+
+def test_non_file_frame_counts_as_at_scale(spark):
+    # In-memory frames have no file scan: the estimate returns a large
+    # count so guards no-op instead of inserting an exchange.
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    assert estimated_scan_splits(df) > 1_000_000
+
+    from etl_everywhere_hub_spark.queries import _spread_scan
+
+    assert _spread_scan(df, "id") is df
+
+
+def test_configure_session_memo_is_weak(spark):
+    import weakref
+
+    from etl_everywhere_hub_spark.session import (
+        _CONFIGURED_SESSIONS,
+        configure_session,
+    )
+
+    # The memo must hold sessions WEAKLY by identity (ADVICE r12: a
+    # bare id() set could alias a GC'd session's reused address onto a
+    # new object and silently skip the correctness confs). pyspark
+    # itself keeps newSession objects alive via a closure cell, so the
+    # observable contract is: WeakSet semantics + a fresh object is
+    # never pre-member + first touch configures it.
+    assert isinstance(_CONFIGURED_SESSIONS, weakref.WeakSet)
+    s2 = spark.newSession()
+    assert s2 not in _CONFIGURED_SESSIONS
+    configure_session(s2)
+    assert s2 in _CONFIGURED_SESSIONS
+    assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+    # entries die with their object: a dummy weakly-held member drops
+    # out on GC, which is exactly what prevents address aliasing
+    class _Probe:
+        pass
+
+    probe_set: "weakref.WeakSet[_Probe]" = weakref.WeakSet()
+    p = _Probe()
+    probe_set.add(p)
+    del p
+    gc.collect()
+    assert len(probe_set) == 0
+
+
+def test_asof_join_payload_names_case_insensitive(spark):
+    from etl_everywhere_hub_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0)], "k long, rt long, px double"
+    )
+    exact = asof_join(left, right, "k", "t", "rt", ["px"]).collect()
+    upper = asof_join(left, right, "k", "t", "rt", ["PX"]).collect()
+    assert sorted(map(tuple, exact)) == sorted(
+        (r["k"], r["t"], r["asof_PX"]) for r in upper
+    )
+    assert sorted(r["asof_px"] for r in exact) == [100.0, 200.0]

@@ -80,9 +80,7 @@ def main() -> None:
         # fact-table broadcast: a BroadcastExchange subtree whose scan
         # reads one of the big fixture files
         fact_bcasts = []
-        for m in re.finditer(r"^\((\d+)\) BroadcastExchange", txt, re.M):
-            pass  # structural walk below
-        # simpler: formatted details section lists each scan's Location;
+        # formatted details section lists each scan's Location;
         # map node-id -> table, then check which scans sit under a
         # BroadcastExchange in the tree text
         tree = txt.split("\n\n", 1)[0]
