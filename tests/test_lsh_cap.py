@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 from etl_everywhere_hub_spark.operators import dedup as dedup_ops
 
+# LSH-cap contract is part of the fast driver-verifiable subset
+# (VERDICT r12 #7).
+pytestmark = pytest.mark.critical
+
 M = 1_500          # cluster size (docs)
 BG = 300           # background docs
 CAP = 1_000        # max_bucket_size under test

@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 from etl_everywhere_hub_spark.plans import explain as X
 from etl_everywhere_hub_spark.queries import REGISTRY
 
+# Plan gates are build-only (no job runs): part of the fast
+# driver-verifiable subset (VERDICT r12 #7).
+pytestmark = pytest.mark.critical
+
 
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     df = REGISTRY["q02_filter_predicates"].spark(spark, sf_dir)

@@ -7,9 +7,12 @@ from __future__ import annotations
 
 import gc
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_everywhere_hub_spark.catalog import estimated_scan_splits, load_table
+
+pytestmark = pytest.mark.critical
 
 
 def test_estimate_matches_rdd_on_single_split_fixture(spark, sf_dir):
