@@ -45,21 +45,27 @@ def connected_components(
     """
     v_src = F.col(src).cast("long").alias("src")
     v_dst = F.col(dst).cast("long").alias("dst")
-    verts = (
-        edges.select(v_src)
-        .union(edges.select(v_dst.alias("src")))
-        .distinct()
-        .withColumnRenamed("src", "id")
-        .localCheckpoint(eager=True)
-    )
-    e = (
+    # ONE materialization of the caller's edge lineage (round 13,
+    # guide §5 "the driver should do almost no data work" applied to
+    # job COUNT): the canonical pair set is checkpointed WITH
+    # self-loops so both the vertex universe and the working edge set
+    # derive from it by narrow ops — the previous separate eager
+    # checkpoints for verts and e each re-ran the caller's upstream
+    # pipeline (q183's cosine pair generation: ~20 s, twice).
+    raw = (
         edges.select(
             F.least(v_src, v_dst).alias("src"), F.greatest(v_src, v_dst).alias("dst")
         )
-        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    verts = (
+        raw.select("src")
+        .union(raw.select(F.col("dst").alias("src")))
+        .distinct()
+        .withColumnRenamed("src", "id")
+    )
+    e = raw.filter(F.col("src") != F.col("dst"))
     for _ in range(max_iter):
         # --- large-star: symmetric neighborhoods; for node u emit
         # (m(u), v) for every neighbor v > u, where m(u) is the min of
@@ -74,7 +80,7 @@ def connected_components(
             .select(F.col("m").alias("src"), F.col("dst").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # --- small-star: orient each edge toward its greater endpoint;
         # for node u (the greater), m = min smaller neighbor; connect u
@@ -90,14 +96,27 @@ def connected_components(
                 F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # fixed point: canonical distinct sets are equal iff same count
-        # and empty one-sided difference (both exact integer sets)
-        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
-            e = e2
-            break
+        # Fixed point in ONE job per round (round 13; was 5 blocking
+        # jobs: two eager checkpoint materializations + count + count +
+        # exceptAll-count): the checkpoints above are LAZY — this
+        # single symmetric-difference count materializes them as a
+        # side effect (the pagerank lazy-prep pattern), and two
+        # canonical DISTINCT integer sets are equal iff no (src, dst)
+        # appears on only one side. Exact and deterministic, like the
+        # count+exceptAll pair it replaces.
+        mismatch = (
+            e.withColumn("__side", F.lit(1))
+            .union(e2.withColumn("__side", F.lit(2)))
+            .groupBy("src", "dst")
+            .agg(F.min("__side").alias("__mn"), F.max("__side").alias("__mx"))
+            .filter(F.col("__mn") == F.col("__mx"))
+            .count()
+        )
         e = e2
+        if mismatch == 0:
+            break
     member_labels = e.select(F.col("dst").alias("id"), F.col("src").alias("component"))
     root_labels = e.select(F.col("src").alias("id"), F.col("src").alias("component"))
     labels = (
@@ -523,8 +542,14 @@ def temporal_reachability(
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
         .distinct()
         .withColumn("arrival", F.lit(-1).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # LAZY checkpoints (round 13): the hop count is small and FIXED
+    # with no convergence check, so there is nothing to early-exit on —
+    # each round's checkpoint still truncates the logical plan at build
+    # time (LogicalRDD), but materialization folds into the caller's
+    # single action instead of max_hops blocking driver jobs (the
+    # pagerank r11 lazy-prep finding applied to the relaxation loop).
     for _ in range(max_hops):
         relaxed = (
             sym.join(arrival.withColumnRenamed("id", "src"), "src")
@@ -535,7 +560,7 @@ def temporal_reachability(
             arrival.union(relaxed)
             .groupBy("id")
             .agg(F.min("arrival").alias("arrival"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return arrival
 
@@ -586,7 +611,11 @@ def hits_exact(
                 "id",
                 F.expr(f"coalesce(s, 0L) * {scale} div t").cast("bigint").alias("a"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY: truncates lineage identically but materializes
+            # inside the consumer's job instead of as a separate
+            # blocking job per half-step (round 13; the pagerank r11
+            # lazy-prep finding applied to HITS' fixed 2-round loop)
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
@@ -601,7 +630,7 @@ def hits_exact(
                 "id",
                 F.expr(f"coalesce(s, 0L) * {scale} div t").cast("bigint").alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy — see auth above
         )
     return (
         hub.join(auth, "id")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_everywhere_hub_spark.functions.hashing import md5_long
-from etl_everywhere_hub_spark.functions.vectors import cosine, cosine_exact
+from etl_everywhere_hub_spark.functions.vectors import cosine, cosine_exact, dot
 
 
 def cosine_topk(
@@ -327,18 +327,41 @@ def cosine_near_dup(
 
     ``block_col`` bounds the pair space (label/LSH bucket); None means
     all-pairs — oracle scale only.
-    """
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+
+    Round 13 (guide §1.2 per-task work, §2.5): (a) per-VECTOR norms
+    are computed once per row and carried through the join, so scoring
+    a pair is ONE interpreted d-wide fold instead of three —
+    bit-identical (dp/(na·nb) with the same fold shapes; the r12
+    cosine_topk precedent, now on the pair path that was paying 3
+    folds × every in-block pair); (b) when the build side broadcasts,
+    the whole pair probe inherits the scan's partitioning — one task
+    on a one-split fixture (q183's 8k-edge build measured 19.8 s on
+    one core) — so the input spreads with the same no-op-at-scale
+    guard as queries._spread_scan."""
+    from etl_everywhere_hub_spark.catalog import estimated_scan_splits
+
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if estimated_scan_splits(df) < cores:
+        df = df.repartition(cores, id_col)
+    norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    cols_a = [F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), norm.alias("__na")]
+    cols_b = [F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), norm.alias("__nb")]
     if block_col is not None:
-        a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), F.col(block_col).alias("__blk"))
-        b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), F.col(block_col).alias("__blk"))
+        a = df.select(*cols_a, F.col(block_col).alias("__blk"))
+        b = df.select(*cols_b, F.col(block_col).alias("__blk"))
         pairs = a.join(b, on="__blk").filter(F.col("a") < F.col("b"))
     else:
+        a = df.select(*cols_a)
+        b = df.select(*cols_b)
         pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
     return (
         pairs.select(
-            "a", "b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+            "a",
+            "b",
+            (
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
