@@ -369,7 +369,9 @@ def k_core(
             e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            # lazy: the early-exit count below materializes it — one
+            # blocking job per round instead of two (round 13)
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         e = e2
@@ -416,8 +418,12 @@ def bellman_ford_hops(
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # LAZY checkpoints (round 13): fixed hop count, no convergence
+    # check — lineage still truncates per round at build time, but
+    # materialization folds into the caller's single action instead of
+    # max_hops blocking driver jobs (same as temporal_reachability).
     for _ in range(max_hops):
         relaxed = (
             sym.join(dist.withColumnRenamed("id", "src"), "src")
@@ -427,7 +433,7 @@ def bellman_ford_hops(
             dist.union(relaxed)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -495,7 +501,9 @@ def ancestors_doubling(
             .join(r.alias("b"), F.col("a.anc") == F.col("b.id"))
             .select(F.col("a.id").alias("id"), F.col("b.anc").alias("anc"))
         )
-        r2 = r.union(hop).distinct().localCheckpoint(eager=True)
+        # lazy: the fixpoint count below materializes it — one blocking
+        # job per doubling round instead of two (round 13)
+        r2 = r.union(hop).distinct().localCheckpoint(eager=False)
         n2 = r2.count()
         r = r2
         if n2 == n:
