@@ -40,6 +40,28 @@ def sf_dir() -> str:
     return SF_DIR
 
 
+@pytest.fixture(scope="session")
+def multisplit_parquet(spark, tmp_path_factory) -> str:
+    """A single ~33 MB incompressible parquet file whose scan yields
+    >= defaultParallelism splits under the default 128 MB/4 MB split
+    confs (maxSplitBytes = (S+4M)/parallelism for S this size, so the
+    file splits into ~parallelism chunks). Used by the spread-guard
+    no-op tests: tiny multi-FILE layouts cannot exceed parallelism —
+    openCost packing asymptotes below it — so a big splittable file is
+    the honest at-scale shape."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("bigscan") / "big.parquet")
+    (
+        spark.range(4_400_000)
+        .select("id", F.rand(seed=7).alias("x"), F.randn(seed=11).alias("y"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

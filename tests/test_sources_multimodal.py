@@ -869,25 +869,33 @@ def test_count_sos_scans_walks_segments():
     assert decode_jpeg_baseline(crafted).shape == (24, 24, 3)
 
 
-def test_spread_for_codec_guard(spark):
-    """spread_for_codec (round 7): when the scan/source yields fewer
-    partitions than defaultParallelism, one repartition restores codec
-    CPU parallelism; when partitions already >= parallelism it is a
-    NO-OP — the exact same DataFrame object, no exchange added (the
-    production-scale path must stay a pure map pipeline)."""
+def test_spread_for_codec_guard(spark, sf_dir, multisplit_parquet):
+    """spread_for_codec (round 7; split probe rewritten round 13):
+    when a FILE SCAN yields fewer splits than defaultParallelism, one
+    repartition restores codec CPU parallelism; a many-split scan and
+    any non-file-scan input (in-memory frames — unstatable, treated
+    as at-scale) pass through as the exact same DataFrame object, no
+    exchange added (the production-scale path must stay a pure map
+    pipeline)."""
     from etl_everywhere_hub_spark.multimodal import spread_for_codec
 
     par = spark.sparkContext.defaultParallelism
 
-    few = spark.range(1000).coalesce(1)
+    few = spark.read.parquet(f"{sf_dir}/documents.parquet")  # 1 split
     assert few.rdd.getNumPartitions() == 1
     spread = spread_for_codec(few)
     assert spread.rdd.getNumPartitions() == par
-    assert spread.count() == 1000  # no rows harmed
+    assert spread.count() == few.count()  # no rows harmed
 
-    many = spark.range(1000).repartition(par + 4)
+    many = spark.read.parquet(multisplit_parquet)
+    assert many.rdd.getNumPartitions() >= par
     out = spread_for_codec(many)
     assert out is many, "must be a no-op (same object) when splits >= cores"
+
+    mem = spark.range(1000).coalesce(1)
+    assert spread_for_codec(mem) is mem, (
+        "non-file-scan inputs count as at-scale and pass through"
+    )
 
 
 def test_jpeg_process_cached_tables_match_fresh_construction():
